@@ -1,0 +1,265 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data text operators over `documents` (SURVEY.md §2C Q41/
+  * Q43 + the dedup / text-analysis mandate): exact dedup, MinHash-LSH,
+  * SimHash, n-gram Jaccard, language-ID, quality scoring, regex
+  * tokenization, rolling-hash fingerprinting.
+  *
+  * Portability note: every hash used here is `md5` (identical bytes in
+  * Spark and DuckDB) so the whole pipeline — including MinHash signatures
+  * and SimHash bits — is oracle-checkable, not just row counts.
+  * All shapes are explode → hash-partition groupBy / inverted-index join:
+  * no cross product anywhere, which is what survives 100 TB (candidate
+  * generation is bounded by shared-token buckets, not n²).
+  */
+object LlmText {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables(s, d, "documents")
+
+  /** 32-bit portable token hash: first 8 hex chars of md5. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Distinct word-n-gram shingles per doc. */
+  private def shingles(s: SparkSession, d: String, n: Int): DataFrame =
+    docs(s, d).select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', ${(0 until n).map(k => s"t[i+$k]").mkString(", ")}))"
+      )).as("sh")).distinct()
+
+  /** DuckDB CTE mirroring [[shingles]] (bounded index join in place of a
+    * lateral sequence; fixture docs are < 200 tokens). */
+  private def shinglesSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"t[i+${k + 1}]").mkString(" || ' ' || ")
+    s"toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents " +
+      s"WHERE len(string_split(text,' ')) >= $n), " +
+      s"sh AS (SELECT DISTINCT doc_id, $parts AS sh FROM toks " +
+      s"JOIN (SELECT UNNEST(range(0,200)) AS i) ix ON ix.i <= len(t)-$n)"
+  }
+
+  /** Per-doc 32-bit SimHash over token md5 hashes (token multiplicity
+    * weighted). Pure groupBy-sum — linear in corpus size. */
+  private def simhashDf(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", h32(col("tok")))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("bit", expr("(h div shiftleft(1L, CAST(b AS INT))) % 2"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("bit") * 2 - 1).as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("sc") > 0, expr("shiftleft(1L, CAST(b AS INT))")).otherwise(0L)).as("simhash"))
+
+  private val SimhashSql: String =
+    "tok AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS tok FROM documents), " +
+      "hh AS (SELECT doc_id, CAST(('0x' || substring(md5(tok),1,8)) AS BIGINT) AS h FROM tok), " +
+      "bits AS (SELECT doc_id, b, ((h // (CAST(1 AS BIGINT) << b)) % 2) AS bit FROM hh " +
+      "JOIN (SELECT UNNEST(range(0,32)) AS b) bb ON true), " +
+      "acc AS (SELECT doc_id, b, SUM(bit*2 - 1) AS sc FROM bits GROUP BY doc_id, b), " +
+      "sim AS (SELECT doc_id, CAST(SUM(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << b) " +
+      "ELSE 0 END) AS BIGINT) AS simhash FROM acc GROUP BY doc_id)"
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q41_exact_dedup",
+      (s, d) => docs(s, d).groupBy(col("text")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > 1)
+        .agg(count(lit(1)).as("dup_groups"),
+          coalesce(sum(col("cnt") - 1), lit(0L)).cast("long").as("surplus")),
+      Some("SELECT COUNT(*) AS dup_groups, CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS surplus " +
+        "FROM (SELECT text, COUNT(*) AS cnt FROM documents GROUP BY text HAVING COUNT(*) > 1)")),
+
+    QueryDef("q43_token_stats",
+      (s, d) => docs(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(size(split(col("text"), " "))), 2).as("avg_tokens"))
+        .orderBy(col("lang")),
+      Some("SELECT lang, COUNT(*) AS cnt, ROUND(AVG(len(string_split(text,' '))), 2) AS avg_tokens " +
+        "FROM documents GROUP BY lang ORDER BY lang")),
+
+    QueryDef("q44_minhash_pairs",
+      // MinHash-LSH over 3-gram shingles: 8 md5-derived min-hashes per
+      // doc; candidate pairs share any band (8 bands × 1 hash); exact
+      // shingle-set Jaccard computed only for candidates. Candidate
+      // generation is a hash-equi-join on (band, minhash) — no n² pass.
+      (s, d) => {
+        val sh = shingles(s, d, 3)
+        val hashes = (0 until 8).map(sd => min(h32(concat(lit(s"$sd:"), col("sh")))).as(s"h$sd"))
+        val sig = sh.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
+        val bands = sig.select(col("doc_id"),
+          posexplode(array((0 until 8).map(i => col(s"h$i")): _*)).as(Seq("band", "h")))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+        val inter = cand.join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ninter"))
+        inter.join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+          .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("ninter").cast("double") / (col("za.nsh") + col("zb.nsh") - col("ninter")), 4).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("WITH " + shinglesSql(3) + ", " +
+        "sig AS (SELECT doc_id, " +
+        (0 until 8).map(sd =>
+          s"MIN(CAST(('0x' || substring(md5('$sd:' || sh),1,8)) AS BIGINT)) AS h$sd").mkString(", ") +
+        " FROM sh GROUP BY doc_id), " +
+        "bands AS (" +
+        (0 until 8).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig").mkString(" UNION ALL ") +
+        "), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x " +
+        "JOIN bands y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id), " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter FROM cand c " +
+        "JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh " +
+        "GROUP BY c.doc_a, c.doc_b) " +
+        "SELECT i.doc_a, i.doc_b, ROUND(CAST(i.ninter AS DOUBLE)/(za.nsh + zb.nsh - i.ninter), 4) AS jaccard " +
+        "FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b " +
+        "ORDER BY doc_a, doc_b")),
+
+    QueryDef("q45_simhash",
+      (s, d) => simhashDf(s, d).orderBy(col("doc_id")),
+      Some("WITH " + SimhashSql + " SELECT doc_id, simhash FROM sim ORDER BY doc_id")),
+
+    QueryDef("q45b_simhash_pairs",
+      // Hamming ≤ 3 near-dups. Spark side generates candidates by banding
+      // the 32-bit simhash into 4 bytes: any pair within hamming 3 must
+      // agree on ≥ 1 band (pigeonhole), so banding is EXACT here while
+      // replacing the n² pair space with equi-join buckets. Oracle brute-
+      // forces the pairs — results provably identical.
+      (s, d) => {
+        val sig = simhashDf(s, d)
+        val banded = sig.select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until 4).map(j =>
+            expr(s"(simhash div shiftleft(1L, ${8 * j})) % 256")): _*)).as(Seq("band", "bv")))
+        banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            expr("CAST(bit_count(x.simhash ^ y.simhash) AS INT)").as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 3)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("WITH " + SimhashSql + " " +
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
+        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b")),
+
+    QueryDef("q46_ngram_jaccard",
+      // Exact bigram-set Jaccard via inverted-index join: pairs are
+      // generated only from shared bigrams, never enumerated n².
+      (s, d) => {
+        val bg = shingles(s, d, 2)
+        val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("nbg"))
+        val inter = bg.as("a").join(bg.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("ninter"))
+        inter.join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+          .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("ninter").cast("double") / (col("za.nbg") + col("zb.nbg") - col("ninter")), 4).as("jaccard"))
+          .where(col("jaccard") >= 0.1)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("WITH " + shinglesSql(2) + ", " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter " +
+        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, jaccard FROM (" +
+        "SELECT i.doc_a, i.doc_b, ROUND(CAST(i.ninter AS DOUBLE)/(za.nbg + zb.nbg - i.ninter), 4) AS jaccard " +
+        "FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b) " +
+        "WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b")),
+
+    QueryDef("q49_langid_confusion",
+      // n-gram-profile language-ID: per-lang top-20 token profile learned
+      // from the corpus (broadcastable), docs scored by profile hits,
+      // argmax with deterministic tie-break. Output is the confusion
+      // matrix lang × predicted.
+      (s, d) => {
+        val tok = docs(s, d).select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        val freq = tok.groupBy(col("lang").as("p_lang"), col("tok")).agg(count(lit(1)).as("c"))
+        val wProf = Window.partitionBy(col("p_lang")).orderBy(col("c").desc, col("tok"))
+        val prof = freq.withColumn("rn", row_number().over(wProf))
+          .where(col("rn") <= 20).select(col("p_lang"), col("tok"))
+        val score = tok.join(prof, Seq("tok"))
+          .groupBy(col("doc_id"), col("p_lang")).agg(count(lit(1)).as("sc"))
+        val wPred = Window.partitionBy(col("doc_id")).orderBy(col("sc").desc, col("p_lang"))
+        val pred = score.withColumn("rn", row_number().over(wPred))
+          .where(col("rn") === 1).select(col("doc_id"), col("p_lang").as("pred_lang"))
+        docs(s, d).join(pred, Seq("doc_id"), "left_outer")
+          .groupBy(col("lang"), coalesce(col("pred_lang"), lit("unknown")).as("predicted"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("lang"), col("predicted"))
+      },
+      Some("WITH tok AS (SELECT doc_id, lang, UNNEST(string_split(text,' ')) AS tok FROM documents), " +
+        "freq AS (SELECT lang AS p_lang, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2), " +
+        "prof AS (SELECT p_lang, tok FROM (SELECT p_lang, tok, ROW_NUMBER() OVER " +
+        "(PARTITION BY p_lang ORDER BY c DESC, tok) AS rn FROM freq) WHERE rn <= 20), " +
+        "score AS (SELECT t.doc_id, p.p_lang, COUNT(*) AS sc FROM tok t " +
+        "JOIN prof p ON p.tok = t.tok GROUP BY 1, 2), " +
+        "pred AS (SELECT doc_id, p_lang AS pred_lang FROM (SELECT doc_id, p_lang, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sc DESC, p_lang) AS rn FROM score) " +
+        "WHERE rn = 1) " +
+        "SELECT d.lang, COALESCE(p.pred_lang, 'unknown') AS predicted, COUNT(*) AS cnt " +
+        "FROM documents d LEFT JOIN pred p ON p.doc_id = d.doc_id " +
+        "GROUP BY 1, 2 ORDER BY lang, predicted")),
+
+    QueryDef("q50_quality_score",
+      (s, d) => docs(s, d)
+        .withColumn("t", split(col("text"), " "))
+        .withColumn("n_tok", size(col("t")))
+        .withColumn("n_stop", size(expr(
+          "filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for','it'))")))
+        .withColumn("n_char", length(expr("replace(text, ' ', '')")))
+        .withColumn("score",
+          lit(0.4) * least(col("n_tok") / 50.0, lit(1.0)) +
+            lit(0.3) * (col("n_stop").cast("double") / col("n_tok")) +
+            lit(0.3) * least((col("n_char").cast("double") / col("n_tok")) / 5.0, lit(1.0)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("score")), 4).as("avg_quality"))
+        .orderBy(col("source")),
+      Some("WITH q AS (SELECT source, len(string_split(text,' ')) AS n_tok, " +
+        "len(list_filter(string_split(text,' '), x -> x IN " +
+        "('the','a','of','and','to','in','is','on','for','it'))) AS n_stop, " +
+        "length(replace(text, ' ', '')) AS n_char FROM documents), " +
+        "s AS (SELECT source, 0.4 * LEAST(n_tok/50.0, 1.0) + " +
+        "0.3 * (CAST(n_stop AS DOUBLE)/n_tok) + " +
+        "0.3 * LEAST((CAST(n_char AS DOUBLE)/n_tok)/5.0, 1.0) AS score FROM q) " +
+        "SELECT source, COUNT(*) AS cnt, ROUND(AVG(score), 4) AS avg_quality " +
+        "FROM s GROUP BY source ORDER BY source")),
+
+    QueryDef("q51_token_regex",
+      (s, d) => docs(s, d)
+        .select(col("lang"), expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))").as("n"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).cast("long").as("sum_tokens"), round(avg(col("n")), 2).as("avg_tokens"))
+        .orderBy(col("lang")),
+      Some("SELECT lang, CAST(SUM(n) AS BIGINT) AS sum_tokens, ROUND(AVG(n), 2) AS avg_tokens " +
+        "FROM (SELECT lang, len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n FROM documents) " +
+        "GROUP BY lang ORDER BY lang")),
+
+    QueryDef("q52_fingerprint",
+      // Deterministic rolling polynomial hash (h*31 + byte mod 1e9+7)
+      // folded left over characters — a document fingerprint computable
+      // identically by any engine with a fold primitive.
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), expr(
+          "aggregate(filter(split(text, ''), c -> c <> ''), 0L, " +
+            "(h, c) -> (h * 31 + ascii(c)) % 1000000007)").as("fingerprint"))
+        .orderBy(col("doc_id")),
+      Some("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+        "(h, c) -> (h * 31 + c) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id")))
+}

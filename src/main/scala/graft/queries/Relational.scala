@@ -1,0 +1,399 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch relational surface (SURVEY.md §2C Q01–Q32, minus the as-of join
+  * Q12 which lives in [[graft.operators.AsOfJoin]]).
+  *
+  * Everything here is declarative DataFrame API: Catalyst provides
+  * predicate pushdown, column pruning, join selection (broadcast for the
+  * dim tables, sort-merge for fact⋈fact), partial aggregation and
+  * whole-stage codegen. At 100 TB the same plans hold: joins/aggs shuffle
+  * on their keys, top-k compiles to TakeOrderedAndProject (no global
+  * sort), and dimension joins broadcast.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  def defs: Seq[QueryDef] = Seq(
+    // ---- scans / projections / filters -------------------------------
+    QueryDef("q01_scan_count",
+      (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("cnt")),
+      Some("SELECT COUNT(*) AS cnt FROM lineitem")),
+
+    QueryDef("q02_projection",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber LIMIT 100")),
+
+    QueryDef("q03_filter_agg",
+      (s, d) => t(s, d, "lineitem")
+        .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
+      Some("SELECT COUNT(*) AS cnt, ROUND(SUM(l_extendedprice*l_discount),2) AS revenue " +
+        "FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")),
+
+    QueryDef("q04_predicates_in_like",
+      (s, d) => t(s, d, "customer")
+        .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") && col("c_name").like("%0%"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key")),
+      Some("SELECT COUNT(*) AS cnt, MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key " +
+        "FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') AND c_name LIKE '%0%'")),
+
+    // ---- joins -------------------------------------------------------
+    QueryDef("q05_join_inner",
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("c_mktsegment")),
+      Some("SELECT c_mktsegment, COUNT(*) AS cnt, ROUND(SUM(o_totalprice),2) AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+
+    QueryDef("q06_join_multiway",
+      (s, d) => {
+        // region/nation broadcast (tiny dims); customer⋈orders⋈lineitem
+        // shuffle on their keys — the TPC-H Q5 join shape.
+        val j = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        j.groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("SELECT n_name, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue " +
+        "FROM region JOIN nation ON n_regionkey = r_regionkey " +
+        "JOIN customer ON c_nationkey = n_nationkey " +
+        "JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name")),
+
+    QueryDef("q07_join_left_outer",
+      (s, d) => {
+        val per = t(s, d, "customer")
+          .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("cnt"))
+        per.agg(
+          count(when(col("cnt") === 0, 1)).as("no_order_customers"),
+          count(lit(1)).as("total_customers"),
+          max(col("cnt")).as("max_orders"))
+      },
+      Some("SELECT COUNT(*) FILTER (WHERE cnt = 0) AS no_order_customers, " +
+        "COUNT(*) AS total_customers, MAX(cnt) AS max_orders FROM (" +
+        "SELECT c_custkey, COUNT(o_orderkey) AS cnt FROM customer " +
+        "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey)")),
+
+    QueryDef("q08_join_semi",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("cnt")),
+      Some("SELECT COUNT(*) AS cnt FROM customer c WHERE EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)")),
+
+    QueryDef("q09_join_anti",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey")),
+      Some("SELECT c_custkey FROM customer c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey")),
+
+    QueryDef("q10_join_theta",
+      (s, d) => t(s, d, "part")
+        .join(t(s, d, "lineitem"),
+          col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
+        .agg(count(lit(1)).as("cnt")),
+      Some("SELECT COUNT(*) AS cnt FROM part p JOIN lineitem l " +
+        "ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size")),
+
+    QueryDef("q11_join_cross",
+      (s, d) => t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select(concat(col("r_name"), lit("-"), col("n_name")).as("pair"))
+        .agg(count(lit(1)).as("cnt"), min(col("pair")).as("min_pair"), max(col("pair")).as("max_pair")),
+      Some("SELECT COUNT(*) AS cnt, MIN(r_name || '-' || n_name) AS min_pair, " +
+        "MAX(r_name || '-' || n_name) AS max_pair FROM region CROSS JOIN nation")),
+
+    // ---- aggregation -------------------------------------------------
+    QueryDef("q13_agg_hash",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),2) AS sum_qty, " +
+        "ROUND(SUM(l_extendedprice),2) AS sum_price, " +
+        "ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_disc_price, " +
+        "ROUND(AVG(l_quantity),2) AS avg_qty, ROUND(AVG(l_extendedprice),2) AS avg_price, " +
+        "COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus")),
+
+    QueryDef("q14_distinct_count",
+      (s, d) => t(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        countDistinct(col("l_orderkey")).as("nd_order")),
+      Some("SELECT COUNT(DISTINCT l_partkey) AS nd_part, COUNT(DISTINCT l_suppkey) AS nd_supp, " +
+        "COUNT(DISTINCT l_orderkey) AS nd_order FROM lineitem")),
+
+    QueryDef("q15_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"), col("g_status"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag) AS INT) AS g_flag, " +
+        "CAST(GROUPING(l_linestatus) AS INT) AS g_status, COUNT(*) AS cnt, " +
+        "ROUND(SUM(l_quantity),2) AS sum_qty FROM lineitem " +
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+
+    QueryDef("q16_having",
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 3)
+        .orderBy(col("cnt").desc, col("o_custkey"))
+        .limit(50),
+      Some("SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey " +
+        "HAVING COUNT(*) >= 3 ORDER BY cnt DESC, o_custkey LIMIT 50")),
+
+    QueryDef("q17_agg_stats",
+      // var is emitted in millions: double carries ~16 significant digits
+      // and raw variances of 1e11 leave < 4 stable decimals — rescaling
+      // keeps the oracle hash deterministic across engines.
+      (s, d) => t(s, d, "lineitem").agg(
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("stddev_price"),
+        round(var_samp(col("l_extendedprice")) / 1e6, 3).as("var_price_m")),
+      Some("SELECT ROUND(MIN(l_extendedprice),2) AS min_price, ROUND(MAX(l_extendedprice),2) AS max_price, " +
+        "ROUND(AVG(l_extendedprice),2) AS avg_price, ROUND(STDDEV_SAMP(l_extendedprice),2) AS stddev_price, " +
+        "ROUND(VAR_SAMP(l_extendedprice)/1e6,3) AS var_price_m FROM lineitem")),
+
+    // ---- window functions -------------------------------------------
+    QueryDef("q18_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        t(s, d, "lineitem")
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 3)
+          .select(col("l_returnflag"), col("rk"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"))
+          .orderBy(col("l_returnflag"), col("rk"))
+      },
+      Some("SELECT l_returnflag, rk, l_orderkey, l_linenumber, l_extendedprice FROM (" +
+        "SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, " +
+        "ROW_NUMBER() OVER (PARTITION BY l_returnflag " +
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk FROM lineitem) " +
+        "WHERE rk <= 3 ORDER BY l_returnflag, rk")),
+
+    QueryDef("q19_rank_windows",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rk", rank().over(w))
+          .withColumn("drk", dense_rank().over(w))
+          .where(col("rn") <= 5)
+          .select(col("o_orderstatus"), col("rn"), col("rk"), col("drk"),
+            col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderstatus"), col("rn"))
+      },
+      Some("SELECT o_orderstatus, rn, rk, drk, o_orderkey, o_totalprice FROM (" +
+        "SELECT o_orderstatus, o_orderkey, o_totalprice, " +
+        "ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)) " +
+        "WHERE rn <= 5 ORDER BY o_orderstatus, rn")),
+
+    QueryDef("q20_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+          .select(col("user_id"), col("event_id"), col("value"), col("prev_value"), col("next_type"))
+          .limit(200)
+      },
+      Some("SELECT user_id, event_id, value, prev_value, next_type FROM (" +
+        "SELECT user_id, ts, event_id, value, " +
+        "LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value, " +
+        "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +
+        "FROM events) ORDER BY user_id, ts, event_id LIMIT 200")),
+
+    QueryDef("q21_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("run_sum", round(sum(col("value")).over(w), 2))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+          .select(col("user_id"), col("event_id"), col("run_sum"))
+      },
+      Some("SELECT user_id, event_id, run_sum FROM (" +
+        "SELECT user_id, ts, event_id, ROUND(SUM(value) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run_sum " +
+        "FROM events) ORDER BY user_id, ts, event_id")),
+
+    QueryDef("q22_sliding_avg",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-2, Window.currentRow)
+        // Sliding avg divides 2-decimal values by counts of 1..3, landing
+        // exactly on the .005 rounding grid where Spark (rounds shortest
+        // decimal repr, half-up) and DuckDB (rounds the binary double)
+        // disagree. round(sum,2) first collapses accumulation-order
+        // differences; floor(x*100+0.5)/100 then rounds with pure IEEE
+        // ops, identical in any engine.
+        t(s, d, "events")
+          .withColumn("avg_raw",
+            round(sum(col("value")).over(w), 2) / count(lit(1)).over(w))
+          .withColumn("slide_avg", floor(col("avg_raw") * 100 + 0.5) / 100.0)
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+          .select(col("user_id"), col("event_id"), col("slide_avg"))
+      },
+      Some("SELECT user_id, event_id, " +
+        "floor((ROUND(SUM(value) OVER w, 2) / COUNT(*) OVER w) * 100 + 0.5) / 100.0 AS slide_avg " +
+        "FROM events WINDOW w AS (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY user_id, ts, event_id")),
+
+    QueryDef("q23_ntile",
+      (s, d) => {
+        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("tile", ntile(4).over(w))
+          .groupBy(col("tile"))
+          .agg(count(lit(1)).as("cnt"),
+            round(min(col("o_totalprice")), 2).as("min_price"),
+            round(max(col("o_totalprice")), 2).as("max_price"))
+          .orderBy(col("tile"))
+      },
+      Some("SELECT tile, COUNT(*) AS cnt, ROUND(MIN(o_totalprice),2) AS min_price, " +
+        "ROUND(MAX(o_totalprice),2) AS max_price FROM (" +
+        "SELECT o_totalprice, NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS tile " +
+        "FROM orders) GROUP BY tile ORDER BY tile")),
+
+    // ---- sort / limit / top-k ---------------------------------------
+    QueryDef("q24_sort_limit",
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_orderpriority").asc, col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .limit(50),
+      Some("SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders " +
+        "ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC LIMIT 50")),
+
+    QueryDef("q25_global_topk",
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(10),
+      Some("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
+
+    // ---- set operations ---------------------------------------------
+    QueryDef("q26_union",
+      (s, d) => {
+        def c(x: SparkSession) = t(x, d, "customer").select(col("c_nationkey").as("nationkey"))
+        def sp(x: SparkSession) = t(x, d, "supplier").select(col("s_nationkey").as("nationkey"))
+        c(s).union(sp(s)).agg(count(lit(1)).as("cnt_all"))
+          .crossJoin(c(s).union(sp(s)).distinct().agg(count(lit(1)).as("cnt_distinct")))
+      },
+      Some("SELECT (SELECT COUNT(*) FROM (SELECT c_nationkey AS nationkey FROM customer " +
+        "UNION ALL SELECT s_nationkey FROM supplier)) AS cnt_all, " +
+        "(SELECT COUNT(*) FROM (SELECT c_nationkey AS nationkey FROM customer " +
+        "UNION SELECT s_nationkey FROM supplier)) AS cnt_distinct")),
+
+    QueryDef("q27_intersect",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey")),
+      Some("SELECT c_nationkey AS nationkey FROM customer INTERSECT " +
+        "SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey")),
+
+    QueryDef("q28_except",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey")),
+      Some("SELECT c_nationkey AS nationkey FROM customer EXCEPT " +
+        "SELECT s_nationkey AS nationkey FROM supplier ORDER BY nationkey")),
+
+    // ---- scalar function library ------------------------------------
+    QueryDef("q29_string_funcs",
+      (s, d) => t(s, d, "customer")
+        .orderBy(col("c_custkey")).limit(100)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          length(col("c_name")).as("name_len"),
+          substring(col("c_name"), 1, 8).as("name_sub"),
+          expr("replace(c_name, '0', '-')").as("name_repl"),
+          trim(col("c_name")).as("name_trim"),
+          concat(col("c_name"), lit("/"), col("c_mktsegment")).as("name_cat")),
+      Some("SELECT c_custkey, UPPER(c_name) AS uname, LENGTH(c_name) AS name_len, " +
+        "SUBSTRING(c_name, 1, 8) AS name_sub, REPLACE(c_name, '0', '-') AS name_repl, " +
+        "TRIM(c_name) AS name_trim, c_name || '/' || c_mktsegment AS name_cat " +
+        "FROM customer ORDER BY c_custkey LIMIT 100")),
+
+    QueryDef("q30_date_funcs",
+      (s, d) => t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("m"), "yyyy-MM-dd").as("month_str"),
+          year(col("m")).cast("int").as("yr"), month(col("m")).cast("int").as("mon"), col("cnt"))
+        .orderBy(col("month_str")),
+      Some("SELECT strftime(m, '%Y-%m-%d') AS month_str, CAST(year(m) AS INT) AS yr, " +
+        "CAST(month(m) AS INT) AS mon, cnt FROM (SELECT date_trunc('month', o_orderdate) AS m, " +
+        "COUNT(*) AS cnt FROM orders GROUP BY 1) ORDER BY month_str")),
+
+    QueryDef("q31_math_funcs",
+      (s, d) => t(s, d, "lineitem")
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 0).as("price_r0"),
+          round(abs(col("l_discount") - 0.05), 4).as("abs_disc"),
+          ceil(col("l_quantity")).cast("bigint").as("ceil_qty"),
+          floor(col("l_quantity")).cast("bigint").as("floor_qty"),
+          (col("l_orderkey") % 7).as("mod7"),
+          round(pow(col("l_tax") + 1, 2), 4).as("tax_pow")),
+      Some("SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 0) AS price_r0, " +
+        "ROUND(ABS(l_discount - 0.05), 4) AS abs_disc, CAST(CEIL(l_quantity) AS BIGINT) AS ceil_qty, " +
+        "CAST(FLOOR(l_quantity) AS BIGINT) AS floor_qty, l_orderkey % 7 AS mod7, " +
+        "ROUND(POWER(l_tax + 1, 2), 4) AS tax_pow " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100")),
+
+    QueryDef("q32_conditional_agg",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(when(col("l_linestatus") === "F", 1)).as("f_cnt"),
+          count(when(col("l_linestatus") === "O", 1)).as("o_cnt"))
+        .orderBy(col("l_returnflag")),
+      Some("SELECT l_returnflag, COUNT(*) FILTER (WHERE l_linestatus = 'F') AS f_cnt, " +
+        "COUNT(*) FILTER (WHERE l_linestatus = 'O') AS o_cnt " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")))
+}

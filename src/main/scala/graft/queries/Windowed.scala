@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-window operators in their batch form (SURVEY.md §2C Q37–Q40);
+  * the streaming twins (watermarks, `session_window`, streaming
+  * `dropDuplicates`) live in [[graft.streaming.EventPipelines]] and are
+  * equivalence-tested against these in ScalaTest.
+  *
+  * Reference analog: the stats ticker (`gomaxscale.go:120-135`,
+  * `types.go:200-213`) is a 1-period tumbling count — Q37 generalizes it.
+  */
+object Windowed {
+
+  private val Fmt = "yyyy-MM-dd HH:mm:ss"
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q37_tumbling_window",
+      (s, d) => Tables(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select(date_format(col("w.start"), Fmt).as("hour_start"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type")),
+      Some("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, " +
+        "event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type")),
+
+    QueryDef("q38_sliding_window",
+      // Spark's sliding windows are epoch-aligned; the oracle reproduces
+      // them by assigning each event to its two covering 30-min starts.
+      (s, d) => Tables(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("w.start"), Fmt).as("window_start"), col("cnt"))
+        .orderBy(col("window_start")),
+      Some("SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS cnt FROM (" +
+        "SELECT make_timestamp(CAST(floor(epoch(ts)/1800.0) AS BIGINT)*1800000000 - k*1800000000) AS ws " +
+        "FROM events CROSS JOIN (VALUES (0),(1)) t(k)) GROUP BY ws ORDER BY window_start")),
+
+    QueryDef("q39_session_window",
+      // Gaps-and-islands: a gap > 30 min opens a new session. Single
+      // shuffle on user_id; at 100 TB this is the RocksDB session-window
+      // state path in streaming mode.
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val run = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, d, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              (col("ts").cast("double") - col("prev_ts").cast("double")) > 1800.0, 1).otherwise(0))
+          .withColumn("sess_id", sum(col("new_sess")).over(run))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg((max(col("ts")).cast("double") - min(col("ts")).cast("double")).as("sess_len"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("session_count"), round(avg(col("sess_len")), 2).as("avg_session_sec"))
+          .orderBy(col("user_id"))
+      },
+      Some("WITH o AS (SELECT user_id, ts, event_id, " +
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "f AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL OR " +
+        "epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1 ELSE 0 END AS new_sess FROM o), " +
+        "s AS (SELECT user_id, ts, SUM(new_sess) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM f), " +
+        "g AS (SELECT user_id, sess_id, epoch(MAX(ts)) - epoch(MIN(ts)) AS sess_len " +
+        "FROM s GROUP BY user_id, sess_id) " +
+        "SELECT user_id, COUNT(*) AS session_count, ROUND(AVG(sess_len), 2) AS avg_session_sec " +
+        "FROM g GROUP BY user_id ORDER BY user_id")),
+
+    QueryDef("q40_dedup_earliest",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      },
+      Some("SELECT COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value FROM (" +
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1")))
+}
