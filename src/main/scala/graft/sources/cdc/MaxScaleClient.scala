@@ -1,0 +1,104 @@
+package graft.sources.cdc
+
+import java.io.{InputStream, OutputStream}
+import java.net.{InetSocketAddress, Socket, SocketTimeoutException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+/** Blocking client for the MaxScale CDC TCP protocol (reference:
+  * `gomaxscale.go:55-113`): connect → authenticate → register →
+  * request-data, then a pull loop of framed events.
+  *
+  * Protocol details mirrored from the reference:
+  *  - auth payload is `hex(user ++ ":" ++ sha1_raw(password))`
+  *    (`gomaxscale.go:64-81`);
+  *  - registration is `REGISTER UUID=<uuid>, TYPE=JSON`
+  *    (`gomaxscale.go:87-90`);
+  *  - subscription is `REQUEST-DATA db.table[.version] [gtid]`
+  *    (`gomaxscale.go:96-107`).
+  * Deliberate upgrade: server errors are detected by the documented
+  * `ERR` reply prefix, not the reference's substring-"err" sniff that
+  * false-positives on data (`stream.go:143-148`, SURVEY.md A8).
+  */
+final class MaxScaleClient(
+    host: String,
+    port: Int,
+    user: String,
+    password: String,
+    uuid: String = "XXX-YYY_YYY",
+    database: String,
+    table: String,
+    version: Option[Int] = None,
+    gtid: Option[String] = None,
+    connectTimeoutMs: Int = 2000,
+    readTimeoutMs: Int = 2000,
+    bufferSize: Int = 4096) {
+
+  private var socket: Socket = _
+  private var in: InputStream = _
+  private var out: OutputStream = _
+  private val framer = new JsonFramer
+  private val readBuf = new Array[Byte](bufferSize)
+
+  def connect(): Unit = {
+    socket = new Socket()
+    socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    socket.setSoTimeout(readTimeoutMs)
+    in = socket.getInputStream
+    out = socket.getOutputStream
+
+    val sha1 = MessageDigest.getInstance("SHA-1").digest(password.getBytes(UTF_8))
+    val authPayload = user.getBytes(UTF_8) ++ ":".getBytes(UTF_8) ++ sha1
+    initRequest(authPayload.map("%02x".format(_)).mkString, "authentication")
+    initRequest(s"REGISTER UUID=$uuid, TYPE=JSON", "registration")
+
+    val req = new StringBuilder(s"REQUEST-DATA $database.$table")
+    version.foreach(v => req.append(s".$v"))
+    gtid.foreach(g => req.append(s" $g"))
+    out.write(req.toString.getBytes(UTF_8))
+    out.flush()
+  }
+
+  /** Write a handshake phase and check the (≤1024 byte) reply. */
+  private def initRequest(payload: String, phase: String): Unit = {
+    out.write(payload.getBytes(UTF_8))
+    out.flush()
+    val reply = new Array[Byte](1024)
+    val n = in.read(reply)
+    if (n < 0) throw new MaxScaleProtocolException(s"$phase: connection closed")
+    val text = new String(reply, 0, n, UTF_8).trim
+    if (text.toUpperCase.startsWith("ERR"))
+      throw new MaxScaleProtocolException(s"$phase failed: $text")
+  }
+
+  /** Pull the next batch of decoded events. Empty on read timeout (the
+    * stream is just idle); None (via EOF flag) when the server closed.
+    */
+  def poll(): PollResult = {
+    val n =
+      try in.read(readBuf)
+      catch { case _: SocketTimeoutException => 0 }
+    if (n < 0) {
+      val tail = framer.finish().collect { case framer.ServerText(t) => t }
+      return PollResult(Nil, tail, eof = true)
+    }
+    if (n == 0) return PollResult(Nil, Nil, eof = false)
+    val frames = framer.feed(new String(readBuf, 0, n, UTF_8))
+    val events = Vector.newBuilder[Either[String, CdcEvent]]
+    val errors = Vector.newBuilder[String]
+    frames.foreach {
+      case framer.Json(text) => events += CdcEvent.decode(text)
+      case framer.ServerText(t) => errors += t
+    }
+    PollResult(events.result(), errors.result(), eof = false)
+  }
+
+  def close(): Unit = if (socket != null) socket.close()
+}
+
+final case class PollResult(
+    events: Seq[Either[String, CdcEvent]],
+    serverMessages: Seq[String],
+    eof: Boolean)
+
+final class MaxScaleProtocolException(msg: String) extends RuntimeException(msg)

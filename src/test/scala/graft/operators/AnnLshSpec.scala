@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.{SparkTestSession, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LSH recall vs brute force on the fixture embeddings: approximate by
+  * design, so asserted empirically rather than oracle-hashed. */
+class AnnLshSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("candidate pairs are a strict subset of the n^2 pair space") {
+    val emb = Tables(spark, dir, "embeddings")
+    val n = emb.count()
+    val sigs = AnnLsh.withSignature(emb, "embedding", dim = 64, nBits = 16)
+    val cand = AnnLsh.candidatePairs(sigs, "vec_id", nBits = 16, bands = 4).count()
+    assert(cand > 0, "some buckets must collide")
+    assert(cand < n * (n - 1) / 2, "bucketing must prune the pair space")
+  }
+
+  test("approx top-1 neighbor matches exact top-1 for most queries") {
+    val emb = Tables(spark, dir, "embeddings").limit(200)
+    val e = emb.select(col("vec_id"), vecDouble(col("embedding")).as("v"))
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"),
+        cosine(col("a.v"), col("b.v")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    val exactTop = exact.withColumn("rnk", row_number().over(w)).where(col("rnk") === 1)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // wide net: 16 bands of 1 bit ≈ high recall at this scale
+    val approx = AnnLsh.approxTopK(emb, "vec_id", "embedding", dim = 64,
+        k = 1, nBits = 16, bands = 16)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val hits = exactTop.count { case (q, n) => approx.get(q).contains(n) }
+    val recall = hits.toDouble / exactTop.size
+    assert(recall >= 0.5, s"recall@1 was $recall")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.sources.cdc
+
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.CountDownLatch
+
+/** In-process mock MaxScale server — transplant of the reference's test
+  * fixture (`gomaxscale_test.go:313-489`): validates each protocol phase
+  * with the same grammar, supports per-phase failure injection, then
+  * streams scripted events (optionally split into tiny chunks and
+  * interleaved with non-JSON error text to stress the framer).
+  */
+final class MockMaxScaleServer(
+    events: Seq[String],
+    failAuthentication: Boolean = false,
+    failRegistration: Boolean = false,
+    failEvents: Boolean = false,
+    chunkSize: Int = 0, // 0 = write each event whole
+    interleavedError: Option[String] = None,
+    closeAfterEvents: Boolean = true) {
+
+  private val server = new ServerSocket(0)
+  val port: Int = server.getLocalPort
+
+  @volatile var authReceived: String = _
+  @volatile var registerReceived: String = _
+  @volatile var requestDataReceived: String = _
+  val handshakeDone = new CountDownLatch(1)
+
+  // Phase grammars from the reference tests (`gomaxscale_test.go:23-27`).
+  private val RegisterRe = "^REGISTER UUID=.+?, TYPE=JSON$".r
+  private val RequestRe = "^REQUEST-DATA .+?\\..+?( .+)?$".r
+
+  private val thread = new Thread(() => {
+    try {
+      val conn = server.accept()
+      try handle(conn)
+      finally conn.close()
+    } catch { case _: Throwable => () }
+    finally server.close()
+  }, s"mock-maxscale-$port")
+  thread.setDaemon(true)
+  thread.start()
+
+  private def read(conn: Socket): String = {
+    val buf = new Array[Byte](1024)
+    val n = conn.getInputStream.read(buf)
+    if (n < 0) "" else new String(buf, 0, n, UTF_8)
+  }
+
+  private def reply(conn: Socket, s: String): Unit = {
+    conn.getOutputStream.write(s.getBytes(UTF_8))
+    conn.getOutputStream.flush()
+  }
+
+  private def handle(conn: Socket): Unit = {
+    // phase 1: auth — hex payload whose decoding contains ':'
+    authReceived = read(conn)
+    val decodedOk = authReceived.matches("^[0-9a-f]+$") &&
+      new String(authReceived.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray, UTF_8)
+        .contains(":")
+    if (failAuthentication || !decodedOk) { reply(conn, "ERR authentication failed"); return }
+    reply(conn, "OK")
+
+    // phase 2: registration
+    registerReceived = read(conn)
+    if (failRegistration || RegisterRe.findFirstIn(registerReceived).isEmpty) {
+      reply(conn, "ERR registration failed"); return
+    }
+    reply(conn, "OK")
+
+    // phase 3: data request — no reply on success, events follow
+    requestDataReceived = read(conn)
+    handshakeDone.countDown()
+    if (failEvents || RequestRe.findFirstIn(requestDataReceived).isEmpty) {
+      reply(conn, "ERR request failed"); return
+    }
+
+    val out = conn.getOutputStream
+    events.zipWithIndex.foreach { case (ev, i) =>
+      interleavedError.filter(_ => i == 1).foreach(e => reply(conn, e))
+      val bytes = (ev + "\n").getBytes(UTF_8)
+      if (chunkSize <= 0) out.write(bytes)
+      else bytes.grouped(chunkSize).foreach { c => out.write(c); out.flush(); Thread.sleep(1) }
+      out.flush()
+    }
+    if (!closeAfterEvents) Thread.sleep(60000)
+  }
+}

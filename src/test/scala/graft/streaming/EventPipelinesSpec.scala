@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Batch/stream equivalence for the windowed operators (SURVEY.md §5.2
+  * item 4): the streaming pipelines over a MemoryStream of fixture-shaped
+  * rows must agree with the batch queries on the same rows.
+  */
+class EventPipelinesSpec extends AnyFunSuite with SparkTestSession {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    Ev(1, t("2024-01-01 00:05:00"), 1, "view", 1.0),
+    Ev(2, t("2024-01-01 00:20:00"), 1, "view", 2.0),
+    Ev(3, t("2024-01-01 00:55:00"), 2, "click", 3.0),
+    Ev(4, t("2024-01-01 01:10:00"), 1, "view", 4.0),
+    Ev(5, t("2024-01-01 02:30:00"), 2, "click", 5.0),
+    Ev(6, t("2024-01-01 05:00:00"), 1, "view", 6.0)) // advances watermark
+
+  test("streaming tumbling window agrees with batch date_trunc groupBy") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventPipelines.tumbling(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling_s")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_s")
+        .select(col("hour_start").cast("string"), col("event_type"), col("cnt"), col("sum_value"))
+        .collect().map(_.toSeq).toSet
+      val batch = rows.toDF()
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("hour_start").cast("string"), col("event_type"), col("cnt"), col("sum_value"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps one row per (user_id, event_type)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventPipelines.dedup(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_s")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("dedup_s").select("user_id", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "view"), (2L, "click")))
+      assert(spark.table("dedup_s").count() == 2)
+    } finally q.stop()
+  }
+
+  test("streaming session windows close after the gap + watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventPipelines.sessions(mem.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("sessions_s")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(rows.last) // 05:00 event pushes watermark past earlier sessions
+      q.processAllAvailable()
+      // watermark advances one batch behind the data: a further event is
+      // needed before the 02:30 session (closes 03:00) is emitted
+      mem.addData(Ev(7, t("2024-01-01 08:00:00"), 1, "view", 7.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_s")
+        .select(col("user_id"), col("session_start").cast("string"), col("events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // user 1: (00:05,00:20) then (01:10); user 2: (00:55) then (02:30)
+      assert(sessions.contains((1L, "2024-01-01 00:05:00", 2L)))
+      assert(sessions.contains((1L, "2024-01-01 01:10:00", 1L)))
+      assert(sessions.count(_._1 == 2L) == 2)
+    } finally q.stop()
+  }
+
+  test("stats listener reports per-batch throughput like the reference ticker") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    var seen = Vector.empty[StatsListener.Stats]
+    val listener = new StatsListener(s => seen :+= s)
+    spark.streams.addListener(listener)
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().writeStream.format("memory").queryName("stats_s").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 10000
+      while (seen.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(seen.exists(_.numberOfEvents == rows.length))
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+}
