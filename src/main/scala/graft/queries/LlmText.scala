@@ -156,19 +156,38 @@ object LlmText {
         "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b")),
 
     QueryDef("q46_ngram_jaccard",
-      // Exact bigram-set Jaccard via inverted-index join: pairs are
-      // generated only from shared bigrams, never enumerated n².
+      // Exact bigram-set Jaccard. Each doc's bigram set becomes one
+      // sorted array of 60-bit md5 hashes (collision-free in practice),
+      // so a pair costs a codegen two-pointer merge
+      // (SortedArrayIntersectCount) instead of an inverted-index join —
+      // which explodes as Σ df² when the vocabulary is small and
+      // bigrams are hot. At corpus scale, bound the pair space first
+      // with q44's MinHash banding, then verify candidates with this
+      // exact operator.
       (s, d) => {
-        val bg = shingles(s, d, 2)
-        val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("nbg"))
-        val inter = bg.as("a").join(bg.as("b"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("ninter"))
-        inter.join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-          .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+        import graft.functions.SortedArrayIntersectCount
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        def interCount(a: Column, b: Column): Column =
+          ColumnBridge.column(SortedArrayIntersectCount(
+            ColumnBridge.expression(a), ColumnBridge.expression(b)))
+        val h60 = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+        val sets = shingles(s, d, 2)
+          .select(col("doc_id"), h60.as("h"))
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_set(col("h"))).as("hs"))
+          .select(col("doc_id"), col("hs"), size(col("hs")).as("nbg"))
+        // the stream side must be spread explicitly: a few thousand
+        // aggregated rows land in one (AQE-coalesced) partition, which
+        // would serialize the O(n²) pair loop into a single task
+        val spread = sets.repartition(s.sparkContext.defaultParallelism)
+        val pairs = broadcast(sets.as("a")).join(spread.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        pairs
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            interCount(col("a.hs"), col("b.hs")).as("ninter"),
+            (col("a.nbg") + col("b.nbg")).as("ntot"))
           .select(col("doc_a"), col("doc_b"),
-            round(col("ninter").cast("double") / (col("za.nbg") + col("zb.nbg") - col("ninter")), 4).as("jaccard"))
+            round(col("ninter").cast("double") / (col("ntot") - col("ninter")), 4).as("jaccard"))
           .where(col("jaccard") >= 0.1)
           .orderBy(col("doc_a"), col("doc_b"))
       },

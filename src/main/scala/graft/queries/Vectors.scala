@@ -9,25 +9,34 @@ import org.apache.spark.sql.functions._
 /** Embedding similarity operators (SURVEY.md §2C Q42 + ANN/near-dup from
   * the LLM-pipeline mandate).
   *
-  * Q42/Q48 broadcast the (tiny) query-vector side, so the scan of the big
-  * embedding table is a single map-side pass — the shape that holds at
-  * 100 TB (probe side streams, no shuffle). Brute-force scoring is the
-  * correctness baseline; the LSH-bucketed scale path lives in
-  * [[graft.operators.AnnLsh]] and is recall-tested in ScalaTest rather
-  * than oracle-hashed (bucketing is approximate by design).
+  * Vectors are L2-normalized once per row before any pairing, so a pair
+  * costs one dot product instead of dot + two norms — at n² pair counts
+  * that's the dominant constant. Q42/Q48 broadcast the (tiny) query-
+  * vector side so the big-table scan is a single map-side pass — the
+  * shape that holds at 100 TB (probe side streams, no shuffle).
+  * Brute-force scoring is the correctness baseline; the LSH-bucketed
+  * scale path lives in [[graft.operators.AnnLsh]] and is recall-tested
+  * in ScalaTest rather than oracle-hashed (bucketing is approximate by
+  * design).
   */
 object Vectors {
 
-  private def embD(s: SparkSession, d: String): DataFrame =
-    Tables(s, d, "embeddings").select(col("vec_id"), vecDouble(col("embedding")).as("v"))
+  /** Embeddings as unit vectors (`u`), elements cast to DOUBLE first
+    * (float32 leakage breaks oracle parity, SURVEY.md §7.3). */
+  private def embUnit(s: SparkSession, d: String): DataFrame = {
+    val v = vecDouble(col("embedding"))
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"), v.as("v"), l2Norm(v).as("n"))
+      .select(col("vec_id"), transform(col("v"), x => x / col("n")).as("u"))
+  }
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q42_cosine_topk",
       (s, d) => {
-        val e = embD(s, d)
-        val q = broadcast(e.where(col("vec_id") === 0).select(col("v").as("qv")))
+        val e = embUnit(s, d)
+        val q = broadcast(e.where(col("vec_id") === 0).select(col("u").as("qu")))
         e.where(col("vec_id") =!= 0).crossJoin(q)
-          .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("sim"))
+          .select(col("vec_id"), round(dot(col("u"), col("qu")), 4).as("sim"))
           .orderBy(col("sim").desc, col("vec_id"))
           .limit(5)
       },
@@ -42,10 +51,13 @@ object Vectors {
       // Exact all-pairs near-dup at oracle scale; the banded-LSH variant
       // (AnnLsh) replaces the O(n²) pair space at cluster scale.
       (s, d) => {
-        val e = embD(s, d)
-        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        val e = embUnit(s, d)
+        // single-file parquet reads as one partition: spread the probe
+        // side or the n² dot loop runs in a single task
+        val spread = e.repartition(s.sparkContext.defaultParallelism)
+        broadcast(e.as("a")).join(spread.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            round(cosine(col("a.v"), col("b.v")), 4).as("sim"))
+            round(dot(col("a.u"), col("b.u")), 4).as("sim"))
           .where(col("sim") >= 0.4)
           .orderBy(col("vec_a"), col("vec_b"))
       },
@@ -56,12 +68,12 @@ object Vectors {
 
     QueryDef("q48_ann_topk",
       (s, d) => {
-        val e = embD(s, d)
+        val e = embUnit(s, d).repartition(s.sparkContext.defaultParallelism)
         val q = broadcast(e.where(col("vec_id").between(1, 5))
-          .select(col("vec_id").as("query_id"), col("v").as("qv")))
+          .select(col("vec_id").as("query_id"), col("u").as("qu")))
         val scored = e.join(q, col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id"),
-            round(cosine(col("v"), col("qv")), 4).as("sim"))
+            round(dot(col("u"), col("qu")), 4).as("sim"))
         val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
         scored.withColumn("rnk", row_number().over(w))
           .where(col("rnk") <= 3)

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to Spark's `private[sql]` Column ↔ Expression
+  * converters, so graft's native expressions (e.g.
+  * `graft.functions.ArrayDot`) are usable from the public Column API
+  * without registering SQL functions. Standard extension-library
+  * pattern: the only code in this package.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
