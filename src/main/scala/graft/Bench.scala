@@ -38,7 +38,35 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val eps = try ingestEventsPerSec() catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_eps":$eps,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** CDC ingest micro-bench mirroring the reference's
+    * `BenchmarkConsumer_Process` (`gomaxscale_test.go:262-307`): a mock
+    * server blasts insert events; measures client framing + decode
+    * throughput in events/sec. */
+  private def ingestEventsPerSec(): Double = {
+    import graft.sources.cdc._
+    val n = 100000
+    val events = (1 to n).map(i =>
+      s"""{"domain":0,"server_id":1,"sequence":$i,"event_number":1,"timestamp":1754956800,"event_type":"insert","id":$i,"name":"user-$i"}""")
+    val server = new testkit.MockMaxScaleServer(events = events)
+    val client = new MaxScaleClient(host = "127.0.0.1", port = server.port,
+      user = "bench", password = "bench", database = "example", table = "users",
+      readTimeoutMs = 2000)
+    client.connect()
+    val t0 = System.nanoTime()
+    var count = 0
+    var eof = false
+    while (!eof && count < n) {
+      val r = client.poll()
+      count += r.events.size
+      eof = r.eof
+    }
+    val eps = count / ((System.nanoTime() - t0) / 1e9)
+    client.close()
+    eps
   }
 }

@@ -395,5 +395,74 @@ object Relational {
         .orderBy(col("l_returnflag")),
       Some("SELECT l_returnflag, COUNT(*) FILTER (WHERE l_linestatus = 'F') AS f_cnt, " +
         "COUNT(*) FILTER (WHERE l_linestatus = 'O') AS o_cnt " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // ---- surface extensions (SURVEY.md §2C footnotes) ----------------
+    QueryDef("q14b_approx_distinct",
+      // HLL sketch — the 100 TB path where exact distinct would shuffle
+      // every key. No oracle: sketches are engine-specific (driver
+      // records the weaker rows-only check).
+      (s, d) => t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("ad_part"),
+        approx_count_distinct(col("l_suppkey")).as("ad_supp"),
+        approx_count_distinct(col("l_orderkey")).as("ad_order")),
+      None),
+
+    QueryDef("q15b_cube",
+      (s, d) => t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"), col("g_status"), col("cnt"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag) AS INT) AS g_flag, " +
+        "CAST(GROUPING(l_linestatus) AS INT) AS g_status, COUNT(*) AS cnt FROM lineitem " +
+        "GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+
+    QueryDef("q19b_dist_windows",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("prk", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .withColumn("first_key", first(col("o_orderkey")).over(w))
+          .where(col("rn") <= 5)
+          .select(col("o_orderstatus"), col("rn"), col("prk"), col("cd"), col("first_key"))
+          .orderBy(col("o_orderstatus"), col("rn"))
+      },
+      Some("SELECT o_orderstatus, rn, prk, cd, first_key FROM (" +
+        "SELECT o_orderstatus, ROW_NUMBER() OVER w AS rn, " +
+        "ROUND(PERCENT_RANK() OVER w, 6) AS prk, ROUND(CUME_DIST() OVER w, 6) AS cd, " +
+        "FIRST_VALUE(o_orderkey) OVER w AS first_key " +
+        "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)) " +
+        "WHERE rn <= 5 ORDER BY o_orderstatus, rn")),
+
+    QueryDef("q23b_percentiles",
+      // exact interpolated percentiles (both engines use the type-7
+      // linear-interpolation definition); approx_percentile is the
+      // sketch path at 100 TB
+      (s, d) => t(s, d, "orders").agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 2).as("p75")),
+      Some("SELECT ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25, " +
+        "ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50, " +
+        "ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75 FROM orders")),
+
+    QueryDef("q32b_pivot",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O"))
+        .orderBy(col("l_returnflag")),
+      Some("SELECT l_returnflag, COUNT(*) FILTER (WHERE l_linestatus = 'F') AS F, " +
+        "COUNT(*) FILTER (WHERE l_linestatus = 'O') AS O " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")))
 }

@@ -20,7 +20,8 @@ final case class DdlEvent(
     database: String,
     version: Int,
     gtid: String,
-    fields: Seq[DdlField]) extends CdcEvent {
+    fields: Seq[DdlField],
+    rawJson: String) extends CdcEvent {
   def eventType: String = "ddlEvent"
 }
 
@@ -85,7 +86,8 @@ object CdcEvent {
         database = n.path("database").asText(),
         version = n.path("version").asInt(),
         gtid = n.path("gtid").asText(),
-        fields = fields.collect { case Right(f) => f }))
+        fields = fields.collect { case Right(f) => f },
+        rawJson = json))
     }
   }
 

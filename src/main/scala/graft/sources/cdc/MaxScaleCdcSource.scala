@@ -9,7 +9,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -63,7 +63,7 @@ object MaxScaleCdc {
   def toRow(db: String, tbl: String, ev: Either[String, CdcEvent]): EventRow = ev match {
     case Right(d: DdlEvent) =>
       EventRow("ddl", d.database, d.table, null, null, null, null, null, null,
-        d.gtid, d.version, d.fields.map(f => f.name + ":" + f.avroType).mkString(","))
+        d.gtid, d.version, d.rawJson)
     case Right(m: DmlEvent) =>
       EventRow("dml", db, tbl, m.eventKind, m.domain, m.serverId, m.sequence,
         m.eventNumber, m.timestamp * 1000000L, null, null, m.rawJson)
@@ -99,7 +99,7 @@ final case class CdcOffset(index: Long) extends Offset {
 }
 
 final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def opt(k: String): String = options.getOrElse(k,
     throw new IllegalArgumentException(s"maxscale-cdc: missing option '$k'"))
@@ -128,6 +128,11 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
     try {
       client.connect()
       var eof = false
+      // schema version in effect at ingest time: stamped onto DML rows
+      // so downstream projection can pick the right registry schema per
+      // row even across in-band schema evolution (SURVEY.md §7.3)
+      var currentVersion: java.lang.Integer =
+        options.get("version").map(v => Int.box(v.toInt)).orNull
       while (!stopped.get && !eof) {
         val res = client.poll()
         eof = res.eof
@@ -135,7 +140,11 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
           res.events.foreach {
             case e @ Right(d: DdlEvent) =>
               registry.register(d)
+              currentVersion = Int.box(d.version)
               buffer += MaxScaleCdc.toRow(database, table, e)
+            case e @ Right(_: DmlEvent) =>
+              buffer += MaxScaleCdc.toRow(database, table, e)
+                .copy(schemaVersion = currentVersion)
             case e => buffer += MaxScaleCdc.toRow(database, table, e)
           }
           res.serverMessages.foreach(m =>
@@ -155,6 +164,25 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
     if (receiverError != null) throw receiverError
     buffer.synchronized(CdcOffset(base + buffer.size))
   }
+
+  // ---- admission control: `maxEventsPerTrigger` caps batch size, the
+  // micro-batch analog of the reference's bounded read buffer (A5/§4.1)
+  override def getDefaultReadLimit: ReadLimit =
+    options.get("maxEventsPerTrigger").map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    if (receiverError != null) throw receiverError
+    val avail = buffer.synchronized(base + buffer.size)
+    limit match {
+      case m: ReadMaxRows =>
+        CdcOffset(math.min(avail, start.asInstanceOf[CdcOffset].index + m.maxRows))
+      case _ => CdcOffset(avail)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
+    buffer.synchronized(CdcOffset(base + buffer.size))
 
   override def deserializeOffset(json: String): Offset = CdcOffset(json.toLong)
 

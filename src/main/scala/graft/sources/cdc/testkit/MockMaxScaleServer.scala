@@ -1,4 +1,6 @@
-package graft.sources.cdc
+package graft.sources.cdc.testkit
+
+import graft.sources.cdc._
 
 import java.net.{ServerSocket, Socket}
 import java.nio.charset.StandardCharsets.UTF_8

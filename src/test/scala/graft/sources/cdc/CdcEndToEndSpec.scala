@@ -1,0 +1,125 @@
+package graft.sources.cdc
+
+import graft.SparkTestSession
+import graft.sources.cdc.testkit.MockMaxScaleServer
+import graft.streaming.CdcMaterializer
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Full pipeline: mock MaxScale server → maxscale-cdc source → schema
+  * registry rebuilt from in-band DDL rows → payload projection →
+  * CDC upsert materialization — the reference's entire dataflow
+  * (A1–A11) plus the engine's materialization upgrade, in one test.
+  * Covers in-band schema evolution: a v2 DDL adds a column mid-stream.
+  */
+class CdcEndToEndSpec extends AnyFunSuite with SparkTestSession {
+
+  private def ddl(version: Int, extraField: String = "") =
+    s"""{"namespace":"MaxScaleChangeDataSchema.avro","type":"record","name":"ChangeRecord","table":"users","database":"example","version":$version,"gtid":"0-1-$version","fields":[{"name":"id","type":"int"},{"name":"name","type":["null","string"]}$extraField]}"""
+  private def dml(seq: Int, op: String, id: Int, name: String, email: Option[String] = None) = {
+    val em = email.map(e => s""","email":"$e"""").getOrElse("")
+    s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,"timestamp":1754956800,"event_type":"$op","id":$id,"name":"$name"$em}"""
+  }
+
+  test("CDC stream materializes to the expected table across schema evolution") {
+    val events = Seq(
+      ddl(1),
+      dml(1, "insert", 1, "alice"),
+      dml(2, "insert", 2, "bob"),
+      ddl(2, """,{"name":"email","type":["null","string"]}"""),
+      dml(3, "insert", 3, "carol", Some("c@x.io")),
+      dml(4, "update_before", 1, "alice"),
+      dml(5, "update_after", 1, "alice2", Some("a@x.io")),
+      dml(6, "delete", 2, "bob"))
+    val server = new MockMaxScaleServer(events = events, chunkSize = 7)
+
+    val stream = spark.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1").option("port", server.port)
+      .option("user", "u").option("password", "p")
+      .option("database", "example").option("table", "users")
+      .load()
+
+    // accumulate upserts into a driver-held snapshot via foreachBatch;
+    // the registry persists across batches (a batch may carry DMLs but
+    // no DDL) and the snapshot schema is the stable wide shape
+    var state: DataFrame = null
+    val reg = new SchemaRegistry
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      CdcProjection.registryFrom(batch, reg)
+      if (reg.latest("example", "users").isDefined) {
+        val projected = CdcProjection.projectLatest(batch, reg, "example", "users")
+        val emailCol = // rows ingested under schema v1 have no email yet
+          if (projected.columns.contains("email")) col("email")
+          else lit(null).cast("string").as("email")
+        val rows = projected.select(col("op"), col("sequence"), col("event_number"),
+          col("id").cast("long").as("id"), col("name"), emailCol)
+        val snapshot =
+          if (state == null) rows.limit(0).select("id", "name", "email")
+          else state
+        state = CdcMaterializer.applyBatch(snapshot, rows, Seq("id"))
+        state.persist().count() // materialize before next batch mutates
+      }
+      ()
+    }.start()
+
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      def done = state != null && state.count() == 2
+      while (!done && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+      assert(done, "final state not reached in 20s")
+      val rows = state.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq
+      assert(rows == Seq(
+        (1L, "alice2", Some("a@x.io")), // updated under v2
+        (3L, "carol", Some("c@x.io")))) // inserted under v2; bob deleted
+    } finally q.stop()
+  }
+
+  test("schema_version is stamped on DML rows as of ingest time") {
+    val events = Seq(ddl(1), dml(1, "insert", 1, "a"),
+      ddl(2, """,{"name":"email","type":["null","string"]}"""), dml(2, "insert", 2, "b"))
+    val server = new MockMaxScaleServer(events = events)
+    val df = spark.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1").option("port", server.port)
+      .option("user", "u").option("password", "p")
+      .option("database", "example").option("table", "users")
+      .load()
+    val q = df.writeStream.format("memory").queryName("cdc_ver").start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table("cdc_ver").count() < 4 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); q.processAllAvailable()
+      }
+      val versions = spark.table("cdc_ver").where(col("kind") === "dml")
+        .orderBy("sequence").select("schema_version")
+        .collect().map(_.getInt(0)).toSeq
+      assert(versions == Seq(1, 2))
+    } finally q.stop()
+  }
+
+  test("maxEventsPerTrigger splits available events across micro-batches") {
+    val events = Seq(ddl(1)) ++ (1 to 9).map(i => dml(i, "insert", i, s"u$i"))
+    val server = new MockMaxScaleServer(events = events)
+    val df = spark.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1").option("port", server.port)
+      .option("user", "u").option("password", "p")
+      .option("database", "example").option("table", "users")
+      .option("maxEventsPerTrigger", "3")
+      .load()
+    val q = df.writeStream.format("memory").queryName("cdc_limit").start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table("cdc_limit").count() < 10 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); q.processAllAvailable()
+      }
+      assert(spark.table("cdc_limit").count() == 10)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.forall(_.numInputRows <= 3),
+        s"batch sizes: ${batches.map(_.numInputRows).mkString(",")}")
+      assert(batches.length >= 4) // 10 events / ≤3 per trigger
+    } finally q.stop()
+  }
+}

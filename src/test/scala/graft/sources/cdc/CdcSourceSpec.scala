@@ -1,6 +1,7 @@
 package graft.sources.cdc
 
 import graft.SparkTestSession
+import graft.sources.cdc.testkit.MockMaxScaleServer
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
