@@ -1,0 +1,36 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guard for the PLAN_NOTES.md plan properties: the
+  * scale-critical physical-plan shapes must survive query edits. */
+class PlanSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q03 pushes filters into the parquet scan and prunes columns") {
+    val p = plan("q03_filter_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount)") ||
+      p.contains("GreaterThanOrEqual(l_discount,0.05)"), p.take(800))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("q06 broadcasts the dimension joins") {
+    val p = plan("q06_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("q25 compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q25_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q13 aggregates with a partial (map-side) phase") {
+    val p = plan("q13_agg_hash")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
+  }
+}

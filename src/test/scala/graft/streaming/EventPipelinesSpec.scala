@@ -10,6 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
 final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+/** JVM-wide probe for the CdcForeach test (local mode = one JVM). */
+object CdcForeachProbe {
+  val seen = java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
+  val failed = java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())
+}
+
 /** Batch/stream equivalence for the windowed operators (SURVEY.md §5.2
   * item 4): the streaming pipelines over a MemoryStream of fixture-shaped
   * rows must agree with the batch queries on the same rows.
@@ -88,6 +94,52 @@ class EventPipelinesSpec extends AnyFunSuite with SparkTestSession {
       assert(sessions.contains((1L, "2024-01-01 00:05:00", 2L)))
       assert(sessions.contains((1L, "2024-01-01 01:10:00", 1L)))
       assert(sessions.count(_._1 == 2L) == 2)
+    } finally q.stop()
+  }
+
+  test("late events beyond the watermark are dropped from append output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventPipelines.tumbling(mem.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("late_s")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(5): _*) // through 02:30
+      q.processAllAvailable()
+      // watermark is now 02:00; this event's 00:00 window is closed
+      mem.addData(Ev(99, t("2024-01-01 00:59:00"), 9, "late", 100.0))
+      q.processAllAvailable()
+      mem.addData(rows.last) // 05:00 → flush windows up to 04:30
+      q.processAllAvailable()
+      mem.addData(Ev(100, t("2024-01-01 07:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val types = spark.table("late_s").select("event_type")
+        .collect().map(_.getString(0)).toSet
+      assert(!types.contains("late"), s"late event leaked: $types")
+    } finally q.stop()
+  }
+
+  test("CdcForeach isolates per-event failures like the reference's recover()") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // ForeachWriter closures are serialized to tasks even in local mode:
+    // collect through a JVM-singleton probe, not captured locals
+    CdcForeachProbe.seen.clear(); CdcForeachProbe.failed.clear()
+    val sink = new CdcForeach(
+      row => {
+        val id = row.getAs[Long]("event_id")
+        if (id == 3) throw new RuntimeException("boom")
+        CdcForeachProbe.seen.add(id); ()
+      },
+      (row, _) => { CdcForeachProbe.failed.add(row.getAs[Long]("event_id")); () })
+    val q = mem.toDF().writeStream.foreach(sink).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      assert(CdcForeachProbe.failed.size == 1 && CdcForeachProbe.failed.get(0) == 3L)
+      assert(CdcForeachProbe.seen.size == rows.length - 1)
     } finally q.stop()
   }
 
