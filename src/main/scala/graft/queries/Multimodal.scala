@@ -53,5 +53,23 @@ object Multimodal {
         "ascii(substring(text, 1, 1)) AS first_byte, " +
         "CAST(64 + length(text) % 512 AS INT) AS fake_width, " +
         "CAST(64 + (length(text) * 7) % 512 AS INT) AS fake_height, " +
-        "md5(text) AS content_md5 FROM documents ORDER BY doc_id")))
+        "md5(text) AS content_md5 FROM documents ORDER BY doc_id")),
+
+    QueryDef("q53b_frame_sample",
+      // frame sampling over an opaque binary: up to 4 fixed-stride
+      // 256-byte frames per blob, one output row per sampled frame —
+      // the explode-per-frame batch shape a video pipeline uses (frame
+      // decode itself would plug into the stub of q53)
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(expr("filter(transform(sequence(0, 3), i -> i * 256), o -> o < length(text))")).as("off"))
+        .select(col("doc_id"), (col("off") / 256).cast("int").as("frame_idx"),
+          expr("ascii(substr(text, off + 1, 1))").as("first_byte"),
+          expr("length(substr(text, off + 1, 256))").as("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+      Some("SELECT doc_id, CAST(off/256 AS INT) AS frame_idx, " +
+        "ascii(substring(text, off + 1, 1)) AS first_byte, " +
+        "CAST(length(substring(text, off + 1, 256)) AS INT) AS frame_bytes " +
+        "FROM (SELECT doc_id, text, UNNEST([0, 256, 512, 768]) AS off FROM documents) " +
+        "WHERE off < length(text) ORDER BY doc_id, frame_idx")))
 }

@@ -173,10 +173,10 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     if (receiverError != null) throw receiverError
-    val avail = buffer.synchronized(base + buffer.size)
+    val s = start.asInstanceOf[CdcOffset].index
+    val avail = buffer.synchronized { rebaseIfBeyondLocked(s); base + buffer.size }
     limit match {
-      case m: ReadMaxRows =>
-        CdcOffset(math.min(avail, start.asInstanceOf[CdcOffset].index + m.maxRows))
+      case m: ReadMaxRows => CdcOffset(math.min(avail, s + m.maxRows))
       case _ => CdcOffset(avail)
     }
   }
@@ -186,11 +186,24 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
 
   override def deserializeOffset(json: String): Offset = CdcOffset(json.toLong)
 
+  /** Checkpoint restart: a committed index beyond everything this fresh
+    * connection has buffered means the counter must continue from the
+    * checkpoint. Rebase so numbering resumes there; the wire position is
+    * governed by the configured GTID (DML events carry no per-event GTID
+    * to resume finer — the same granularity as the reference's
+    * WithGTID). Called with the buffer lock held.
+    */
+  private def rebaseIfBeyondLocked(start: Long): Unit =
+    if (start > base + buffer.size) base = start
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CdcOffset].index
     val e = end.asInstanceOf[CdcOffset].index
     val rows = buffer.synchronized {
-      buffer.slice((s - base).toInt, (e - base).toInt).toArray
+      rebaseIfBeyondLocked(s)
+      val lo = math.max(0, (s - base).toInt)
+      val hi = math.max(lo, math.min(buffer.size, (e - base).toInt))
+      buffer.slice(lo, hi).toArray
     }
     Array(CdcInputPartition(rows))
   }

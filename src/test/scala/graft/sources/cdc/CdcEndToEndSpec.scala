@@ -13,6 +13,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * (A1–A11) plus the engine's materialization upgrade, in one test.
   * Covers in-band schema evolution: a v2 DDL adds a column mid-stream.
   */
+/** JVM-wide probe for the restart test (foreachBatch closures serialize). */
+object CdcRestartProbe {
+  val rows = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+}
+
 class CdcEndToEndSpec extends AnyFunSuite with SparkTestSession {
 
   private def ddl(version: Int, extraField: String = "") =
@@ -98,6 +103,40 @@ class CdcEndToEndSpec extends AnyFunSuite with SparkTestSession {
         .collect().map(_.getInt(0)).toSeq
       assert(versions == Seq(1, 2))
     } finally q.stop()
+  }
+
+  test("checkpoint restart resumes without offset underflow") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
+    CdcRestartProbe.rows.clear()
+    def run(server: MockMaxScaleServer, expectTotal: Int): Unit = {
+      val q = spark.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("user", "u").option("password", "p")
+        .option("database", "example").option("table", "users")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => CdcRestartProbe.rows.add(r.getAs[String]("payload")))
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try {
+        val deadline = System.currentTimeMillis() + 15000
+        while (CdcRestartProbe.rows.size < expectTotal && System.currentTimeMillis() < deadline) {
+          Thread.sleep(100); q.processAllAvailable()
+        }
+        assert(CdcRestartProbe.rows.size == expectTotal,
+          s"got ${CdcRestartProbe.rows.size}, want $expectTotal")
+      } finally q.stop()
+    }
+    // first run: 3 events committed to the checkpoint
+    run(new MockMaxScaleServer(events = Seq(ddl(1), dml(1, "insert", 1, "a"),
+      dml(2, "insert", 2, "b"))), 3)
+    // restart against a fresh connection (GTID-granularity resume):
+    // committed offset 3 must not underflow the new empty buffer and the
+    // new events must arrive exactly once
+    run(new MockMaxScaleServer(events = Seq(dml(3, "insert", 3, "c"),
+      dml(4, "insert", 4, "d"))), 5)
   }
 
   test("maxEventsPerTrigger splits available events across micro-batches") {

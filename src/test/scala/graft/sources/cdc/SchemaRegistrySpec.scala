@@ -59,6 +59,43 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(CdcEvent.decode(bad).isLeft)
   }
 
+  test("property: random DDL field specs round-trip to the expected StructType") {
+    import scala.util.Random
+    import org.apache.spark.sql.types._
+    val r = new Random(7)
+    val primitives = Seq(
+      "int" -> IntegerType, "long" -> LongType, "string" -> StringType,
+      "float" -> FloatType, "double" -> DoubleType, "boolean" -> BooleanType,
+      "bytes" -> BinaryType)
+    for (iter <- 0 until 200) {
+      val n = 1 + r.nextInt(6)
+      val specs = (0 until n).map { i =>
+        val (avro, spark) = primitives(r.nextInt(primitives.length))
+        r.nextInt(3) match {
+          case 0 => // plain
+            (s"""{"name":"c$i","type":"$avro"}""", StructField(s"c$i", spark, nullable = false))
+          case 1 => // null union
+            (s"""{"name":"c$i","type":["null","$avro"]}""", StructField(s"c$i", spark, nullable = true))
+          case 2 => // enum
+            (s"""{"name":"c$i","type":{"type":"enum","name":"e$i","symbols":["x","y"]}}""",
+              StructField(s"c$i", StringType, nullable = false))
+        }
+      }
+      val json = s"""{"namespace":"ns","type":"record","name":"R","table":"t",
+        |"database":"d","version":$iter,"gtid":"0-0-$iter",
+        |"fields":[${specs.map(_._1).mkString(",")}]}""".stripMargin
+      CdcEvent.decode(json) match {
+        case Right(ddl: DdlEvent) =>
+          val st = SchemaRegistry.toStructType(ddl)
+          specs.map(_._2).zip(st.fields).foreach { case (want, got) =>
+            assert(got.name == want.name && got.dataType == want.dataType &&
+              got.nullable == want.nullable, s"iter $iter: want $want got $got")
+          }
+        case other => fail(s"decode failed at iter $iter: $other")
+      }
+    }
+  }
+
   test("DML event decodes envelope and keeps raw JSON") {
     val dml = """{"domain": 0, "server_id": 1, "sequence": 42, "event_number": 7,
       | "timestamp": 1754956800, "event_type": "insert",
