@@ -26,12 +26,14 @@ object Relational {
       Some("SELECT COUNT(*) AS cnt FROM lineitem")),
 
     QueryDef("q02_projection",
+      // (l_orderkey, l_linenumber) is NOT unique at sf0.1 — the ORDER BY
+      // must cover every output column so tied rows render identically
       (s, d) => t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .limit(100),
       Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
-        "ORDER BY l_orderkey, l_linenumber LIMIT 100")),
+        "ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100")),
 
     QueryDef("q03_filter_agg",
       (s, d) => t(s, d, "lineitem")
@@ -372,8 +374,12 @@ object Relational {
         "COUNT(*) AS cnt FROM orders GROUP BY 1) ORDER BY month_str")),
 
     QueryDef("q31_math_funcs",
+      // total order via raw source columns ((l_orderkey, l_linenumber)
+      // alone is not unique at sf0.1); any rows still tied are identical
+      // in every output expression
       (s, d) => t(s, d, "lineitem")
-        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(100)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax")).limit(100)
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice"), 0).as("price_r0"),
           round(abs(col("l_discount") - 0.05), 4).as("abs_disc"),
@@ -385,7 +391,8 @@ object Relational {
         "ROUND(ABS(l_discount - 0.05), 4) AS abs_disc, CAST(CEIL(l_quantity) AS BIGINT) AS ceil_qty, " +
         "CAST(FLOOR(l_quantity) AS BIGINT) AS floor_qty, l_orderkey % 7 AS mod7, " +
         "ROUND(POWER(l_tax + 1, 2), 4) AS tax_pow " +
-        "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100")),
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, " +
+        "l_extendedprice, l_discount, l_tax LIMIT 100")),
 
     QueryDef("q32_conditional_agg",
       (s, d) => t(s, d, "lineitem")
