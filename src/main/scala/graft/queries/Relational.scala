@@ -430,6 +430,21 @@ object Relational {
         "GROUP BY CUBE(l_returnflag, l_linestatus) " +
         "ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
 
+    QueryDef("q15c_grouping_sets",
+      // explicit GROUPING SETS through the spark.sql surface
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+        s.sql("SELECT l_returnflag, l_linestatus, " +
+          "CAST(GROUPING(l_returnflag) AS INT) AS g_flag, " +
+          "CAST(GROUPING(l_linestatus) AS INT) AS g_status, COUNT(*) AS cnt " +
+          "FROM lineitem_gs GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+          "ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")
+      },
+      Some("SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag) AS INT) AS g_flag, " +
+        "CAST(GROUPING(l_linestatus) AS INT) AS g_status, COUNT(*) AS cnt " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+        "ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST")),
+
     QueryDef("q19b_dist_windows",
       (s, d) => {
         val w = Window.partitionBy(col("o_orderstatus"))
@@ -450,6 +465,24 @@ object Relational {
         "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)) " +
         "WHERE rn <= 5 ORDER BY o_orderstatus, rn")),
 
+    QueryDef("q21b_range_frame",
+      // RANGE frame over event-time seconds: all events of the same user
+      // in the trailing hour (value-based frame, not row-count)
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").cast("long"))
+          .rangeBetween(-3600, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("hour_sum", round(sum(col("value")).over(w), 2))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+          .select(col("user_id"), col("event_id"), col("hour_sum"))
+          .limit(500)
+      },
+      Some("SELECT user_id, event_id, hour_sum FROM (" +
+        "SELECT user_id, ts, event_id, ROUND(SUM(value) OVER (PARTITION BY user_id " +
+        "ORDER BY CAST(epoch(ts) AS BIGINT) RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS hour_sum " +
+        "FROM events) ORDER BY user_id, ts, event_id LIMIT 500")),
+
     QueryDef("q23b_percentiles",
       // exact interpolated percentiles (both engines use the type-7
       // linear-interpolation definition); approx_percentile is the
@@ -461,6 +494,23 @@ object Relational {
       Some("SELECT ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25, " +
         "ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50, " +
         "ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75 FROM orders")),
+
+    QueryDef("q29b_string_funcs2",
+      (s, d) => t(s, d, "customer")
+        .orderBy(col("c_custkey")).limit(100)
+        .select(col("c_custkey"),
+          lpad(col("c_mktsegment"), 12, ".").as("seg_lpad"),
+          rpad(col("c_mktsegment"), 12, ".").as("seg_rpad"),
+          reverse(col("c_name")).as("name_rev"),
+          instr(col("c_name"), "0").cast("int").as("pos_zero"),
+          col("c_name").startsWith("Customer").cast("int").as("is_cust"),
+          split(col("c_name"), "#").getItem(0).as("name_head")),
+      Some("SELECT c_custkey, lpad(c_mktsegment, 12, '.') AS seg_lpad, " +
+        "rpad(c_mktsegment, 12, '.') AS seg_rpad, reverse(c_name) AS name_rev, " +
+        "CAST(strpos(c_name, '0') AS INT) AS pos_zero, " +
+        "CAST(starts_with(c_name, 'Customer') AS INT) AS is_cust, " +
+        "string_split(c_name, '#')[1] AS name_head " +
+        "FROM customer ORDER BY c_custkey LIMIT 100")),
 
     QueryDef("q32b_pivot",
       (s, d) => t(s, d, "lineitem")

@@ -45,4 +45,24 @@ object EventPipelines {
   def dedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicates("user_id", "event_type")
+
+  /** Stream-stream interval join: each purchase attributed to the same
+    * user's signups within the preceding `horizon` — the streaming
+    * sibling of the batch as-of join (Q12). Both sides carry watermarks
+    * and the join condition is time-bounded, so state for either side
+    * is dropped once the watermark passes the interval: state size is
+    * O(events within horizon), independent of stream length.
+    */
+  def purchaseAttribution(purchases: DataFrame, signups: DataFrame,
+      watermark: String = "1 hour", horizon: String = "24 hours"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val sg = signups.withWatermark("ts", watermark)
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+    p.join(sg,
+      col("user_id") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("user_id"), col("signup_id"), col("p_ts"), col("s_ts"))
+  }
 }

@@ -143,6 +143,60 @@ class EventPipelinesSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to recent signups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val signups = MemoryStream[Ev]
+    val q = EventPipelines.purchaseAttribution(
+        purchases.toDF(), signups.toDF(), watermark = "1 hour", horizon = "2 hours")
+      .writeStream.format("memory").queryName("attrib_s")
+      .outputMode("append").start()
+    try {
+      signups.addData(
+        Ev(10, t("2024-01-01 00:00:00"), 1, "signup", 0.0),
+        Ev(11, t("2024-01-01 03:00:00"), 2, "signup", 0.0))
+      purchases.addData(
+        Ev(20, t("2024-01-01 01:00:00"), 1, "purchase", 5.0), // 1h after signup 10 ✓
+        Ev(21, t("2024-01-01 03:30:00"), 1, "purchase", 5.0), // 3.5h after → outside horizon
+        Ev(22, t("2024-01-01 04:00:00"), 2, "purchase", 5.0)) // 1h after signup 11 ✓
+      q.processAllAvailable()
+      // advance both watermarks so joined results finalize
+      signups.addData(Ev(12, t("2024-01-01 09:00:00"), 3, "signup", 0.0))
+      purchases.addData(Ev(23, t("2024-01-01 09:00:00"), 3, "purchase", 1.0))
+      q.processAllAvailable()
+      val pairs = spark.table("attrib_s")
+        .select("purchase_id", "signup_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((20L, 10L)))
+      assert(pairs.contains((22L, 11L)))
+      assert(!pairs.exists(_._1 == 21L), s"purchase 21 outside horizon: $pairs")
+    } finally q.stop()
+  }
+
+  test("dedup runs on the RocksDB state store provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev]
+    val q = EventPipelines.dedup(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_rocks")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      assert(spark.table("dedup_rocks").count() == 2)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stats listener reports per-batch throughput like the reference ticker") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
