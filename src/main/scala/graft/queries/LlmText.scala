@@ -25,13 +25,18 @@ object LlmText {
   private def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** Distinct word-n-gram shingles per doc. */
-  private def shingles(s: SparkSession, d: String, n: Int): DataFrame =
+  /** Word-n-gram shingles per doc, with duplicates (one row per
+    * occurrence) — enough for MinHash, whose min is duplicate-blind. */
+  private def shinglesRaw(s: SparkSession, d: String, n: Int): DataFrame =
     docs(s, d).select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', ${(0 until n).map(k => s"t[i+$k]").mkString(", ")}))"
-      )).as("sh")).distinct()
+      )).as("sh"))
+
+  /** Distinct word-n-gram shingle set per doc (for exact set ops). */
+  private def shingles(s: SparkSession, d: String, n: Int): DataFrame =
+    shinglesRaw(s, d, n).distinct()
 
   /** DuckDB CTE mirroring [[shingles]] (bounded index join in place of a
     * lateral sequence; fixture docs are < 200 tokens). */
@@ -39,8 +44,9 @@ object LlmText {
     val parts = (0 until n).map(k => s"t[i+${k + 1}]").mkString(" || ' ' || ")
     s"toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents " +
       s"WHERE len(string_split(text,' ')) >= $n), " +
-      s"sh AS (SELECT DISTINCT doc_id, $parts AS sh FROM toks " +
-      s"JOIN (SELECT UNNEST(range(0,200)) AS i) ix ON ix.i <= len(t)-$n)"
+      s"shraw AS (SELECT doc_id, $parts AS sh FROM toks " +
+      s"JOIN (SELECT UNNEST(range(0,200)) AS i) ix ON ix.i <= len(t)-$n), " +
+      s"sh AS (SELECT DISTINCT doc_id, sh FROM shraw)"
   }
 
   /** Per-doc 32-bit SimHash over token md5 hashes (token multiplicity
@@ -89,8 +95,18 @@ object LlmText {
       // generation is a hash-equi-join on (band, minhash) — no n² pass.
       (s, d) => {
         val sh = shingles(s, d, 3)
-        val hashes = (0 until 8).map(sd => min(h32(concat(lit(s"$sd:"), col("sh")))).as(s"h$sd"))
-        val sig = sh.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
+        // 8 independent 32-bit hashes from TWO md5s per shingle (4 hex
+        // segments each) instead of 8 separate md5s, and the min-agg runs
+        // over raw occurrences (MinHash is duplicate-blind) — no distinct
+        // shuffle on the signature path
+        val raw = shinglesRaw(s, d, 3)
+          .select(col("doc_id") +:
+            (0 until 8).map { i =>
+              val m = md5(concat(lit(if (i < 4) "a:" else "b:"), col("sh")))
+              conv(substring(m, 1 + 8 * (i % 4), 8), 16, 10).cast("long").as(s"x$i")
+            }: _*)
+        val hashes = (0 until 8).map(i => min(col(s"x$i")).as(s"h$i"))
+        val sig = raw.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
         val bands = sig.select(col("doc_id"),
           posexplode(array((0 until 8).map(i => col(s"h$i")): _*)).as(Seq("band", "h")))
         val cand = bands.as("x").join(bands.as("y"),
@@ -109,9 +125,11 @@ object LlmText {
       },
       Some("WITH " + shinglesSql(3) + ", " +
         "sig AS (SELECT doc_id, " +
-        (0 until 8).map(sd =>
-          s"MIN(CAST(('0x' || substring(md5('$sd:' || sh),1,8)) AS BIGINT)) AS h$sd").mkString(", ") +
-        " FROM sh GROUP BY doc_id), " +
+        (0 until 8).map { i =>
+          val salt = if (i < 4) "a:" else "b:"
+          s"MIN(CAST(('0x' || substring(md5('$salt' || sh),${1 + 8 * (i % 4)},8)) AS BIGINT)) AS h$i"
+        }.mkString(", ") +
+        " FROM shraw GROUP BY doc_id), " +
         "bands AS (" +
         (0 until 8).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig").mkString(" UNION ALL ") +
         "), " +
