@@ -71,6 +71,30 @@ object Windowed {
         "SELECT user_id, COUNT(*) AS session_count, ROUND(AVG(sess_len), 2) AS avg_session_sec " +
         "FROM g GROUP BY user_id ORDER BY user_id")),
 
+    QueryDef("q39b_session_native",
+      // Spark's native session_window in BATCH mode, hash-checked
+      // against the same gaps-and-islands oracle as q39 — validates the
+      // session operator's semantics, not just our manual rewrite.
+      // Boundary note (SURVEY.md §7.3): session_window opens a new
+      // session at gap >= 30 min, the islands SQL at gap > 30 min; the
+      // fixture has zero exact-1800s gaps (verified), so they agree.
+      (s, d) => Tables(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg((max(col("ts")).cast("double") - min(col("ts")).cast("double")).as("sess_len"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("session_count"), round(avg(col("sess_len")), 2).as("avg_session_sec"))
+        .orderBy(col("user_id")),
+      Some("WITH o AS (SELECT user_id, ts, event_id, " +
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "f AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL OR " +
+        "epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1 ELSE 0 END AS new_sess FROM o), " +
+        "s AS (SELECT user_id, ts, SUM(new_sess) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id FROM f), " +
+        "g AS (SELECT user_id, sess_id, epoch(MAX(ts)) - epoch(MIN(ts)) AS sess_len " +
+        "FROM s GROUP BY user_id, sess_id) " +
+        "SELECT user_id, COUNT(*) AS session_count, ROUND(AVG(sess_len), 2) AS avg_session_sec " +
+        "FROM g GROUP BY user_id ORDER BY user_id")),
+
     QueryDef("q40_dedup_earliest",
       (s, d) => {
         val w = Window.partitionBy(col("user_id"), col("event_type"))
