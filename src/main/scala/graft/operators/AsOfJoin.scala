@@ -55,9 +55,28 @@ object AsOfJoin {
           .select(col("event_id").as("purchase_id"), col("_asof.event_id").as("signup_id"))
           .orderBy(col("purchase_id"))
       },
-      Some("SELECT p.event_id AS purchase_id, " +
-        "(SELECT s.event_id FROM events s WHERE s.user_id = p.user_id " +
-        "AND s.event_type = 'signup' AND s.ts <= p.ts " +
-        "ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS signup_id " +
-        "FROM events p WHERE p.event_type = 'purchase' ORDER BY purchase_id")))
+      Some(AsOfOracleSql)),
+
+    QueryDef("q12b_asof_native",
+      // same semantics through the custom LogicalPlan/Strategy/SparkPlan
+      // operator (graft.plans.AsOfJoinNative) — one sorted merge per key
+      // partition instead of the union+window rewrite
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+        val signups = ev.where(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
+        graft.plans.AsOfJoinNative
+          .backward(purchases, signups, Seq("user_id"), "ts", "s_ts", "signup_id")
+          .select(col("event_id").as("purchase_id"), col("signup_id"))
+          .orderBy(col("purchase_id"))
+      },
+      Some(AsOfOracleSql)))
+
+  private val AsOfOracleSql: String =
+    "SELECT p.event_id AS purchase_id, " +
+      "(SELECT s.event_id FROM events s WHERE s.user_id = p.user_id " +
+      "AND s.event_type = 'signup' AND s.ts <= p.ts " +
+      "ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS signup_id " +
+      "FROM events p WHERE p.event_type = 'purchase' ORDER BY purchase_id"
 }

@@ -1,0 +1,59 @@
+package graft.plans
+
+import graft.{SparkTestSession, Tables}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native as-of operator must agree row-for-row with the
+  * window-rewrite implementation on the fixture data, and its physical
+  * plan must actually be AsOfJoinExec. */
+class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def viaNative = {
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
+    AsOfJoinNative.backward(purchases, signups, Seq("user_id"), "ts", "s_ts", "signup_id")
+      .select(col("event_id").as("purchase_id"), col("signup_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  test("physical plan uses AsOfJoinExec") {
+    val p = viaNative.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin "), p.take(600))
+  }
+
+  test("native as-of equals the window-rewrite implementation") {
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+    val signups = ev.where(col("event_type") === "signup")
+    val viaWindow = AsOfJoin.backward(purchases, signups, Seq("user_id"), "ts",
+        "event_id", Seq("event_id"))
+      .select(col("event_id").as("purchase_id"), col("_asof.event_id").as("signup_id"))
+      .orderBy(col("purchase_id"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    val native = viaNative
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(native.nonEmpty)
+    assert(native == viaWindow)
+  }
+
+  test("left rows with no preceding right row keep null match") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 10L, 12L))
+      .toDF("k", "t", "lid")
+    val r = Seq((1L, 60L, 20L), (1L, 60L, 21L), (1L, 200L, 22L))
+      .toDF("k", "rt", "rid")
+    val out = AsOfJoinNative.backward(l, r, Seq("k"), "t", "rt", "rid")
+      .select(col("lid"), col("rid")).orderBy(col("lid"))
+      .collect().map(row => (row.getLong(0), Option(row.get(1)))).toSeq
+    assert(out == Seq(
+      (10L, Some(21L)), // ts 100: both rid 20/21 at rt 60 — greatest tie wins
+      (11L, None), // ts 50 precedes every right row
+      (12L, None))) // key 2 has no right rows
+  }
+}
