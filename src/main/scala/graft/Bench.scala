@@ -28,12 +28,18 @@ object Bench {
       .foreach(n => try SparkEntry.queries(n)(spark, sfDir).collect()
         catch { case _: Throwable => () })
 
+    // min of two timed runs per query: steady-state wall clock, halves
+    // the ±10% JIT/GC noise observed on small-SF single runs
     val results = SparkEntry.allDefs.map { q =>
-      val t0 = System.nanoTime()
-      val ok = try { q.run(spark, sfDir).collect(); true }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        q.run(spark, sfDir).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = try math.min(once(), once())
       catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); false }
-      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1.0 }
+      q.name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

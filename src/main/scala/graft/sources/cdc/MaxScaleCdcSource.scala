@@ -9,7 +9,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -99,7 +99,8 @@ final case class CdcOffset(index: Long) extends Offset {
 }
 
 final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def opt(k: String): String = options.getOrElse(k,
     throw new IllegalArgumentException(s"maxscale-cdc: missing option '$k'"))
@@ -171,10 +172,34 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
     options.get("maxEventsPerTrigger").map(n => ReadLimit.maxRows(n.toLong))
       .getOrElse(ReadLimit.allAvailable())
 
+  // Trigger.AvailableNow: drain the server's current backlog, then
+  // terminate — the batch-catchup mode. The wire has no backlog-end
+  // marker, so "available now" is detected by the feed going idle (or
+  // EOF): prepare blocks until the buffer is stable for `idleMs`.
+  @volatile private var availableNowBound: Long = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val idleMs = options.getOrElse("availableNowIdleMs", "1000").toLong
+    val deadline = System.currentTimeMillis() +
+      options.getOrElse("availableNowMaxWaitMs", "15000").toLong
+    var last = -1L
+    var stableSince = System.currentTimeMillis()
+    var done = false
+    while (!done && System.currentTimeMillis() < deadline) {
+      val size = buffer.synchronized(base + buffer.size)
+      val now = System.currentTimeMillis()
+      if (size != last) { last = size; stableSince = now }
+      done = (size > 0 || !receiver.isAlive) && now - stableSince >= idleMs
+      if (!done) Thread.sleep(50)
+    }
+    availableNowBound = buffer.synchronized(base + buffer.size)
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     if (receiverError != null) throw receiverError
     val s = start.asInstanceOf[CdcOffset].index
-    val avail = buffer.synchronized { rebaseIfBeyondLocked(s); base + buffer.size }
+    val avail0 = buffer.synchronized { rebaseIfBeyondLocked(s); base + buffer.size }
+    val avail = if (availableNowBound >= 0) math.min(avail0, availableNowBound) else avail0
     limit match {
       case m: ReadMaxRows => CdcOffset(math.min(avail, s + m.maxRows))
       case _ => CdcOffset(avail)

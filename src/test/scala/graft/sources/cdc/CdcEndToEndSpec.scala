@@ -139,6 +139,23 @@ class CdcEndToEndSpec extends AnyFunSuite with SparkTestSession {
       dml(4, "insert", 4, "d"))), 5)
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates") {
+    val events = Seq(ddl(1)) ++ (1 to 5).map(i => dml(i, "insert", i, s"u$i"))
+    val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
+    val df = spark.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1").option("port", server.port)
+      .option("user", "u").option("password", "p")
+      .option("database", "example").option("table", "users")
+      .option("maxEventsPerTrigger", "2")
+      .load()
+    val q = df.writeStream.format("memory").queryName("cdc_avail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(30000), "AvailableNow query did not terminate")
+      assert(spark.table("cdc_avail").count() == 6)
+    } finally q.stop()
+  }
+
   test("maxEventsPerTrigger splits available events across micro-batches") {
     val events = Seq(ddl(1)) ++ (1 to 9).map(i => dml(i, "insert", i, s"u$i"))
     val server = new MockMaxScaleServer(events = events)
