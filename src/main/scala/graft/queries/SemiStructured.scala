@@ -53,6 +53,38 @@ object SemiStructured {
       Some("SELECT event_type, ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 2) AS avg_k " +
         "FROM events GROUP BY event_type ORDER BY event_type")),
 
+    QueryDef("q35b_map_funcs",
+      // MapType surface: JSON payload as map<string,int>, map_keys /
+      // element_at / size over it
+      (s, d) => Tables(s, d, "events")
+        .withColumn("m", from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(size(col("m"))), 2).as("avg_nkeys"),
+          min(concat_ws(",", map_keys(col("m")))).as("min_keys"),
+          round(avg(element_at(col("m"), "k")), 2).as("avg_k"))
+        .orderBy(col("event_type")),
+      Some("SELECT event_type, COUNT(*) AS cnt, " +
+        "ROUND(AVG(len(json_keys(props))), 2) AS avg_nkeys, " +
+        "MIN(array_to_string(json_keys(props), ',')) AS min_keys, " +
+        "ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 2) AS avg_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
+    QueryDef("q43b_array_ops",
+      // array set operations: distinct / sort / slice / join
+      (s, d) => Tables(s, d, "documents")
+        .withColumn("t", split(col("text"), " "))
+        .select(col("doc_id"), size(array_distinct(col("t"))).as("n_uniq"),
+          concat_ws(" ", slice(sort_array(array_distinct(col("t"))), 1, 3)).as("first3"))
+        .orderBy(col("doc_id")),
+      Some("SELECT doc_id, CAST(len(list_distinct(t)) AS INT) AS n_uniq, " +
+        "array_to_string(list_sort(list_distinct(t))[1:3], ' ') AS first3 " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) " +
+        "ORDER BY doc_id")),
+
     QueryDef("q36_datediff",
       (s, d) => Tables(s, d, "lineitem")
         .join(Tables(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))

@@ -96,6 +96,12 @@ class SchemaRegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("malformed event JSON yields a decode error, not an exception") {
+    assert(CdcEvent.decode("""{"domain": bad}""").isLeft)
+    assert(CdcEvent.decode("""{"unknown": 1}""").isLeft)
+    assert(CdcEvent.decode("not json at all").isLeft)
+  }
+
   test("DML event decodes envelope and keeps raw JSON") {
     val dml = """{"domain": 0, "server_id": 1, "sequence": 42, "event_number": 7,
       | "timestamp": 1754956800, "event_type": "insert",
