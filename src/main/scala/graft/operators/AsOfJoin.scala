@@ -30,7 +30,7 @@ object AsOfJoin {
     val lSel = left.select(
       keyCols ++ Seq(col(ts), lit(1).as("_side"), col(tie).cast("long").as("_tie"),
         lit(null).cast(rSel.schema("_r").dataType).as("_r"),
-        struct(left.columns.map(col): _*).as("_l")): _*)
+        struct(left.columns.toIndexedSeq.map(col): _*).as("_l")): _*)
     val rAll = rSel.withColumn("_l", lit(null).cast(lSel.schema("_l").dataType))
     // Right rows sort before left rows at equal ts (`_side` asc) → the
     // running frame sees ts-equal right rows, giving `<=` semantics.

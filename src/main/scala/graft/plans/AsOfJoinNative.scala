@@ -160,7 +160,7 @@ object AsOfJoinNative {
     val r =
       if (l.outputSet.intersect(rRaw.outputSet).isEmpty) rRaw
       else ColumnBridge.analyzed(
-        rightDf.select(rightDf.columns.map(c => col(c).as(c)): _*))
+        rightDf.select(rightDf.columns.toIndexedSeq.map(c => col(c).as(c)): _*))
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column '$name' not found"))

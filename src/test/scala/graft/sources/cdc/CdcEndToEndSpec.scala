@@ -156,6 +156,29 @@ class CdcEndToEndSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("multi-table fan-in: one source per table, unioned downstream") {
+    def ddlFor(table: String) =
+      s"""{"namespace":"MaxScaleChangeDataSchema.avro","type":"record","name":"ChangeRecord","table":"$table","database":"example","version":1,"gtid":"0-1-1","fields":[{"name":"id","type":"int"}]}"""
+    val s1 = new MockMaxScaleServer(events = Seq(ddlFor("users"), dml(1, "insert", 1, "a")))
+    val s2 = new MockMaxScaleServer(events = Seq(ddlFor("orders"), dml(1, "insert", 2, "b")))
+    def src(port: Int, table: String) = spark.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1").option("port", port)
+      .option("user", "u").option("password", "p")
+      .option("database", "example").option("table", table)
+      .load()
+    val unioned = src(s1.port, "users").unionByName(src(s2.port, "orders"))
+    val q = unioned.writeStream.format("memory").queryName("cdc_fanin").start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table("cdc_fanin").count() < 4 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); q.processAllAvailable()
+      }
+      val byTable = spark.table("cdc_fanin").groupBy("table").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byTable == Map("users" -> 2L, "orders" -> 2L), byTable.toString)
+    } finally q.stop()
+  }
+
   test("maxEventsPerTrigger splits available events across micro-batches") {
     val events = Seq(ddl(1)) ++ (1 to 9).map(i => dml(i, "insert", i, s"u$i"))
     val server = new MockMaxScaleServer(events = events)
