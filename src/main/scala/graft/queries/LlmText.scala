@@ -49,6 +49,64 @@ object LlmText {
       s"sh AS (SELECT DISTINCT doc_id, sh FROM shraw)"
   }
 
+  /** Per-doc MinHash signature: `nHashes` independent 32-bit hashes, four
+    * per md5 call (salts `a:`,`b:`,`c:`,… pick the md5; `i%4` picks the
+    * 8-hex segment), min-aggregated over raw shingle occurrences (MinHash
+    * is duplicate-blind — no distinct shuffle on the signature path). */
+  private def minhashSig(s: SparkSession, d: String, n: Int, nHashes: Int): DataFrame = {
+    val raw = shinglesRaw(s, d, n)
+      .select(col("doc_id") +:
+        (0 until nHashes).map { i =>
+          val salt = s"${('a' + i / 4).toChar}:"
+          val m = md5(concat(lit(salt), col("sh")))
+          conv(substring(m, 1 + 8 * (i % 4), 8), 16, 10).cast("long").as(s"x$i")
+        }: _*)
+    val hashes = (0 until nHashes).map(i => min(col(s"x$i")).as(s"h$i"))
+    raw.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
+  }
+
+  /** One row per (doc, band) with the band's key = a struct of `bandR`
+    * consecutive minhashes. Candidate pairs are docs sharing any
+    * (band, key) bucket: a hash-equi-join, never an n² pass. `bandR`
+    * tunes the LSH design threshold ≈ (1/nBands)^(1/bandR) — bandR = 1
+    * catches low-jaccard pairs but suffers hot single-hash buckets;
+    * bandR = 2 is the near-dup setting (threshold ≈ 0.35 at 8 bands)
+    * whose buckets stay tiny because unrelated docs must collide on TWO
+    * independent minhashes at once. */
+  private def bandedCandidates(sig: DataFrame, nBands: Int, bandR: Int): DataFrame = {
+    val keys = (0 until nBands).map(j =>
+      struct((0 until bandR).map(k => col(s"h${bandR * j + k}").as(s"k$k")): _*))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(keys: _*)).as(Seq("band", "key")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+  }
+
+  /** DuckDB CTEs mirroring [[minhashSig]] + [[bandedCandidates]] (expects
+    * the `shraw` CTE from [[shinglesSql]] in scope). */
+  private def minhashSigSql(nBands: Int, bandR: Int): String = {
+    val nHashes = nBands * bandR
+    val keyCols = (0 until bandR).map(k => s"k$k")
+    "sig AS (SELECT doc_id, " +
+      (0 until nHashes).map { i =>
+        val salt = s"${('a' + i / 4).toChar}:"
+        s"MIN(CAST(('0x' || substring(md5('$salt' || sh),${1 + 8 * (i % 4)},8)) AS BIGINT)) AS h$i"
+      }.mkString(", ") +
+      " FROM shraw GROUP BY doc_id), " +
+      "bands AS (" +
+      (0 until nBands).map { j =>
+        val ks = (0 until bandR).map(k => s"h${bandR * j + k} AS k$k").mkString(", ")
+        s"SELECT doc_id, $j AS band, $ks FROM sig"
+      }.mkString(" UNION ALL ") +
+      "), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x " +
+      "JOIN bands y ON x.band = y.band AND " +
+      keyCols.map(k => s"x.$k = y.$k").mkString(" AND ") +
+      " AND x.doc_id < y.doc_id)"
+  }
+
   /** Per-doc 32-bit SimHash over token md5 hashes (token multiplicity
     * weighted). Pure groupBy-sum — linear in corpus size. */
   private def simhashDf(s: SparkSession, d: String): DataFrame =
@@ -95,24 +153,7 @@ object LlmText {
       // generation is a hash-equi-join on (band, minhash) — no n² pass.
       (s, d) => {
         val sh = shingles(s, d, 3)
-        // 8 independent 32-bit hashes from TWO md5s per shingle (4 hex
-        // segments each) instead of 8 separate md5s, and the min-agg runs
-        // over raw occurrences (MinHash is duplicate-blind) — no distinct
-        // shuffle on the signature path
-        val raw = shinglesRaw(s, d, 3)
-          .select(col("doc_id") +:
-            (0 until 8).map { i =>
-              val m = md5(concat(lit(if (i < 4) "a:" else "b:"), col("sh")))
-              conv(substring(m, 1 + 8 * (i % 4), 8), 16, 10).cast("long").as(s"x$i")
-            }: _*)
-        val hashes = (0 until 8).map(i => min(col(s"x$i")).as(s"h$i"))
-        val sig = raw.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
-        val bands = sig.select(col("doc_id"),
-          posexplode(array((0 until 8).map(i => col(s"h$i")): _*)).as(Seq("band", "h")))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+        val cand = bandedCandidates(minhashSig(s, d, 3, 8), 8, 1)
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
         val inter = cand.join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
           .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
@@ -123,18 +164,7 @@ object LlmText {
             round(col("ninter").cast("double") / (col("za.nsh") + col("zb.nsh") - col("ninter")), 4).as("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some("WITH " + shinglesSql(3) + ", " +
-        "sig AS (SELECT doc_id, " +
-        (0 until 8).map { i =>
-          val salt = if (i < 4) "a:" else "b:"
-          s"MIN(CAST(('0x' || substring(md5('$salt' || sh),${1 + 8 * (i % 4)},8)) AS BIGINT)) AS h$i"
-        }.mkString(", ") +
-        " FROM shraw GROUP BY doc_id), " +
-        "bands AS (" +
-        (0 until 8).map(i => s"SELECT doc_id, $i AS band, h$i AS h FROM sig").mkString(" UNION ALL ") +
-        "), " +
-        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x " +
-        "JOIN bands y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id), " +
+      Some("WITH " + shinglesSql(3) + ", " + minhashSigSql(8, 1) + ", " +
         "sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id), " +
         "inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter FROM cand c " +
         "JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh " +
@@ -217,6 +247,53 @@ object LlmText {
         "SELECT i.doc_a, i.doc_b, ROUND(CAST(i.ninter AS DOUBLE)/(za.nbg + zb.nbg - i.ninter), 4) AS jaccard " +
         "FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b) " +
         "WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b")),
+
+    QueryDef("q54_banded_neardup",
+      // The composed 100 TB near-dup pipeline (VERDICT round-1 item 1):
+      // MinHash-banded candidate generation (8 bands × 2 hashes over
+      // bigram shingles — design threshold (1/8)^(1/2) ≈ 0.35; two-hash
+      // band keys keep buckets tiny because unrelated docs must collide
+      // on two independent minhashes, where single-hash bands explode on
+      // corpus-hot shingles) followed by EXACT verification of only the
+      // candidates with the codegen two-pointer set kernel
+      // (SortedArrayIntersectCount over each doc's sorted 60-bit
+      // shingle-hash array), keeping pairs with jaccard ≥ 0.35. Same
+      // (doc_a, doc_b, jaccard) schema as q46; q46's all-pairs form
+      // remains the fixture-scale recall baseline (BandedNearDupSpec).
+      // Physical plan is guarded to contain no
+      // BroadcastNestedLoopJoin/CartesianProduct.
+      (s, d) => {
+        import graft.functions.SortedArrayIntersectCount
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        def interCount(a: Column, b: Column): Column =
+          ColumnBridge.column(SortedArrayIntersectCount(
+            ColumnBridge.expression(a), ColumnBridge.expression(b)))
+        val h60 = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+        val sets = shingles(s, d, 2)
+          .select(col("doc_id"), h60.as("h"))
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_set(col("h"))).as("hs"))
+          .select(col("doc_id"), col("hs"), size(col("hs")).as("nbg"))
+        val cand = bandedCandidates(minhashSig(s, d, 2, 16), 8, 2)
+        cand.join(sets.as("a"), col("doc_a") === col("a.doc_id"))
+          .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            interCount(col("a.hs"), col("b.hs")).as("ninter"),
+            (col("a.nbg") + col("b.nbg")).as("ntot"))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("ninter").cast("double") / (col("ntot") - col("ninter")), 4).as("jaccard"))
+          .where(col("jaccard") >= 0.35)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("WITH " + shinglesSql(2) + ", " + minhashSigSql(8, 2) + ", " +
+        "sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter FROM cand c " +
+        "JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh " +
+        "GROUP BY c.doc_a, c.doc_b) " +
+        "SELECT doc_a, doc_b, jaccard FROM (" +
+        "SELECT i.doc_a, i.doc_b, ROUND(CAST(i.ninter AS DOUBLE)/(za.nbg + zb.nbg - i.ninter), 4) AS jaccard " +
+        "FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b) " +
+        "WHERE jaccard >= 0.35 ORDER BY doc_a, doc_b")),
 
     QueryDef("q49_langid_confusion",
       // n-gram-profile language-ID: per-lang top-20 token profile learned

@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed banded near-dup pipelines (q54 MinHash bands → exact
+  * set kernel; q55 multi-probe hyperplane LSH → exact ArrayDot) are the
+  * shapes actually run at 100 TB. These specs pin their relationship to
+  * the all-pairs fixture-scale verifiers (q46/q47): every banded result
+  * is an exact result of the brute-force form (candidates are verified
+  * exactly, so no false positives ever), and recall stays above the
+  * analytically expected floor for each banding scheme.
+  */
+class BandedNearDupSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(name: String): Map[(Long, Long), Double] =
+    SparkEntry.queries(name)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("q54 banded text near-dup is a subset of the all-pairs q46 with identical scores") {
+    // q54's threshold (0.35) is above q46's (0.1), so every q54 row must
+    // appear in q46 with the exact same jaccard — the banded pipeline
+    // can never produce a false positive (candidates are verified
+    // exactly by the codegen kernel)
+    val banded = rows("q54_banded_neardup")
+    val brute = rows("q46_ngram_jaccard")
+    banded.foreach { case (pair, j) =>
+      assert(brute.contains(pair), s"banded pair $pair not in all-pairs result")
+      assert(brute(pair) == j, s"jaccard mismatch for $pair: banded $j vs brute ${brute(pair)}")
+    }
+  }
+
+  test("q54 finds every strong duplicate (jaccard >= 0.9)") {
+    // 8 bands × 2 minhashes: P(miss) = (1-j²)^8 ≤ 2e-6 at j = 0.9 —
+    // a miss of a strong dup means the banding broke
+    val banded = rows("q54_banded_neardup").keySet
+    val strong = rows("q46_ngram_jaccard").filter(_._2 >= 0.9).keySet
+    assert(strong.nonEmpty, "fixture should contain strong dups")
+    assert((strong -- banded).isEmpty,
+      s"strong dups missed by banding: ${(strong -- banded).take(5)}")
+    val eligible = rows("q46_ngram_jaccard").count(_._2 >= 0.35)
+    info(f"q54 recall vs q46 at the 0.35 threshold: ${banded.size}/$eligible")
+  }
+
+  test("q55 LSH cosine near-dup is a subset of the all-pairs q47 with identical scores") {
+    val banded = rows("q55_lsh_cosine_neardup")
+    val brute = rows("q47_cosine_neardup")
+    banded.foreach { case (pair, s) =>
+      assert(brute.contains(pair), s"banded pair $pair not in all-pairs result")
+      assert(brute(pair) == s, s"sim mismatch for $pair: banded $s vs brute ${brute(pair)}")
+    }
+    val recall = banded.size.toDouble / brute.size
+    info(f"q55 recall vs q47: ${banded.size}/${brute.size} = $recall%.3f")
+    // 8 bands × 8 bits, 1-bit multi-probe, threshold 0.4: expected
+    // recall ≈ 0.7 (P(band) ≈ 0.14 at cos 0.4); floor leaves slack
+    assert(recall >= 0.4, f"recall $recall%.3f below floor")
+  }
+}

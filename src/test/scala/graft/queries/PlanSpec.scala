@@ -33,4 +33,15 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     val p = plan("q13_agg_hash")
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
   }
+
+  test("q54/q55 banded near-dup plans contain no all-pairs join") {
+    // the whole point of the composed pipelines (VERDICT item 1): every
+    // join is an equi-join on band buckets or keys — the n² shapes
+    // (BroadcastNestedLoopJoin / CartesianProduct) must never appear
+    for (q <- Seq("q54_banded_neardup", "q55_lsh_cosine_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
 }
