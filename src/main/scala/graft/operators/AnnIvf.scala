@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.VectorFunctions._
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors => MlVectors}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -26,26 +25,20 @@ object AnnIvf {
     * with `u` the unit vector. */
   def build(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, seed: Long = 42L): Index = {
-    import spark.implicits._
     val unit = df
       .select(col(idCol), vecDouble(col(vecCol)).as("v"))
       .select(col(idCol), transform(col("v"), x => x / sqrt(dot(col("v"), col("v")))).as("u"))
-    val withFeatures = unit.map { r =>
-      (r.getLong(0), r.getSeq[Double](1).toArray)
-    }.toDF(idCol, "arr")
-      .select(col(idCol), col("arr"))
-      .withColumn("features", udfToVector(col("arr")))
+    // built-in array→MLlib-vector bridge (codegen'd), not a Scala UDF
+    val withFeatures = unit
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("u")))
     val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
       .fit(withFeatures)
     val assigned = model.transform(withFeatures)
-      .select(col(idCol), col("arr").as("u"), col("prediction").as("cell"))
+      .select(col(idCol), col("u"), col("prediction").as("cell"))
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }
     Index(assigned, centroids)
   }
-
-  private val udfToVector =
-    udf((a: Seq[Double]) => MlVectors.dense(a.toArray): MlVector)
 
   /** Exact re-rank inside the `nProbe` cells nearest to each query. */
   def query(spark: SparkSession, index: Index, queries: DataFrame, idCol: String,

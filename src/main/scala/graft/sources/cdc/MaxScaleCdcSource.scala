@@ -98,6 +98,20 @@ final case class CdcOffset(index: Long) extends Offset {
   override def json(): String = index.toString
 }
 
+/** Pluggable warn channel for non-fatal receiver conditions (decode
+  * failures, interleaved server messages) — the analog of the
+  * reference's injectable logger (`gomaxscale_options.go:98-107`) and
+  * its log-and-continue error policy (`gomaxscale.go:154-157`). The
+  * default logs at WARN; embedders may swap the sink. Corrupt rows
+  * still flow in-stream regardless, so no information is lost when the
+  * sink is left alone.
+  */
+object CdcWarnings {
+  @volatile var sink: (String, String) => Unit =
+    (src, msg) => org.slf4j.LoggerFactory.getLogger("graft.cdc").warn(s"[$src] $msg")
+  def emit(source: String, msg: String): Unit = sink(source, msg)
+}
+
 final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -116,6 +130,15 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
   private val stopped = new AtomicBoolean(false)
   @volatile private var receiverError: Throwable = _
 
+  // Backpressure parity with the reference's unbuffered channel
+  // (`gomaxscale.go:25,160-162`): the buffer is BOUNDED; when full the
+  // receiver blocks in `append`, which stops draining the socket and
+  // pushes the pressure onto TCP flow control instead of growing driver
+  // memory without bound under a stalled/slow query. Commits trim and
+  // wake the receiver.
+  private val maxBufferedEvents =
+    options.getOrElse("maxBufferedEvents", "1000000").toLong
+
   private val client = new MaxScaleClient(
     host = opt("host"), port = opt("port").toInt,
     user = options.getOrElse("user", ""), password = options.getOrElse("password", ""),
@@ -123,7 +146,18 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
     database = database, table = table,
     version = options.get("version").map(_.toInt),
     gtid = options.get("gtid"),
-    readTimeoutMs = options.getOrElse("readTimeoutMs", "200").toInt)
+    connectTimeoutMs = options.getOrElse("connectTimeoutMs", "2000").toInt,
+    readTimeoutMs = options.getOrElse("readTimeoutMs", "200").toInt,
+    bufferSize = options.getOrElse("bufferSize", "4096").toInt)
+
+  /** Client network config, exposed for option-passthrough tests. */
+  private[cdc] def clientConfig: (Int, Int) = (client.connectTimeoutMs, client.bufferSize)
+
+  /** Blocking bounded append (see `maxBufferedEvents` above). */
+  private def append(row: MaxScaleCdc.EventRow): Unit = buffer.synchronized {
+    while (buffer.size >= maxBufferedEvents && !stopped.get) buffer.wait(100)
+    if (!stopped.get) buffer += row
+  }
 
   private val receiver = new Thread(() => {
     try {
@@ -137,22 +171,25 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
       while (!stopped.get && !eof) {
         val res = client.poll()
         eof = res.eof
-        if (res.events.nonEmpty || res.serverMessages.nonEmpty) buffer.synchronized {
-          res.events.foreach {
-            case e @ Right(d: DdlEvent) =>
-              registry.register(d)
-              currentVersion = Int.box(d.version)
-              buffer += MaxScaleCdc.toRow(database, table, e)
-            case e @ Right(_: DmlEvent) =>
-              buffer += MaxScaleCdc.toRow(database, table, e)
-                .copy(schemaVersion = currentVersion)
-            case e => buffer += MaxScaleCdc.toRow(database, table, e)
-          }
-          res.serverMessages.foreach(m =>
-            buffer += MaxScaleCdc.toRow(database, table, Left(s"server: $m")))
+        res.events.foreach {
+          case e @ Right(d: DdlEvent) =>
+            registry.register(d)
+            currentVersion = Int.box(d.version)
+            append(MaxScaleCdc.toRow(database, table, e))
+          case e @ Right(_: DmlEvent) =>
+            append(MaxScaleCdc.toRow(database, table, e)
+              .copy(schemaVersion = currentVersion))
+          case e @ Left(err) =>
+            CdcWarnings.emit(s"$database.$table", s"decode: $err")
+            append(MaxScaleCdc.toRow(database, table, e))
+        }
+        res.serverMessages.foreach { m =>
+          CdcWarnings.emit(s"$database.$table", s"server: $m")
+          append(MaxScaleCdc.toRow(database, table, Left(s"server: $m")))
         }
       }
     } catch {
+      case _: InterruptedException if stopped.get => ()
       case t: Throwable => receiverError = t
     } finally client.close()
   }, s"maxscale-cdc-receiver-$database.$table")
@@ -240,11 +277,13 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
     buffer.synchronized {
       val drop = (e - base).toInt
       if (drop > 0) { buffer.remove(0, math.min(drop, buffer.size)); base = e }
+      buffer.notifyAll() // wake a receiver blocked on the full buffer
     }
   }
 
   override def stop(): Unit = {
     stopped.set(true)
+    buffer.synchronized(buffer.notifyAll())
     receiver.interrupt()
   }
 }

@@ -30,9 +30,9 @@ final class MaxScaleClient(
     table: String,
     version: Option[Int] = None,
     gtid: Option[String] = None,
-    connectTimeoutMs: Int = 2000,
+    val connectTimeoutMs: Int = 2000,
     readTimeoutMs: Int = 2000,
-    bufferSize: Int = 4096) {
+    val bufferSize: Int = 4096) {
 
   private var socket: Socket = _
   private var in: InputStream = _

@@ -86,6 +86,71 @@ class CdcSourceSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("bounded receiver buffer: a stalled query cannot grow driver memory past the bound") {
+    // reference parity: the unbuffered Go channel (`gomaxscale.go:25,
+    // 160-162`) blocks the ingest goroutine when the consumer stalls;
+    // here the bounded buffer blocks the receiver thread, pushing
+    // backpressure onto TCP. 2000 events are on the wire but no commit
+    // ever drains the buffer — ingest must park at the bound.
+    val events = (1 to 2000).map(i => dml(i, i, s"v$i"))
+    val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
+    val stream = new MaxScaleCdcMicroBatchStream(Map(
+      "host" -> "127.0.0.1", "port" -> server.port.toString,
+      "user" -> "u", "password" -> "p",
+      "database" -> "example", "table" -> "users",
+      "maxBufferedEvents" -> "100"))
+    try {
+      eventually(())(
+        stream.reportLatestOffset().asInstanceOf[CdcOffset].index == 100L)
+      Thread.sleep(500) // server keeps pushing; bound must hold
+      assert(stream.reportLatestOffset().asInstanceOf[CdcOffset].index == 100L)
+      // draining a committed batch wakes the receiver and refills
+      stream.planInputPartitions(CdcOffset(0), CdcOffset(100))
+      stream.commit(CdcOffset(100))
+      eventually(())(
+        stream.reportLatestOffset().asInstanceOf[CdcOffset].index == 200L)
+    } finally stream.stop()
+  }
+
+  test("bufferSize and connectTimeoutMs options pass through to the client") {
+    val server = new MockMaxScaleServer(events = Seq(dml(1, 1, "x")))
+    val stream = new MaxScaleCdcMicroBatchStream(Map(
+      "host" -> "127.0.0.1", "port" -> server.port.toString,
+      "user" -> "u", "password" -> "p",
+      "database" -> "example", "table" -> "users",
+      "connectTimeoutMs" -> "1234", "bufferSize" -> "3"))
+    try {
+      assert(stream.clientConfig == ((1234, 3)))
+      // a 3-byte network buffer still decodes whole events (the framer
+      // reassembles across reads) — proves the option reaches the socket
+      // read path, reference `gomaxscale_options.go:91-95`
+      eventually(())(
+        stream.reportLatestOffset().asInstanceOf[CdcOffset].index >= 1L)
+    } finally stream.stop()
+  }
+
+  test("receiver warnings surface through the pluggable CdcWarnings sink") {
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val prev = CdcWarnings.sink
+    CdcWarnings.sink = (src, msg) => seen.add(s"$src|$msg")
+    val server = new MockMaxScaleServer(
+      events = Seq(dml(1, 1, "a"), dml(2, 2, "b")),
+      interleavedError = Some("ERR transient hiccup"))
+    val stream = new MaxScaleCdcMicroBatchStream(Map(
+      "host" -> "127.0.0.1", "port" -> server.port.toString,
+      "user" -> "u", "password" -> "p",
+      "database" -> "example", "table" -> "users"))
+    try {
+      eventually(())(
+        stream.reportLatestOffset().asInstanceOf[CdcOffset].index >= 3L)
+      assert(seen.toArray.exists(_.toString.contains("transient hiccup")))
+      assert(seen.toArray.forall(_.toString.startsWith("example.users|")))
+    } finally {
+      stream.stop()
+      CdcWarnings.sink = prev
+    }
+  }
+
   test("auth failure surfaces as a protocol error") {
     val server = new MockMaxScaleServer(events = Nil, failAuthentication = true)
     val client = new MaxScaleClient(host = "127.0.0.1", port = server.port,
