@@ -77,15 +77,20 @@ final case class AsOfJoinExec(
     val lTsB = BindReferences.bindReference(leftTs, lOut)
     val rTsB = BindReferences.bindReference(rightTs, rOut)
     val tsOrdering = TypeUtils.getInterpretedOrdering(leftTs.dataType)
-    val keyOrdering = TypeUtils.getInterpretedOrdering(
-      org.apache.spark.sql.types.StructType(
-        leftKeys.map(k => org.apache.spark.sql.types.StructField("k", k.dataType))))
-      .asInstanceOf[Ordering[InternalRow]]
+    val keyTypes = leftKeys.map(_.dataType)
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      // codegen'd comparator over the projected key rows (janino-compiled
+      // per task, cached by the codegen cache) — the hot per-row compare,
+      // vs. the interpreted StructType ordering used previously
+      val keyOrdering: Ordering[InternalRow] = org.apache.spark.sql.catalyst.expressions.RowOrdering.create(
+        keyTypes.zipWithIndex.map { case (dt, i) =>
+          SortOrder(org.apache.spark.sql.catalyst.expressions.BoundReference(i, dt, nullable = true), Ascending)
+        },
+        Seq.empty)
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(numRightFields)
