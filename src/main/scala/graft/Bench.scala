@@ -29,15 +29,17 @@ object Bench {
       .foreach(n => try SparkEntry.queries(n)(spark, sfDir).collect()
         catch { case _: Throwable => () })
 
-    // min of two timed runs per query: steady-state wall clock, halves
-    // the ±10% JIT/GC noise observed on small-SF single runs
+    // median of three timed runs per query: steady-state wall clock,
+    // robust to the ±10% JIT/GC noise observed on small-SF single runs
+    // and stable round-over-round (the per-query JSON keys are the
+    // contract for diffing against previous rounds' BENCH_r{N}.json)
     val results = SparkEntry.allDefs.map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
         q.run(spark, sfDir).collect()
         (System.nanoTime() - t0) / 1e9
       }
-      val t = try math.min(once(), once())
+      val t = try Seq(once(), once(), once()).sorted.apply(1)
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1.0 }
       q.name -> t

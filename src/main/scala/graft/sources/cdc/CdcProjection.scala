@@ -1,7 +1,8 @@
 package graft.sources.cdc
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Payload projection for maxscale-cdc streams: turns the raw-JSON
   * `payload` column into typed columns via the schema registry — the
@@ -42,5 +43,44 @@ object CdcProjection {
     df.where(col("kind") === "dml")
       .withColumn("_row", from_json(col("payload"), schema))
       .select(envelopeCols.map(col) :+ col("_row.*"): _*)
+  }
+
+  /** Project each DML row under the schema version STAMPED ON IT at
+    * ingest (SURVEY.md §7.3 in-band evolution): one micro-batch may span
+    * a DDL boundary, and [[projectLatest]] force-fits old rows to the
+    * newest schema — fine for additive evolution, lossy for renames or
+    * retypes. Here v1 rows parse with v1's schema. Output columns are
+    * the union of every registered version's fields (first-registered
+    * order); fields absent from a row's version are null. Rows with a
+    * null or unregistered stamp fall back to the latest schema. The
+    * per-version fan-out is driver-side only in plan count (one
+    * `from_json` branch per registered version — bounded by schema
+    * changes, not data volume); each branch is a plain map over its
+    * slice of the batch. */
+  def projectPerVersion(df: DataFrame, registry: SchemaRegistry,
+      database: String, table: String): DataFrame = {
+    val versions = registry.versions(database, table)
+    require(versions.nonEmpty, s"no schema registered for $database.$table")
+    val schemas = versions.map(v => v -> registry.get(database, table, v).get)
+    val wide: Seq[StructField] = schemas.flatMap(_._2.fields)
+      .foldLeft(Vector.empty[StructField]) { (acc, f) =>
+        if (acc.exists(_.name == f.name)) acc else acc :+ f
+      }
+    val latestV = versions.max
+    def branch(schema: StructType, pred: Column): DataFrame =
+      df.where(col("kind") === "dml" && pred)
+        .withColumn("_row", from_json(col("payload"), schema))
+        .select(envelopeCols.map(col) ++ wide.map { f =>
+          if (schema.fieldNames.contains(f.name)) col("_row").getField(f.name).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+    schemas.map { case (v, sc) =>
+      val pred =
+        if (v == latestV)
+          col("schema_version") === v || col("schema_version").isNull ||
+            !col("schema_version").isin(versions.map(Int.box): _*)
+        else col("schema_version") === v
+      branch(sc, pred)
+    }.reduce(_ unionByName _)
   }
 }

@@ -37,6 +37,11 @@ final class SchemaRegistry {
 
   def latest(database: String, table: String): Option[StructType] =
     latestVersion.get((database, table)).flatMap(v => schemas.get((database, table, v)))
+
+  /** All registered versions for a table, ascending. */
+  def versions(database: String, table: String): Seq[Int] =
+    schemas.keys.collect { case (d, t, v) if d == database && t == table => v }
+      .toSeq.sorted
 }
 
 object SchemaRegistry {
