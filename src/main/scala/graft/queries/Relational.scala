@@ -531,6 +531,29 @@ object Relational {
         "CAST(o_totalprice > b2 AS INT) + CAST(o_totalprice > b3 AS INT) AS tile " +
         "FROM orders CROSS JOIN b) GROUP BY tile ORDER BY tile")),
 
+    QueryDef("q56_udaf_weighted_mean",
+      // typed Aggregator[IN, BUF, OUT] UDAF (graft.functions.
+      // WeightedMean) — the engine's user-defined aggregation surface.
+      // Quantity-weighted mean discount per return flag; the fixed
+      // floor(x*1e4+0.5)/1e4 quantization replaces round() on BOTH
+      // sides (Spark rounds the shortest decimal repr, DuckDB the
+      // binary double — STATE.md risk #1).
+      (s, d) => {
+        val wmean = udaf(graft.functions.WeightedMean,
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaDouble))
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("cnt"),
+            (floor(wmean(col("l_discount"), col("l_quantity")) * 10000 + 0.5) / 10000)
+              .as("wavg_discount"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("SELECT l_returnflag, COUNT(*) AS cnt, " +
+        "floor(SUM(l_discount * l_quantity) / SUM(l_quantity) * 10000 + 0.5) / 10000 AS wavg_discount " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
     QueryDef("q29b_string_funcs2",
       (s, d) => t(s, d, "customer")
         .orderBy(col("c_custkey")).limit(100)

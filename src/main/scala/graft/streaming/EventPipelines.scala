@@ -1,7 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Open-session accumulator for [[EventPipelines.sessionsViaState]]
+  * (epoch millis; kept flat for a cheap product encoder). */
+final case class SessionAcc(startMs: Long, endMs: Long, n: Long)
+
+/** Closed session emitted by [[EventPipelines.sessionsViaState]]. */
+final case class SessionOut(user_id: Long, session_start: Timestamp,
+    events: Long, session_sec: Double)
 
 /** Streaming twins of the batch window queries Q37–Q40 (SURVEY.md §2C):
   * the same logical transforms over an unbounded `events`-shaped stream
@@ -45,6 +56,62 @@ object EventPipelines {
   def dedup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicates("user_id", "event_type")
+
+  /** Q39 via explicit state (the `flatMapGroupsWithState` +
+    * `EventTimeTimeout` form of 30-min-gap sessionization): one open
+    * session per user in the state store; events within `gapMinutes` of
+    * the session end extend it, a later event closes-and-emits it, and
+    * the event-time timeout (watermark passing session end + gap)
+    * flushes sessions no further event will ever extend. Demonstrates
+    * custom keyed state with timeouts — the machinery `session_window`
+    * hides — for session logic the built-in can't express (e.g.
+    * per-session running payloads). Same gap semantics as the q39
+    * gaps-and-islands oracle: a new session starts strictly beyond the
+    * gap. State is one 24-byte accumulator per live user, watermark-
+    * bounded — the 100 TB shape.
+    */
+  def sessionsViaState(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "2 hours"): DataFrame = {
+    val gapMs = gapMinutes * 60000L
+    def emit(user: Long, s: SessionAcc): SessionOut =
+      SessionOut(user, new Timestamp(s.startMs), s.n, (s.endMs - s.startMs) / 1000.0)
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, Timestamp)](Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP))
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (user: Long, it: Iterator[(Long, Timestamp)], state: GroupState[SessionAcc]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(user, s))
+          } else {
+            val times = it.map(_._2.getTime).toVector.sorted
+            var closed = Vector.empty[SessionOut]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(SessionAcc(s.startMs, math.max(s.endMs, t), s.n + 1))
+                case Some(s) =>
+                  closed :+= emit(user, s)
+                  cur = Some(SessionAcc(t, t, 1))
+                case None =>
+                  cur = Some(SessionAcc(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout must sit beyond the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.endMs + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.iterator
+          }
+        })(Encoders.product[SessionAcc], Encoders.product[SessionOut])
+      .toDF()
+  }
 
   /** Stream-stream interval join: each purchase attributed to the same
     * user's signups within the preceding `horizon` — the streaming

@@ -97,6 +97,35 @@ class EventPipelinesSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization agrees with the gaps-and-islands semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventPipelines.sessionsViaState(mem.toDF(), gapMinutes = 30, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sessions_fmgws")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(rows.last) // 05:00 advances the watermark
+      q.processAllAvailable()
+      mem.addData(Ev(7, t("2024-01-01 08:00:00"), 1, "view", 7.0))
+      q.processAllAvailable()
+      mem.addData(Ev(8, t("2024-01-01 12:00:00"), 2, "view", 8.0))
+      q.processAllAvailable() // timeout pass flushes sessions ended before the watermark
+      val sessions = spark.table("sessions_fmgws")
+        .select(col("user_id"), col("session_start").cast("string"),
+          col("events"), col("session_sec"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      // same islands as the session_window test: user 1 (00:05+00:20),
+      // (01:10), (05:00); user 2 (00:55), (02:30)
+      assert(sessions.contains((1L, "2024-01-01 00:05:00", 2L, 900.0)), sessions.toString)
+      assert(sessions.contains((1L, "2024-01-01 01:10:00", 1L, 0.0)))
+      assert(sessions.contains((1L, "2024-01-01 05:00:00", 1L, 0.0)))
+      assert(sessions.count(_._1 == 2L) == 2)
+    } finally q.stop()
+  }
+
   test("late events beyond the watermark are dropped from append output") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
