@@ -107,6 +107,47 @@ object LlmText {
       " AND x.doc_id < y.doc_id)"
   }
 
+  /** The composed near-dup pipeline shared by q54 (pairs) and q57
+    * (dedup groups): MinHash-banded candidates (8 bands × 2 hashes over
+    * bigram shingles) exactly verified by the codegen set kernel,
+    * keeping pairs with jaccard ≥ 0.35. Returns (doc_a, doc_b, jaccard),
+    * unordered. */
+  private def bandedNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SortedArrayIntersectCount
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def interCount(a: Column, b: Column): Column =
+      ColumnBridge.column(SortedArrayIntersectCount(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    val h60 = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+    val sets = shingles(s, d, 2)
+      .select(col("doc_id"), h60.as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("nbg"))
+    val cand = bandedCandidates(minhashSig(s, d, 2, 16), 8, 2)
+    cand.join(sets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        interCount(col("a.hs"), col("b.hs")).as("ninter"),
+        (col("a.nbg") + col("b.nbg")).as("ntot"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ninter").cast("double") / (col("ntot") - col("ninter")), 4).as("jaccard"))
+      .where(col("jaccard") >= 0.35)
+  }
+
+  /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` —
+    * mirrors [[bandedNearDupPairs]]. */
+  private val BandedPairsSqlCtes: String =
+    shinglesSql(2) + ", " + minhashSigSql(8, 2) + ", " +
+      "sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter FROM cand c " +
+      "JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh " +
+      "GROUP BY c.doc_a, c.doc_b), " +
+      "pairs AS (SELECT doc_a, doc_b, jaccard FROM (" +
+      "SELECT i.doc_a, i.doc_b, ROUND(CAST(i.ninter AS DOUBLE)/(za.nbg + zb.nbg - i.ninter), 4) AS jaccard " +
+      "FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b) " +
+      "WHERE jaccard >= 0.35)"
+
   /** Per-doc 32-bit SimHash over token md5 hashes (token multiplicity
     * weighted). Pure groupBy-sum — linear in corpus size. */
   private def simhashDf(s: SparkSession, d: String): DataFrame =
@@ -262,38 +303,36 @@ object LlmText {
       // remains the fixture-scale recall baseline (BandedNearDupSpec).
       // Physical plan is guarded to contain no
       // BroadcastNestedLoopJoin/CartesianProduct.
+      (s, d) => bandedNearDupPairs(s, d).orderBy(col("doc_a"), col("doc_b")),
+      Some("WITH " + BandedPairsSqlCtes + " " +
+        "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b")),
+
+    QueryDef("q57_dedup_groups",
+      // The step after pair verification in a corpus dedup: near-dup
+      // pairs chain (A≈B≈C), so whole CONNECTED COMPONENTS must
+      // collapse to one canonical doc. Spark side: q54's banded pairs →
+      // iterative min-label propagation (operators/DedupGroups — one
+      // join+groupBy shuffle per round, rounds = component diameter).
+      // Oracle: the same components via a DuckDB recursive CTE over the
+      // same banded pair CTEs. Output: one row per dedup group — the
+      // representative (min doc id) and the group size, i.e. n_members-1
+      // docs would be dropped.
       (s, d) => {
-        import graft.functions.SortedArrayIntersectCount
-        import org.apache.spark.sql.graftbridge.ColumnBridge
-        def interCount(a: Column, b: Column): Column =
-          ColumnBridge.column(SortedArrayIntersectCount(
-            ColumnBridge.expression(a), ColumnBridge.expression(b)))
-        val h60 = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
-        val sets = shingles(s, d, 2)
-          .select(col("doc_id"), h60.as("h"))
-          .groupBy(col("doc_id"))
-          .agg(sort_array(collect_set(col("h"))).as("hs"))
-          .select(col("doc_id"), col("hs"), size(col("hs")).as("nbg"))
-        val cand = bandedCandidates(minhashSig(s, d, 2, 16), 8, 2)
-        cand.join(sets.as("a"), col("doc_a") === col("a.doc_id"))
-          .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
-          .select(col("doc_a"), col("doc_b"),
-            interCount(col("a.hs"), col("b.hs")).as("ninter"),
-            (col("a.nbg") + col("b.nbg")).as("ntot"))
-          .select(col("doc_a"), col("doc_b"),
-            round(col("ninter").cast("double") / (col("ntot") - col("ninter")), 4).as("jaccard"))
-          .where(col("jaccard") >= 0.35)
-          .orderBy(col("doc_a"), col("doc_b"))
+        import graft.operators.DedupGroups
+        DedupGroups.components(bandedNearDupPairs(s, d))
+          .groupBy(col("rep").as("rep_doc"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("rep_doc"))
       },
-      Some("WITH " + shinglesSql(2) + ", " + minhashSigSql(8, 2) + ", " +
-        "sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM sh GROUP BY doc_id), " +
-        "inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter FROM cand c " +
-        "JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh " +
-        "GROUP BY c.doc_a, c.doc_b) " +
-        "SELECT doc_a, doc_b, jaccard FROM (" +
-        "SELECT i.doc_a, i.doc_b, ROUND(CAST(i.ninter AS DOUBLE)/(za.nbg + zb.nbg - i.ninter), 4) AS jaccard " +
-        "FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b) " +
-        "WHERE jaccard >= 0.35 ORDER BY doc_a, doc_b")),
+      Some("WITH RECURSIVE " + BandedPairsSqlCtes + ", " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
+        "reach(doc, r) AS (SELECT doc, doc FROM nodes " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc), " +
+        "rep AS (SELECT doc, MIN(r) AS rep_doc FROM reach GROUP BY doc) " +
+        "SELECT rep_doc, COUNT(*) AS n_members FROM rep " +
+        "GROUP BY rep_doc ORDER BY rep_doc")),
 
     QueryDef("q49_langid_confusion",
       // n-gram-profile language-ID: per-lang top-20 token profile learned
