@@ -33,6 +33,48 @@ class ScaleToolsSpec extends AnyFunSuite with SparkTestSession {
     assert(counts.min > counts.max / 4, "salt should be roughly uniform")
   }
 
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    // the other 100 TB storage lever next to bucketing: a filter on the
+    // partition column must prune directories at planning time (the
+    // scan's PartitionFilters), so a day/tenant-partitioned corpus reads
+    // only the matching slice regardless of total size
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    try {
+      Tables(spark, dir, "lineitem")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+      val q = spark.read.parquet(tmp).where(col("l_returnflag") === "R")
+        .agg(sum(col("l_quantity")).as("q"))
+      val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+      assert(scan.contains("PartitionFilters") && scan.contains("l_returnflag"),
+        scan.take(800))
+      // and the pruning is physical: the executed scan reads only the
+      // matching directory's files (numFiles metric vs on-disk layout)
+      q.collect()
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def findScan(p: SparkPlan): Option[FileSourceScanExec] = p match {
+        case f: FileSourceScanExec => Some(f)
+        case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+        case s: QueryStageExec => findScan(s.plan)
+        case other => other.children.flatMap(findScan(_)).headOption
+      }
+      val scanExec = findScan(q.queryExecution.executedPlan).get
+      val numFilesRead = scanExec.metrics("numFiles").value
+      def parquetFilesUnder(p: java.io.File): Int =
+        Option(p.listFiles()).toSeq.flatten.map {
+          case d if d.isDirectory => parquetFilesUnder(d)
+          case f if f.getName.endsWith(".parquet") => 1
+          case _ => 0
+        }.sum
+      val all = parquetFilesUnder(new java.io.File(tmp))
+      val rOnly = parquetFilesUnder(new java.io.File(s"$tmp/l_returnflag=R"))
+      assert(rOnly > 0 && all > rOnly, s"layout: $all total, $rOnly in R")
+      assert(numFilesRead == rOnly, s"scan read $numFilesRead files, expected $rOnly")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables(spark, dir, "orders")
     val l = Tables(spark, dir, "lineitem")
