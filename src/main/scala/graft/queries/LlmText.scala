@@ -112,7 +112,7 @@ object LlmText {
     * bigram shingles) exactly verified by the codegen set kernel,
     * keeping pairs with jaccard ≥ 0.35. Returns (doc_a, doc_b, jaccard),
     * unordered. */
-  private def bandedNearDupPairs(s: SparkSession, d: String): DataFrame = {
+  private[queries] def bandedNearDupPairs(s: SparkSession, d: String): DataFrame = {
     import graft.functions.SortedArrayIntersectCount
     import org.apache.spark.sql.graftbridge.ColumnBridge
     def interCount(a: Column, b: Column): Column =
@@ -137,7 +137,7 @@ object LlmText {
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` —
     * mirrors [[bandedNearDupPairs]]. */
-  private val BandedPairsSqlCtes: String =
+  private[queries] val BandedPairsSqlCtes: String =
     shinglesSql(2) + ", " + minhashSigSql(8, 2) + ", " +
       "sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM sh GROUP BY doc_id), " +
       "inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter FROM cand c " +

@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (q58–q62): the steps a corpus
+  * curation run chains AFTER the per-document analysis of [[LlmText]] —
+  * deterministic splits/sampling, sequence construction, PII scrubbing,
+  * the composed curation funnel, and exact heavy hitters via a
+  * mergeable sketch. The reference engine stops at event delivery
+  * (SURVEY.md §2B: no aggregation surface at all); these extend the
+  * §2C inventory the same way q44–q53 do, each oracle-checked.
+  *
+  * Determinism doctrine: anything "random" (splits, samples) is an
+  * md5 bucket of a stable key — identical bytes in Spark and DuckDB,
+  * reproducible run-to-run, independent of partitioning/cluster size.
+  * That is also the 100 TB-correct design: assignment is a pure per-row
+  * function, so it never shuffles and never depends on task layout.
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables(s, d, "documents")
+  private def events(s: SparkSession, d: String): DataFrame = Tables(s, d, "events")
+
+  /** Deterministic 0–99 bucket from a salted md5 of the key (portable:
+    * DuckDB computes the identical value). */
+  private def bucket(salt: String, key: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  private def bucketSql(salt: String, key: String) =
+    s"CAST(('0x' || substring(md5('$salt' || CAST($key AS VARCHAR)),1,8)) AS BIGINT) % 100"
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q58_hash_split",
+      // Reproducible train/valid/test assignment (80/10/10) from a salted
+      // md5 bucket of doc_id. Per-row pure function: no shuffle until the
+      // 3-row summary agg; re-running on any cluster layout yields the
+      // same membership — the property training pipelines need from a
+      // split (contrast rand(), which is partitioning-dependent).
+      (s, d) => docs(s, d)
+        .withColumn("b", bucket("split:", col("doc_id")))
+        .withColumn("split",
+          when(col("b") < 80, "train").when(col("b") < 90, "valid").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("split")),
+      Some("SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split, " +
+        "COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
+        s"FROM (SELECT n_chars, ${bucketSql("split:", "doc_id")} AS b FROM documents) " +
+        "GROUP BY 1 ORDER BY split")),
+
+    QueryDef("q58b_stratified_sample",
+      // Stratified downsampling with per-stratum rates (the corpus-
+      // rebalancing move: keep 10% of the dominant language, 50% of the
+      // rest), again via deterministic md5 buckets — the distributed,
+      // reproducible form of `df.sampleBy`.
+      (s, d) => docs(s, d)
+        .withColumn("b", bucket("sample:", col("doc_id")))
+        .where(col("b") < when(col("lang") === "en", 10).otherwise(50))
+        .groupBy(col("lang")).agg(count(lit(1)).as("kept"))
+        .orderBy(col("lang")),
+      Some("SELECT lang, COUNT(*) AS kept FROM (SELECT lang, " +
+        s"${bucketSql("sample:", "doc_id")} AS b FROM documents) " +
+        "WHERE b < CASE WHEN lang = 'en' THEN 10 ELSE 50 END " +
+        "GROUP BY lang ORDER BY lang")),
+
+    QueryDef("q59_session_sequences",
+      // Per-user training sequences: the first 10 events in arrival order
+      // concatenated into one path string. The window row_number + filter
+      // BEFORE collect_list bounds per-group state to 10 rows — at 100 TB
+      // a user with millions of events still costs O(10), where a naive
+      // collect-then-slice materializes the whole history per user.
+      (s, d) => {
+        val ev = events(s, d)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val first10 = ev.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+        val seqs = first10.groupBy(col("user_id")).agg(
+          concat_ws(">", expr(
+            "transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)")).as("seq"))
+        val tot = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        tot.join(seqs, Seq("user_id")).orderBy(col("user_id"))
+      },
+      Some("WITH r AS (SELECT user_id, event_type, ROW_NUMBER() OVER " +
+        "(PARTITION BY user_id ORDER BY event_id) AS rn FROM events), " +
+        "seqs AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS seq " +
+        "FROM r WHERE rn <= 10 GROUP BY user_id), " +
+        "tot AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) " +
+        "SELECT t.user_id, t.n_events, s.seq FROM tot t JOIN seqs s USING (user_id) " +
+        "ORDER BY user_id")),
+
+    QueryDef("q60_pii_scrub",
+      // PII scrubbing shape: regex-mask digit runs in the event payload,
+      // then audit distinct masked shapes per event type. Stateless
+      // per-row regexp_replace — embarrassingly parallel; the audit agg
+      // is the only shuffle. (Fixture payloads are `{"k": NN}` JSON; the
+      // same operator masks emails/phones by swapping the pattern.)
+      (s, d) => events(s, d)
+        .select(col("event_type"), regexp_replace(col("props"), "[0-9]", "#").as("masked"))
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("masked")).as("n_shapes"), count(lit(1)).as("cnt"))
+        .orderBy(col("event_type")),
+      Some("SELECT event_type, COUNT(DISTINCT regexp_replace(props, '[0-9]', '#', 'g')) AS n_shapes, " +
+        "COUNT(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type")),
+
+    QueryDef("q61_curation_funnel",
+      // The composed end-to-end curation pipeline: quality gate (≥ 10
+      // tokens) → exact dedup (keep min doc_id per identical text) →
+      // near-dup dedup (keep the connected-component representative over
+      // q54's banded MinHash pairs). One outcome per doc, attributed in
+      // that priority order; output is the per-lang funnel. Every stage
+      // is the scale shape: per-row token count, hash-partition window
+      // on text, and the banded-candidate component machinery of
+      // q54/q57 — no all-pairs step anywhere.
+      (s, d) => {
+        import graft.operators.DedupGroups
+        val comps = DedupGroups.components(LlmText.bandedNearDupPairs(s, d))
+        val base = docs(s, d)
+          .withColumn("n_tok", size(split(col("text"), " ")))
+          .withColumn("exact_rep", min(col("doc_id")).over(Window.partitionBy(col("text"))))
+        base.join(comps, Seq("doc_id"), "left_outer")
+          .withColumn("outcome",
+            when(col("n_tok") < 10, "drop_quality")
+              .when(col("doc_id") =!= col("exact_rep"), "drop_exact_dup")
+              .when(col("rep").isNotNull && col("doc_id") =!= col("rep"), "drop_near_dup")
+              .otherwise("kept"))
+          .groupBy(col("lang"), col("outcome"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("lang"), col("outcome"))
+      },
+      Some("WITH RECURSIVE " + LlmText.BandedPairsSqlCtes + ", " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
+        "reach(doc, r) AS (SELECT doc, doc FROM nodes " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc), " +
+        "comp AS (SELECT doc, MIN(r) AS rep FROM reach GROUP BY doc), " +
+        "base AS (SELECT d.doc_id, d.lang, len(string_split(d.text,' ')) AS n_tok, " +
+        "MIN(d.doc_id) OVER (PARTITION BY d.text) AS exact_rep, c.rep " +
+        "FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id) " +
+        "SELECT lang, CASE WHEN n_tok < 10 THEN 'drop_quality' " +
+        "WHEN doc_id <> exact_rep THEN 'drop_exact_dup' " +
+        "WHEN rep IS NOT NULL AND doc_id <> rep THEN 'drop_near_dup' " +
+        "ELSE 'kept' END AS outcome, COUNT(*) AS cnt FROM base " +
+        "GROUP BY 1, 2 ORDER BY lang, outcome")),
+
+    QueryDef("q62_heavy_hitters",
+      // Exact heavy hitters (tokens with count > n/40) by the two-pass
+      // sketch recipe: pass 1 runs the mergeable Misra–Gries Aggregator
+      // (functions/MisraGries) — map-side partial sketches, one ≤39-entry
+      // map per task crosses the wire, NEVER a full-vocabulary shuffle —
+      // whose guarantee makes the sketch a superset of every true heavy
+      // hitter; pass 2 re-counts only those ≤39 candidates exactly and
+      // applies the threshold. The result is EXACT (hence oracle-
+      // checkable) while scaling to vocabularies far larger than memory.
+      (s, d) => {
+        import graft.functions.MisraGries
+        val tok = docs(s, d).select(explode(split(col("text"), " ")).as("tok"))
+        import s.implicits._
+        val cands = tok.as[String]
+          .select(new MisraGries(40).toColumn.name("cands")).head()
+        val n = tok.count()
+        tok.where(col("tok").isin(cands.toIndexedSeq: _*))
+          .groupBy(col("tok").as("token"))
+          .agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") * 40 > n)
+          .orderBy(col("token"))
+      },
+      Some("WITH tok AS (SELECT UNNEST(string_split(text,' ')) AS tok FROM documents), " +
+        "c AS (SELECT tok AS token, COUNT(*) AS cnt FROM tok GROUP BY 1), " +
+        "n AS (SELECT COUNT(*) AS nn FROM tok) " +
+        "SELECT c.token, c.cnt FROM c, n WHERE c.cnt * 40 > n.nn ORDER BY token")))
+}
