@@ -27,7 +27,7 @@ object LlmText {
 
   /** Word-n-gram shingles per doc, with duplicates (one row per
     * occurrence) — enough for MinHash, whose min is duplicate-blind. */
-  private def shinglesRaw(s: SparkSession, d: String, n: Int): DataFrame =
+  private[queries] def shinglesRaw(s: SparkSession, d: String, n: Int): DataFrame =
     docs(s, d).select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= n)
       .select(col("doc_id"), explode(expr(
@@ -35,12 +35,12 @@ object LlmText {
       )).as("sh"))
 
   /** Distinct word-n-gram shingle set per doc (for exact set ops). */
-  private def shingles(s: SparkSession, d: String, n: Int): DataFrame =
+  private[queries] def shingles(s: SparkSession, d: String, n: Int): DataFrame =
     shinglesRaw(s, d, n).distinct()
 
   /** DuckDB CTE mirroring [[shingles]] (bounded index join in place of a
     * lateral sequence; fixture docs are < 200 tokens). */
-  private def shinglesSql(n: Int): String = {
+  private[queries] def shinglesSql(n: Int): String = {
     val parts = (0 until n).map(k => s"t[i+${k + 1}]").mkString(" || ' ' || ")
     s"toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents " +
       s"WHERE len(string_split(text,' ')) >= $n), " +

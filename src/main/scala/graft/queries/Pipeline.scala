@@ -171,5 +171,93 @@ object Pipeline {
       Some("WITH tok AS (SELECT UNNEST(string_split(text,' ')) AS tok FROM documents), " +
         "c AS (SELECT tok AS token, COUNT(*) AS cnt FROM tok GROUP BY 1), " +
         "n AS (SELECT COUNT(*) AS nn FROM tok) " +
-        "SELECT c.token, c.cnt FROM c, n WHERE c.cnt * 40 > n.nn ORDER BY token")))
+        "SELECT c.token, c.cnt FROM c, n WHERE c.cnt * 40 > n.nn ORDER BY token")),
+
+    QueryDef("q63_tfidf_top_terms",
+      // Per-document top-3 TF-IDF terms (keyword extraction). The IDF is
+      // the rational N/df — no transcendental log, so Spark and DuckDB
+      // compute bit-identical doubles and the ranking is deterministic
+      // (scores are floor-rounded to 4dp before ranking, token breaks
+      // ties). All stages are hash aggs + one broadcast of the 1-row
+      // corpus count; per-doc ranking is a doc-partitioned window.
+      (s, d) => {
+        val tok = docs(s, d).select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        val ntok = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+        val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(ntok, Seq("doc_id")).join(dfc, Seq("term"))
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf", expr(
+            "floor(CAST(c AS DOUBLE) * n_docs / n_tok / df * 10000 + 0.5) / 10000"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+          .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("WITH tok AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2), " +
+        "ntok AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY 1), " +
+        "dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT tf.doc_id, tf.term, " +
+        "FLOOR(CAST(c AS DOUBLE) * n_docs / n_tok / df * 10000 + 0.5) / 10000 AS tfidf " +
+        "FROM tf JOIN ntok USING (doc_id) JOIN dfc USING (term) CROSS JOIN n) " +
+        "SELECT doc_id, term, tfidf, rank FROM (SELECT doc_id, term, tfidf, " +
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM scored) " +
+        "WHERE rank <= 3 ORDER BY doc_id, rank")),
+
+    QueryDef("q64_contamination",
+      // Benchmark-decontamination check: how many held-out (test-split)
+      // docs share at least one 8-gram with any training-split doc —
+      // run before training on any corpus that might leak eval data.
+      // Shape: distinct train 8-grams (hash agg) LEFT SEMI JOIN from the
+      // test side on the shingle — an inverted-index equi-join, linear
+      // in shingle volume; no pairwise document comparison anywhere.
+      (s, d) => {
+        val sh8 = LlmText.shingles(s, d, 8)
+          .withColumn("b", bucket("split:", col("doc_id")))
+        val trainSh = sh8.where(col("b") < 80).select(col("sh")).distinct()
+        val contaminated = sh8.where(col("b") >= 90)
+          .join(trainSh, Seq("sh"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .agg(count(lit(1)).as("n_contaminated"))
+        val nTest = docs(s, d).where(bucket("split:", col("doc_id")) >= 90)
+          .agg(count(lit(1)).as("n_test"))
+        nTest.crossJoin(contaminated)
+      },
+      Some("WITH " + LlmText.shinglesSql(8) + ", " +
+        s"sb AS (SELECT doc_id, sh, ${bucketSql("split:", "doc_id")} AS b FROM sh), " +
+        "train AS (SELECT DISTINCT sh FROM sb WHERE b < 80), " +
+        "cont AS (SELECT COUNT(DISTINCT s.doc_id) AS n_contaminated FROM sb s " +
+        "JOIN train t ON t.sh = s.sh WHERE s.b >= 90), " +
+        "tst AS (SELECT COUNT(*) AS n_test FROM documents WHERE " +
+        s"${bucketSql("split:", "doc_id")} >= 90) " +
+        "SELECT tst.n_test, cont.n_contaminated FROM tst CROSS JOIN cont")),
+
+    QueryDef("q65_repetition",
+      // Gopher-style repetition filter signal: per doc, the share of
+      // bigram occurrences taken by its single most repeated bigram;
+      // docs above 10% get flagged. Pure per-doc hash aggs over the
+      // shingle stream — linear, no joins between documents.
+      (s, d) => {
+        val counts = LlmText.shinglesRaw(s, d, 2)
+          .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+        val perDoc = counts.groupBy(col("doc_id"))
+          .agg(max(col("c")).as("max_c"), sum(col("c")).as("tot"))
+          .withColumn("ratio", col("max_c").cast("double") / col("tot"))
+        perDoc.join(docs(s, d), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("ratio") > 0.1, 1L).otherwise(0L)).cast("long").as("n_flagged"),
+            round(avg(col("ratio")), 4).as("avg_rep"))
+          .orderBy(col("source"))
+      },
+      Some("WITH " + LlmText.shinglesSql(2) + ", " +
+        "counts AS (SELECT doc_id, sh, COUNT(*) AS c FROM shraw GROUP BY 1, 2), " +
+        "perdoc AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS ratio FROM counts GROUP BY doc_id) " +
+        "SELECT d.source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN ratio > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
+        "ROUND(AVG(ratio), 4) AS avg_rep " +
+        "FROM perdoc p JOIN documents d USING (doc_id) GROUP BY d.source ORDER BY d.source")))
 }
