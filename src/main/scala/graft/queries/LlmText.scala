@@ -53,7 +53,7 @@ object LlmText {
     * per md5 call (salts `a:`,`b:`,`c:`,… pick the md5; `i%4` picks the
     * 8-hex segment), min-aggregated over raw shingle occurrences (MinHash
     * is duplicate-blind — no distinct shuffle on the signature path). */
-  private def minhashSig(s: SparkSession, d: String, n: Int, nHashes: Int): DataFrame = {
+  private[graft] def minhashSig(s: SparkSession, d: String, n: Int, nHashes: Int): DataFrame = {
     val raw = shinglesRaw(s, d, n)
       .select(col("doc_id") +:
         (0 until nHashes).map { i =>
@@ -65,6 +65,19 @@ object LlmText {
     raw.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
   }
 
+  /** Per-(band, key) bucket-size cap for banded candidate generation.
+    * A bucket of B docs emits B(B−1)/2 candidate pairs from the bucket
+    * self-join — at 100 TB a corpus-hot band key (boilerplate shingles,
+    * template text) creates exactly such buckets, turning "banded" back
+    * into all-pairs locally. Buckets above the cap are dropped wholesale
+    * (standard LSH-dedup practice: a key shared by thousands of docs
+    * carries no discriminative signal, and a genuine near-dup pair in a
+    * dropped bucket still has nBands−1 other chances to collide — the
+    * recall loss is (bucket_hot_rate)^nBands, negligible at 8 bands).
+    * Fixture buckets are far below the cap (max 141 at sf0.1, measured;
+    * guarded by `BandedNearDupSpec`), so oracle hashes are unaffected. */
+  private[graft] val HotBucketCap = 500
+
   /** One row per (doc, band) with the band's key = a struct of `bandR`
     * consecutive minhashes. Candidate pairs are docs sharing any
     * (band, key) bucket: a hash-equi-join, never an n² pass. `bandR`
@@ -72,12 +85,21 @@ object LlmText {
     * catches low-jaccard pairs but suffers hot single-hash buckets;
     * bandR = 2 is the near-dup setting (threshold ≈ 0.35 at 8 bands)
     * whose buckets stay tiny because unrelated docs must collide on TWO
-    * independent minhashes at once. */
-  private def bandedCandidates(sig: DataFrame, nBands: Int, bandR: Int): DataFrame = {
+    * independent minhashes at once. Buckets larger than `maxBucket`
+    * are dropped before the self-join (see [[HotBucketCap]]). */
+  private[graft] def bandedCandidates(sig: DataFrame, nBands: Int, bandR: Int,
+      maxBucket: Int = HotBucketCap): DataFrame = {
     val keys = (0 until nBands).map(j =>
       struct((0 until bandR).map(k => col(s"h${bandR * j + k}").as(s"k$k")): _*))
-    val bands = sig.select(col("doc_id"),
+    val bandsAll = sig.select(col("doc_id"),
       posexplode(array(keys: _*)).as(Seq("band", "key")))
+    // hot-bucket skew cap: the count agg has map-side partials (skew-safe)
+    // and the semi-join is a plain equi-join on the bucket key
+    val smallKeys = bandsAll.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= maxBucket)
+      .select(col("band"), col("key"))
+    val bands = bandsAll.join(smallKeys, Seq("band", "key"), "left_semi")
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -5,22 +5,31 @@ import org.apache.spark.sql.functions._
 
 /** Opaque-binary ("multimodal") column plumbing.
   *
-  * Real image/audio decoders aren't in this container, so the decode step
-  * is a clearly-marked deterministic stub ([[MultimodalStub.decodeStub]])
-  * while everything Spark-side is real: a typed `Dataset[DocBlob]` over a
-  * `binary` column, `mapPartitions` batch shape (the Scala analog of
+  * The Spark shape throughout is a typed `Dataset[DocBlob]` over a
+  * `binary` column and `mapPartitions` batches (the Scala analog of
   * `mapInPandas` — per-partition iterator, decoder state amortized across
-  * a partition), and a typed metadata schema out. Swapping the stub for a
-  * JPEG/ffmpeg decoder changes one function.
+  * a partition) producing a typed metadata schema.
   *
-  * The fixture "blob" is the UTF-8 bytes of `documents.text`, so the stub
-  * metadata is oracle-checkable in plain SQL.
+  * Two decoders plug into that shape:
+  *  - [[MultimodalStub.decodeStub]], a deterministic fake whose output is
+  *    a pure function of the bytes, so the ORACLE-facing q53 stays
+  *    checkable in plain SQL (the fixture "blob" is the UTF-8 bytes of
+  *    `documents.text` — not a real image, so a real decoder can't apply);
+  *  - [[MultimodalStub.decodeImageReal]] + [[imageMeta]], a REAL
+  *    PNG/JPEG/GIF/BMP header decode via JDK `javax.imageio` (no native
+  *    libs needed) — header-only (`ImageReader.getWidth(0)` reads the
+  *    SOF/IHDR metadata without decompressing pixel data), which is the
+  *    100 TB-correct choice when only dimensions are wanted. Exercised by
+  *    `MultimodalSpec` round-tripping generated PNGs/JPEGs through the
+  *    same mapPartitions pipeline.
   */
 object Multimodal {
 
   final case class DocBlob(doc_id: Long, data: Array[Byte])
   final case class BlobMeta(doc_id: Long, n_bytes: Int, first_byte: Int,
       fake_width: Int, fake_height: Int, content_md5: String)
+  final case class ImageMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      format: String)
 
   object MultimodalStub {
     /** Deterministic fake of an image-header decode. A real decoder would
@@ -32,10 +41,34 @@ object Multimodal {
       BlobMeta(b.doc_id, n, b.data(0) & 0xff, 64 + n % 512, 64 + (n * 7) % 512, md)
     }
 
-    /** The real decode hook — intentionally unimplemented in this
-      * container (no image libs); kept to mark the integration point. */
-    def decodeImageReal(data: Array[Byte]): (Int, Int) =
-      throw new NotImplementedError("image decoding not available in this environment")
+    /** Real image-header decode via JDK ImageIO: (width, height, format).
+      * Header-only — `getWidth(0)`/`getHeight(0)` parse the stream
+      * metadata (PNG IHDR / JPEG SOF) without decoding pixel data, so a
+      * 20 MB photo costs a few hundred header bytes of work. */
+    def decodeImageReal(data: Array[Byte]): (Int, Int, String) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException("no ImageIO reader recognizes these bytes")
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          (r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase)
+        } finally r.dispose()
+      } finally iis.close()
+    }
+  }
+
+  /** The real-decoder pipeline: same mapPartitions batch shape as q53,
+    * with [[MultimodalStub.decodeImageReal]] as the per-blob kernel. */
+  def imageMeta(blobs: org.apache.spark.sql.Dataset[DocBlob]): org.apache.spark.sql.Dataset[ImageMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      val (w, h, fmt) = MultimodalStub.decodeImageReal(b.data)
+      ImageMeta(b.doc_id, b.data.length, w, h, fmt)
+    })
   }
 
   def defs: Seq[QueryDef] = Seq(

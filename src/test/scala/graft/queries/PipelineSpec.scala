@@ -20,9 +20,15 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("q58 assignment is independent of partitioning (pure per-row function)") {
-    val a = SparkEntry.queries("q58_hash_split")(spark, dir).collect().toSeq
-    val b = SparkEntry.queries("q58_hash_split")(spark, dir).collect().toSeq
-    assert(a == b)
+    // same split membership whether the corpus sits in 1, 7, or 32
+    // partitions — the property rand()-based splits do NOT have
+    def membership(parts: Int): Map[Long, String] =
+      Pipeline.splitAssignment(Tables(spark, dir, "documents").repartition(parts))
+        .select(col("doc_id"), col("split")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baseline = membership(1)
+    for (parts <- Seq(7, 32)) assert(membership(parts) == baseline,
+      s"split assignment changed under repartition($parts)")
   }
 
   test("q61 funnel conserves documents per lang") {
