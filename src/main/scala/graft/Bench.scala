@@ -48,7 +48,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val eps = try ingestEventsPerSec() catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_eps":$eps,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_eps":$eps,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures stdout with a bounded tail, which truncated a
+    // third of the per-query map in round 2 — so the FULL artifact is
+    // also written to a stable file for machine-readable round-over-round
+    // diffs (schema: the same one-object JSON line)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_QUERIES.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }
 

@@ -23,7 +23,10 @@ object DedupGroups {
 
   /** @param pairs undirected edges, columns (doc_a, doc_b).
     * @return (doc_id, rep) for every doc appearing in at least one
-    *         pair; `rep` = min doc id of its component. */
+    *         pair; `rep` = min doc id of its component. Rounds scale
+    *         with component DIAMETER — right for near-dup graphs
+    *         (quasi-cliques, diameter 2–4). For high-diameter graphs
+    *         use [[componentsStar]] (logarithmic rounds). */
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // localCheckpoint (eager) after every round: iterative self-joins
     // otherwise embed the previous round's plan twice per iteration —
@@ -55,5 +58,62 @@ object DedupGroups {
       i += 1
     }
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): converges in O(log²) rounds REGARDLESS of component
+    * diameter, where min-label propagation needs diameter rounds — the
+    * swap-in for pathological graphs (long chains of pairwise-similar
+    * docs, e.g. versioned boilerplate) that the [[components]] Scaladoc
+    * names. Each round is two join+groupBy shuffles (the same shapes as
+    * one min-label round); no collect_list — hot nodes never materialize
+    * their neighborhood in one task.
+    *
+    * Same contract as [[components]]: (doc_id, rep) for every doc in a
+    * pair, rep = component min (at the fixpoint every edge points
+    * child → component root, and roots are the only non-children). */
+  def componentsStar(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    // canonical directed edge child > parent; both ops preserve this
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("a"),
+        least(col("doc_a"), col("doc_b")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+
+    // large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val dir = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      dir.where(col("v") > col("u")).join(mins, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .where(col("a") =!= col("b")).distinct()
+    }
+
+    // small-star(u): m = min of u's smaller neighbors; re-point them and
+    // u itself at m
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("a").as("u")).agg(min(col("b")).as("m"))
+      val dir = e.join(mins, col("a") === col("u")).drop("u")
+      dir.select(col("b").as("a"), col("m").as("b"))
+        .unionByName(dir.select(col("a"), col("m").as("b")))
+        .where(col("a") =!= col("b")).distinct()
+    }
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // fixpoint test: same cardinality and no edge outside the old set
+      val grew = next.exceptAll(edges).limit(1).count()
+      converged = grew == 0L && next.count() == edges.count()
+      edges = next
+      i += 1
+    }
+    edges.select(col("a").as("doc_id"), col("b").as("rep"))
+      .unionByName(edges.select(col("b").as("doc_id"), col("b").as("rep")))
+      .distinct()
   }
 }

@@ -26,13 +26,18 @@ object LlmText {
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Word-n-gram shingles per doc, with duplicates (one row per
-    * occurrence) — enough for MinHash, whose min is duplicate-blind. */
-  private[queries] def shinglesRaw(s: SparkSession, d: String, n: Int): DataFrame =
-    docs(s, d).select(col("doc_id"), split(col("text"), " ").as("t"))
+    * occurrence) — enough for MinHash, whose min is duplicate-blind.
+    * DataFrame-based so the same stage serves the batch table AND a
+    * streaming micro-batch (IncrementalNearDup). */
+  private[graft] def shinglesRawDf(docsDf: DataFrame, n: Int): DataFrame =
+    docsDf.select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', ${(0 until n).map(k => s"t[i+$k]").mkString(", ")}))"
       )).as("sh"))
+
+  private[queries] def shinglesRaw(s: SparkSession, d: String, n: Int): DataFrame =
+    shinglesRawDf(docs(s, d), n)
 
   /** Distinct word-n-gram shingle set per doc (for exact set ops). */
   private[queries] def shingles(s: SparkSession, d: String, n: Int): DataFrame =
@@ -53,8 +58,11 @@ object LlmText {
     * per md5 call (salts `a:`,`b:`,`c:`,… pick the md5; `i%4` picks the
     * 8-hex segment), min-aggregated over raw shingle occurrences (MinHash
     * is duplicate-blind — no distinct shuffle on the signature path). */
-  private[graft] def minhashSig(s: SparkSession, d: String, n: Int, nHashes: Int): DataFrame = {
-    val raw = shinglesRaw(s, d, n)
+  private[graft] def minhashSig(s: SparkSession, d: String, n: Int, nHashes: Int): DataFrame =
+    minhashSigDf(docs(s, d), n, nHashes)
+
+  private[graft] def minhashSigDf(docsDf: DataFrame, n: Int, nHashes: Int): DataFrame = {
+    val raw = shinglesRawDf(docsDf, n)
       .select(col("doc_id") +:
         (0 until nHashes).map { i =>
           val salt = s"${('a' + i / 4).toChar}:"
@@ -87,12 +95,17 @@ object LlmText {
     * whose buckets stay tiny because unrelated docs must collide on TWO
     * independent minhashes at once. Buckets larger than `maxBucket`
     * are dropped before the self-join (see [[HotBucketCap]]). */
-  private[graft] def bandedCandidates(sig: DataFrame, nBands: Int, bandR: Int,
-      maxBucket: Int = HotBucketCap): DataFrame = {
+  /** The (doc, band, key) LSH index rows for a signature table — the
+    * thing a streaming dedup materializes as its band-index state. */
+  private[graft] def bandKeys(sig: DataFrame, nBands: Int, bandR: Int): DataFrame = {
     val keys = (0 until nBands).map(j =>
       struct((0 until bandR).map(k => col(s"h${bandR * j + k}").as(s"k$k")): _*))
-    val bandsAll = sig.select(col("doc_id"),
-      posexplode(array(keys: _*)).as(Seq("band", "key")))
+    sig.select(col("doc_id"), posexplode(array(keys: _*)).as(Seq("band", "key")))
+  }
+
+  private[graft] def bandedCandidates(sig: DataFrame, nBands: Int, bandR: Int,
+      maxBucket: Int = HotBucketCap): DataFrame = {
+    val bandsAll = bandKeys(sig, nBands, bandR)
     // hot-bucket skew cap: the count agg has map-side partials (skew-safe)
     // and the semi-join is a plain equi-join on the bucket key
     val smallKeys = bandsAll.groupBy(col("band"), col("key"))
@@ -134,19 +147,26 @@ object LlmText {
     * bigram shingles) exactly verified by the codegen set kernel,
     * keeping pairs with jaccard ≥ 0.35. Returns (doc_a, doc_b, jaccard),
     * unordered. */
-  private[queries] def bandedNearDupPairs(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc sorted 60-bit bigram-shingle-hash array + set size — the
+    * exact-verification side of the near-dup pipeline (and the signature
+    * state a streaming dedup materializes). */
+  private[graft] def shingleSets(docsDf: DataFrame): DataFrame = {
+    val h60 = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+    shinglesRawDf(docsDf, 2).distinct()
+      .select(col("doc_id"), h60.as("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("nbg"))
+  }
+
+  /** Exact Jaccard verification of candidate pairs against shingle-set
+    * state (codegen two-pointer merge), keeping jaccard ≥ 0.35. */
+  private[graft] def verifyPairs(cand: DataFrame, sets: DataFrame): DataFrame = {
     import graft.functions.SortedArrayIntersectCount
     import org.apache.spark.sql.graftbridge.ColumnBridge
     def interCount(a: Column, b: Column): Column =
       ColumnBridge.column(SortedArrayIntersectCount(
         ColumnBridge.expression(a), ColumnBridge.expression(b)))
-    val h60 = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
-    val sets = shingles(s, d, 2)
-      .select(col("doc_id"), h60.as("h"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("h"))).as("hs"))
-      .select(col("doc_id"), col("hs"), size(col("hs")).as("nbg"))
-    val cand = bandedCandidates(minhashSig(s, d, 2, 16), 8, 2)
     cand.join(sets.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -156,6 +176,11 @@ object LlmText {
         round(col("ninter").cast("double") / (col("ntot") - col("ninter")), 4).as("jaccard"))
       .where(col("jaccard") >= 0.35)
   }
+
+  private[graft] def bandedNearDupPairs(s: SparkSession, d: String): DataFrame =
+    verifyPairs(
+      bandedCandidates(minhashSig(s, d, 2, 16), 8, 2),
+      shingleSets(docs(s, d)))
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` —
     * mirrors [[bandedNearDupPairs]]. */

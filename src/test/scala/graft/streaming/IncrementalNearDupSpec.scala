@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.{SparkTestSession, Tables}
+import graft.operators.DedupGroups
+import graft.queries.LlmText
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The incremental (CDC-fed) dedup funnel equals the batch pipeline:
+  * documents streamed in three micro-batches through foreachBatch must
+  * accumulate exactly the pairs and dedup groups the batch q57 computes
+  * over the same fixture slice. */
+class IncrementalNearDupSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stream-accumulated dedup groups equal the batch q57 result") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.length >= 100, "fixture slice too small to be meaningful")
+
+    val statePath = java.nio.file.Files
+      .createTempDirectory("inc-neardup").toString
+    val inc = new IncrementalNearDup(statePath)
+    val stream = MemoryStream[(Long, String)]
+    val query = stream.toDF().toDF("doc_id", "text")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        inc.processBatch(batch, id))
+      .start()
+    try {
+      // three uneven arrival waves, shuffled so near-dup partners land
+      // in different batches (the cross-batch candidate path is the
+      // thing under test)
+      val shuffled = new scala.util.Random(11).shuffle(docs.toVector)
+      for (wave <- Seq(
+          shuffled.slice(0, 100), shuffled.slice(100, 350),
+          shuffled.slice(350, shuffled.size))) {
+        stream.addData(wave)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val streamPairs = inc.pairs(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val batchPairs = LlmText.bandedNearDupPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(streamPairs == batchPairs,
+      s"pair sets differ: stream-only=${(streamPairs.keySet -- batchPairs.keySet).take(5)} " +
+        s"batch-only=${(batchPairs.keySet -- streamPairs.keySet).take(5)}")
+
+    val streamGroups = inc.groups(spark).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchGroups = DedupGroups.components(LlmText.bandedNearDupPairs(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamGroups == batchGroups)
+  }
+}
