@@ -4,10 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, GenerateUnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -55,7 +56,7 @@ final case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression, rightTie: Expression)
-    extends BinaryExecNode {
+    extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -133,6 +134,135 @@ final case class AsOfJoinExec(
         resultProj(joined)
       }
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Whole-stage codegen (VERDICT r2 item 2). Same two-iterator produce
+  // pattern as SortMergeJoinExec: this node is the stage's produce root,
+  // both children are consumed as iterators (inputRDDs), and the entire
+  // merge state machine — key equality, right-side absorption, ts
+  // comparison — is generated Java fused with the parent's consume code.
+  // The interpreted doExecute above is retained as the automatic fallback
+  // when janino compilation fails.
+  // ---------------------------------------------------------------------
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // output rows go through a reused JoinedRow — parents that buffer must copy
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];")
+    val rHead = ctx.addMutableState("InternalRow", "asofRHead")
+    val rHeadKey = ctx.addMutableState("UnsafeRow", "asofRHeadKey")
+    val matched = ctx.addMutableState("InternalRow", "asofMatched")
+    val currentKey = ctx.addMutableState("UnsafeRow", "asofCurrentKey")
+    val rStarted = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofRStarted")
+    val joinedRow = ctx.addMutableState(
+      "org.apache.spark.sql.catalyst.expressions.JoinedRow", "asofJoinedRow",
+      v => s"$v = new org.apache.spark.sql.catalyst.expressions.JoinedRow();")
+    val nullRight = ctx.addMutableState("InternalRow", "asofNullRight",
+      v => s"$v = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(${right.output.length});")
+
+    // generated UnsafeRow comparator over the projected key rows:
+    // null-first per column (matching SortOrder Ascending semantics in
+    // the interpreted path), then ctx.genComp on the column type
+    val keyTypes = leftKeys.map(_.dataType)
+    val compareKeys = ctx.addNewFunction("asofCompareKeys",
+      s"""
+         |private int asofCompareKeys(UnsafeRow a, UnsafeRow b) {
+         |  int comp = 0;
+         |  ${keyTypes.zipWithIndex.map { case (dt, i) =>
+              val av = CodeGenerator.getValue("a", dt, i.toString)
+              val bv = CodeGenerator.getValue("b", dt, i.toString)
+              s"""
+                 |{
+                 |  boolean anull = a.isNullAt($i);
+                 |  boolean bnull = b.isNullAt($i);
+                 |  if (anull != bnull) return anull ? -1 : 1;
+                 |  if (!anull) {
+                 |    comp = ${ctx.genComp(dt, av, bv)};
+                 |    if (comp != 0) return comp;
+                 |  }
+                 |}
+               """.stripMargin
+            }.mkString("\n")}
+         |  return comp;
+         |}
+       """.stripMargin)
+
+    // right-side lookahead: decode the key of the buffered head row once
+    ctx.INPUT_ROW = rHead
+    ctx.currentVars = null
+    val rightKeyEv = GenerateUnsafeProjection.createCode(ctx,
+      BindReferences.bindReferences(rightKeys, right.output))
+    val advanceRight = ctx.addNewFunction("asofAdvanceRight",
+      s"""
+         |private void asofAdvanceRight() {
+         |  if ($rightInput.hasNext()) {
+         |    $rHead = (InternalRow) $rightInput.next();
+         |    ${rightKeyEv.code}
+         |    $rHeadKey = (UnsafeRow) ${rightKeyEv.value}.copy();
+         |  } else {
+         |    $rHead = null;
+         |    $rHeadKey = null;
+         |  }
+         |}
+       """.stripMargin)
+
+    // right ts, evaluated against the buffered head row
+    ctx.INPUT_ROW = rHead
+    ctx.currentVars = null
+    val rTsEv = BindReferences.bindReference(rightTs, right.output).genCode(ctx)
+
+    // left-row-scoped code
+    val leftRow = ctx.freshName("asofLeftRow")
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val leftKeyEv = GenerateUnsafeProjection.createCode(ctx,
+      BindReferences.bindReferences(leftKeys, left.output))
+    val lTsEv = BindReferences.bindReference(leftTs, left.output).genCode(ctx)
+
+    val tsComp = ctx.genComp(leftTs.dataType, rTsEv.value.toString, lTsEv.value.toString)
+
+    s"""
+       |if (!$rStarted) {
+       |  $rStarted = true;
+       |  $advanceRight();
+       |}
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${leftKeyEv.code}
+       |  if ($currentKey == null || $compareKeys((UnsafeRow) ${leftKeyEv.value}, $currentKey) != 0) {
+       |    $currentKey = (UnsafeRow) ${leftKeyEv.value}.copy();
+       |    $matched = null;
+       |    while ($rHead != null && $compareKeys($rHeadKey, $currentKey) < 0) {
+       |      $advanceRight();
+       |    }
+       |  }
+       |  ${lTsEv.code}
+       |  if (!${lTsEv.isNull}) {
+       |    // absorb same-key right rows with ts <= left ts; input sorted
+       |    // by (ts, tie), so the last absorbed row is the as-of match
+       |    while ($rHead != null && $compareKeys($rHeadKey, $currentKey) == 0) {
+       |      ${rTsEv.code}
+       |      if (!${rTsEv.isNull} && $tsComp <= 0) {
+       |        $matched = $rHead.copy();
+       |        $advanceRight();
+       |      } else {
+       |        break;
+       |      }
+       |    }
+       |  }
+       |  $joinedRow.apply($leftRow, $matched == null ? $nullRight : $matched);
+       |  ${consume(ctx, null, joinedRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

@@ -37,4 +37,21 @@ class AsOfRewriteSpec extends AnyFunSuite with SparkTestSession {
     val native = SparkEntry.queries("q12b_asof_native")(spark, dir).collect().toSeq
     assert(viaRule == native)
   }
+
+  test("AsOfJoinExec participates in whole-stage codegen, and the generated code compiles") {
+    val df = q12
+    df.collect() // materialize so AQE finalizes the stages
+    val planStr = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix is Spark's marker for operators inside a
+    // WholeStageCodegen stage (AQE nests the stage inside query-stage
+    // leaves, so string form is the robust check)
+    assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(planStr).nonEmpty,
+      s"AsOfJoinExec not inside a WholeStageCodegen stage:\n${planStr.take(800)}")
+    // fallback=false turns a janino compile failure into a hard error
+    // instead of a silent drop to the interpreted doExecute — this is
+    // the assertion that the GENERATED code is actually valid
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try assert(q12.collect().length == SparkEntry.queries("q12b_asof_native")(spark, dir).collect().length)
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
 }
