@@ -19,6 +19,14 @@ import java.security.MessageDigest
   * Deliberate upgrade: server errors are detected by the documented
   * `ERR` reply prefix, not the reference's substring-"err" sniff that
   * false-positives on data (`stream.go:143-148`, SURVEY.md A8).
+  *
+  * Extension beyond the reference (which hard-codes TYPE=JSON,
+  * `gomaxscale.go:87-90`): `wireType = "AVRO"` registers for the binary
+  * Avro wire format — the stream is an Avro Object Container stream,
+  * framed by [[AvroFramer]]; each record becomes a [[DmlEvent]] (the
+  * envelope columns are the same), and the container's writer schema is
+  * surfaced once as a synthetic [[DdlEvent]] so schema-registry-driven
+  * consumers work identically in both modes.
   */
 final class MaxScaleClient(
     host: String,
@@ -32,12 +40,17 @@ final class MaxScaleClient(
     gtid: Option[String] = None,
     val connectTimeoutMs: Int = 2000,
     readTimeoutMs: Int = 2000,
-    val bufferSize: Int = 4096) {
+    val bufferSize: Int = 4096,
+    val wireType: String = "JSON") {
+
+  require(wireType == "JSON" || wireType == "AVRO", s"unsupported TYPE=$wireType")
 
   private var socket: Socket = _
   private var in: InputStream = _
   private var out: OutputStream = _
   private val framer = new JsonFramer
+  private val avroFramer = new AvroFramer
+  private var avroSchemaAnnounced = false
   private val readBuf = new Array[Byte](bufferSize)
 
   def connect(): Unit = {
@@ -50,7 +63,7 @@ final class MaxScaleClient(
     val sha1 = MessageDigest.getInstance("SHA-1").digest(password.getBytes(UTF_8))
     val authPayload = user.getBytes(UTF_8) ++ ":".getBytes(UTF_8) ++ sha1
     initRequest(authPayload.map("%02x".format(_)).mkString, "authentication")
-    initRequest(s"REGISTER UUID=$uuid, TYPE=JSON", "registration")
+    initRequest(s"REGISTER UUID=$uuid, TYPE=$wireType", "registration")
 
     val req = new StringBuilder(s"REQUEST-DATA $database.$table")
     version.foreach(v => req.append(s".$v"))
@@ -79,18 +92,34 @@ final class MaxScaleClient(
       try in.read(readBuf)
       catch { case _: SocketTimeoutException => 0 }
     if (n < 0) {
-      val tail = framer.finish().collect { case framer.ServerText(t) => t }
+      val tail =
+        if (wireType == "AVRO") Nil
+        else framer.finish().collect { case framer.ServerText(t) => t }
       return PollResult(Nil, tail, eof = true)
     }
     if (n == 0) return PollResult(Nil, Nil, eof = false)
-    val frames = framer.feed(new String(readBuf, 0, n, UTF_8))
-    val events = Vector.newBuilder[Either[String, CdcEvent]]
-    val errors = Vector.newBuilder[String]
-    frames.foreach {
-      case framer.Json(text) => events += CdcEvent.decode(text)
-      case framer.ServerText(t) => errors += t
+    if (wireType == "AVRO") pollAvro(n)
+    else {
+      val frames = framer.feed(new String(readBuf, 0, n, UTF_8))
+      val events = Vector.newBuilder[Either[String, CdcEvent]]
+      val errors = Vector.newBuilder[String]
+      frames.foreach {
+        case framer.Json(text) => events += CdcEvent.decode(text)
+        case framer.ServerText(t) => errors += t
+      }
+      PollResult(events.result(), errors.result(), eof = false)
     }
-    PollResult(events.result(), errors.result(), eof = false)
+  }
+
+  private def pollAvro(n: Int): PollResult = {
+    val records = avroFramer.feed(readBuf, n)
+    val events = Vector.newBuilder[Either[String, CdcEvent]]
+    if (!avroSchemaAnnounced && avroFramer.schema != null) {
+      avroSchemaAnnounced = true
+      events += Right(CdcAvro.schemaToDdl(avroFramer.schema, database, table))
+    }
+    records.foreach(r => events += CdcAvro.recordToDml(r))
+    PollResult(events.result(), Nil, eof = false)
   }
 
   def close(): Unit = if (socket != null) socket.close()

@@ -19,7 +19,8 @@ final class MockMaxScaleServer(
     failEvents: Boolean = false,
     chunkSize: Int = 0, // 0 = write each event whole
     interleavedError: Option[String] = None,
-    closeAfterEvents: Boolean = true) {
+    closeAfterEvents: Boolean = true,
+    avroPayload: Option[Array[Byte]] = None) { // TYPE=AVRO wire bytes (overrides `events`)
 
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
@@ -30,7 +31,7 @@ final class MockMaxScaleServer(
   val handshakeDone = new CountDownLatch(1)
 
   // Phase grammars from the reference tests (`gomaxscale_test.go:23-27`).
-  private val RegisterRe = "^REGISTER UUID=.+?, TYPE=JSON$".r
+  private val RegisterRe = "^REGISTER UUID=.+?, TYPE=(JSON|AVRO)$".r
   private val RequestRe = "^REQUEST-DATA .+?\\..+?( .+)?$".r
 
   private val thread = new Thread(() => {
@@ -79,12 +80,19 @@ final class MockMaxScaleServer(
     }
 
     val out = conn.getOutputStream
-    events.zipWithIndex.foreach { case (ev, i) =>
-      interleavedError.filter(_ => i == 1).foreach(e => reply(conn, e))
-      val bytes = (ev + "\n").getBytes(UTF_8)
-      if (chunkSize <= 0) out.write(bytes)
-      else bytes.grouped(chunkSize).foreach { c => out.write(c); out.flush(); Thread.sleep(1) }
-      out.flush()
+    avroPayload match {
+      case Some(bytes) =>
+        if (chunkSize <= 0) out.write(bytes)
+        else bytes.grouped(chunkSize).foreach { c => out.write(c); out.flush(); Thread.sleep(1) }
+        out.flush()
+      case None =>
+        events.zipWithIndex.foreach { case (ev, i) =>
+          interleavedError.filter(_ => i == 1).foreach(e => reply(conn, e))
+          val bytes = (ev + "\n").getBytes(UTF_8)
+          if (chunkSize <= 0) out.write(bytes)
+          else bytes.grouped(chunkSize).foreach { c => out.write(c); out.flush(); Thread.sleep(1) }
+          out.flush()
+        }
     }
     if (!closeAfterEvents) Thread.sleep(60000)
   }
