@@ -106,13 +106,16 @@ object LlmText {
   private[graft] def bandedCandidates(sig: DataFrame, nBands: Int, bandR: Int,
       maxBucket: Int = HotBucketCap): DataFrame = {
     val bandsAll = bandKeys(sig, nBands, bandR)
-    // hot-bucket skew cap: the count agg has map-side partials (skew-safe)
-    // and the semi-join is a plain equi-join on the bucket key
-    val smallKeys = bandsAll.groupBy(col("band"), col("key"))
+    // hot-bucket skew cap: the count agg has map-side partials (skew-safe);
+    // the filter is an ANTI join against the HOT keys — by definition few
+    // (each holds > maxBucket members), so AQE turns it into a broadcast
+    // and the pruning costs one map-side pass, not a second shuffle of
+    // the full band index
+    val hotKeys = bandsAll.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") <= maxBucket)
+      .where(col("bsz") > maxBucket)
       .select(col("band"), col("key"))
-    val bands = bandsAll.join(smallKeys, Seq("band", "key"), "left_semi")
+    val bands = bandsAll.join(hotKeys, Seq("band", "key"), "left_anti")
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))

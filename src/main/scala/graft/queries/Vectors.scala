@@ -116,11 +116,11 @@ object Vectors {
         // hot-bucket members keep probing OTHER (small) buckets via their
         // bit flips. Fixture buckets max 33 at sf0.1 (measured) — far
         // under the cap, so oracle hashes are unaffected.
-        val smallKeys = codes.groupBy(col("band"), col("code"))
+        val hotKeys = codes.groupBy(col("band"), col("code"))
           .agg(count(lit(1)).as("bsz"))
-          .where(col("bsz") <= LlmText.HotBucketCap)
+          .where(col("bsz") > LlmText.HotBucketCap)
           .select(col("band"), col("code"))
-        val codesCapped = codes.join(smallKeys, Seq("band", "code"), "left_semi")
+        val codesCapped = codes.join(hotKeys, Seq("band", "code"), "left_anti")
         val cand = probes.as("x").join(codesCapped.as("y"),
             col("x.band") === col("y.band") && col("x.probe") === col("y.code") &&
               col("x.vec_id") < col("y.vec_id"))

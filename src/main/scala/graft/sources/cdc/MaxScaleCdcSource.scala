@@ -148,10 +148,14 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
     gtid = options.get("gtid"),
     connectTimeoutMs = options.getOrElse("connectTimeoutMs", "2000").toInt,
     readTimeoutMs = options.getOrElse("readTimeoutMs", "200").toInt,
-    bufferSize = options.getOrElse("bufferSize", "4096").toInt)
+    bufferSize = options.getOrElse("bufferSize", "4096").toInt,
+    wireType = options.getOrElse("wireType", "JSON").toUpperCase)
 
   /** Client network config, exposed for option-passthrough tests. */
   private[cdc] def clientConfig: (Int, Int) = (client.connectTimeoutMs, client.bufferSize)
+
+  /** Registered wire format, exposed for option-passthrough tests. */
+  private[cdc] def clientWireType: String = client.wireType
 
   /** Blocking bounded append (see `maxBufferedEvents` above). */
   private def append(row: MaxScaleCdc.EventRow): Unit = buffer.synchronized {

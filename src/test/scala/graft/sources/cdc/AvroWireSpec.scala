@@ -2,6 +2,7 @@ package graft.sources.cdc
 
 import java.io.ByteArrayOutputStream
 
+import graft.SparkTestSession
 import graft.sources.cdc.testkit.MockMaxScaleServer
 import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
@@ -11,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** TYPE=AVRO wire mode: container framing under arbitrary chunkings,
   * schema → DDL synthesis, and end-to-end client equivalence with the
   * JSON mode on the same logical events. */
-class AvroWireSpec extends AnyFunSuite {
+class AvroWireSpec extends AnyFunSuite with SparkTestSession {
 
   private val schemaJson =
     """{"type":"record","name":"users","namespace":"example",
@@ -126,5 +127,33 @@ class AvroWireSpec extends AnyFunSuite {
     assert(avroDml.map(key) == jsonDml.map(key))
     // data columns survive the generic-record JSON rendering
     assert(avroDml.head.rawJson.contains("\"user-1\""))
+  }
+
+  test("DSv2 source streams AVRO wire data via the wireType option") {
+    import org.apache.spark.sql.functions._
+    val n = 25
+    val server = new MockMaxScaleServer(events = Nil, chunkSize = 31,
+      avroPayload = Some(containerBytes(n, 5)), closeAfterEvents = false)
+    val df = spark.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1").option("port", server.port)
+      .option("user", "u").option("password", "p")
+      .option("database", "example").option("table", "users")
+      .option("wireType", "AVRO")
+      .load()
+    val q = df.writeStream.format("memory").queryName("cdc_avro").start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      def dmlCount = spark.table("cdc_avro").where(col("kind") === "dml").count()
+      while (dmlCount < n && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
+      assert(dmlCount == n, s"expected $n dml rows, got $dmlCount")
+      assert(server.registerReceived.endsWith("TYPE=AVRO"), server.registerReceived)
+      val seqs = spark.table("cdc_avro").where(col("kind") === "dml")
+        .select(col("sequence")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(seqs == (1L to n.toLong))
+      // the writer schema arrived as an in-band ddl row
+      assert(spark.table("cdc_avro").where(col("kind") === "ddl").count() == 1)
+    } finally q.stop()
   }
 }
