@@ -40,6 +40,13 @@ object DedupGroups {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("rep", col("doc_id"))
       .localCheckpoint(true)
+    // convergence probe: labels are monotonically non-increasing under
+    // min-propagation, so the (decimal-exact, overflow-free) label sum
+    // strictly decreases until the fixpoint — one scalar agg per round
+    // instead of a join + filter + count
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -49,12 +56,10 @@ object DedupGroups {
         .unionByName(labels)
       val next = contrib.groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), "doc_id")
-        .where(col("n.rep") =!= col("o.rep"))
-        .limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0L
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     labels
