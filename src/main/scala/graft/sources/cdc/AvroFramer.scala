@@ -15,15 +15,23 @@ import scala.collection.mutable.ArrayBuffer
   * a header (magic `Obj\1`, metadata map carrying the writer schema,
   * 16-byte sync marker), then data blocks of
   * `(record_count varint, byte_len varint, payload, sync)`. The framer
-  * accumulates arbitrary network chunks, parses the header once, then
-  * emits fully-decoded `GenericRecord`s per complete block; partial
+  * accumulates arbitrary network chunks, parses the header, then emits
+  * fully-decoded `GenericRecord`s per complete block; partial
   * varints/blocks simply wait for more bytes (the same
   * chunking-agnostic contract `JsonFramerSpec` pins for JSON, property-
   * tested in `AvroFramerSpec`). Sync markers are verified — a mismatch
   * means a corrupt or desynchronized stream and raises immediately
   * rather than decoding garbage.
+  *
+  * Schema evolution: the avro router starts a NEW container (fresh
+  * header, new writer schema) after a DDL change, so at every block
+  * boundary the framer sniffs for the `Obj\1` magic and, on a match,
+  * re-enters header parsing — surfaced to the caller as a
+  * [[AvroFramer.SchemaFrame]] (→ a new in-band DdlEvent), exactly like
+  * a JSON-mode schema event.
   */
 final class AvroFramer {
+  import AvroFramer._
 
   private val buf = ArrayBuffer.empty[Byte]
   private var start = 0 // consumed prefix (compacted lazily)
@@ -32,26 +40,34 @@ final class AvroFramer {
   private var syncMarker: Array[Byte] = _
   private var reader: GenericDatumReader[GenericRecord] = _
 
-  /** Writer schema from the stream header; null until the header has
-    * fully arrived. */
+  /** Current writer schema; null until the first header has arrived. */
   def schema: Schema = writerSchema
 
-  /** Feed `n` bytes; returns every record whose block completed. */
-  def feed(bytes: Array[Byte], n: Int): Seq[GenericRecord] = {
+  /** Feed `n` bytes; returns schema announcements and decoded records
+    * in stream order. */
+  def feed(bytes: Array[Byte], n: Int): Seq[AvroFrame] = {
     buf ++= bytes.iterator.take(n)
-    val out = Vector.newBuilder[GenericRecord]
+    val out = Vector.newBuilder[AvroFrame]
     var progressed = true
     while (progressed) {
       progressed = false
-      if (writerSchema == null) progressed = tryParseHeader()
-      else {
+      if (writerSchema == null || magicAhead()) {
+        val hadSchema = writerSchema
+        writerSchema = null
+        if (tryParseHeader()) { out += SchemaFrame(writerSchema); progressed = true }
+        else writerSchema = hadSchema // header incomplete — restore and wait
+      } else {
         val recs = tryParseBlock()
-        if (recs.nonEmpty) { out ++= recs; progressed = true }
+        if (recs.nonEmpty) { out ++= recs.map(RecordFrame); progressed = true }
       }
     }
     if (start > 65536) { buf.remove(0, start); start = 0 }
     out.result()
   }
+
+  /** A new container header at the current position (block boundary)? */
+  private def magicAhead(): Boolean =
+    avail >= 4 && byteAt(0) == 'O' && byteAt(1) == 'b' && byteAt(2) == 'j' && byteAt(3) == 1
 
   // ---- incremental primitives: all return via Option, None = need more
 
@@ -138,4 +154,12 @@ final class AvroFramer {
     val decoder = DecoderFactory.get().binaryDecoder(data, null)
     (0L until count).map(_ => reader.read(null, decoder))
   }
+}
+
+object AvroFramer {
+  /** Stream-ordered framing output: a new writer schema (container
+    * header) or one decoded record. */
+  sealed trait AvroFrame
+  final case class SchemaFrame(schema: Schema) extends AvroFrame
+  final case class RecordFrame(record: GenericRecord) extends AvroFrame
 }

@@ -50,7 +50,6 @@ final class MaxScaleClient(
   private var out: OutputStream = _
   private val framer = new JsonFramer
   private val avroFramer = new AvroFramer
-  private var avroSchemaAnnounced = false
   private val readBuf = new Array[Byte](bufferSize)
 
   def connect(): Unit = {
@@ -112,14 +111,11 @@ final class MaxScaleClient(
   }
 
   private def pollAvro(n: Int): PollResult = {
-    val records = avroFramer.feed(readBuf, n)
-    val events = Vector.newBuilder[Either[String, CdcEvent]]
-    if (!avroSchemaAnnounced && avroFramer.schema != null) {
-      avroSchemaAnnounced = true
-      events += Right(CdcAvro.schemaToDdl(avroFramer.schema, database, table))
+    val events = avroFramer.feed(readBuf, n).map {
+      case AvroFramer.SchemaFrame(s) => Right(CdcAvro.schemaToDdl(s, database, table))
+      case AvroFramer.RecordFrame(r) => CdcAvro.recordToDml(r)
     }
-    records.foreach(r => events += CdcAvro.recordToDml(r))
-    PollResult(events.result(), Nil, eof = false)
+    PollResult(events, Nil, eof = false)
   }
 
   def close(): Unit = if (socket != null) socket.close()

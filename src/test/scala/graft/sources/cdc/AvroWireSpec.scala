@@ -63,6 +63,7 @@ class AvroWireSpec extends AnyFunSuite with SparkTestSession {
         val k = 1 + rnd.nextInt(97)
         val chunk = bytes.slice(off, math.min(off + k, bytes.length))
         got ++= framer.feed(chunk, chunk.length)
+          .collect { case AvroFramer.RecordFrame(r) => r }
         off += k
       }
       val recs = got.result()
@@ -70,6 +71,43 @@ class AvroWireSpec extends AnyFunSuite with SparkTestSession {
       assert(recs.map(_.get("sequence").asInstanceOf[Long]) == (1L to 200L))
       assert(framer.schema.getName == "users")
     }
+  }
+
+  test("a new container header mid-stream switches schemas (DDL evolution)") {
+    // the avro router starts a fresh container after a schema change:
+    // concatenate two containers whose schemas differ by a column and
+    // feed them as one byte stream in small chunks
+    val v2Json = schemaJson.replace(
+      """{"name":"name","type":["null","string"]}""",
+      """{"name":"name","type":["null","string"]},{"name":"email","type":["null","string"]}""")
+    val v2 = new Schema.Parser().parse(v2Json)
+    val out = new ByteArrayOutputStream()
+    out.write(containerBytes(5, 2))
+    val w2 = new DataFileWriter(new GenericDatumWriter[GenericRecord](v2))
+    w2.create(v2, out)
+    (6 to 9).foreach { i =>
+      val r = new GenericData.Record(v2)
+      r.put("domain", 0); r.put("server_id", 1); r.put("sequence", i.toLong)
+      r.put("event_number", 1L); r.put("timestamp", 1754956800L)
+      r.put("event_type", "insert"); r.put("id", i.toLong)
+      r.put("name", s"user-$i"); r.put("email", s"u$i@x.io")
+      w2.append(r)
+    }
+    w2.close()
+    val bytes = out.toByteArray
+
+    val framer = new AvroFramer
+    val frames = Vector.newBuilder[AvroFramer.AvroFrame]
+    bytes.grouped(11).foreach(c => frames ++= framer.feed(c, c.length))
+    val fs = frames.result()
+    val schemas = fs.collect { case AvroFramer.SchemaFrame(s) => s }
+    val recs = fs.collect { case AvroFramer.RecordFrame(r) => r }
+    assert(schemas.size == 2, "both container headers must surface")
+    assert(schemas(0).getField("email") == null && schemas(1).getField("email") != null)
+    assert(recs.map(_.get("sequence").asInstanceOf[Long]) == (1L to 9L))
+    assert(String.valueOf(recs.last.get("email")) == "u9@x.io")
+    // frames arrive in stream order: schema v1, 5 records, schema v2, 4 records
+    assert(fs.indexOf(AvroFramer.SchemaFrame(schemas(1))) == 6)
   }
 
   test("corrupt sync marker raises instead of decoding garbage") {
