@@ -80,10 +80,33 @@ final class IncrementalNearDup(statePath: String) {
     val fresh = verified.join(oldPairs.select("doc_a", "doc_b"),
       Seq("doc_a", "doc_b"), "left_anti")
 
+    // every append is anti-joined against existing state, so a replayed
+    // micro-batch (foreachBatch retries after failure) is a no-op
+    // instead of doubling rows — idempotent-by-construction restart
+    // semantics without a transactional table format
+    val freshSets = newSets.join(oldSets.select("doc_id"), Seq("doc_id"), "left_anti")
+    val freshBands = newBands.join(oldBands.select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
     fresh.write.mode("append").parquet(s"$statePath/pairs")
-    newBands.write.mode("append").parquet(s"$statePath/bands")
-    newSets.write.mode("append").parquet(s"$statePath/sets")
+    freshBands.write.mode("append").parquet(s"$statePath/bands")
+    freshSets.write.mode("append").parquet(s"$statePath/sets")
   }
+
+  /** Compact a state directory tree: per-batch appends accumulate one
+    * small file set per micro-batch, which at production batch rates
+    * degrades every subsequent state read — standard streaming-state
+    * hygiene is periodic compaction (e.g. every N batches from the
+    * foreachBatch hook). Rewrites each table to `parts` files. */
+  def compact(spark: SparkSession, parts: Int = 8): Unit =
+    Seq("pairs", "bands", "sets").foreach { t =>
+      val dir = s"$statePath/$t"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val snap = spark.read.parquet(dir).localCheckpoint(true)
+        snap.coalesce(parts).write.mode("overwrite").parquet(dir)
+      }
+    }
 
   /** Accumulated verified near-dup pairs (doc_a, doc_b, jaccard). */
   def pairs(spark: SparkSession): DataFrame =

@@ -60,5 +60,25 @@ class IncrementalNearDupSpec extends AnyFunSuite with SparkTestSession {
     val batchGroups = DedupGroups.components(LlmText.bandedNearDupPairs(spark, dir))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamGroups == batchGroups)
+
+    // replayed micro-batch (foreachBatch retry semantics) is a no-op
+    val before = (inc.pairs(spark).count(),
+      spark.read.parquet(s"$statePath/sets").count(),
+      spark.read.parquet(s"$statePath/bands").count())
+    inc.processBatch(
+      spark.createDataFrame(docs.take(100).toSeq).toDF("doc_id", "text"), 99L)
+    val after = (inc.pairs(spark).count(),
+      spark.read.parquet(s"$statePath/sets").count(),
+      spark.read.parquet(s"$statePath/bands").count())
+    assert(after == before, s"replay mutated state: $before -> $after")
+
+    // compaction preserves content while bounding file counts
+    inc.compact(spark, parts = 2)
+    val compacted = inc.groups(spark).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compacted == batchGroups)
+    val nFiles = new java.io.File(s"$statePath/pairs")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles <= 2, s"pairs not compacted: $nFiles files")
   }
 }
