@@ -153,13 +153,31 @@ object LlmText {
   /** Per-doc sorted 60-bit bigram-shingle-hash array + set size — the
     * exact-verification side of the near-dup pipeline (and the signature
     * state a streaming dedup materializes). */
-  private[graft] def shingleSets(docsDf: DataFrame): DataFrame = {
-    val h60 = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
-    shinglesRawDf(docsDf, 2).distinct()
-      .select(col("doc_id"), h60.as("h"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("h"))).as("hs"))
-      .select(col("doc_id"), col("hs"), size(col("hs")).as("nbg"))
+  private[graft] def shingleSets(docsDf: DataFrame): DataFrame =
+    nearDupState(docsDf).select(col("doc_id"), col("hs"), col("nbg"))
+
+  /** The full per-doc near-dup state in ONE scan + ONE shuffle: the
+    * sorted 60-bit bigram-hash set (exact-verify side) AND the 16
+    * minhash components (banding side) aggregated together. MinHash is
+    * duplicate-blind and collect_set dedupes, so aggregating straight
+    * over raw shingle occurrences needs no distinct pre-shuffle; and
+    * because the pipeline's three uses of this relation (band explode +
+    * both verify sides) produce identical exchanges, ReuseExchange
+    * computes the shuffle once. Replaces the previous two-pass shape
+    * (separate sig and set aggregations over the same shingle stream). */
+  private[graft] def nearDupState(docsDf: DataFrame): DataFrame = {
+    val raw = shinglesRawDf(docsDf, 2)
+    val hashed = raw.select(col("doc_id") +:
+      conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h60") +:
+      (0 until 16).map { i =>
+        val salt = s"${('a' + i / 4).toChar}:"
+        val m = md5(concat(lit(salt), col("sh")))
+        conv(substring(m, 1 + 8 * (i % 4), 8), 16, 10).cast("long").as(s"x$i")
+      }: _*)
+    val aggs = sort_array(collect_set(col("h60"))).as("hs") +:
+      (0 until 16).map(i => min(col(s"x$i")).as(s"h$i"))
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("nbg", size(col("hs")))
   }
 
   /** Exact Jaccard verification of candidate pairs against shingle-set
@@ -180,10 +198,12 @@ object LlmText {
       .where(col("jaccard") >= 0.35)
   }
 
-  private[graft] def bandedNearDupPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def bandedNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val state = nearDupState(docs(s, d))
     verifyPairs(
-      bandedCandidates(minhashSig(s, d, 2, 16), 8, 2),
-      shingleSets(docs(s, d)))
+      bandedCandidates(state, 8, 2),
+      state.select(col("doc_id"), col("hs"), col("nbg")))
+  }
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` —
     * mirrors [[bandedNearDupPairs]]. */

@@ -52,9 +52,12 @@ final class IncrementalNearDup(statePath: String) {
     val docs = batch.select(col("doc_id"), col("text"))
       .localCheckpoint(true) // micro-batch sources are not re-scannable
 
-    val newSets = LlmText.shingleSets(docs)
-    val newBands = LlmText.bandKeys(LlmText.minhashSigDf(docs, 2, 16), 8, 2)
-      .localCheckpoint(true)
+    // one scan + one shuffle yields both the signature arrays and the
+    // minhash components (LlmText.nearDupState), materialized once for
+    // the batch's several uses
+    val state = LlmText.nearDupState(docs).localCheckpoint(true)
+    val newSets = state.select("doc_id", "hs", "nbg")
+    val newBands = LlmText.bandKeys(state, 8, 2)
 
     val oldBands = readStateOr(spark, s"$statePath/bands", newBands.schema)
     val allBands = oldBands.unionByName(newBands)
