@@ -200,6 +200,40 @@ object Pipeline {
         "n AS (SELECT COUNT(*) AS nn FROM tok) " +
         "SELECT c.token, c.cnt FROM c, n WHERE c.cnt * 40 > n.nn ORDER BY token")),
 
+    QueryDef("q66_incremental_dedup",
+      // The STREAMING dedup funnel under the batch oracle: documents
+      // arrive in two deterministic waves through IncrementalNearDup
+      // (the foreachBatch state-accumulation engine — parquet band
+      // index / signatures / pairs, new-vs-state candidates only), and
+      // the accumulated dedup groups are checked against the SAME
+      // recursive-CTE oracle as the batch q57 — the stream/batch
+      // equivalence claim, held to the hash gate rather than only to
+      // ScalaTest. Wave assignment is doc_id parity, so the entry is
+      // deterministic; final state is arrival-order independent by
+      // construction.
+      (s, d) => {
+        import graft.streaming.IncrementalNearDup
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q66-incremental").toString
+        val inc = new IncrementalNearDup(statePath)
+        val docsDf = docs(s, d).select(col("doc_id"), col("text"))
+        inc.processBatch(docsDf.where(col("doc_id") % 2 === 0), 0L)
+        inc.processBatch(docsDf.where(col("doc_id") % 2 === 1), 1L)
+        inc.groups(s)
+          .groupBy(col("rep").as("rep_doc"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("rep_doc"))
+      },
+      Some("WITH RECURSIVE " + LlmText.BandedPairsSqlCtes + ", " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
+        "reach(doc, r) AS (SELECT doc, doc FROM nodes " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc), " +
+        "rep AS (SELECT doc, MIN(r) AS rep_doc FROM reach GROUP BY doc) " +
+        "SELECT rep_doc, COUNT(*) AS n_members FROM rep " +
+        "GROUP BY rep_doc ORDER BY rep_doc")),
+
     QueryDef("q63_tfidf_top_terms",
       // Per-document top-3 TF-IDF terms (keyword extraction). The IDF is
       // the rational N/df — no transcendental log, so Spark and DuckDB
