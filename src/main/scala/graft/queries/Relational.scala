@@ -121,6 +121,32 @@ object Relational {
       Some("SELECT COUNT(*) AS cnt FROM part p JOIN lineitem l " +
         "ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size")),
 
+    QueryDef("q10b_interval_join",
+      // PURE range join (no equi key): events contained in 30-minute
+      // windows anchored at every 97th event. A bare range predicate
+      // compiles to BroadcastNestedLoopJoin — an n·m scan that dies at
+      // 100 TB — so this runs through operators/IntervalJoin: intervals
+      // explode into 15-minute buckets, points hash-join on the bucket,
+      // exact containment filters. Plan-guarded BNLJ-free (PlanSpec).
+      (s, d) => {
+        import graft.operators.IntervalJoin
+        val ev = t(s, d, "events")
+        val iv = ev.where(col("event_id") % 97 === 0)
+          .select(col("event_id").as("iv_id"), col("ts").as("iv_start"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("iv_end"))
+        IntervalJoin.pointInInterval(
+            ev.select(col("event_id"), col("ts")), "ts",
+            iv, "iv_start", "iv_end", bucketSeconds = 900)
+          .groupBy(col("iv_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy(col("iv_id"))
+      },
+      Some("WITH iv AS (SELECT event_id AS iv_id, ts AS iv_start, " +
+        "ts + INTERVAL 30 MINUTE AS iv_end FROM events WHERE event_id % 97 = 0) " +
+        "SELECT iv_id, COUNT(*) AS n_events FROM iv JOIN events e " +
+        "ON e.ts >= iv.iv_start AND e.ts <= iv.iv_end " +
+        "GROUP BY iv_id ORDER BY iv_id")),
+
     QueryDef("q11_join_cross",
       (s, d) => t(s, d, "region").crossJoin(t(s, d, "nation"))
         .select(concat(col("r_name"), lit("-"), col("n_name")).as("pair"))

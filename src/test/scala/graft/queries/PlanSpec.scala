@@ -41,6 +41,14 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Window"), p.take(800))
   }
 
+  test("q10b pure range join plans bucketed, with no BNLJ") {
+    // a bare range predicate would compile to BroadcastNestedLoopJoin;
+    // the IntervalJoin bucketing must keep it a hash equi-join
+    val p = plan("q10b_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("q54/q55 banded near-dup plans contain no all-pairs join") {
     // the whole point of the composed pipelines (VERDICT item 1): every
     // join is an equi-join on band buckets or keys — the n² shapes
