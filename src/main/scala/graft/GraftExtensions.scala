@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.ArrayDot
+import graft.functions.{ArrayDot, SortedArrayIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayDot].getName, "vec_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArrayDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedArrayIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedArrayIntersectCount(children(0), children(1))))
     ext.injectPostHocResolutionRule(_ => graft.plans.AsOfRewriteRule)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

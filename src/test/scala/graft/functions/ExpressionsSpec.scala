@@ -61,6 +61,10 @@ class ExpressionsSpec extends AnyFunSuite with SparkTestSession {
       val r = s2.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
         .collect().head.getDouble(0)
       assert(r == 11.0)
+      val ic = s2.sql(
+        "SELECT sorted_intersect_count(array(1L, 3L, 7L), array(3L, 5L, 7L, 9L)) AS c")
+        .collect().head.getInt(0)
+      assert(ic == 2)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
