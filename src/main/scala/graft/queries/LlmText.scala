@@ -150,12 +150,6 @@ object LlmText {
     * bigram shingles) exactly verified by the codegen set kernel,
     * keeping pairs with jaccard ≥ 0.35. Returns (doc_a, doc_b, jaccard),
     * unordered. */
-  /** Per-doc sorted 60-bit bigram-shingle-hash array + set size — the
-    * exact-verification side of the near-dup pipeline (and the signature
-    * state a streaming dedup materializes). */
-  private[graft] def shingleSets(docsDf: DataFrame): DataFrame =
-    nearDupState(docsDf).select(col("doc_id"), col("hs"), col("nbg"))
-
   /** The full per-doc near-dup state in ONE scan + ONE shuffle: the
     * sorted 60-bit bigram-hash set (exact-verify side) AND the 16
     * minhash components (banding side) aggregated together. MinHash is

@@ -20,8 +20,8 @@ import graft.queries.LlmText
   *  - `pairs/` — accumulated verified near-dup pairs.
   *
   * Per micro-batch: new docs' signatures/bands are computed with the
-  * SAME stages as the batch pipeline (LlmText.minhashSigDf / bandKeys /
-  * shingleSets / verifyPairs — one code path, two run modes), candidates
+  * SAME stages as the batch pipeline (LlmText.nearDupState / bandKeys /
+  * verifyPairs — one code path, two run modes), candidates
   * are new-vs-(state ∪ new) band-bucket joins (never old-vs-old: each
   * pair is discovered exactly once, in the batch where its later doc
   * arrives), verified exactly, and appended. Because a doc's band keys
