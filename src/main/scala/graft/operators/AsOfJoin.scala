@@ -71,6 +71,25 @@ object AsOfJoin {
           .select(col("event_id").as("purchase_id"), col("signup_id"))
           .orderBy(col("purchase_id"))
       },
+      Some(AsOfOracleSql)),
+
+    QueryDef("q12c_asof_broadcast",
+      // same semantics again through the BROADCAST variant
+      // (plans/AsOfJoinBroadcastExec): the signup side is broadcast and
+      // each purchase row does a hash lookup + binary search — no
+      // shuffle or sort of the purchase side at all, the shape for
+      // dimension-history (SCD) lookups where the fact side is 100 TB
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+        val signups = ev.where(col("event_type") === "signup")
+          .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
+        graft.plans.AsOfJoinNative
+          .backward(purchases, signups, Seq("user_id"), "ts", "s_ts", "signup_id",
+            broadcastRight = true)
+          .select(col("event_id").as("purchase_id"), col("signup_id"))
+          .orderBy(col("purchase_id"))
+      },
       Some(AsOfOracleSql)))
 
   private val AsOfOracleSql: String =

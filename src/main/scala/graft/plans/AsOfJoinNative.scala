@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, GenerateUnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
@@ -33,7 +33,8 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
 final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTs: Expression, rightTs: Expression, rightTie: Expression)
+    leftTs: Expression, rightTs: Expression, rightTie: Expression,
+    broadcastRight: Boolean = false)
     extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -46,8 +47,9 @@ final case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie, bcast) =>
+      if (bcast) AsOfJoinBroadcastExec(planLater(l), planLater(r), lk, rk, lts, rts, tie) :: Nil
+      else AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie) :: Nil
     case _ => Nil
   }
 }
@@ -123,7 +125,13 @@ final case class AsOfJoinExec(
           var continue = rHead != null && keyOrdering.compare(rHeadKey, currentKey) == 0
           while (continue) {
             val rTsVal = rTsB.eval(rHead)
-            if (rTsVal != null && tsOrdering.compare(rTsVal, lTsVal) <= 0) {
+            if (rTsVal == null) {
+              // a null ts can never satisfy rightTs <= leftTs: skip the
+              // row (sorted NULLS FIRST, they cluster at the group head)
+              // rather than blocking the rest of the key group behind it
+              advanceRight()
+              continue = rHead != null && keyOrdering.compare(rHeadKey, currentKey) == 0
+            } else if (tsOrdering.compare(rTsVal, lTsVal) <= 0) {
               lastMatch = rHead.copy()
               advanceRight()
               continue = rHead != null && keyOrdering.compare(rHeadKey, currentKey) == 0
@@ -247,10 +255,14 @@ final case class AsOfJoinExec(
        |  ${lTsEv.code}
        |  if (!${lTsEv.isNull}) {
        |    // absorb same-key right rows with ts <= left ts; input sorted
-       |    // by (ts, tie), so the last absorbed row is the as-of match
+       |    // by (ts, tie), so the last absorbed row is the as-of match.
+       |    // Null right ts (NULLS FIRST, clustered at the group head) is
+       |    // skipped, never a blocker
        |    while ($rHead != null && $compareKeys($rHeadKey, $currentKey) == 0) {
        |      ${rTsEv.code}
-       |      if (!${rTsEv.isNull} && $tsComp <= 0) {
+       |      if (${rTsEv.isNull}) {
+       |        $advanceRight();
+       |      } else if ($tsComp <= 0) {
        |        $matched = $rHead.copy();
        |        $advanceRight();
        |      } else {
@@ -270,6 +282,106 @@ final case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Broadcast backward as-of join: the dimension-lookup shape. When the
+  * right side is small (an SCD history, a rates table), the merge exec
+  * still forces a full shuffle + sort of the LEFT side to co-partition
+  * it — at 100 TB that is a shuffle of the entire fact table for a
+  * lookup. This variant broadcasts the right side instead and performs
+  * a per-row hash lookup + binary search over the key's (ts, tie)-sorted
+  * timeline: ZERO exchange and ZERO sort on the fact side, identical
+  * semantics (latest rightTs ≤ leftTs, greatest tie on equal ts, null
+  * right ts unmatchable). The right side is indexed once per task.
+  */
+final case class AsOfJoinBroadcastExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression, rightTie: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val numRightFields = rOut.length
+    val bc = right.executeBroadcast[Array[InternalRow]]()
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTsExpr = leftTs
+    val rTsExpr = rightTs
+    val tieExpr = rightTie
+    val outAttrs = output
+
+    left.execute().mapPartitions { lIter =>
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val rTsB = BindReferences.bindReference(rTsExpr, rOut)
+      val tieB = BindReferences.bindReference(tieExpr, rOut)
+      val tsOrd = TypeUtils.getInterpretedOrdering(lTsExpr.dataType)
+      val tieOrd = TypeUtils.getInterpretedOrdering(tieExpr.dataType)
+
+      // key → (ts, tie, row) timeline, sorted by (ts, tie); null-ts rows
+      // can never satisfy ts <= leftTs and are dropped up front
+      val index = new java.util.HashMap[InternalRow, scala.collection.mutable.ArrayBuffer[(Any, Any, InternalRow)]]()
+      bc.value.foreach { r =>
+        val ts = rTsB.eval(r)
+        if (ts != null) {
+          val k = rKeyProj(r).copy()
+          var buf = index.get(k)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer.empty[(Any, Any, InternalRow)]
+            index.put(k, buf)
+          }
+          buf += ((ts, tieB.eval(r), r))
+        }
+      }
+      val ord = new Ordering[(Any, Any, InternalRow)] {
+        def compare(a: (Any, Any, InternalRow), b: (Any, Any, InternalRow)): Int = {
+          val c = tsOrd.compare(a._1, b._1)
+          if (c != 0) c else tieOrd.compare(a._2, b._2)
+        }
+      }
+      index.values.forEach(_.sortInPlace()(ord))
+
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val lTsB = BindReferences.bindReference(lTsExpr, lOut)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(numRightFields)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+
+      lIter.map { l =>
+        val lTsVal = lTsB.eval(l)
+        var m: InternalRow = null
+        if (lTsVal != null) {
+          val buf = index.get(lKeyProj(l))
+          if (buf != null) {
+            // greatest index with ts <= leftTs: its row is the as-of
+            // match (ties already resolved by the (ts, tie) sort)
+            var lo = 0
+            var hi = buf.length - 1
+            var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (tsOrd.compare(buf(mid)._1, lTsVal) <= 0) { ans = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (ans >= 0) m = buf(ans)._3
+          }
+        }
+        joined(l, if (m == null) nullRight else m)
+        resultProj(joined)
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Public builder + strategy registration. */
 object AsOfJoinNative {
 
@@ -282,9 +394,12 @@ object AsOfJoinNative {
 
   /** Backward as-of join of two DataFrames on `keys` by `ts`, right
     * ties broken by greatest `tie`. Right-side columns should be
-    * pre-renamed to avoid output name collisions. */
+    * pre-renamed to avoid output name collisions.
+    * @param broadcastRight broadcast the (small) right side: no shuffle
+    *        or sort on the left — the SCD-lookup shape. */
   def backward(leftDf: DataFrame, rightDf: DataFrame, keys: Seq[String],
-      leftTsCol: String, rightTsCol: String, rightTieCol: String): DataFrame = {
+      leftTsCol: String, rightTsCol: String, rightTieCol: String,
+      broadcastRight: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession
     ensureRegistered(spark)
     val l = ColumnBridge.analyzed(leftDf)
@@ -301,7 +416,8 @@ object AsOfJoinNative {
         throw new IllegalArgumentException(s"column '$name' not found"))
     val plan = AsOfJoinPlan(l, r,
       keys.map(attr(l, _)), keys.map(attr(r, _)),
-      attr(l, leftTsCol), attr(r, rightTsCol), attr(r, rightTieCol))
+      attr(l, leftTsCol), attr(r, rightTsCol), attr(r, rightTieCol),
+      broadcastRight = broadcastRight)
     ColumnBridge.ofRows(spark, plan)
   }
 }

@@ -56,4 +56,57 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestSession {
       (11L, None), // ts 50 precedes every right row
       (12L, None))) // key 2 has no right rows
   }
+
+  test("a null right ts is skipped, not a group blocker (merge and broadcast)") {
+    import spark.implicits._
+    // key 1's right timeline starts with a null ts (sorted NULLS FIRST):
+    // the non-null rt 60 row behind it must still match
+    val l = Seq((1L, 100L, 10L), (2L, 100L, 11L)).toDF("k", "t", "lid")
+    val r = Seq((1L, Option.empty[Long], 19L), (1L, Some(60L), 20L),
+        (2L, Option.empty[Long], 29L))
+      .toDF("k", "rt", "rid")
+    for (bcast <- Seq(false, true)) {
+      val out = AsOfJoinNative.backward(l, r, Seq("k"), "t", "rt", "rid",
+          broadcastRight = bcast)
+        .select(col("lid"), col("rid")).orderBy(col("lid"))
+        .collect().map(row => (row.getLong(0), Option(row.get(1)))).toSeq
+      assert(out == Seq(
+        (10L, Some(20L)), // null-ts rid 19 skipped, rt 60 matches
+        (11L, None)), // key 2 has only a null-ts right row
+        s"broadcastRight=$bcast")
+    }
+  }
+
+  test("broadcast variant equals the merge variant on fixture data") {
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
+    def run(bcast: Boolean) =
+      AsOfJoinNative.backward(purchases, signups, Seq("user_id"), "ts", "s_ts",
+          "signup_id", broadcastRight = bcast)
+        .select(col("event_id").as("purchase_id"), col("signup_id"))
+        .orderBy(col("purchase_id"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    val merge = run(false)
+    val bcast = run(true)
+    assert(merge.nonEmpty)
+    assert(bcast == merge)
+  }
+
+  test("broadcast variant plans no shuffle or sort on the left side") {
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
+    val df = AsOfJoinNative.backward(purchases, signups, Seq("user_id"), "ts",
+      "s_ts", "signup_id", broadcastRight = true)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoinBroadcast"), p.take(800))
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    // the ONLY exchange is the right-side broadcast: the fact side must
+    // not be hash-partitioned or sorted
+    assert(!p.contains("Exchange hashpartitioning"), p.take(800))
+    assert(!p.contains("Sort "), p.take(800))
+  }
 }
