@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   sbt "runMain graft.cli.CdcDemo <host> <port> <database> <table>"
   * Env: MAXSCALE_USER / MAXSCALE_PASSWORD / MAXSCALE_GTID /
-  *      MAXSCALE_VERSION (optional).
+  *      MAXSCALE_VERSION / MAXSCALE_WIRE_TYPE=JSON|AVRO (optional).
   */
 object CdcDemo {
   def main(args: Array[String]): Unit = {
@@ -30,6 +30,7 @@ object CdcDemo {
       .option("database", database).option("table", table)
     sys.env.get("MAXSCALE_GTID").foreach(g => reader = reader.option("gtid", g))
     sys.env.get("MAXSCALE_VERSION").foreach(v => reader = reader.option("version", v))
+    sys.env.get("MAXSCALE_WIRE_TYPE").foreach(w => reader = reader.option("wireType", w))
 
     reader.load()
       .writeStream.format("console")

@@ -46,9 +46,23 @@ final case class AsOfJoinPlan(
 }
 
 object AsOfJoinStrategy extends SparkStrategy {
+
+  /** Opt-in stats-based physical selection (the JoinSelection pattern):
+    * when enabled and the right side's estimated size is under
+    * `spark.sql.autoBroadcastJoinThreshold`, plan the broadcast exec
+    * even without an explicit hint. Off by default so the plan shape is
+    * deterministic for plan-guarded queries; the explicit
+    * `broadcastRight` hint always wins. */
+  val AutoBroadcastKey = "spark.graft.asof.autoBroadcast"
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie, bcast) =>
-      if (bcast) AsOfJoinBroadcastExec(planLater(l), planLater(r), lk, rk, lts, rts, tie) :: Nil
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val auto = conf.getConfString(AutoBroadcastKey, "false").toBoolean &&
+        conf.autoBroadcastJoinThreshold > 0 &&
+        r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= conf.autoBroadcastJoinThreshold
+      if (bcast || auto)
+        AsOfJoinBroadcastExec(planLater(l), planLater(r), lk, rk, lts, rts, tie) :: Nil
       else AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tie) :: Nil
     case _ => Nil
   }

@@ -94,6 +94,27 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestSession {
     assert(bcast == merge)
   }
 
+  test("auto-broadcast picks the broadcast exec from right-side stats when enabled") {
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
+    def planStr = AsOfJoinNative.backward(purchases, signups, Seq("user_id"),
+      "ts", "s_ts", "signup_id").queryExecution.executedPlan.toString
+    // default off: deterministic merge plan
+    assert(planStr.contains("AsOfJoin ") && !planStr.contains("AsOfJoinBroadcast"))
+    spark.conf.set(AsOfJoinStrategy.AutoBroadcastKey, "true")
+    try {
+      // fixture signups are far under the broadcast threshold
+      assert(planStr.contains("AsOfJoinBroadcast"), planStr.take(800))
+      // threshold -1 disables broadcast entirely -> back to merge
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try assert(!planStr.contains("AsOfJoinBroadcast"), planStr.take(800))
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.conf.unset(AsOfJoinStrategy.AutoBroadcastKey)
+  }
+
   test("broadcast variant plans no shuffle or sort on the left side") {
     val ev = Tables(spark, dir, "events")
     val purchases = ev.where(col("event_type") === "purchase")
