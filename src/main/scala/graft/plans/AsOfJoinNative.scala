@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, GenerateUnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
@@ -251,6 +251,16 @@ final case class AsOfJoinExec(
 
     val tsComp = ctx.genComp(leftTs.dataType, rTsEv.value.toString, lTsEv.value.toString)
 
+    // typed output vars read from the joined row: consume with COLUMN
+    // vars, not the row itself — when this operator tops the codegen
+    // stage, the framework then builds the UnsafeRow (a raw JoinedRow
+    // would escape the stage and break collect())
+    ctx.INPUT_ROW = joinedRow
+    ctx.currentVars = null
+    val resultVars = output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+
     s"""
        |if (!$rStarted) {
        |  $rStarted = true;
@@ -285,7 +295,8 @@ final case class AsOfJoinExec(
        |    }
        |  }
        |  $joinedRow.apply($leftRow, $matched == null ? $nullRight : $matched);
-       |  ${consume(ctx, null, joinedRow)}
+       |  ${evaluateVariables(resultVars)}
+       |  ${consume(ctx, resultVars)}
        |  if (shouldStop()) return;
        |}
      """.stripMargin
@@ -296,6 +307,67 @@ final case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Task-side index over the broadcast right relation: key → (ts, tie)-
+  * sorted timeline, built lazily once per task (each task deserializes
+  * its own copy, so the lazy vals are task-local). Shared by the
+  * interpreted and generated paths of [[AsOfJoinBroadcastExec]].
+  * Null-ts rows can never satisfy `ts <= leftTs` and are dropped at
+  * build time. */
+final class AsOfBroadcastIndex(
+    bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]],
+    rightKeys: Seq[Expression], rightOutput: Seq[Attribute],
+    rightTs: Expression, rightTie: Expression,
+    tsType: org.apache.spark.sql.types.DataType) extends Serializable {
+
+  @transient private lazy val tsOrd = TypeUtils.getInterpretedOrdering(tsType)
+
+  @transient private lazy val index: java.util.HashMap[InternalRow, Array[(Any, InternalRow)]] = {
+    val rKeyProj = UnsafeProjection.create(rightKeys, rightOutput)
+    val rTsB = BindReferences.bindReference(rightTs, rightOutput)
+    val tieB = BindReferences.bindReference(rightTie, rightOutput)
+    val tieOrd = TypeUtils.getInterpretedOrdering(rightTie.dataType)
+    val grouped = new java.util.HashMap[InternalRow, scala.collection.mutable.ArrayBuffer[(Any, Any, InternalRow)]]()
+    bc.value.foreach { r =>
+      val ts = rTsB.eval(r)
+      if (ts != null) {
+        val k = rKeyProj(r).copy()
+        var buf = grouped.get(k)
+        if (buf == null) {
+          buf = scala.collection.mutable.ArrayBuffer.empty[(Any, Any, InternalRow)]
+          grouped.put(k, buf)
+        }
+        buf += ((ts, tieB.eval(r), r))
+      }
+    }
+    val ord = new Ordering[(Any, Any, InternalRow)] {
+      def compare(a: (Any, Any, InternalRow), b: (Any, Any, InternalRow)): Int = {
+        val c = tsOrd.compare(a._1, b._1)
+        if (c != 0) c else tieOrd.compare(a._2, b._2)
+      }
+    }
+    val out = new java.util.HashMap[InternalRow, Array[(Any, InternalRow)]]()
+    grouped.forEach((k, buf) =>
+      out.put(k, buf.sorted(ord).map(t => (t._1, t._3)).toArray))
+    out
+  }
+
+  /** Latest right row of `key`'s timeline with ts ≤ `lTs`, else null
+    * (ties already resolved by the (ts, tie) build sort). */
+  def lookup(key: InternalRow, lTs: Any): InternalRow = {
+    val buf = index.get(key)
+    if (buf == null) return null
+    var lo = 0
+    var hi = buf.length - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (tsOrd.compare(buf(mid)._1, lTs) <= 0) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (ans >= 0) buf(ans)._2 else null
+  }
+}
+
 /** Broadcast backward as-of join: the dimension-lookup shape. When the
   * right side is small (an SCD history, a rates table), the merge exec
   * still forces a full shuffle + sort of the LEFT side to co-partition
@@ -304,13 +376,16 @@ final case class AsOfJoinExec(
   * a per-row hash lookup + binary search over the key's (ts, tie)-sorted
   * timeline: ZERO exchange and ZERO sort on the fact side, identical
   * semantics (latest rightTs ≤ leftTs, greatest tie on equal ts, null
-  * right ts unmatchable). The right side is indexed once per task.
+  * right ts unmatchable). Whole-stage codegen generates the probe loop
+  * (the BroadcastHashJoin pattern — broadcast prepared at codegen time,
+  * the per-row path fused with the parent's consume); the interpreted
+  * doExecute is the janino-failure fallback.
   */
 final case class AsOfJoinBroadcastExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression, rightTie: Expression)
-    extends BinaryExecNode {
+    extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -318,77 +393,81 @@ final case class AsOfJoinBroadcastExec(
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
 
+  private def buildIndex(): AsOfBroadcastIndex =
+    new AsOfBroadcastIndex(right.executeBroadcast[Array[InternalRow]](),
+      rightKeys, right.output, rightTs, rightTie, leftTs.dataType)
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
-    val rOut = right.output
-    val numRightFields = rOut.length
-    val bc = right.executeBroadcast[Array[InternalRow]]()
+    val numRightFields = right.output.length
+    val helper = buildIndex()
     val lKeyExprs = leftKeys
-    val rKeyExprs = rightKeys
     val lTsExpr = leftTs
-    val rTsExpr = rightTs
-    val tieExpr = rightTie
     val outAttrs = output
 
     left.execute().mapPartitions { lIter =>
-      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-      val rTsB = BindReferences.bindReference(rTsExpr, rOut)
-      val tieB = BindReferences.bindReference(tieExpr, rOut)
-      val tsOrd = TypeUtils.getInterpretedOrdering(lTsExpr.dataType)
-      val tieOrd = TypeUtils.getInterpretedOrdering(tieExpr.dataType)
-
-      // key → (ts, tie, row) timeline, sorted by (ts, tie); null-ts rows
-      // can never satisfy ts <= leftTs and are dropped up front
-      val index = new java.util.HashMap[InternalRow, scala.collection.mutable.ArrayBuffer[(Any, Any, InternalRow)]]()
-      bc.value.foreach { r =>
-        val ts = rTsB.eval(r)
-        if (ts != null) {
-          val k = rKeyProj(r).copy()
-          var buf = index.get(k)
-          if (buf == null) {
-            buf = scala.collection.mutable.ArrayBuffer.empty[(Any, Any, InternalRow)]
-            index.put(k, buf)
-          }
-          buf += ((ts, tieB.eval(r), r))
-        }
-      }
-      val ord = new Ordering[(Any, Any, InternalRow)] {
-        def compare(a: (Any, Any, InternalRow), b: (Any, Any, InternalRow)): Int = {
-          val c = tsOrd.compare(a._1, b._1)
-          if (c != 0) c else tieOrd.compare(a._2, b._2)
-        }
-      }
-      index.values.forEach(_.sortInPlace()(ord))
-
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val lTsB = BindReferences.bindReference(lTsExpr, lOut)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(numRightFields)
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
-
       lIter.map { l =>
         val lTsVal = lTsB.eval(l)
-        var m: InternalRow = null
-        if (lTsVal != null) {
-          val buf = index.get(lKeyProj(l))
-          if (buf != null) {
-            // greatest index with ts <= leftTs: its row is the as-of
-            // match (ties already resolved by the (ts, tie) sort)
-            var lo = 0
-            var hi = buf.length - 1
-            var ans = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (tsOrd.compare(buf(mid)._1, lTsVal) <= 0) { ans = mid; lo = mid + 1 }
-              else hi = mid - 1
-            }
-            if (ans >= 0) m = buf(ans)._3
-          }
-        }
+        val m = if (lTsVal == null) null else helper.lookup(lKeyProj(l), lTsVal)
         joined(l, if (m == null) nullRight else m)
         resultProj(joined)
       }
     }
+  }
+
+  // ---- whole-stage codegen: single streamed input, broadcast probe
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] = left.execute() :: Nil
+
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val input = ctx.addMutableState("scala.collection.Iterator", "asofBcInput",
+      v => s"$v = inputs[0];")
+    // broadcast prepared at codegen time, like BroadcastHashJoinExec
+    val idx = ctx.addReferenceObj("asofBcIndex", buildIndex(),
+      classOf[AsOfBroadcastIndex].getName)
+    val joinedRow = ctx.addMutableState(
+      "org.apache.spark.sql.catalyst.expressions.JoinedRow", "asofBcJoinedRow",
+      v => s"$v = new org.apache.spark.sql.catalyst.expressions.JoinedRow();")
+    val nullRight = ctx.addMutableState("InternalRow", "asofBcNullRight",
+      v => s"$v = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(${right.output.length});")
+
+    val leftRow = ctx.freshName("asofBcLeftRow")
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val leftKeyEv = GenerateUnsafeProjection.createCode(ctx,
+      BindReferences.bindReferences(leftKeys, left.output))
+    val lTsEv = BindReferences.bindReference(leftTs, left.output).genCode(ctx)
+    val matched = ctx.freshName("asofBcMatched")
+
+    // column vars from the joined row — see AsOfJoinExec.doProduce
+    ctx.INPUT_ROW = joinedRow
+    ctx.currentVars = null
+    val resultVars = output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+
+    s"""
+       |while ($input.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $input.next();
+       |  ${lTsEv.code}
+       |  InternalRow $matched = null;
+       |  if (!${lTsEv.isNull}) {
+       |    ${leftKeyEv.code}
+       |    $matched = $idx.lookup((UnsafeRow) ${leftKeyEv.value}, ${lTsEv.value});
+       |  }
+       |  $joinedRow.apply($leftRow, $matched == null ? $nullRight : $matched);
+       |  ${evaluateVariables(resultVars)}
+       |  ${consume(ctx, resultVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

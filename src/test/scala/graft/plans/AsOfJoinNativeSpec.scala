@@ -94,6 +94,20 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestSession {
     assert(bcast == merge)
   }
 
+  test("both execs collect when they top the codegen stage (no projection above)") {
+    // regression: consume() must emit typed column vars, not the raw
+    // JoinedRow — a bare collect() of the join output exercises the
+    // stage-top path where the framework builds the UnsafeRow
+    import spark.implicits._
+    val l = Seq((1L, 100L, 10L)).toDF("k", "t", "lid")
+    val r = Seq((1L, 60L, 20L)).toDF("k", "rt", "rid")
+    for (bcast <- Seq(false, true)) {
+      val rows = AsOfJoinNative.backward(l, r, Seq("k"), "t", "rt", "rid",
+        broadcastRight = bcast).collect()
+      assert(rows.length == 1 && rows.head.getLong(5) == 20L, s"broadcastRight=$bcast")
+    }
+  }
+
   test("auto-broadcast picks the broadcast exec from right-side stats when enabled") {
     val ev = Tables(spark, dir, "events")
     val purchases = ev.where(col("event_type") === "purchase")
@@ -122,6 +136,7 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestSession {
       .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
     val df = AsOfJoinNative.backward(purchases, signups, Seq("user_id"), "ts",
       "s_ts", "signup_id", broadcastRight = true)
+    df.collect() // finalize AQE stages
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("AsOfJoinBroadcast"), p.take(800))
     assert(p.contains("BroadcastExchange"), p.take(800))
@@ -129,5 +144,11 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestSession {
     // not be hash-partitioned or sorted
     assert(!p.contains("Exchange hashpartitioning"), p.take(800))
     assert(!p.contains("Sort "), p.take(800))
+    // and the probe loop is whole-stage codegen'd (the *(n) marker);
+    // fallback=false turns a janino failure into a hard error
+    assert("""\*\(\d+\) AsOfJoinBroadcast""".r.findFirstIn(p).nonEmpty, p.take(800))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try assert(df.collect().nonEmpty)
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 }

@@ -67,10 +67,13 @@ class BandedNearDupSpec extends AnyFunSuite with SparkTestSession {
   test("fixture band buckets are all far below the cap (hashes can't change)") {
     import org.apache.spark.sql.functions._
     // both production banding configs: q44 (3-gram, 8 bands × 1 hash) and
-    // q54 (2-gram, 8 bands × 2 hashes). sf0.1 maxima measured offline:
-    // 21 and 141, both ≪ HotBucketCap = 500.
-    for ((n, nBands, bandR) <- Seq((3, 8, 1), (2, 8, 2))) {
-      val sig = LlmText.minhashSig(spark, dir, n, nBands * bandR)
+    // q54 (2-gram, 8 bands × 2 hashes) — guarded at sf0.1 too, because
+    // that tier holds the only >100-member bucket (141 measured) and is
+    // where a fixture regeneration would first push capped Spark results
+    // away from the uncapped DuckDB oracle
+    for (tier <- Seq(dir, "/root/testdata/sf0.1");
+         (n, nBands, bandR) <- Seq((3, 8, 1), (2, 8, 2))) {
+      val sig = LlmText.minhashSig(spark, tier, n, nBands * bandR)
       val keys = (0 until nBands).map(j =>
         struct((0 until bandR).map(k => col(s"h${bandR * j + k}").as(s"k$k")): _*))
       val maxBucket = sig.select(col("doc_id"),
@@ -78,7 +81,7 @@ class BandedNearDupSpec extends AnyFunSuite with SparkTestSession {
         .groupBy(col("band"), col("key")).agg(count(lit(1)).as("c"))
         .agg(max(col("c"))).head().getLong(0)
       assert(maxBucket <= LlmText.HotBucketCap / 2,
-        s"$n-gram ${nBands}x$bandR fixture bucket $maxBucket approaching cap — " +
+        s"$tier $n-gram ${nBands}x$bandR fixture bucket $maxBucket approaching cap — " +
           "capped results would diverge from the uncapped oracle")
     }
   }
