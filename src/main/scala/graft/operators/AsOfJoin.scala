@@ -24,7 +24,11 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       ts: String, tie: String, payload: Seq[String]): DataFrame = {
     val keyCols = keys.map(col)
-    val rSel = right.select(
+    // a null right ts can never satisfy rightTs <= leftTs (SQL comparison
+    // semantics); unfiltered it would sort NULLS FIRST and be picked up
+    // by the running last() for every later left row — drop up front
+    // (matches the native merge/broadcast execs, AsOfDifferentialSpec)
+    val rSel = right.where(col(ts).isNotNull).select(
       keyCols ++ Seq(col(ts), lit(0).as("_side"), col(tie).cast("long").as("_tie"),
         struct(payload.map(col): _*).as("_r")): _*)
     val lSel = left.select(
