@@ -39,6 +39,29 @@ class IntervalJoinSpec extends AnyFunSuite with SparkTestSession {
       s"missing=${naive -- bucketed} extra=${bucketed -- naive}")
   }
 
+  test("equals the naive range join on randomized inputs and widths (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 3) {
+      val points = (0 until 300).map(i => (i.toLong, rnd.nextInt(5000).toLong))
+        .toDF("pid", "e").select(col("pid"), timestamp_seconds(col("e")).as("ts"))
+      val intervals = (0 until 40).map { i =>
+        val s = rnd.nextInt(5000).toLong
+        (i.toLong, s, s + rnd.nextInt(400).toLong)
+      }.toDF("iid", "s0", "e0").select(col("iid"),
+        timestamp_seconds(col("s0")).as("start"), timestamp_seconds(col("e0")).as("end"))
+      val width = Seq(30L, 97L, 600L)(trial)
+      val bucketed = IntervalJoin.pointInInterval(points, "ts", intervals, "start", "end", width)
+        .select(col("pid"), col("iid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = points.crossJoin(intervals)
+        .where(col("ts") >= col("start") && col("ts") <= col("end"))
+        .select(col("pid"), col("iid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(naive.nonEmpty, s"trial $trial degenerate")
+      assert(bucketed == naive, s"trial $trial width=$width: " +
+        s"missing=${(naive -- bucketed).take(3)} extra=${(bucketed -- naive).take(3)}")
+    }
+  }
+
   test("plans as a hash equi-join on the bucket, not a BNLJ") {
     import spark.implicits._
     val points = (0 until 1000).map(i => (i.toLong, i * 7L)).toDF("pid", "epoch")
