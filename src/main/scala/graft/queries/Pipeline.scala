@@ -33,6 +33,58 @@ object Pipeline {
   private def bucketSql(salt: String, key: String) =
     s"CAST(('0x' || substring(md5('$salt' || CAST($key AS VARCHAR)),1,8)) AS BIGINT) % 100"
 
+  /** q67's fixed keyword query (terms present across fixture sources
+    * with moderate document frequency). */
+  private[graft] val Bm25Terms = Seq("vector", "merge", "stream", "window", "customer")
+
+  /** BM25 idf per term, quantized to integer micro-units. `ln` is the
+    * ONE transcendental in the scoring chain, and libm implementations
+    * legitimately differ in the last ulp (measured: 1 of 249 probe
+    * inputs differs between JDK `Math.log` and DuckDB `ln`) — so the idf
+    * is floored to 1e-6 precision immediately, and `Bm25Spec` asserts
+    * every fixture (N, df) input lands ≫ 1 ulp away from a quantization
+    * boundary, making the integer idf engine-portable. Every literal is
+    * CAST to DOUBLE because bare decimal literals are DECIMAL-typed in
+    * BOTH engines but with engine-specific decimal division scales. */
+  private[graft] val Bm25IdfMuExpr: String =
+    "CAST(floor(ln((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+      "(CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) " +
+      "* 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
+  /** Per-(doc, term) BM25 contribution (k1 = 1.2, b = 0.75) in integer
+    * micro-units: `idf_mu` (already an exact integer) scaled by the tf
+    * damping factor — pure IEEE arithmetic on identical inputs in an
+    * identical operation order, hence bit-identical on both engines;
+    * the floor then makes the per-doc SUM order-independent. */
+  private[graft] val Bm25ContribExpr: String =
+    "CAST(floor(idf_mu * (tf * CAST(2.2 AS DOUBLE) / (tf + CAST(1.2 AS DOUBLE) * " +
+      "(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))) " +
+      "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
+  /** BM25 scores for [[Bm25Terms]] over a documents relation:
+    * (doc_id, score_micro), score_micro = Σ_term contribution in 1e-6
+    * units (BIGINT — ranking ties are impossible to mis-order across
+    * engines because no float ever leaves the query). Shape: token
+    * explode → two hash aggs (dl, tf) co-partitioned on doc_id; the
+    * term-level side (df → idf) is k rows and broadcast; corpus stats
+    * ride along as a broadcast 1-row cross join. Exposed for the spec's
+    * partitioning-invariance and boundary-margin checks. */
+  private[graft] def bm25Scores(docsDf: DataFrame): DataFrame = {
+    val tok = docsDf.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      .select(col("n_docs"), (col("tot").cast("double") / col("n_docs")).as("avgdl"))
+    val tf = tok.where(col("tok").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = dft.crossJoin(broadcast(stats)).select(col("tok"), expr(Bm25IdfMuExpr).as("idf_mu"))
+    tf.join(broadcast(idf), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), expr(Bm25ContribExpr).as("c_mu"))
+      .groupBy(col("doc_id")).agg(sum(col("c_mu")).as("score_micro"))
+  }
+
   /** Per-doc train/valid/test assignment (the q58 core), exposed so the
     * partitioning-invariance spec can apply it to arbitrarily
     * repartitioned input: a pure per-row function of doc_id. */
@@ -320,5 +372,29 @@ object Pipeline {
         "SELECT d.source, COUNT(*) AS n_docs, " +
         "CAST(SUM(CASE WHEN ratio > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
         "ROUND(AVG(ratio), 4) AS avg_rep " +
-        "FROM perdoc p JOIN documents d USING (doc_id) GROUP BY d.source ORDER BY d.source")))
+        "FROM perdoc p JOIN documents d USING (doc_id) GROUP BY d.source ORDER BY d.source")),
+
+    QueryDef("q67_bm25_retrieval",
+      // BM25 keyword retrieval (k1 = 1.2, b = 0.75): the ranked-search
+      // primitive a curation pipeline uses for targeted corpus pulls and
+      // contamination audits. Top-20 docs for a fixed 5-term query,
+      // scored in integer micro-units end-to-end (see bm25Scores) so the
+      // ranking — including ties, broken by doc_id — is deterministic on
+      // any engine and any partitioning. Scale shape: inverted-index
+      // hash aggs co-partitioned on doc_id; term stats (k rows) and
+      // corpus stats (1 row) broadcast; top-k is TakeOrderedAndProject,
+      // never a global sort.
+      (s, d) => bm25Scores(docs(s, d))
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(20),
+      Some("WITH tok AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS tok FROM documents), " +
+        "dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id), " +
+        "stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl), " +
+        "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok WHERE tok IN " +
+        Bm25Terms.map(t => s"'$t'").mkString("(", ",", ")") + " GROUP BY 1, 2), " +
+        "dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok), " +
+        s"idf AS (SELECT tok, $Bm25IdfMuExpr AS idf_mu FROM dfq CROSS JOIN stats), " +
+        s"c AS (SELECT tf.doc_id, $Bm25ContribExpr AS c_mu " +
+        "FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats) " +
+        "SELECT doc_id, CAST(SUM(c_mu) AS BIGINT) AS score_micro FROM c " +
+        "GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 20")))
 }

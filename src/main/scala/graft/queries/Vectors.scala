@@ -174,5 +174,55 @@ object Vectors {
         "r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id " +
         "ORDER BY sim DESC, vec_id) AS rnk FROM c) " +
         "SELECT query_id, rnk, vec_id AS neighbor_id, sim FROM r WHERE rnk <= 3 " +
-        "ORDER BY query_id, rnk")))
+        "ORDER BY query_id, rnk")),
+
+    QueryDef("q68_kmeans_cells",
+      // Deterministic quantized Lloyd's k-means (operators/KMeansLloyd):
+      // the engine-portable centroid trainer behind an IVF index and the
+      // topic-bucketing step of corpus curation. k = 4 cells seeded from
+      // the 4 lowest vec_ids, 2 assign→update rounds, everything in
+      // quantized integer space (distances are exact integer Σ(xi−ci)²,
+      // centroid means re-quantized by one correctly-rounded double
+      // division) — so unlike MLlib KMeans (AnnIvf's trainer) the whole
+      // clustering is oracle-hashable. Output: per surviving cell, its
+      // member count under the final assignment and the squared L2 norm
+      // of its final centroid in micro-units. Scale shape: each
+      // assignment pass is MAP-ONLY (centroids fold into the plan as
+      // literal arrays — no join, no shuffle); each update is one hash
+      // agg into k·dim groups with map-side partials; driver traffic is
+      // the k·dim centroid table per round (same bound as AnnIvf).
+      // NOTE the oracle's seed CTE writes cell = vec_id, relying on the
+      // fixture's contiguous 0-based vec_ids matching KMeansLloyd's
+      // rank-based seed ids.
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.KMeansLloyd
+        val vecs = Tables(s, d, "embeddings")
+          .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+        val (assigned, cents) = KMeansLloyd.run(vecs, "vec_id", k = 4, iters = 2)
+        val norms = cents.map(c => (c.cell, c.ci.map(x => x * x).sum)).toDF("cell", "centroid_norm2")
+        assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+          .join(broadcast(norms), Seq("cell"))
+          .select(col("cell").cast("long").as("cell"), col("n_members"), col("centroid_norm2"))
+          .orderBy(col("cell"))
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
+        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+        "c0 AS (SELECT vec_id AS cell, d, xi AS ci FROM comps WHERE vec_id < 4), " +
+        "d1 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c0 k USING (d) GROUP BY 1, 2), " +
+        "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
+        "c1 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+        "FROM comps c JOIN a1 a USING (vec_id) GROUP BY 1, 2), " +
+        "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
+        "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
+        "c2 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+        "FROM comps c JOIN a2 a USING (vec_id) GROUP BY 1, 2), " +
+        "n AS (SELECT cell, COUNT(*) AS n_members FROM a2 GROUP BY cell), " +
+        "cn AS (SELECT cell, CAST(SUM(ci*ci) AS BIGINT) AS centroid_norm2 FROM c2 GROUP BY cell) " +
+        "SELECT cell, n_members, centroid_norm2 FROM n JOIN cn USING (cell) ORDER BY cell")))
 }

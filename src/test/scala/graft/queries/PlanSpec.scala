@@ -49,6 +49,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("q67 top-k retrieval plans TakeOrderedAndProject over hash aggs") {
+    // the LIMIT 20 must never become a global sort, and BM25's per-doc
+    // and per-term stats must be partial-agg hash aggregations (the
+    // broadcast 1-row/5-row cross joins ARE the intended shape — only
+    // the top-k and agg structure are load-bearing here)
+    val p = plan("q67_bm25_retrieval")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p.take(800))
+  }
+
   test("q54/q55 banded near-dup plans contain no all-pairs join") {
     // the whole point of the composed pipelines (VERDICT item 1): every
     // join is an equi-join on band buckets or keys — the n² shapes
