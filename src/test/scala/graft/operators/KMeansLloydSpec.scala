@@ -55,6 +55,42 @@ class KMeansLloydSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("matches an independent driver-side Lloyd's on random data (differential)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val data = (0 until 120).map(i =>
+      (i.toLong, Array.fill(6)(math.floor(rnd.nextDouble() * 2e6 - 1e6).toLong)))
+    for ((k, iters) <- Seq((2, 1), (3, 2), (5, 3))) {
+      // reference: same rules (lowest-id seeds, exact integer distances,
+      // ties to lower cell, floor(sum/n + 0.5) re-quantization, empty
+      // cells dropped), implemented independently over plain collections
+      var cents: Seq[(Int, Array[Long])] =
+        data.sortBy(_._1).take(k).zipWithIndex.map { case ((_, xi), i) => (i, xi) }
+      var assignRef: Map[Long, Int] = Map.empty
+      for (_ <- 1 to iters) {
+        assignRef = data.map { case (id, xi) =>
+          id -> cents.map { case (c, ci) =>
+            (xi.zip(ci).map { case (x, y) => (x - y) * (x - y) }.sum, c)
+          }.min._2
+        }.toMap
+        val byCell = data.groupBy(p => assignRef(p._1))
+        cents = byCell.toSeq.sortBy(_._1).map { case (c, pts) =>
+          (c, (0 until 6).map { d =>
+            math.floor(pts.map(_._2(d)).sum.toDouble / pts.size + 0.5).toLong
+          }.toArray)
+        }
+      }
+      val vecs = data.toDF("vec_id", "xi").repartition(7)
+      val (assigned, gotCents) = KMeansLloyd.run(vecs, "vec_id", k, iters)
+      val gotAssign = assigned.select(col("vec_id"), col("cell")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(gotAssign == assignRef, s"k=$k iters=$iters: assignment diverged")
+      assert(gotCents.map(c => c.cell -> c.ci.toSeq).toMap ==
+        cents.map { case (c, ci) => c -> ci.toSeq }.toMap,
+        s"k=$k iters=$iters: centroids diverged")
+    }
+  }
+
   test("q68 conserves the corpus and emits integer centroid norms") {
     val total = Tables(spark, dir, "embeddings").count()
     val rows = SparkEntry.queries("q68_kmeans_cells")(spark, dir).collect()

@@ -47,6 +47,33 @@ class Bm25Spec extends AnyFunSuite with SparkTestSession {
       s"bm25 scores changed under repartition($parts)")
   }
 
+  test("matches an independent driver-side BM25 on the fixture (differential)") {
+    // reference implementation over plain collections with the same
+    // quantization rules — pins the distributed agg/join chain to the
+    // scoring formula itself
+    val docsRows = Tables(spark, dirs.head, "documents")
+      .select(col("doc_id"), col("text")).collect()
+    val toks = docsRows.map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val dl = toks.map { case (id, t) => id -> t.length }.toMap
+    val n = toks.length
+    val avgdl = dl.values.sum.toDouble / n
+    val dfm = Pipeline.Bm25Terms.map(t => t -> toks.count(_._2.contains(t))).toMap
+    val idfMu = Pipeline.Bm25Terms.filter(dfm(_) > 0).map(t => t ->
+      math.floor(math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0) * 1000000 + 0.5).toLong).toMap
+    val ref = toks.flatMap { case (id, t) =>
+      val contribs = Pipeline.Bm25Terms.flatMap { term =>
+        val tf = t.count(_ == term)
+        if (tf == 0) None
+        else Some(math.floor(idfMu(term) *
+          (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl(id) / avgdl))) + 0.5).toLong)
+      }
+      if (contribs.isEmpty) None else Some(id -> contribs.sum)
+    }.toMap
+    val got = Pipeline.bm25Scores(Tables(spark, dirs.head, "documents")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+  }
+
   test("q67 top-20 is well-formed: term-bearing docs, positive integer scores, ranked") {
     val dir = dirs.head
     val rows = SparkEntry.queries("q67_bm25_retrieval")(spark, dir).collect()
