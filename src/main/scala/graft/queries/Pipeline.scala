@@ -85,6 +85,29 @@ object Pipeline {
       .groupBy(col("doc_id")).agg(sum(col("c_mu")).as("score_micro"))
   }
 
+  /** The q69 body over a documents relation (exposed for the
+    * partitioning-invariance spec): per-source unigram-LM surprisal
+    * stats — see the q69 QueryDef comment for the full doctrine. */
+  private[graft] def lmSurprisal(docsDf: DataFrame): DataFrame = {
+    val tok = docsDf.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    val tot = tok.agg(count(lit(1)).as("t_total"))
+    val lm = tok.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(tot))
+      .select(col("tok"), expr(
+        "CAST(floor(ln(CAST(t_total AS DOUBLE) / freq) * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("s_mu"))
+    val perDoc = tok.join(lm, Seq("tok"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("s_mu")).as("ssum"), count(lit(1)).as("n_tok"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ssum") > lit(35000L) * col("n_tok"), 1L).otherwise(0L))
+          .cast("long").as("n_flagged"),
+        expr("CAST(floor(CAST(SUM(ssum) AS DOUBLE) / SUM(n_tok) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("avg_surprisal_e4"))
+      .orderBy(col("source"))
+  }
+
   /** Per-doc train/valid/test assignment (the q58 core), exposed so the
     * partitioning-invariance spec can apply it to arbitrarily
     * repartitioned input: a pure per-row function of doc_id. */
@@ -396,5 +419,33 @@ object Pipeline {
         s"c AS (SELECT tf.doc_id, $Bm25ContribExpr AS c_mu " +
         "FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats) " +
         "SELECT doc_id, CAST(SUM(c_mu) AS BIGINT) AS score_micro FROM c " +
-        "GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 20")))
+        "GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 20")),
+
+    QueryDef("q69_lm_surprisal",
+      // Unigram-LM quality scoring (the CCNet/KenLM-style filter signal):
+      // train the LM on the corpus itself (MLE, every scored token has
+      // freq ≥ 1 by construction), score each doc by its mean token
+      // surprisal ln(T/freq), flag docs whose mean exceeds 3.5 nats —
+      // rare-token-heavy docs, the tail a quality filter drops or
+      // down-weights. Portability follows the q67 doctrine: the ONE
+      // transcendental (ln) is quantized to 1e-4-nat integers at the
+      // vocabulary level (Bm25Spec-style margin guarded in LmSurprisalSpec),
+      // after which everything is integer — per-doc sums are order-free,
+      // the flag test is a pure integer comparison (ssum > 35000·n_tok),
+      // and the per-source mean is ONE correctly-rounded division of
+      // exact integer sums (token-weighted — never an order-dependent
+      // AVG of doubles). Scale shape: token explode → vocab hash agg →
+      // equi-join tokens to the (vocab-sized) LM table → two hash aggs;
+      // the corpus total rides as a broadcast 1-row cross join.
+      (s, d) => lmSurprisal(docs(s, d)),
+      Some("WITH tok AS (SELECT doc_id, source, UNNEST(string_split(text,' ')) AS tok FROM documents), " +
+        "tot AS (SELECT COUNT(*) AS t_total FROM tok), " +
+        "lm AS (SELECT tok, CAST(floor(ln(CAST(t_total AS DOUBLE) / COUNT(*)) * 10000 " +
+        "+ CAST(0.5 AS DOUBLE)) AS BIGINT) AS s_mu FROM tok CROSS JOIN tot GROUP BY tok, t_total), " +
+        "perdoc AS (SELECT doc_id, source, SUM(s_mu) AS ssum, COUNT(*) AS n_tok " +
+        "FROM tok JOIN lm USING (tok) GROUP BY 1, 2) " +
+        "SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN ssum > 35000 * n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
+        "CAST(floor(CAST(SUM(ssum) AS DOUBLE) / SUM(n_tok) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS avg_surprisal_e4 " +
+        "FROM perdoc GROUP BY source ORDER BY source")))
 }
