@@ -151,32 +151,40 @@ object LlmText {
     * keeping pairs with jaccard ≥ 0.35. Returns (doc_a, doc_b, jaccard),
     * unordered. */
   /** The full per-doc near-dup state in ONE scan + ONE shuffle: the
-    * sorted 60-bit bigram-hash set (exact-verify side) AND the 16
-    * minhash components (banding side) aggregated together. MinHash is
-    * duplicate-blind and collect_set dedupes, so aggregating straight
-    * over raw shingle occurrences needs no distinct pre-shuffle; and
-    * because the pipeline's three uses of this relation (band explode +
-    * both verify sides) produce identical exchanges, ReuseExchange
-    * computes the shuffle once. Replaces the previous two-pass shape
-    * (separate sig and set aggregations over the same shingle stream). */
-  private[graft] def nearDupState(docsDf: DataFrame): DataFrame = {
-    val raw = shinglesRawDf(docsDf, 2)
+    * sorted 60-bit `n`-gram-hash set (exact-verify side) AND the
+    * `nHashes` minhash components (banding side) aggregated together.
+    * MinHash is duplicate-blind and collect_set dedupes, so aggregating
+    * straight over raw shingle occurrences needs no distinct
+    * pre-shuffle; and because a pipeline's uses of this relation (band
+    * explode + both verify sides) produce identical exchanges,
+    * ReuseExchange computes the shuffle once. Replaces the previous
+    * two-pass shape (separate sig and set aggregations over the same
+    * shingle stream). Defaults are the q54/q57/q61/q66 design (bigrams,
+    * 8×2 bands); q44 uses (3, 8) for its 3-gram 8×1 design. */
+  private[graft] def nearDupState(docsDf: DataFrame, n: Int = 2, nHashes: Int = 16): DataFrame = {
+    val raw = shinglesRawDf(docsDf, n)
     val hashed = raw.select(col("doc_id") +:
       conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h60") +:
-      (0 until 16).map { i =>
+      (0 until nHashes).map { i =>
         val salt = s"${('a' + i / 4).toChar}:"
         val m = md5(concat(lit(salt), col("sh")))
         conv(substring(m, 1 + 8 * (i % 4), 8), 16, 10).cast("long").as(s"x$i")
       }: _*)
     val aggs = sort_array(collect_set(col("h60"))).as("hs") +:
-      (0 until 16).map(i => min(col(s"x$i")).as(s"h$i"))
+      (0 until nHashes).map(i => min(col(s"x$i")).as(s"h$i"))
     hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .withColumn("nbg", size(col("hs")))
   }
 
   /** Exact Jaccard verification of candidate pairs against shingle-set
-    * state (codegen two-pointer merge), keeping jaccard ≥ 0.35. */
-  private[graft] def verifyPairs(cand: DataFrame, sets: DataFrame): DataFrame = {
+    * state (codegen two-pointer merge), keeping jaccard ≥ `minJaccard`.
+    * `minInter` = 1 reproduces an inverted-index verify's inner-join
+    * semantics (zero-overlap candidates vanish) WITHOUT relying on the
+    * rounded jaccard being nonzero — at corpus scale a genuine 1-shingle
+    * overlap between long docs rounds to 0.0000 and must still survive
+    * when the contract keeps all overlapping pairs (q44). */
+  private[graft] def verifyPairs(cand: DataFrame, sets: DataFrame,
+      minJaccard: Double = 0.35, minInter: Long = 0L): DataFrame = {
     import graft.functions.SortedArrayIntersectCount
     import org.apache.spark.sql.graftbridge.ColumnBridge
     def interCount(a: Column, b: Column): Column =
@@ -187,9 +195,10 @@ object LlmText {
       .select(col("doc_a"), col("doc_b"),
         interCount(col("a.hs"), col("b.hs")).as("ninter"),
         (col("a.nbg") + col("b.nbg")).as("ntot"))
+      .where(col("ninter") >= minInter)
       .select(col("doc_a"), col("doc_b"),
         round(col("ninter").cast("double") / (col("ntot") - col("ninter")), 4).as("jaccard"))
-      .where(col("jaccard") >= 0.35)
+      .where(col("jaccard") >= minJaccard)
   }
 
   private[graft] def bandedNearDupPairs(s: SparkSession, d: String): DataFrame = {
@@ -254,19 +263,19 @@ object LlmText {
     QueryDef("q44_minhash_pairs",
       // MinHash-LSH over 3-gram shingles: 8 md5-derived min-hashes per
       // doc; candidate pairs share any band (8 bands × 1 hash); exact
-      // shingle-set Jaccard computed only for candidates. Candidate
-      // generation is a hash-equi-join on (band, minhash) — no n² pass.
+      // shingle-set Jaccard computed only for candidates — via the
+      // one-scan nearDupState + codegen sorted-set kernel (the q54
+      // verify shape; the previous shingle×shingle inverted-index join
+      // cost a second full shingle shuffle and a Σdf² blowup on hot
+      // shingles). Candidate generation is a hash-equi-join on
+      // (band, minhash) — no n² pass; minInter = 1 reproduces the
+      // oracle's inverted-index inner-join semantics (zero-overlap
+      // band-collision candidates vanish, every overlapping pair stays).
       (s, d) => {
-        val sh = shingles(s, d, 3)
-        val cand = bandedCandidates(minhashSig(s, d, 3, 8), 8, 1)
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-        val inter = cand.join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ninter"))
-        inter.join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-          .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
-          .select(col("doc_a"), col("doc_b"),
-            round(col("ninter").cast("double") / (col("za.nsh") + col("zb.nsh") - col("ninter")), 4).as("jaccard"))
+        val state = nearDupState(docs(s, d), n = 3, nHashes = 8)
+        verifyPairs(bandedCandidates(state, 8, 1),
+          state.select(col("doc_id"), col("hs"), col("nbg")),
+          minJaccard = 0.0, minInter = 1L)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some("WITH " + shinglesSql(3) + ", " + minhashSigSql(8, 1) + ", " +
