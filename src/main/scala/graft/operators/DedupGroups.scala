@@ -111,9 +111,16 @@ object DedupGroups {
     var i = 0
     while (!converged && i < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // fixpoint test: same cardinality and no edge outside the old set
-      val grew = next.exceptAll(edges).limit(1).count()
-      converged = grew == 0L && next.count() == edges.count()
+      // fixpoint test: exact multiset symmetric difference in ONE driver
+      // action — tag old edges −1 / new edges +1, any group with a
+      // non-zero sum means the sets differ (both sides are distinct, so
+      // this is set equality). Replaces the former exceptAll + 2 counts
+      // (3 jobs/round) with a single agg probe.
+      val diff = next.select(col("a"), col("b"), lit(1L).as("w"))
+        .unionByName(edges.select(col("a"), col("b"), lit(-1L).as("w")))
+        .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+        .where(col("w") =!= 0).limit(1).count()
+      converged = diff == 0L
       edges = next
       i += 1
     }

@@ -224,5 +224,66 @@ object Vectors {
         "FROM comps c JOIN a2 a USING (vec_id) GROUP BY 1, 2), " +
         "n AS (SELECT cell, COUNT(*) AS n_members FROM a2 GROUP BY cell), " +
         "cn AS (SELECT cell, CAST(SUM(ci*ci) AS BIGINT) AS centroid_norm2 FROM c2 GROUP BY cell) " +
-        "SELECT cell, n_members, centroid_norm2 FROM n JOIN cn USING (cell) ORDER BY cell")))
+        "SELECT cell, n_members, centroid_norm2 FROM n JOIN cn USING (cell) ORDER BY cell")),
+
+    QueryDef("q70_semantic_dedup",
+      // SemDeDup-style cluster-bucketed embedding dedup (Abbas et al.
+      // 2023, arXiv:2303.09540): partition the corpus into k-means cells,
+      // then search for semantic duplicates ONLY within a cell — the
+      // published scale path that turns O(n²) cosine near-dup into
+      // O(Σ B_i²) with B bounded by choosing k ∝ n/B. Composition here:
+      // [[graft.operators.KMeansLloyd]] deterministic quantized cells
+      // (map-only assignment, centroids as plan literals — same recipe
+      // as q68) → within-cell pair generation as an EQUI-JOIN on the
+      // cell id (the shuffle key; never a cartesian) → exact cosine
+      // verification of only co-celled pairs → greedy min-id dedup:
+      // a vector is dropped iff some SMALLER vec_id in its cell is
+      // ≥ τ-similar (τ = 0.4, the q47/q55 near-dup threshold), and
+      // `dup_of` attributes the drop to the smallest such neighbor.
+      // At 100 TB: assignment is a linear scan, the pair join shuffles
+      // on cell, and per-cell fan-out is capped by the cell size the
+      // k choice targets (hot cells — degenerate corpora — would get
+      // the LlmText.HotBucketCap treatment; fixture cells are ≤ ~200).
+      // Recall caveat vs exact q47 (by design, as in the paper): pairs
+      // straddling a cell boundary are not compared.
+      (s, d) => {
+        import graft.operators.KMeansLloyd
+        val vecs = Tables(s, d, "embeddings")
+          .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+        val (assigned, _) = KMeansLloyd.run(vecs, "vec_id", k = 4, iters = 2)
+        val cells = assigned.select(col("vec_id"), col("cell"))
+        val e = embUnit(s, d)
+        val member = cells.join(e, "vec_id")
+        val dups = member.as("x").join(member.as("y"),
+            col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("cand"),
+            round(dot(col("x.u"), col("y.u")), 4).as("sim"))
+          .where(col("sim") >= 0.4)
+          .groupBy(col("vec_id")).agg(min(col("cand")).as("dup_of"))
+        cells.join(dups, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell").cast("long").as("cell"),
+            when(col("dup_of").isNotNull, lit("drop")).otherwise(lit("keep")).as("action"),
+            col("dup_of"))
+          .orderBy(col("vec_id"))
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
+        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+        "c0 AS (SELECT vec_id AS cell, d, xi AS ci FROM comps WHERE vec_id < 4), " +
+        "d1 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c0 k USING (d) GROUP BY 1, 2), " +
+        "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
+        "c1 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+        "FROM comps c JOIN a1 a USING (vec_id) GROUP BY 1, 2), " +
+        "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
+        "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
+        "dups AS (SELECT y.vec_id, MIN(x.vec_id) AS dup_of FROM a2 x " +
+        "JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id " +
+        "JOIN e ea ON ea.vec_id = x.vec_id JOIN e eb ON eb.vec_id = y.vec_id " +
+        "WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4 GROUP BY y.vec_id) " +
+        "SELECT a.vec_id, a.cell, CASE WHEN d.dup_of IS NOT NULL THEN 'drop' ELSE 'keep' END AS action, " +
+        "d.dup_of FROM a2 a LEFT JOIN dups d ON d.vec_id = a.vec_id ORDER BY a.vec_id")))
 }

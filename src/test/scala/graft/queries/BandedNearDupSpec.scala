@@ -99,4 +99,27 @@ class BandedNearDupSpec extends AnyFunSuite with SparkTestSession {
     // recall ≈ 0.7 (P(band) ≈ 0.14 at cos 0.4); floor leaves slack
     assert(recall >= 0.4, f"recall $recall%.3f below floor")
   }
+
+  test("q70 semantic dedup: every drop is justified by an exact q47 pair") {
+    // cluster-bucketed SemDeDup never fabricates a duplicate: a dropped
+    // vector's (dup_of, vec_id) pair must be a real >= 0.4 cosine pair
+    // in the all-pairs verifier, and the decision column must be total
+    // (every vector decided, drops always attributed to a smaller id)
+    val brute = rows("q47_cosine_neardup")
+    val out = SparkEntry.queries("q70_semantic_dedup")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.length == total, s"decision not total: ${out.length} of $total")
+    out.foreach { r =>
+      val (vec, action) = (r.getLong(0), r.getString(2))
+      if (action == "drop") {
+        val dupOf = r.getLong(3)
+        assert(dupOf < vec, s"drop of $vec attributed to non-smaller $dupOf")
+        assert(brute.contains((dupOf, vec)),
+          s"drop of $vec (dup_of=$dupOf) has no exact >= 0.4 pair in q47")
+      } else assert(r.isNullAt(3), s"keep row $vec carries a dup_of")
+    }
+    val drops = out.count(_.getString(2) == "drop")
+    info(s"q70: $drops/${out.length} dropped")
+    assert(drops > 0, "fixture should contain at least one semantic dup")
+  }
 }

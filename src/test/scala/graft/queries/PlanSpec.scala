@@ -69,4 +69,13 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
   }
+
+  test("q70 pairs only within k-means cells — equi-join on cell, no all-pairs") {
+    // SemDeDup's scale claim rests on the pair join being keyed by the
+    // cell id; a planner regression to BNLJ/cartesian would silently
+    // reintroduce the O(n²) pair space the clustering exists to avoid
+    val p = plan("q70_semantic_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q70 plans a BNLJ:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), s"q70 plans a cartesian product")
+  }
 }
