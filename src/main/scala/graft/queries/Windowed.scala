@@ -95,6 +95,45 @@ object Windowed {
         "SELECT user_id, COUNT(*) AS session_count, ROUND(AVG(sess_len), 2) AS avg_session_sec " +
         "FROM g GROUP BY user_id ORDER BY user_id")),
 
+    QueryDef("q71_purchase_attribution",
+      // Batch twin of the stream-stream interval join
+      // (EventPipelines.purchaseAttribution): every purchase left-outer
+      // joined to the same user's signups within the preceding 24 h —
+      // unmatched purchases survive with a NULL signup, the shape
+      // Structured Streaming finalizes once both watermarks pass the
+      // interval. The join is an EQUI-join on user_id with a residual
+      // time-range predicate, so at 100 TB it shuffles both sides once
+      // on the join key (never a BNLJ); in streaming mode the watermark
+      // bounds each side's state to the 24 h horizon. Equivalence of
+      // this batch form with the watermarked streaming twin (inner and
+      // left-outer) is pinned in EventPipelinesSpec. NULL sort order
+      // differs between engines (Spark nulls-first, DuckDB nulls-last),
+      // so the tiebreaker sorts on coalesce(signup_id, -1) on BOTH sides.
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val p = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+        val sg = ev.where(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+        p.join(sg,
+            col("user_id") === col("s_user") &&
+              col("s_ts") <= col("p_ts") &&
+              col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"),
+            "left")
+          .select(col("purchase_id"), col("user_id"), col("signup_id"),
+            round(col("p_ts").cast("double") - col("s_ts").cast("double"), 2).as("sec_since_signup"))
+          .orderBy(col("purchase_id"), coalesce(col("signup_id"), lit(-1L)))
+      },
+      Some("WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "s AS (SELECT event_id AS signup_id, user_id AS s_user, ts AS s_ts FROM events " +
+        "WHERE event_type = 'signup') " +
+        "SELECT purchase_id, user_id, signup_id, " +
+        "ROUND(epoch(p_ts) - epoch(s_ts), 2) AS sec_since_signup " +
+        "FROM p LEFT JOIN s ON user_id = s_user AND s_ts <= p_ts " +
+        "AND s_ts >= p_ts - INTERVAL 24 HOURS " +
+        "ORDER BY purchase_id, COALESCE(signup_id, -1)")),
+
     QueryDef("q40_dedup_earliest",
       (s, d) => {
         val w = Window.partitionBy(col("user_id"), col("event_type"))

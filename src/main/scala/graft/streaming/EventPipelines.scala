@@ -121,7 +121,8 @@ object EventPipelines {
     * O(events within horizon), independent of stream length.
     */
   def purchaseAttribution(purchases: DataFrame, signups: DataFrame,
-      watermark: String = "1 hour", horizon: String = "24 hours"): DataFrame = {
+      watermark: String = "1 hour", horizon: String = "24 hours",
+      joinType: String = "inner"): DataFrame = {
     val p = purchases.withWatermark("ts", watermark)
       .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
     val sg = signups.withWatermark("ts", watermark)
@@ -129,7 +130,8 @@ object EventPipelines {
     p.join(sg,
       col("user_id") === col("s_user") &&
         col("s_ts") <= col("p_ts") &&
-        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("purchase_id"), col("user_id"), col("signup_id"), col("p_ts"), col("s_ts"))
   }
 }

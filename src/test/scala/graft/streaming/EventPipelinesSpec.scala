@@ -203,6 +203,62 @@ class EventPipelinesSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched purchases with null signup") {
+    // the q71 batch shape in streaming form: a purchase with no signup
+    // in its horizon must still be emitted (signup_id NULL) — but only
+    // after BOTH watermarks pass the interval, proving the state that
+    // held the purchase open was dropped rather than leaked
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val signups = MemoryStream[Ev]
+    val q = EventPipelines.purchaseAttribution(
+        purchases.toDF(), signups.toDF(), watermark = "1 hour",
+        horizon = "2 hours", joinType = "left_outer")
+      .writeStream.format("memory").queryName("attrib_lo")
+      .outputMode("append").start()
+    try {
+      signups.addData(
+        Ev(10, t("2024-01-01 00:00:00"), 1, "signup", 0.0),
+        Ev(11, t("2024-01-01 03:00:00"), 2, "signup", 0.0))
+      purchases.addData(
+        Ev(20, t("2024-01-01 01:00:00"), 1, "purchase", 5.0), // matched
+        Ev(21, t("2024-01-01 03:30:00"), 1, "purchase", 5.0), // no signup in horizon
+        Ev(22, t("2024-01-01 04:00:00"), 2, "purchase", 5.0)) // matched
+      q.processAllAvailable()
+      // far-future rows push both watermarks beyond every open interval
+      signups.addData(Ev(12, t("2024-01-02 00:00:00"), 3, "signup", 0.0))
+      purchases.addData(Ev(23, t("2024-01-02 00:00:00"), 3, "purchase", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("attrib_lo")
+        .select(col("purchase_id"), col("signup_id")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(got.contains((20L, Some(10L))))
+      assert(got.contains((22L, Some(11L))))
+      assert(got.contains((21L, None)), s"unmatched purchase 21 never emitted: $got")
+      // and the streaming result agrees with the batch left-outer join
+      // on the same rows (the q71 shape)
+      val evs = Seq(
+        Ev(10, t("2024-01-01 00:00:00"), 1, "signup", 0.0),
+        Ev(11, t("2024-01-01 03:00:00"), 2, "signup", 0.0),
+        Ev(12, t("2024-01-02 00:00:00"), 3, "signup", 0.0),
+        Ev(20, t("2024-01-01 01:00:00"), 1, "purchase", 5.0),
+        Ev(21, t("2024-01-01 03:30:00"), 1, "purchase", 5.0),
+        Ev(22, t("2024-01-01 04:00:00"), 2, "purchase", 5.0),
+        Ev(23, t("2024-01-02 00:00:00"), 3, "purchase", 1.0)).toDF()
+      val p = evs.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val sg = evs.where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+      val batch = p.join(sg,
+          col("user_id") === col("s_user") && col("s_ts") <= col("p_ts") &&
+            col("s_ts") >= col("p_ts") - expr("INTERVAL 2 HOURS"), "left")
+        .select(col("purchase_id"), col("signup_id")).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(got == batch, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("dedup runs on the RocksDB state store provider") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
