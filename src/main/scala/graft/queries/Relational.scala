@@ -240,6 +240,36 @@ object Relational {
         "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk FROM lineitem) " +
         "WHERE rk <= 3 ORDER BY l_returnflag, rk")),
 
+    QueryDef("q18b_topk_heap",
+      // The SCALE form of q18: same result, but computed with the
+      // mergeable bounded-buffer Aggregator (functions/TopKRows) instead
+      // of a window sort. The window form shuffles every lineitem row
+      // and sorts whole groups to keep 3 rows; this form folds each task
+      // partition into a ≤ 3-entry buffer, so the shuffle carries at
+      // most k·groups·tasks tuples and NO full sort happens (PlanSpec
+      // guards the plan windowless + partial-agg). Same oracle SQL as
+      // q18 — the two forms must stay hash-identical.
+      (s, d) => {
+        val topk = udaf(new graft.functions.TopKRows(3),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(topk(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")).as("top"))
+          .select(col("l_returnflag"), posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("l_returnflag"), (col("pos") + 1).as("rk"),
+            col("e._2").as("l_orderkey"), col("e._3").as("l_linenumber"),
+            col("e._1").as("l_extendedprice"))
+          .orderBy(col("l_returnflag"), col("rk"))
+      },
+      Some("SELECT l_returnflag, rk, l_orderkey, l_linenumber, l_extendedprice FROM (" +
+        "SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, " +
+        "ROW_NUMBER() OVER (PARTITION BY l_returnflag " +
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk FROM lineitem) " +
+        "WHERE rk <= 3 ORDER BY l_returnflag, rk")),
+
     QueryDef("q19_rank_windows",
       (s, d) => {
         val w = Window.partitionBy(col("o_orderstatus"))

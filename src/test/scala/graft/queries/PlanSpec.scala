@@ -70,6 +70,15 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q18b computes top-k per group without a window sort") {
+    // the point of the bounded-buffer Aggregator: no Window node, and
+    // the aggregation must run with a partial (map-side) phase so the
+    // shuffle carries ≤ k-entry buffers, not rows
+    val p = plan("q18b_topk_heap")
+    assert(!p.contains("Window"), p.take(1200))
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(1200))
+  }
+
   test("q70 pairs only within k-means cells — equi-join on cell, no all-pairs") {
     // SemDeDup's scale claim rests on the pair join being keyed by the
     // cell id; a planner regression to BNLJ/cartesian would silently
