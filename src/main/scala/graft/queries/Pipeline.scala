@@ -133,6 +133,38 @@ object Pipeline {
         s"FROM (SELECT n_chars, ${bucketSql("split:", "doc_id")} AS b FROM documents) " +
         "GROUP BY 1 ORDER BY split")),
 
+    QueryDef("q72_shard_manifest",
+      // Training-shard assignment + manifest: the last step of a curation
+      // run assigns every surviving doc to one of a fixed number of
+      // output shards and records, per shard, the stats a data loader
+      // needs (doc count, byte volume, id range, language spread).
+      // Assignment is the same salted-md5 pure function as q58 — shard
+      // membership is reproducible on any cluster layout, and balanced
+      // by construction (md5 uniformity), which the manifest itself
+      // makes auditable. At 100 TB the writer runs
+      // `repartition($"shard").sortWithinPartitions($"doc_id")
+      //  .write.partitionBy("shard")` — one shuffle keyed exactly like
+      // this manifest's groupBy; the manifest agg itself is a map-side
+      // partial hash agg into `nShards` groups.
+      (s, d) => {
+        val nShards = 16
+        docs(s, d)
+          .withColumn("shard",
+            conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long") % nShards)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            min(col("doc_id")).as("min_doc_id"),
+            max(col("doc_id")).as("max_doc_id"),
+            countDistinct(col("lang")).as("n_langs"))
+          .orderBy(col("shard"))
+      },
+      Some("SELECT CAST(('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 16 AS shard, " +
+        "COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
+        "MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id, " +
+        "COUNT(DISTINCT lang) AS n_langs FROM documents GROUP BY 1 ORDER BY shard")),
+
     QueryDef("q58b_stratified_sample",
       // Stratified downsampling with per-stratum rates (the corpus-
       // rebalancing move: keep 10% of the dominant language, 50% of the

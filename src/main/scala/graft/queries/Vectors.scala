@@ -226,6 +226,65 @@ object Vectors {
         "cn AS (SELECT cell, CAST(SUM(ci*ci) AS BIGINT) AS centroid_norm2 FROM c2 GROUP BY cell) " +
         "SELECT cell, n_members, centroid_norm2 FROM n JOIN cn USING (cell) ORDER BY cell")),
 
+    QueryDef("q73_ivf_ann",
+      // IVF (inverted-file) ANN made oracle-hashable: the brute q48 scans
+      // every vector per query; the IVF scale path restricts each query
+      // to its own k-means cell (nProbe = 1 here). MLlib-trained IVF
+      // (operators/AnnIvf) is recall-tested only, because k-means|| is
+      // engine-specific — THIS entry swaps in the deterministic
+      // quantized Lloyd's trainer (operators/KMeansLloyd, the q68
+      // recipe), so the whole index-build + probe pipeline hashes
+      // identically on both engines. Shape at 100 TB: the cell
+      // assignment is the index (bucketed/partitioned by cell on disk),
+      // the 5 probe rows broadcast to their single cell's partitions,
+      // and each query scores |cell| ≈ n/k candidates instead of n —
+      // with the exact same equi-join-on-cell no-BNLJ guarantee as q70.
+      // Approximation is by CELL RESTRICTION only (deterministic), never
+      // by score: recall vs brute q48 is pinned in AnnIvfSpec.
+      (s, d) => {
+        import graft.operators.KMeansLloyd
+        val vecs = Tables(s, d, "embeddings")
+          .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+        val (assigned, _) = KMeansLloyd.run(vecs, "vec_id", k = 4, iters = 2)
+        val cells = assigned.select(col("vec_id"), col("cell"))
+        val e = embUnit(s, d)
+        val member = cells.join(e, "vec_id")
+        val q = broadcast(member.where(col("vec_id").between(1, 5))
+          .select(col("vec_id").as("query_id"), col("cell"), col("u").as("qu")))
+        val scored = member.join(q,
+            member("cell") === q("cell") && col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(dot(col("u"), col("qu")), 4).as("sim"))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+        scored.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("sim"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
+        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+        "c0 AS (SELECT vec_id AS cell, d, xi AS ci FROM comps WHERE vec_id < 4), " +
+        "d1 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c0 k USING (d) GROUP BY 1, 2), " +
+        "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
+        "c1 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+        "FROM comps c JOIN a1 a USING (vec_id) GROUP BY 1, 2), " +
+        "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
+        "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS query_id, cell FROM a2 WHERE vec_id BETWEEN 1 AND 5), " +
+        "c AS (SELECT q.query_id, m.vec_id, " +
+        "ROUND(list_cosine_similarity(ev.v, eq.v), 4) AS sim " +
+        "FROM q JOIN a2 m ON m.cell = q.cell AND m.vec_id <> q.query_id " +
+        "JOIN e ev ON ev.vec_id = m.vec_id JOIN e eq ON eq.vec_id = q.query_id), " +
+        "r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY sim DESC, vec_id) AS rnk FROM c) " +
+        "SELECT query_id, rnk, vec_id AS neighbor_id, sim FROM r WHERE rnk <= 3 " +
+        "ORDER BY query_id, rnk")),
+
     QueryDef("q70_semantic_dedup",
       // SemDeDup-style cluster-bucketed embedding dedup (Abbas et al.
       // 2023, arXiv:2303.09540): partition the corpus into k-means cells,

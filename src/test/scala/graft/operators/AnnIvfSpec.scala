@@ -39,6 +39,20 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestSession {
     assert(scanned < n, s"probe scanned the whole corpus ($scanned of $n)")
   }
 
+  test("q73 deterministic IVF keeps most of brute q48's neighbors") {
+    // the oracle-hashed IVF entry restricts each query to ONE k-means
+    // cell (nProbe = 1); its only approximation is that cell boundary,
+    // so recall vs the exact q48 top-3 must stay high on the fixture
+    val ivf = graft.SparkEntry.queries("q73_ivf_ann")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = graft.SparkEntry.queries("q48_ann_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.size == brute.size)
+    val recall = (ivf & brute).size.toDouble / brute.size
+    info(f"q73 recall vs q48: ${(ivf & brute).size}/${brute.size} = $recall%.2f")
+    assert(recall >= 0.6, f"recall $recall%.2f below floor")
+  }
+
   test("sf0.1: recall >= 0.9 while scanning <= nProbe/nCells of the corpus") {
     // VERDICT round-1 item 7: quantified evidence at the bench tier
     // (2000 vectors, 50 queries, nProbe 10 of 16 cells)
