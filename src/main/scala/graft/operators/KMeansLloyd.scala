@@ -39,6 +39,23 @@ object KMeansLloyd {
   /** (cell id, quantized centroid components). */
   final case class Centroid(cell: Int, ci: Array[Long])
 
+  /** Per-cell member cap for pair-generating consumers (q70 semantic
+    * dedup). A within-cell self-join on a cell of B members emits
+    * B(B−1)/2 pairs from ONE shuffle key — a degenerate corpus (one
+    * dominant topic, template text embedded identically) concentrates
+    * mass in a few cells and turns "cluster-bucketed" back into
+    * all-pairs locally, with a parallelism ceiling of k active keys on
+    * top. Cells above the cap are deterministically SUB-SPLIT (not
+    * dropped — dedup matters MOST inside hot cells) via
+    * [[subSplitCells]]. The primary k-choice rule is SemDeDup's
+    * k ≈ n / targetCellSize (targetCellSize ≈ CellCap/2), which keeps
+    * expected cells under the cap; the sub-split is the skew guard for
+    * cells the k-choice can't control. Fixture cells stay well under
+    * the cap (max 534 at sf0.1, 143 at sf0.01 — measured, guarded by
+    * KMeansCellCapSpec), so capped results hash identically to the
+    * uncapped oracle. */
+  val CellCap = 1000
+
   /** Quantize an `array<numeric>` embedding column to micro-unit longs. */
   def quantize(embedding: Column): Column =
     transform(embedding, x => floor(x.cast("double") * 1000000 + lit(0.5)).cast("long"))
@@ -80,14 +97,65 @@ object KMeansLloyd {
     * have (`idCol`, `xi: array<bigint>`). Returns the final assignment
     * (with `cell`) and the final centroids. */
   def run(vecs: DataFrame, idCol: String, k: Int, iters: Int): (DataFrame, Seq[Centroid]) = {
+    val (assigned, _, cents) = runTracked(vecs, idCol, k, iters)
+    (assigned, cents)
+  }
+
+  /** [[run]] plus the centroids the FINAL assignment was scored against
+    * (the ones a multi-probe consumer must rank cells by — ranking by
+    * the post-update centroids would disagree with the assignment's own
+    * argmin and could rank a row's assigned cell below an unprobed one). */
+  def runTracked(vecs: DataFrame, idCol: String, k: Int,
+      iters: Int): (DataFrame, Seq[Centroid], Seq[Centroid]) = {
     val seeds = vecs.orderBy(col(idCol)).limit(k).collect()
       .zipWithIndex.map { case (r, i) => Centroid(i, r.getAs[Seq[Long]]("xi").toArray) }
     var cents: Seq[Centroid] = seeds.toSeq
+    var assignCents: Seq[Centroid] = cents
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
+      assignCents = cents
       assigned = assign(vecs, cents)
       cents = update(assigned)
     }
-    (assigned, cents)
+    (assigned, assignCents, cents)
+  }
+
+  /** Top-`nProbe` nearest cells per input row by exact integer distance
+    * to `cents` — the multi-probe expansion of an IVF query side. Adds
+    * `cell`, one output row per (row, probed cell); ties rank by lower
+    * cell id (array_sort on (dist, cell) structs — the same total order
+    * as [[assign]]'s array_min, so probe rank 1 IS the assigned cell).
+    * Map-only like assign: centroids ride as plan literals. */
+  def probeCells(vecs: DataFrame, cents: Seq[Centroid], nProbe: Int): DataFrame = {
+    val scored = array(cents.map(c =>
+      struct(distTo(c).as("dist"), lit(c.cell).as("cell"))): _*)
+    vecs.withColumn("cell",
+        explode(slice(array_sort(scored), 1, nProbe).getField("cell")))
+  }
+
+  /** Deterministic hot-cell sub-split (the [[CellCap]] guard): cells
+    * with more than `cap` members are split into ceil(size/cap)
+    * md5-bucketed sub-cells, so a pair-generating consumer joins on
+    * (cell, subcell) and each shuffle key holds ≤ ~cap members — pair
+    * fan-out per key drops from B²/2 to ~cap·B/2 (linear in B) and
+    * parallelism scales with the number of sub-cells instead of
+    * ceiling at k. The split is a pure per-row function of the id
+    * (salted md5 — the q58 doctrine), so membership is reproducible on
+    * any partitioning. Cost: one k-row size agg broadcast back onto the
+    * members — no extra shuffle of the data. Cells at or under the cap
+    * get subcell 0 unconditionally, so at fixture scale (every cell
+    * ≤ cap) results are bit-identical to the unsplit form. Recall
+    * caveat mirrors the cell boundary itself: pairs straddling a
+    * sub-cell boundary inside a hot cell are not compared. */
+  def subSplitCells(assigned: DataFrame, idCol: String, cap: Int): DataFrame = {
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+    assigned.join(broadcast(sizes), Seq("cell"))
+      .withColumn("nsub", ceil(col("csz").cast("double") / cap).cast("long"))
+      .withColumn("subcell",
+        when(col("nsub") > 1L,
+          conv(substring(md5(concat(lit("subcell:"), col(idCol).cast("string"))), 1, 8), 16, 10)
+            .cast("long") % col("nsub"))
+          .otherwise(0L))
+      .drop("csz", "nsub")
   }
 }

@@ -176,6 +176,49 @@ object Vectors {
         "SELECT query_id, rnk, vec_id AS neighbor_id, sim FROM r WHERE rnk <= 3 " +
         "ORDER BY query_id, rnk")),
 
+    QueryDef("q48b_ann_topk_heap",
+      // The SCALE form of q48's per-query top-k, and the second consumer
+      // of the mergeable bounded-buffer Aggregator (functions/TopKRows —
+      // q18b introduced it for grouped table rows; this proves it
+      // generalizes to ANN scoring). q48's window form shuffles EVERY
+      // scored (query, candidate, sim) row to its query's partition and
+      // sorts the whole group to keep 3; here each task folds its scores
+      // into a ≤ 3-entry buffer per query, so the shuffle carries at
+      // most k·queries·tasks tuples and no sort of the score stream ever
+      // happens — for ANN that matters even more than for q18, because
+      // the scored stream is |queries|·n rows (bigger than the input
+      // table). PlanSpec guards the plan windowless with a partial
+      // (map-side) ObjectHashAggregate. Same oracle SQL as q48 — the
+      // two forms must stay hash-identical. Tie order is total: TopKRows
+      // orders (sim DESC, vec_id ASC), matching the window's ORDER BY.
+      (s, d) => {
+        val e = embUnit(s, d).repartition(s.sparkContext.defaultParallelism)
+        val q = broadcast(e.where(col("vec_id").between(1, 5))
+          .select(col("vec_id").as("query_id"), col("u").as("qu")))
+        val scored = e.join(q, col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(dot(col("u"), col("qu")), 4).as("sim"))
+        val topk = udaf(new graft.functions.TopKRows(3),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        scored.groupBy(col("query_id"))
+          .agg(topk(col("sim"), col("vec_id"), lit(0L)).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("query_id"), (col("pos") + 1).as("rnk"),
+            col("e._2").as("neighbor_id"), col("e._1").as("sim"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id BETWEEN 1 AND 5), " +
+        "c AS (SELECT q.query_id, e.vec_id, ROUND(list_cosine_similarity(e.v, q.qv), 4) AS sim " +
+        "FROM e JOIN q ON e.vec_id <> q.query_id), " +
+        "r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY sim DESC, vec_id) AS rnk FROM c) " +
+        "SELECT query_id, rnk, vec_id AS neighbor_id, sim FROM r WHERE rnk <= 3 " +
+        "ORDER BY query_id, rnk")),
+
     QueryDef("q68_kmeans_cells",
       // Deterministic quantized Lloyd's k-means (operators/KMeansLloyd):
       // the engine-portable centroid trainer behind an IVF index and the
@@ -285,6 +328,81 @@ object Vectors {
         "SELECT query_id, rnk, vec_id AS neighbor_id, sim FROM r WHERE rnk <= 3 " +
         "ORDER BY query_id, rnk")),
 
+    QueryDef("q73b_ivf_multiprobe",
+      // Deterministic MULTI-PROBE IVF (nProbe = 2 of 4 cells): q73's
+      // single-cell restriction is the recall-cheapest form — a query
+      // near a cell boundary misses neighbors one cell over. Standard
+      // IVF practice probes the nProbe nearest cells; here the cell
+      // ranking is the exact integer distance to the SAME centroids the
+      // assignment was scored against (KMeansLloyd.runTracked /
+      // probeCells — probe rank 1 is provably the assigned cell, ties to
+      // the lower cell id), so the whole expansion stays a pure function
+      // of the data and the entry is oracle-hashable like q73. The
+      // per-query top-3 then uses the mergeable bounded-buffer
+      // Aggregator (functions/TopKRows) instead of a window sort —
+      // map-side ≤ 3-entry buffers, no shuffle-and-sort of the scored
+      // stream (PlanSpec guards windowless). Shape at 100 TB: probe
+      // rows (nProbe per query) BROADCAST to the member scan, so the
+      // member side never shuffles and parallelism is the scan's — the
+      // join-key cardinality (k cells) never ceilings it; each query
+      // scores ~nProbe·n/k candidates. Recall vs brute q48 is pinned in
+      // AnnIvfSpec ABOVE q73's single-probe floor.
+      (s, d) => {
+        import graft.operators.KMeansLloyd
+        val vecs = Tables(s, d, "embeddings")
+          .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+        val (assigned, probeCents, _) = KMeansLloyd.runTracked(vecs, "vec_id", k = 4, iters = 2)
+        val cells = assigned.select(col("vec_id"), col("cell"))
+        val e = embUnit(s, d)
+        val member = cells.join(e, "vec_id")
+        val probes = KMeansLloyd.probeCells(
+            vecs.where(col("vec_id").between(1, 5)), probeCents, nProbe = 2)
+          .select(col("vec_id").as("query_id"), col("cell"))
+        val qu = e.where(col("vec_id").between(1, 5))
+          .select(col("vec_id").as("query_id"), col("u").as("qu"))
+        val q = broadcast(probes.join(qu, "query_id"))
+        val scored = member.join(q,
+            member("cell") === q("cell") && col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(dot(col("u"), col("qu")), 4).as("sim"))
+        val topk = udaf(new graft.functions.TopKRows(3),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        scored.groupBy(col("query_id"))
+          .agg(topk(col("sim"), col("vec_id"), lit(0L)).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("query_id"), (col("pos") + 1).as("rnk"),
+            col("e._2").as("neighbor_id"), col("e._1").as("sim"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
+        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+        "c0 AS (SELECT vec_id AS cell, d, xi AS ci FROM comps WHERE vec_id < 4), " +
+        "d1 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c0 k USING (d) GROUP BY 1, 2), " +
+        "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
+        "c1 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+        "FROM comps c JOIN a1 a USING (vec_id) GROUP BY 1, 2), " +
+        "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
+        "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
+        "p AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2 WHERE vec_id BETWEEN 1 AND 5) " +
+        "WHERE rn <= 2), " +
+        "c AS (SELECT p.query_id, m.vec_id, " +
+        "ROUND(list_cosine_similarity(ev.v, eq.v), 4) AS sim " +
+        "FROM p JOIN a2 m ON m.cell = p.cell AND m.vec_id <> p.query_id " +
+        "JOIN e ev ON ev.vec_id = m.vec_id JOIN e eq ON eq.vec_id = p.query_id), " +
+        "r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY sim DESC, vec_id) AS rnk FROM c) " +
+        "SELECT query_id, rnk, vec_id AS neighbor_id, sim FROM r WHERE rnk <= 3 " +
+        "ORDER BY query_id, rnk")),
+
     QueryDef("q70_semantic_dedup",
       // SemDeDup-style cluster-bucketed embedding dedup (Abbas et al.
       // 2023, arXiv:2303.09540): partition the corpus into k-means cells,
@@ -299,12 +417,23 @@ object Vectors {
       // a vector is dropped iff some SMALLER vec_id in its cell is
       // ≥ τ-similar (τ = 0.4, the q47/q55 near-dup threshold), and
       // `dup_of` attributes the drop to the smallest such neighbor.
-      // At 100 TB: assignment is a linear scan, the pair join shuffles
-      // on cell, and per-cell fan-out is capped by the cell size the
-      // k choice targets (hot cells — degenerate corpora — would get
-      // the LlmText.HotBucketCap treatment; fixture cells are ≤ ~200).
+      // At 100 TB: assignment is a linear scan and the pair join
+      // shuffles on (cell, subcell). Cell size is controlled twice:
+      // (1) the k-CHOICE — SemDeDup picks k ≈ n / targetCellSize
+      // (targetCellSize ≈ CellCap/2 ≈ 500), so expected cells stay
+      // bounded as the corpus grows (the registered entry pins k = 4
+      // because fixture n = 500 ⇒ ceil(500/500) rounds up to the 4-seed
+      // minimum; at 10⁹ vectors the same rule gives k ≈ 2M cells);
+      // (2) the SKEW GUARD — cells a degenerate corpus blows past the
+      // cap anyway are deterministically sub-split into ≤ ~CellCap
+      // md5 buckets (KMeansLloyd.subSplitCells), bounding pair fan-out
+      // per shuffle key at ~cap·B and letting parallelism scale with
+      // sub-cell count instead of ceiling at k. Fixture cells are far
+      // under the cap (≤ 534 at sf0.1, guarded by KMeansCellCapSpec),
+      // so every subcell is 0 and hashes match the unsplit oracle.
       // Recall caveat vs exact q47 (by design, as in the paper): pairs
-      // straddling a cell boundary are not compared.
+      // straddling a cell (or hot-cell sub-split) boundary are not
+      // compared.
       (s, d) => {
         import graft.operators.KMeansLloyd
         val vecs = Tables(s, d, "embeddings")
@@ -312,9 +441,11 @@ object Vectors {
         val (assigned, _) = KMeansLloyd.run(vecs, "vec_id", k = 4, iters = 2)
         val cells = assigned.select(col("vec_id"), col("cell"))
         val e = embUnit(s, d)
-        val member = cells.join(e, "vec_id")
+        val member = KMeansLloyd.subSplitCells(
+          cells.join(e, "vec_id"), "vec_id", KMeansLloyd.CellCap)
         val dups = member.as("x").join(member.as("y"),
-            col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+            col("x.cell") === col("y.cell") && col("x.subcell") === col("y.subcell") &&
+              col("x.vec_id") < col("y.vec_id"))
           .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("cand"),
             round(dot(col("x.u"), col("y.u")), 4).as("sim"))
           .where(col("sim") >= 0.4)

@@ -53,6 +53,26 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestSession {
     assert(recall >= 0.6, f"recall $recall%.2f below floor")
   }
 
+  test("q73b multi-probe recall beats q73 single-probe and approaches brute q48") {
+    // nProbe = 2 of 4 cells doubles the searched fraction; its recall
+    // vs the exact q48 top-3 must (a) dominate single-probe q73 (the
+    // probe set is a superset, so candidate sets are supersets — any
+    // regression here means the cell ranking broke) and (b) clear a
+    // floor well above q73's 0.6
+    val brute = graft.SparkEntry.queries("q48_ann_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val single = graft.SparkEntry.queries("q73_ivf_ann")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val multi = graft.SparkEntry.queries("q73b_ivf_multiprobe")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(multi.size == brute.size)
+    val rSingle = (single & brute).size.toDouble / brute.size
+    val rMulti = (multi & brute).size.toDouble / brute.size
+    info(f"recall vs q48: single-probe $rSingle%.2f, multi-probe $rMulti%.2f")
+    assert(rMulti >= rSingle, f"multi-probe recall $rMulti%.2f below single-probe $rSingle%.2f")
+    assert(rMulti >= 0.85, f"multi-probe recall $rMulti%.2f below floor (measured 0.93)")
+  }
+
   test("sf0.1: recall >= 0.9 while scanning <= nProbe/nCells of the corpus") {
     // VERDICT round-1 item 7: quantified evidence at the bench tier
     // (2000 vectors, 50 queries, nProbe 10 of 16 cells)

@@ -87,4 +87,29 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"q70 plans a BNLJ:\n${p.take(1200)}")
     assert(!p.contains("CartesianProduct"), s"q70 plans a cartesian product")
   }
+
+  test("q48b/q73b compute per-query ANN top-k without a window sort") {
+    // the TopKRows scale form: no Window node anywhere, and the
+    // aggregation must run with a partial (map-side) phase so the
+    // shuffle carries ≤ k-entry buffers per query per task, never the
+    // full scored stream
+    for (q <- Seq("q48b_ann_topk_heap", "q73b_ivf_multiprobe")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q plans a Window:\n${p.take(1200)}")
+      assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+        s"$q lacks a partial ObjectHashAggregate phase:\n${p.take(1200)}")
+    }
+  }
+
+  test("q73/q73b probe sides broadcast — member scan never shuffles on cell") {
+    // the IVF probe join must be a BroadcastHashJoin (queries are a
+    // handful of rows): a shuffle join keyed on cell would ceiling
+    // parallelism at k and move the whole member table
+    for (q <- Seq("q73_ivf_ann", "q73b_ivf_multiprobe")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q probe join is not broadcast:\n${p.take(1200)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+  }
 }
