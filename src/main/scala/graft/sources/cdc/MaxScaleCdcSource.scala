@@ -27,10 +27,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * the reference's `RawData` (`types.go:182-190`), but the registry is
   * fed in-band by DDL events (kind = "ddl" rows carry the schema JSON).
   *
-  * Offsets are the count of events ingested since source start; a
-  * restart re-subscribes from the checkpointed GTID (the reference's
-  * resume mechanism, `gomaxscale_options.go:53-57`), upgrading its
-  * at-most-once delivery to micro-batch replay.
+  * Offsets are the count of events ingested since source start, and
+  * additionally carry the RESUME POSITION of their last event: the
+  * MariaDB GTID (`domain-server_id-sequence` — every DML envelope
+  * carries the three components, `types.go:172-178`) and the schema
+  * version in effect. On restart the source re-subscribes with
+  * `REQUEST-DATA db.table.<version> <gtid>` derived from the
+  * checkpoint — the version-qualified form the real avro router keys
+  * its files by (one file per schema version), so resume lands in the
+  * right version's file and evolution continues via in-band container
+  * headers / DDL events. This upgrades the reference's resume story
+  * (`gomaxscale_options.go:53-57`: one STATIC user-configured GTID,
+  * at-most-once) to per-checkpoint replay: the adopted position is the
+  * EARLIEST uncommitted offset, so an interrupted batch is re-fetched
+  * from the wire (at-least-once into an idempotent sink) instead of
+  * silently skipped.
   *
   * Scale note: one TCP subscription is inherently a single-reader
   * stream — the parallelism lever is downstream (`repartition` after
@@ -48,7 +59,7 @@ object MaxScaleCdc {
     StructField("sequence", LongType),
     StructField("event_number", LongType),
     StructField("ts", TimestampType),
-    StructField("gtid", StringType), // set on ddl events
+    StructField("gtid", StringType), // ddl: schema gtid; dml: domain-server_id-sequence
     StructField("schema_version", IntegerType), // set on ddl events
     StructField("payload", StringType))) // raw event JSON / error text
 
@@ -66,7 +77,8 @@ object MaxScaleCdc {
         d.gtid, d.version, d.rawJson)
     case Right(m: DmlEvent) =>
       EventRow("dml", db, tbl, m.eventKind, m.domain, m.serverId, m.sequence,
-        m.eventNumber, m.timestamp * 1000000L, null, null, m.rawJson)
+        m.eventNumber, m.timestamp * 1000000L,
+        s"${m.domain}-${m.serverId}-${m.sequence}", null, m.rawJson)
     case Left(err) =>
       EventRow("corrupt", db, tbl, null, null, null, null, null, null, null, null, err)
   }
@@ -94,8 +106,31 @@ final class MaxScaleCdcTable(options: Map[String, String]) extends Table with Su
     }
 }
 
-final case class CdcOffset(index: Long) extends Offset {
-  override def json(): String = index.toString
+/** Micro-batch offset: the event count plus the resume position (GTID +
+  * schema version) of the last event at or before `index`. The resume
+  * fields are a deterministic function of `index` for a given stream, so
+  * offset equality still behaves as a pure index compare; `json()` emits
+  * the legacy bare index when no position is known, and
+  * [[CdcOffset.parse]] accepts both forms (old checkpoints stay
+  * readable). */
+final case class CdcOffset(index: Long, gtid: String = null,
+    version: Integer = null) extends Offset {
+  override def json(): String =
+    if (gtid == null && version == null) index.toString
+    else {
+      val g = if (gtid == null) "null" else "\"" + gtid + "\""
+      s"""{"index":$index,"gtid":$g,"version":${if (version == null) "null" else version}}"""
+    }
+}
+
+object CdcOffset {
+  private val Re =
+    """\{"index":(\d+),"gtid":(?:"([^"]*)"|null),"version":(?:(\d+)|null)\}""".r
+  def parse(json: String): CdcOffset = json.trim match {
+    case Re(i, g, v) =>
+      CdcOffset(i.toLong, g, if (v == null) null else Int.box(v.toInt))
+    case s => CdcOffset(s.toLong)
+  }
 }
 
 /** Pluggable warn channel for non-fatal receiver conditions (decode
@@ -130,6 +165,21 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
   private val stopped = new AtomicBoolean(false)
   @volatile private var receiverError: Throwable = _
 
+  // Resume positions in lockstep with `buffer`: resumeBuf(j) = (gtid,
+  // schema version) in effect AFTER buffer(j); `baseResume` = the
+  // position at index `base` (advanced on commit, seeded from options
+  // or an adopted checkpoint). Guarded by the buffer lock.
+  private val resumeBuf = mutable.ArrayBuffer.empty[(String, Integer)]
+  private var baseResume: (String, Integer) =
+    (options.get("gtid").orNull, options.get("version").map(v => Int.box(v.toInt)).orNull)
+  // checkpoint adoption window: deserializeOffset calls arriving BEFORE
+  // the receiver's first connection adopt the EARLIEST offset's position
+  // (the start of the uncommitted batch — so an interrupted batch is
+  // re-fetched, never skipped); once the receiver is live the wire
+  // position is fixed and later deserializations are read-only
+  private var adoptedIndex = Long.MaxValue
+  private val receiverStarted = new AtomicBoolean(false)
+
   // Backpressure parity with the reference's unbuffered channel
   // (`gomaxscale.go:25,160-162`): the buffer is BOUNDED; when full the
   // receiver blocks in `append`, which stops draining the socket and
@@ -139,17 +189,25 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
   private val maxBufferedEvents =
     options.getOrElse("maxBufferedEvents", "1000000").toLong
 
-  private val client = new MaxScaleClient(
-    host = opt("host"), port = opt("port").toInt,
-    user = options.getOrElse("user", ""), password = options.getOrElse("password", ""),
-    uuid = options.getOrElse("uuid", "XXX-YYY_YYY"),
-    database = database, table = table,
-    version = options.get("version").map(_.toInt),
-    gtid = options.get("gtid"),
-    connectTimeoutMs = options.getOrElse("connectTimeoutMs", "2000").toInt,
-    readTimeoutMs = options.getOrElse("readTimeoutMs", "200").toInt,
-    bufferSize = options.getOrElse("bufferSize", "4096").toInt,
-    wireType = options.getOrElse("wireType", "JSON").toUpperCase)
+  // Built lazily so a checkpoint restart can adopt its resume position
+  // first: the REQUEST-DATA line is version-qualified with the adopted
+  // (or configured) schema version and starts at the adopted GTID —
+  // the per-schema-version resume form the avro router's
+  // file-per-version layout expects.
+  private lazy val client = {
+    val (g, v) = buffer.synchronized(baseResume)
+    new MaxScaleClient(
+      host = opt("host"), port = opt("port").toInt,
+      user = options.getOrElse("user", ""), password = options.getOrElse("password", ""),
+      uuid = options.getOrElse("uuid", "XXX-YYY_YYY"),
+      database = database, table = table,
+      version = Option(v).map(_.intValue),
+      gtid = Option(g),
+      connectTimeoutMs = options.getOrElse("connectTimeoutMs", "2000").toInt,
+      readTimeoutMs = options.getOrElse("readTimeoutMs", "200").toInt,
+      bufferSize = options.getOrElse("bufferSize", "4096").toInt,
+      wireType = options.getOrElse("wireType", "JSON").toUpperCase)
+  }
 
   /** Client network config, exposed for option-passthrough tests. */
   private[cdc] def clientConfig: (Int, Int) = (client.connectTimeoutMs, client.bufferSize)
@@ -157,11 +215,23 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
   /** Registered wire format, exposed for option-passthrough tests. */
   private[cdc] def clientWireType: String = client.wireType
 
-  /** Blocking bounded append (see `maxBufferedEvents` above). */
+  /** Blocking bounded append (see `maxBufferedEvents` above); the resume
+    * position after the row is tracked in lockstep (DML rows carry their
+    * own GTID; DDL/corrupt rows inherit the previous one when absent). */
   private def append(row: MaxScaleCdc.EventRow): Unit = buffer.synchronized {
     while (buffer.size >= maxBufferedEvents && !stopped.get) buffer.wait(100)
-    if (!stopped.get) buffer += row
+    if (!stopped.get) {
+      val prev = if (resumeBuf.nonEmpty) resumeBuf.last else baseResume
+      val g = if (row.gtid != null && row.gtid.nonEmpty) row.gtid else prev._1
+      val v = if (row.schemaVersion != null) row.schemaVersion else prev._2
+      buffer += row
+      resumeBuf += ((g, v))
+      buffer.notifyAll() // wake a planInputPartitions waiting on replay
+    }
   }
+
+  private def ensureReceiver(): Unit =
+    if (receiverStarted.compareAndSet(false, true)) receiver.start()
 
   private val receiver = new Thread(() => {
     try {
@@ -169,9 +239,9 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
       var eof = false
       // schema version in effect at ingest time: stamped onto DML rows
       // so downstream projection can pick the right registry schema per
-      // row even across in-band schema evolution (SURVEY.md §7.3)
-      var currentVersion: java.lang.Integer =
-        options.get("version").map(v => Int.box(v.toInt)).orNull
+      // row even across in-band schema evolution (SURVEY.md §7.3);
+      // seeded from the adopted/configured resume position
+      var currentVersion: java.lang.Integer = buffer.synchronized(baseResume._2)
       while (!stopped.get && !eof) {
         val res = client.poll()
         eof = res.eof
@@ -198,13 +268,26 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
     } finally client.close()
   }, s"maxscale-cdc-receiver-$database.$table")
   receiver.setDaemon(true)
-  receiver.start()
 
-  override def initialOffset(): Offset = CdcOffset(0L)
+  /** Offset for `idx` with the resume position of its last event (the
+    * buffer lock must be held). */
+  private def offsetAtLocked(idx: Long): CdcOffset =
+    if (idx <= base || resumeBuf.isEmpty) CdcOffset(idx, baseResume._1, baseResume._2)
+    else {
+      val j = math.min((idx - 1 - base).toInt, resumeBuf.size - 1)
+      val (g, v) = resumeBuf(j)
+      CdcOffset(idx, g, v)
+    }
+
+  override def initialOffset(): Offset = {
+    ensureReceiver()
+    buffer.synchronized(offsetAtLocked(0L))
+  }
 
   override def latestOffset(): Offset = {
+    ensureReceiver()
     if (receiverError != null) throw receiverError
-    buffer.synchronized(CdcOffset(base + buffer.size))
+    buffer.synchronized(offsetAtLocked(base + buffer.size))
   }
 
   // ---- admission control: `maxEventsPerTrigger` caps batch size, the
@@ -220,6 +303,7 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
   @volatile private var availableNowBound: Long = -1L
 
   override def prepareForTriggerAvailableNow(): Unit = {
+    ensureReceiver()
     val idleMs = options.getOrElse("availableNowIdleMs", "1000").toLong
     val deadline = System.currentTimeMillis() +
       options.getOrElse("availableNowMaxWaitMs", "15000").toLong
@@ -237,36 +321,69 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    ensureReceiver()
     if (receiverError != null) throw receiverError
     val s = start.asInstanceOf[CdcOffset].index
-    val avail0 = buffer.synchronized { rebaseIfBeyondLocked(s); base + buffer.size }
-    val avail = if (availableNowBound >= 0) math.min(avail0, availableNowBound) else avail0
-    limit match {
-      case m: ReadMaxRows => CdcOffset(math.min(avail, s + m.maxRows))
-      case _ => CdcOffset(avail)
+    buffer.synchronized {
+      rebaseIfBeyondLocked(s)
+      val avail0 = base + buffer.size
+      val avail = if (availableNowBound >= 0) math.min(avail0, availableNowBound) else avail0
+      val end = limit match {
+        case m: ReadMaxRows => math.min(avail, s + m.maxRows)
+        case _ => avail
+      }
+      offsetAtLocked(end)
     }
   }
 
-  override def reportLatestOffset(): Offset =
-    buffer.synchronized(CdcOffset(base + buffer.size))
+  override def reportLatestOffset(): Offset = {
+    ensureReceiver()
+    buffer.synchronized(offsetAtLocked(base + buffer.size))
+  }
 
-  override def deserializeOffset(json: String): Offset = CdcOffset(json.toLong)
+  /** Restart path: offsets parsed before the receiver's first connection
+    * adopt the EARLIEST position seen as the wire resume point — the
+    * start of the uncommitted batch, so interrupted work is re-fetched
+    * from the server (at-least-once) rather than skipped. Legacy bare-
+    * index offsets adopt nothing and keep the configured-GTID behavior. */
+  override def deserializeOffset(json: String): Offset = {
+    val off = CdcOffset.parse(json)
+    if (off.gtid != null || off.version != null) buffer.synchronized {
+      if (!receiverStarted.get && off.index < adoptedIndex) {
+        adoptedIndex = off.index
+        baseResume = (off.gtid, off.version)
+      }
+    }
+    off
+  }
 
   /** Checkpoint restart: a committed index beyond everything this fresh
     * connection has buffered means the counter must continue from the
     * checkpoint. Rebase so numbering resumes there; the wire position is
-    * governed by the configured GTID (DML events carry no per-event GTID
-    * to resume finer — the same granularity as the reference's
-    * WithGTID). Called with the buffer lock held.
+    * governed by the ADOPTED checkpoint GTID + schema version when the
+    * offsets carry one (see [[deserializeOffset]]), else by the
+    * configured GTID (the reference's WithGTID granularity,
+    * `gomaxscale_options.go:53-57`). Called with the buffer lock held.
     */
   private def rebaseIfBeyondLocked(start: Long): Unit =
     if (start > base + buffer.size) base = start
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    ensureReceiver()
     val s = start.asInstanceOf[CdcOffset].index
     val e = end.asInstanceOf[CdcOffset].index
+    // Replay after a GTID-adopted restart: the resumed wire re-streams
+    // the uncommitted batch's events, but they arrive asynchronously —
+    // wait (bounded) until the buffer covers [s, e) so the replayed
+    // batch is complete, never a timing-dependent prefix. Live batches
+    // never wait: their `e` was derived from the buffered size.
+    val waitUntil = System.currentTimeMillis() +
+      options.getOrElse("replayWaitMs", "5000").toLong
     val rows = buffer.synchronized {
       rebaseIfBeyondLocked(s)
+      while (base + buffer.size < e && receiver.isAlive &&
+          System.currentTimeMillis() < waitUntil)
+        buffer.wait(50)
       val lo = math.max(0, (s - base).toInt)
       val hi = math.max(lo, math.min(buffer.size, (e - base).toInt))
       buffer.slice(lo, hi).toArray
@@ -279,8 +396,15 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[CdcOffset].index
     buffer.synchronized {
+      val o = offsetAtLocked(e) // resume position advances with the commit
+      baseResume = (o.gtid, o.version)
       val drop = (e - base).toInt
-      if (drop > 0) { buffer.remove(0, math.min(drop, buffer.size)); base = e }
+      if (drop > 0) {
+        val d = math.min(drop, buffer.size)
+        buffer.remove(0, d)
+        resumeBuf.remove(0, math.min(d, resumeBuf.size))
+        base = e
+      }
       buffer.notifyAll() // wake a receiver blocked on the full buffer
     }
   }
