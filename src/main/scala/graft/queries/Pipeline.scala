@@ -429,6 +429,124 @@ object Pipeline {
         "ROUND(AVG(ratio), 4) AS avg_rep " +
         "FROM perdoc p JOIN documents d USING (doc_id) GROUP BY d.source ORDER BY d.source")),
 
+    QueryDef("q74_sequence_packing",
+      // Training-sequence packing (concatenate-then-chunk): docs are
+      // concatenated in doc_id order and cut at fixed S = 512-token
+      // boundaries — the standard GPT-style packing that wastes no
+      // tokens on padding. Packing is done INDEPENDENTLY per output
+      // shard (q72's salted-md5 assignment): the running-total window
+      // partitions by shard, so at 100 TB each shard's cumsum is a
+      // separate window partition and packing scales out with shards
+      // exactly like the shard writer it feeds (no global sort, no
+      // global cumsum). All integer arithmetic — fully portable.
+      // Output: one row per (shard, pack) with the docs that START in
+      // the pack and how many straddle into the next one (a doc spans
+      // floor(before/S)..floor((before+n_tok-1)/S)).
+      (s, d) => {
+        val S = 512
+        val nShards = 8
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs(s, d)
+          .select(col("doc_id"),
+            conv(substring(md5(concat(lit("pack:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long").%(nShards).as("shard"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .withColumn("pack", expr(s"before div $S"))
+          .withColumn("straddles",
+            (expr(s"(before + n_tok - 1) div $S") > col("pack")).cast("long"))
+          .groupBy(col("shard"), col("pack"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("sum_tokens"),
+            sum(col("straddles")).cast("long").as("n_straddle"))
+          .orderBy(col("shard"), col("pack"))
+      },
+      Some("WITH t AS (SELECT doc_id, " +
+        "CAST(('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 8 AS shard, " +
+        "CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok FROM documents), " +
+        "c AS (SELECT doc_id, shard, n_tok, COALESCE(SUM(n_tok) OVER " +
+        "(PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM t), " +
+        "p AS (SELECT shard, CAST(before // 512 AS BIGINT) AS pack, n_tok, " +
+        "CASE WHEN (before + n_tok - 1) // 512 > before // 512 THEN 1 ELSE 0 END AS straddles FROM c) " +
+        "SELECT shard, pack, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens, " +
+        "CAST(SUM(straddles) AS BIGINT) AS n_straddle " +
+        "FROM p GROUP BY shard, pack ORDER BY shard, pack")),
+
+    QueryDef("q75_span_coverage",
+      // Cross-document repeated-span coverage (the bounded form of
+      // suffix-based exact substring dedup, Lee et al. 2021,
+      // arXiv:2107.06499): for each doc, the fraction of its 8-gram
+      // POSITIONS whose 8-gram also appears in at least one OTHER doc —
+      // high coverage = boilerplate/quoted passages a curation run
+      // strips or down-weights. Distinct from q64 (train/test leakage
+      // across a split) — this is corpus-internal. Shape: one shingle
+      // scan → distinct-doc df per shingle (hash agg) → semi-join
+      // positions against the df >= 2 shingles — inverted-index
+      // equi-joins only, linear in shingle volume. Coverage is
+      // integer-quantized per doc (1e-4) before the per-source mean
+      // (floored integer division), so no order-dependent double sums.
+      (s, d) => {
+        val raw = LlmText.shinglesRaw(s, d, 8)
+        val shared = raw.select(col("doc_id"), col("sh")).distinct()
+          .groupBy(col("sh")).agg(count(lit(1)).as("dfd"))
+          .where(col("dfd") >= 2).select(col("sh"))
+        val perDoc = raw.groupBy(col("doc_id")).agg(count(lit(1)).as("n_pos"))
+        val hits = raw.join(shared, Seq("sh"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        val cov = perDoc.join(hits, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            expr("CAST(floor(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_pos * 10000 + 0.5) AS BIGINT)")
+              .as("cov_e4"))
+        cov.join(docs(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("cov_e4") > 5000L, 1L).otherwise(0L)).cast("long").as("n_flagged"),
+            expr("CAST(SUM(cov_e4) AS BIGINT) div COUNT(*)").as("avg_cov_e4"))
+          .orderBy(col("source"))
+      },
+      Some("WITH " + LlmText.shinglesSql(8) + ", " +
+        "shared AS (SELECT sh FROM (SELECT sh, COUNT(DISTINCT doc_id) AS dfd FROM shraw GROUP BY sh) " +
+        "WHERE dfd >= 2), " +
+        "perdoc AS (SELECT doc_id, COUNT(*) AS n_pos FROM shraw GROUP BY doc_id), " +
+        "hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM shraw WHERE sh IN (SELECT sh FROM shared) " +
+        "GROUP BY doc_id), " +
+        "cov AS (SELECT p.doc_id, CAST(floor(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / p.n_pos * 10000 + 0.5) AS BIGINT) AS cov_e4 " +
+        "FROM perdoc p LEFT JOIN hits h ON h.doc_id = p.doc_id) " +
+        "SELECT d.source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN cov_e4 > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
+        "CAST(SUM(cov_e4) // COUNT(*) AS BIGINT) AS avg_cov_e4 " +
+        "FROM cov c JOIN documents d ON d.doc_id = c.doc_id " +
+        "GROUP BY d.source ORDER BY d.source")),
+
+    QueryDef("q77_mixture_weights",
+      // Data-mixing step: per-source sampling weights by temperature
+      // sampling p_s ∝ n_s^α with α = 0.5 (the multilingual-corpus
+      // rebalancing rule) — upweights small sources relative to their
+      // token share. sqrt is correctly rounded IEEE on every engine, so
+      // quantizing each weight to integer micro-units BEFORE normalizing
+      // (integer sum + floored integer division) makes the whole output
+      // engine-portable with no order-dependent float accumulation.
+      // Shape: one token-count hash agg, then a 5-row broadcast total.
+      (s, d) => {
+        val counts = docs(s, d)
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+          .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+          .withColumn("w_mu", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"))
+        val tot = counts.agg(sum(col("w_mu")).as("w_tot"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"),
+            expr("(w_mu * 1000000) div w_tot").as("p_e6"))
+          .orderBy(col("source"))
+      },
+      Some("WITH c AS (SELECT source, CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "w AS (SELECT source, n_tokens, " +
+        "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w_mu FROM c), " +
+        "t AS (SELECT SUM(w_mu) AS w_tot FROM w) " +
+        "SELECT source, n_tokens, CAST((w_mu * 1000000) // w_tot AS BIGINT) AS p_e6 " +
+        "FROM w CROSS JOIN t ORDER BY source")),
+
     QueryDef("q67_bm25_retrieval",
       // BM25 keyword retrieval (k1 = 1.2, b = 0.75): the ranked-search
       // primitive a curation pipeline uses for targeted corpus pulls and

@@ -219,6 +219,39 @@ object Vectors {
         "SELECT query_id, rnk, vec_id AS neighbor_id, sim FROM r WHERE rnk <= 3 " +
         "ORDER BY query_id, rnk")),
 
+    QueryDef("q76_int8_quant",
+      // Per-vector int8 quantization (the storage/bandwidth lever for a
+      // 100 TB ANN index: 4x smaller than float32, dequantized on the
+      // fly at scoring time): scale = max|x|/127, q_i = round(x_i/scale),
+      // and the audit output is each vector's summed absolute
+      // reconstruction error. Everything is a MAP-ONLY per-row
+      // transform — no join, no shuffle until the final orderBy, which
+      // at corpus scale is a write partitioned by vec_id range instead.
+      // Portability: scale and the per-element round/dequant/abs-error
+      // chain are identical IEEE ops in identical order on both
+      // engines, and each element's error is quantized to integer 1e-9
+      // units BEFORE the per-vector sum, so the fold is an
+      // order-independent integer add (the q67/q69 doctrine).
+      (s, d) => {
+        val v = vecDouble(col("embedding"))
+        Tables(s, d, "embeddings")
+          .select(col("vec_id"), v.as("v"))
+          .withColumn("scale",
+            expr("array_max(transform(v, x -> abs(x))) / CAST(127 AS DOUBLE)"))
+          .select(col("vec_id"),
+            expr("aggregate(transform(v, x -> CAST(floor(abs(x - floor(x / scale + 0.5) * scale) " +
+              "* 1000000000 + 0.5) AS BIGINT)), 0L, (a, b) -> a + b)").as("sae_e9"),
+            expr("array_max(transform(v, x -> CAST(floor(abs(x - floor(x / scale + 0.5) * scale) " +
+              "* 1000000000 + 0.5) AS BIGINT)))").as("max_e9"))
+          .orderBy(col("vec_id"))
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / CAST(127 AS DOUBLE) AS scale FROM e), " +
+        "err AS (SELECT vec_id, list_transform(v, x -> CAST(floor(abs(x - floor(x / scale + 0.5) * scale) " +
+        "* 1000000000 + 0.5) AS BIGINT)) AS es FROM s) " +
+        "SELECT vec_id, list_reduce(list_prepend(CAST(0 AS BIGINT), es), (a, b) -> a + b) AS sae_e9, " +
+        "list_max(es) AS max_e9 FROM err ORDER BY vec_id")),
+
     QueryDef("q68_kmeans_cells",
       // Deterministic quantized Lloyd's k-means (operators/KMeansLloyd):
       // the engine-portable centroid trainer behind an IVF index and the

@@ -47,6 +47,55 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("CartesianProduct"), "funnel must not plan a cartesian")
   }
 
+  test("q74 packing conserves tokens and pack ids are contiguous per shard") {
+    val total = Tables(spark, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    val rows = SparkEntry.queries("q74_sequence_packing")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("sum_tokens")).sum == total,
+      "every token must land in exactly one pack row")
+    // packs within a shard are a contiguous 0-based range (concatenate-
+    // then-chunk leaves no empty pack between occupied ones)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      val packs = rs.map(_.getAs[Long]("pack")).sorted.toSeq
+      assert(packs == (0L until packs.size), s"shard $shard packs not contiguous: $packs")
+    }
+  }
+
+  test("q77 mixture weights sum to 1 within floor error and upweight small sources") {
+    val rows = SparkEntry.queries("q77_mixture_weights")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val pSum = rows.map(_._3).sum
+    assert(pSum <= 1000000L && pSum > 1000000L - rows.length,
+      s"probabilities sum to $pSum, want (1e6 - n, 1e6]")
+    // temperature alpha = 0.5 flattens: the smallest source's share of p
+    // must exceed its share of tokens, the largest's must shrink
+    val totTok = rows.map(_._2).sum
+    val small = rows.minBy(_._2)
+    val big = rows.maxBy(_._2)
+    assert(small._3.toDouble / 1e6 > small._2.toDouble / totTok)
+    assert(big._3.toDouble / 1e6 < big._2.toDouble / totTok)
+  }
+
+  test("q75 coverage is a valid per-doc fraction and flags the planted dup docs") {
+    // exact-duplicate docs (q41's dup groups) share ALL their 8-grams,
+    // so every member of a dup group must have coverage 1.0 — they are
+    // the guaranteed-flagged population
+    val rows = SparkEntry.queries("q75_span_coverage")(spark, dir).collect()
+    rows.foreach { r =>
+      val (n, flagged, avg) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_flagged"),
+        r.getAs[Long]("avg_cov_e4"))
+      assert(flagged <= n && avg >= 0L && avg <= 10000L)
+    }
+    val dupDocs = Tables(spark, dir, "documents")
+      .groupBy(col("text")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_flagged")).sum >= dupDocs / 2,
+      "exact-dup docs share all 8-grams and must be flagged")
+    assert(rows.map(_.getAs[Long]("n_flagged")).sum > 0,
+      "fixture should contain flagged high-coverage docs")
+  }
+
   test("q62 equals an exact in-Spark full recount") {
     val got = SparkEntry.queries("q62_heavy_hitters")(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
