@@ -480,20 +480,27 @@ object Pipeline {
       // POSITIONS whose 8-gram also appears in at least one OTHER doc —
       // high coverage = boilerplate/quoted passages a curation run
       // strips or down-weights. Distinct from q64 (train/test leakage
-      // across a split) — this is corpus-internal. Shape: one shingle
-      // scan → distinct-doc df per shingle (hash agg) → semi-join
-      // positions against the df >= 2 shingles — inverted-index
+      // across a split) — this is corpus-internal. Shape: the 8-gram
+      // explode feeds ONE (doc, shingle) occurrence aggregation,
+      // materialized once (per-consumer column pruning defeats
+      // ReuseExchange here — verified in the plan — so the explode
+      // would otherwise run three times); per-doc position totals,
+      // distinct-doc df per shingle, and per-doc hit counts are then
+      // three aggs over the materialized relation. At cluster scale the
+      // same move is writing the doc×shingle aggregate to storage once
+      // and deriving the three statistics from it. Inverted-index
       // equi-joins only, linear in shingle volume. Coverage is
       // integer-quantized per doc (1e-4) before the per-source mean
       // (floored integer division), so no order-dependent double sums.
       (s, d) => {
-        val raw = LlmText.shinglesRaw(s, d, 8)
-        val shared = raw.select(col("doc_id"), col("sh")).distinct()
-          .groupBy(col("sh")).agg(count(lit(1)).as("dfd"))
+        val counts = LlmText.shinglesRaw(s, d, 8)
+          .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("occ"))
+          .localCheckpoint(true)
+        val shared = counts.groupBy(col("sh")).agg(count(lit(1)).as("dfd"))
           .where(col("dfd") >= 2).select(col("sh"))
-        val perDoc = raw.groupBy(col("doc_id")).agg(count(lit(1)).as("n_pos"))
-        val hits = raw.join(shared, Seq("sh"), "left_semi")
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        val perDoc = counts.groupBy(col("doc_id")).agg(sum(col("occ")).as("n_pos"))
+        val hits = counts.join(shared, Seq("sh"), "left_semi")
+          .groupBy(col("doc_id")).agg(sum(col("occ")).as("n_hit"))
         val cov = perDoc.join(hits, Seq("doc_id"), "left_outer")
           .select(col("doc_id"),
             expr("CAST(floor(CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_pos * 10000 + 0.5) AS BIGINT)")
