@@ -436,6 +436,89 @@ object Vectors {
         "SELECT query_id, rnk, vec_id AS neighbor_id, sim FROM r WHERE rnk <= 3 " +
         "ORDER BY query_id, rnk")),
 
+    QueryDef("q78_ivf_sq8",
+      // The complete deterministic ANN index pipeline — IVF cells + SQ8
+      // (int8 scalar-quantized) scoring — composing q73b's multi-probe
+      // cell restriction with q76's per-vector quantization, the way a
+      // production vector store (FAISS IVF,SQ8) actually serves 100 TB:
+      // the index stores 4x-smaller int8 codes, candidates come from
+      // the query's 2 nearest cells, and scoring is an INTEGER dot
+      // product over the codes (the int8-SIMD hot loop), rescaled by
+      // the two per-vector scales only at rank time. Ranking is by
+      // MIPS (max inner product) in integer 1e-6 units: the quantized
+      // dot is an exact integer, the rescale is three IEEE multiplies
+      // on exact inputs in a fixed order, and the floor lands every
+      // score on an integer — bit-identical on both engines, so unlike
+      // float-accumulated ANN scores the whole approximate pipeline is
+      // oracle-hashable. Per-query top-3 via TopKRows (windowless,
+      // plan-guarded); probes broadcast, member scan never shuffles.
+      (s, d) => {
+        import graft.operators.KMeansLloyd
+        val vecs = Tables(s, d, "embeddings")
+          .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+        val (assigned, probeCents, _) = KMeansLloyd.runTracked(vecs, "vec_id", k = 4, iters = 2)
+        val cells = assigned.select(col("vec_id"), col("cell"))
+        val quant = Tables(s, d, "embeddings")
+          .select(col("vec_id"), vecDouble(col("embedding")).as("v"))
+          .withColumn("scale",
+            expr("array_max(transform(v, x -> abs(x))) / CAST(127 AS DOUBLE)"))
+          .select(col("vec_id"), col("scale"),
+            expr("transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))").as("q"))
+        val member = cells.join(quant, "vec_id")
+        val probes = KMeansLloyd.probeCells(
+            vecs.where(col("vec_id").between(1, 5)), probeCents, nProbe = 2)
+          .select(col("vec_id").as("query_id"), col("cell"))
+        val q = broadcast(probes.join(
+          quant.select(col("vec_id").as("query_id"), col("scale").as("qscale"),
+            col("q").as("qq")), "query_id"))
+        val scored = member.join(q,
+            member("cell") === q("cell") && col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            expr("CAST(floor((qscale * scale) * CAST(aggregate(zip_with(qq, q, (a, b) -> a * b), " +
+              "0L, (acc, x) -> acc + x) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)").as("score_e6"))
+        val topk = udaf(new graft.functions.TopKRows(3),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        scored.groupBy(col("query_id"))
+          .agg(topk(col("score_e6").cast("double"), col("vec_id"), lit(0L)).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("query_id"), (col("pos") + 1).as("rnk"),
+            col("e._2").as("neighbor_id"), col("e._1").cast("long").as("score_e6"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
+        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+        "c0 AS (SELECT vec_id AS cell, d, xi AS ci FROM comps WHERE vec_id < 4), " +
+        "d1 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c0 k USING (d) GROUP BY 1, 2), " +
+        "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
+        "c1 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+        "FROM comps c JOIN a1 a USING (vec_id) GROUP BY 1, 2), " +
+        "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
+        "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
+        "p AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2 WHERE vec_id BETWEEN 1 AND 5) " +
+        "WHERE rn <= 2), " +
+        "qv AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / CAST(127 AS DOUBLE) AS scale, " +
+        "list_transform(v, x -> CAST(floor(x / (list_max(list_transform(v, y -> abs(y))) / CAST(127 AS DOUBLE)) + 0.5) AS BIGINT)) AS q " +
+        "FROM e), " +
+        "c AS (SELECT p.query_id, m.vec_id, " +
+        "CAST(floor((qa.scale * qb.scale) * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(list_zip(qa.q, qb.q), z -> z[1] * z[2])), (acc, x) -> acc + x) AS DOUBLE) " +
+        "* 1000000 + 0.5) AS BIGINT) AS score_e6 " +
+        "FROM p JOIN a2 m ON m.cell = p.cell AND m.vec_id <> p.query_id " +
+        "JOIN qv qa ON qa.vec_id = p.query_id JOIN qv qb ON qb.vec_id = m.vec_id), " +
+        "r AS (SELECT query_id, vec_id, score_e6, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY score_e6 DESC, vec_id) AS rnk FROM c) " +
+        "SELECT query_id, rnk, vec_id AS neighbor_id, score_e6 FROM r WHERE rnk <= 3 " +
+        "ORDER BY query_id, rnk")),
+
     QueryDef("q70_semantic_dedup",
       // SemDeDup-style cluster-bucketed embedding dedup (Abbas et al.
       // 2023, arXiv:2303.09540): partition the corpus into k-means cells,

@@ -73,6 +73,42 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestSession {
     assert(rMulti >= 0.85, f"multi-probe recall $rMulti%.2f below floor (measured 0.93)")
   }
 
+  test("q78 SQ8 ranking matches exact-float MIPS over the same probed candidates") {
+    // isolate the int8 quantization error: rebuild the identical
+    // candidate set (same cells, same 2-probe expansion), rank by the
+    // EXACT float inner product, and compare top-3 neighbor sets — any
+    // gap is purely what scalar quantization cost, and on 64-dim
+    // embeddings it must cost (almost) nothing
+    import graft.operators.KMeansLloyd
+    import graft.SparkEntry
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+    val (assigned, probeCents, _) = KMeansLloyd.runTracked(vecs, "vec_id", k = 4, iters = 2)
+    val cells = assigned.select(col("vec_id"), col("cell"))
+    val ev = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), vecDouble(col("embedding")).as("v"))
+    val member = cells.join(ev, "vec_id")
+    val probes = KMeansLloyd.probeCells(
+        vecs.where(col("vec_id").between(1, 5)), probeCents, nProbe = 2)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val q = broadcast(probes.join(
+      ev.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ip").desc, col("vec_id"))
+    val exact = member.join(q,
+        member("cell") === q("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("aggregate(zip_with(v, qv, (a, b) -> a * b), 0D, (acc, x) -> acc + x)").as("ip"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val sq8 = SparkEntry.queries("q78_ivf_sq8")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(sq8.size == exact.size)
+    val overlap = (sq8 & exact).size
+    info(s"q78 SQ8 top-3 overlap with exact MIPS: $overlap/${exact.size}")
+    assert(overlap >= exact.size - 1,
+      s"int8 quantization flipped more than one neighbor: $overlap/${exact.size}")
+  }
+
   test("sf0.1: recall >= 0.9 while scanning <= nProbe/nCells of the corpus") {
     // VERDICT round-1 item 7: quantified evidence at the bench tier
     // (2000 vectors, 50 queries, nProbe 10 of 16 cells)

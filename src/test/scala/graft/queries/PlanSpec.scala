@@ -93,7 +93,7 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // aggregation must run with a partial (map-side) phase so the
     // shuffle carries ≤ k-entry buffers per query per task, never the
     // full scored stream
-    for (q <- Seq("q48b_ann_topk_heap", "q73b_ivf_multiprobe")) {
+    for (q <- Seq("q48b_ann_topk_heap", "q73b_ivf_multiprobe", "q78_ivf_sq8")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q plans a Window:\n${p.take(1200)}")
       assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
@@ -105,7 +105,7 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // the IVF probe join must be a BroadcastHashJoin (queries are a
     // handful of rows): a shuffle join keyed on cell would ceiling
     // parallelism at k and move the whole member table
-    for (q <- Seq("q73_ivf_ann", "q73b_ivf_multiprobe")) {
+    for (q <- Seq("q73_ivf_ann", "q73b_ivf_multiprobe", "q78_ivf_sq8")) {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"), s"$q probe join is not broadcast:\n${p.take(1200)}")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ")
