@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over the `events` stream: cohort retention
+  * and ordered conversion funnels — the two queries every product
+  * analytics engine runs and the reference's consumers would build on
+  * top of its raw CDC event feed (the reference delivers events,
+  * `gomaxscale.go:163-189`; it has no aggregation surface, SURVEY.md
+  * §2B). Both are oracle-checked like the rest of §2C/D.
+  *
+  * Scale shape: everything here is keyed on `user_id` — ONE shuffle
+  * brings a user's history together, and every later stage (cohort
+  * join, funnel stage joins) reuses that partitioning, so Spark plans
+  * them shuffle-free after the first exchange. The final aggregates are
+  * tiny (weeks × offsets, or 3 stages).
+  */
+object Behavioral {
+
+  private val Fmt = "yyyy-MM-dd HH:mm:ss"
+
+  private def events(s: SparkSession, d: String): DataFrame = Tables(s, d, "events")
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q80_retention_cohorts",
+      // Weekly cohort retention: a user's cohort is the ISO week of
+      // their first event; each (cohort, week-offset) cell counts users
+      // active that many weeks later. Spark and DuckDB both truncate
+      // weeks to Monday, and offsets are exact day-multiples of 7, so
+      // the division is exact. The (user, week) distinct runs BEFORE
+      // the cohort join, shrinking the join input from events to
+      // user-weeks; cohort and activity share the user_id partitioning.
+      (s, d) => {
+        val uw = events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+          .distinct()
+        val cohort = uw.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+        uw.join(cohort, Seq("user_id"))
+          .groupBy(col("cw"), (datediff(col("w"), col("cw")) / 7).cast("long").as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .select(date_format(col("cw"), Fmt).as("cohort_week"), col("week_offset"),
+            col("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events), " +
+        "cohort AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY 1) " +
+        "SELECT strftime(cw, '%Y-%m-%d %H:%M:%S') AS cohort_week, " +
+        "CAST(date_diff('day', cw, w) / 7 AS BIGINT) AS week_offset, " +
+        "COUNT(*) AS n_users " +
+        "FROM uw JOIN cohort USING (user_id) " +
+        "GROUP BY cw, week_offset ORDER BY cohort_week, week_offset")),
+
+    QueryDef("q82_funnel_conversion",
+      // Ordered 3-step funnel view -> click -> purchase with a 24 h
+      // conversion window per hop: a user counts toward a stage only if
+      // it happened STRICTLY AFTER their entry into the previous stage
+      // and within 24 h of it (first qualifying timestamp each; at the
+      // fixtures this yields real decay, 150 -> 60 -> 25 at sf0.01).
+      // Window arithmetic is integer-µs timestamp addition — exact on
+      // both engines. Three min-aggregates chained by the range
+      // predicate, all keyed on user_id — after the first exchange the
+      // chain is co-partitioned; the output is one row of funnel counts.
+      (s, d) => {
+        val e = events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+        val t1 = e.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val t2 = e.where(col("event_type") === "click").join(t1, Seq("user_id"))
+          .where(col("ts") > col("t1") && col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val t3 = e.where(col("event_type") === "purchase").join(t2, Seq("user_id"))
+          .where(col("ts") > col("t2") && col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        t1.join(t2, Seq("user_id"), "left_outer").join(t3, Seq("user_id"), "left_outer")
+          .agg(count(col("t1")).as("n_view"),
+            count(col("t2")).as("n_click_24h"),
+            count(col("t3")).as("n_purchase_24h"))
+      },
+      Some("WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e " +
+        "JOIN t1 ON t1.user_id = e.user_id " +
+        "WHERE e.event_type = 'click' AND e.ts > t1.t1 " +
+        "AND e.ts <= t1.t1 + INTERVAL 24 HOUR GROUP BY 1), " +
+        "t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e " +
+        "JOIN t2 ON t2.user_id = e.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > t2.t2 " +
+        "AND e.ts <= t2.t2 + INTERVAL 24 HOUR GROUP BY 1) " +
+        "SELECT COUNT(t1.t1) AS n_view, COUNT(t2.t2) AS n_click_24h, " +
+        "COUNT(t3.t3) AS n_purchase_24h " +
+        "FROM t1 LEFT JOIN t2 ON t2.user_id = t1.user_id " +
+        "LEFT JOIN t3 ON t3.user_id = t1.user_id")))
+}

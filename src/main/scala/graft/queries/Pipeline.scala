@@ -473,6 +473,73 @@ object Pipeline {
         "CAST(SUM(straddles) AS BIGINT) AS n_straddle " +
         "FROM p GROUP BY shard, pack ORDER BY shard, pack")),
 
+    QueryDef("q79_chunk_docs",
+      // RAG/context-window chunking: each doc is cut into overlapping
+      // C = 64-token chunks on a 48-token stride (chunks start at
+      // 0, 48, 96, ... while the start is inside the doc; the tail
+      // chunk is short). The content of every chunk — not just its
+      // geometry — is pinned by summing a salted-md5 bucket of the
+      // joined chunk text, so a slicing off-by-one on either engine
+      // breaks the hash. Per-row explode then a tiny per-source agg:
+      // no shuffle until the final groupBy, and at 100 TB the explode
+      // fan-out (~n_tok/48 rows per doc) stays inside the scan stage.
+      (s, d) => {
+        val t = docs(s, d).select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")))
+        t.select(col("doc_id"), col("source"), col("toks"), col("n"),
+            explode(expr("sequence(0, n - 1, 48)")).as("st"))
+          .withColumn("clen", least(lit(64), col("n") - col("st")).cast("long"))
+          .withColumn("chunk", concat_ws(" ", slice(col("toks"), col("st") + 1, lit(64))))
+          .withColumn("cb",
+            conv(substring(md5(concat(lit("chunk:"), col("chunk"))), 1, 8), 16, 10)
+              .cast("long") % 1000000)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(col("clen")).cast("long").as("sum_chunk_toks"),
+            sum(col("cb")).cast("long").as("content_sum"))
+          .orderBy(col("source"))
+      },
+      Some("WITH t AS (SELECT doc_id, source, string_split(text,' ') AS toks, " +
+        "len(string_split(text,' ')) AS n FROM documents), " +
+        "c AS (SELECT doc_id, source, n, toks, UNNEST(generate_series(0, n - 1, 48)) AS st FROM t), " +
+        "ch AS (SELECT doc_id, source, LEAST(64, n - st) AS clen, " +
+        "array_to_string(list_slice(toks, st + 1, st + 64), ' ') AS chunk FROM c) " +
+        "SELECT source, COUNT(*) AS n_chunks, COUNT(DISTINCT doc_id) AS n_docs, " +
+        "CAST(SUM(clen) AS BIGINT) AS sum_chunk_toks, " +
+        "CAST(SUM(CAST(('0x' || substring(md5('chunk:' || chunk),1,8)) AS BIGINT) % 1000000) AS BIGINT) AS content_sum " +
+        "FROM ch GROUP BY source ORDER BY source")),
+
+    QueryDef("q81_bpe_pair_counts",
+      // The counting step of BPE vocabulary induction: frequency of
+      // adjacent character pairs inside whitespace words (the argmax of
+      // this table IS the first BPE merge). The explode fans out to one
+      // row per character, but the shuffle after it carries only the
+      // distinct-pair partial counts (alphabet² keys at most) thanks to
+      // map-side partial aggregation — the 100 TB shape is scan-heavy,
+      // shuffle-tiny, exactly like production tokenizer training.
+      // ORDER BY (cnt DESC, pair) is total, so LIMIT 20 is
+      // deterministic on both engines.
+      (s, d) => {
+        val words = docs(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .where(length(col("w")) >= 2)
+        words
+          .select(explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+          .groupBy(col("pair"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(20)
+      },
+      Some("WITH w AS (SELECT UNNEST(string_split(text,' ')) AS w FROM documents), " +
+        "i AS (SELECT w, UNNEST(generate_series(1, length(w) - 1)) AS i FROM w " +
+        "WHERE length(w) >= 2), " +
+        "p AS (SELECT substring(w, i, 2) AS pair FROM i) " +
+        "SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair " +
+        "ORDER BY cnt DESC, pair LIMIT 20")),
+
     QueryDef("q75_span_coverage",
       // Cross-document repeated-span coverage (the bounded form of
       // suffix-based exact substring dedup, Lee et al. 2021,

@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral-analytics invariants beyond the DuckDB oracle gate: the
+  * retention matrix's structural properties, and a full driver-side
+  * differential replay of the funnel semantics on the sf0.001 fixture
+  * (1000 events — small enough to recompute imperatively and compare).
+  */
+class BehavioralSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q80 offset-0 cells account for every user exactly once") {
+    // every user is active in their own cohort week, so the offset-0
+    // diagonal partitions the user base
+    val rows = SparkEntry.queries("q80_retention_cohorts")(spark, dir).collect()
+    val nUsers = Tables(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    val diag = rows.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    assert(diag == nUsers, s"offset-0 total $diag != distinct users $nUsers")
+  }
+
+  test("q80 no cell exceeds its cohort size, offsets are non-negative") {
+    val rows = SparkEntry.queries("q80_retention_cohorts")(spark, dir).collect()
+    val cohortSize = rows.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(r => r.getAs[String]("cohort_week") -> r.getAs[Long]("n_users")).toMap
+    rows.foreach { r =>
+      val cw = r.getAs[String]("cohort_week")
+      assert(r.getAs[Long]("week_offset") >= 0L)
+      assert(r.getAs[Long]("n_users") <= cohortSize(cw),
+        s"cohort $cw offset ${r.getAs[Long]("week_offset")} retains more users than the cohort has")
+    }
+  }
+
+  test("q82 funnel matches an imperative per-user replay") {
+    // ground truth computed with plain Scala over the collected events:
+    // first view, first click in (t1, t1+24h], first purchase in
+    // (t2, t2+24h]
+    val events = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val h24 = 24L * 3600 * 1000000L
+    val byUser = events.groupBy(_._1)
+    var nView = 0L; var nClick = 0L; var nPurchase = 0L
+    byUser.foreach { case (_, evs) =>
+      val t1 = evs.filter(_._3 == "view").map(_._2).minOption
+      t1.foreach { v =>
+        nView += 1
+        val t2 = evs.filter(e => e._3 == "click" && e._2 > v && e._2 <= v + h24)
+          .map(_._2).minOption
+        t2.foreach { c =>
+          nClick += 1
+          val t3 = evs.filter(e => e._3 == "purchase" && e._2 > c && e._2 <= c + h24)
+            .map(_._2).minOption
+          t3.foreach(_ => nPurchase += 1)
+        }
+      }
+    }
+    val row = SparkEntry.queries("q82_funnel_conversion")(spark, dir).head()
+    assert(row.getAs[Long]("n_view") == nView)
+    assert(row.getAs[Long]("n_click_24h") == nClick)
+    assert(row.getAs[Long]("n_purchase_24h") == nPurchase)
+    assert(nView >= nClick && nClick >= nPurchase, "funnel must be monotone")
+  }
+}

@@ -108,4 +108,43 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(got == exact)
     assert(exact.nonEmpty, "fixture should have heavy hitters at n/40")
   }
+
+  test("q79 chunking covers every token once to twice, counts match geometry") {
+    // stride 48 < size 64: every token is in at least its own chunk and
+    // in at most one overlap tail, so per-source token-slot totals land
+    // in [n_tok, 2*n_tok]; chunk counts equal floor((n-1)/48)+1 per doc
+    val perDoc = Tables(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expChunks = perDoc.groupBy(_._1).view
+      .mapValues(_.map { case (_, n) => (n - 1) / 48 + 1 }.sum).toMap
+    val tokTotals = perDoc.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val rows = SparkEntry.queries("q79_chunk_docs")(spark, dir).collect()
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_chunks") == expChunks(src),
+        s"$src: chunk count disagrees with stride geometry")
+      val slots = r.getAs[Long]("sum_chunk_toks")
+      assert(slots >= tokTotals(src) && slots <= 2 * tokTotals(src),
+        s"$src: token slots $slots outside [n, 2n] of ${tokTotals(src)}")
+    }
+  }
+
+  test("q81 top pair matches an exact driver-side recount") {
+    val texts = Tables(spark, dir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split(" ").foreach { w =>
+      if (w.length >= 2)
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1
+        }
+    })
+    val exactTop = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    val got = SparkEntry.queries("q81_bpe_pair_counts")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("cnt")).toSeq
+    assert(got == exactTop, "top-20 BPE pair table disagrees with exact recount")
+    assert(got.forall(_._1.length == 2))
+  }
 }
