@@ -591,5 +591,62 @@ object Vectors {
         "JOIN e ea ON ea.vec_id = x.vec_id JOIN e eb ON eb.vec_id = y.vec_id " +
         "WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4 GROUP BY y.vec_id) " +
         "SELECT a.vec_id, a.cell, CASE WHEN d.dup_of IS NOT NULL THEN 'drop' ELSE 'keep' END AS action, " +
-        "d.dup_of FROM a2 a LEFT JOIN dups d ON d.vec_id = a.vec_id ORDER BY a.vec_id")))
+        "d.dup_of FROM a2 a LEFT JOIN dups d ON d.vec_id = a.vec_id ORDER BY a.vec_id")),
+
+    QueryDef("q83_knn_label_vote",
+      // kNN label-vote classification over the embedding corpus (the
+      // label-propagation / auto-labeling step of a training-data
+      // pipeline): every 25th vector is a query, its 10 nearest
+      // neighbors by cosine vote with majority (ties broken by smaller
+      // label), and the output is the (true_label, pred_label)
+      // confusion matrix. Third consumer of the mergeable bounded-
+      // buffer Aggregator (functions/TopKRows): neighbor labels ride
+      // the payload slot, so each task folds scores into a ≤ 10-entry
+      // buffer per query and the shuffle carries k·queries·tasks
+      // tuples — never the |queries|·n scored stream, and no sort.
+      // At 100 TB: queries broadcast, scoring stays in the scan stage,
+      // and the vote/confusion aggs are queries-sized.
+      (s, d) => {
+        val e0 = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"), vecDouble(col("embedding")).as("v"))
+          .withColumn("nrm", l2Norm(col("v")))
+          .select(col("vec_id"), col("label"),
+            transform(col("v"), x => x / col("nrm")).as("u"))
+        val e = e0.repartition(s.sparkContext.defaultParallelism)
+        val q = broadcast(e0.where(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+            col("u").as("qu")))
+        val scored = e.join(q, col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("true_label"), col("vec_id"),
+            col("label").cast("long").as("nb_label"),
+            round(dot(col("u"), col("qu")), 4).as("sim"))
+        val topk = udaf(new graft.functions.TopKRows(10),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        val votes = scored.groupBy(col("query_id"), col("true_label"))
+          .agg(topk(col("sim"), col("vec_id"), col("nb_label")).as("top"))
+          .select(col("query_id"), col("true_label"), explode(col("top")).as("e"))
+          .groupBy(col("query_id"), col("true_label"), col("e._3").as("nb_label"))
+          .agg(count(lit(1)).as("cnt"))
+        val vw = Window.partitionBy(col("query_id"))
+          .orderBy(col("cnt").desc, col("nb_label"))
+        votes.withColumn("vr", row_number().over(vw)).where(col("vr") === 1)
+          .groupBy(col("true_label"), col("nb_label").cast("int").as("pred_label"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("true_label"), col("pred_label"))
+      },
+      Some("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS query_id, label AS true_label, v AS qv FROM e WHERE vec_id % 25 = 0), " +
+        "c AS (SELECT q.query_id, q.true_label, e.vec_id, e.label AS nb_label, " +
+        "ROUND(list_cosine_similarity(e.v, q.qv), 4) AS sim FROM e JOIN q ON e.vec_id <> q.query_id), " +
+        "r AS (SELECT query_id, true_label, vec_id, nb_label, sim, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rnk FROM c), " +
+        "k AS (SELECT query_id, true_label, nb_label FROM r WHERE rnk <= 10), " +
+        "v AS (SELECT query_id, true_label, nb_label, COUNT(*) AS cnt FROM k GROUP BY 1, 2, 3), " +
+        "p AS (SELECT query_id, true_label, nb_label AS pred_label, " +
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cnt DESC, nb_label) AS vr FROM v) " +
+        "SELECT true_label, pred_label, COUNT(*) AS n FROM p WHERE vr = 1 " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")))
 }

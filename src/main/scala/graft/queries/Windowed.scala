@@ -134,6 +134,44 @@ object Windowed {
         "AND s_ts >= p_ts - INTERVAL 24 HOURS " +
         "ORDER BY purchase_id, COALESCE(signup_id, -1)")),
 
+    QueryDef("q71b_attribution_audit",
+      // FULL-outer form of q71 — the attribution AUDIT: one relation
+      // holding matched (purchase, signup) pairs, purchases nothing
+      // attributed (NULL signup), and signups that converted nothing
+      // within their 24 h window (NULL purchase). Same equi-join on
+      // user_id + residual range, so the scale shape is identical to
+      // q71; Structured Streaming supports the full-outer variant with
+      // the same two-sided watermark state bound (twin pinned in
+      // EventPipelinesSpec). Both NULLABLE key columns ride through
+      // coalesce(-1) tiebreakers so the total order is engine-portable.
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val p = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+        val sg = ev.where(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+        p.join(sg,
+            col("user_id") === col("s_user") &&
+              col("s_ts") <= col("p_ts") &&
+              col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"),
+            "full")
+          .select(col("purchase_id"),
+            coalesce(col("user_id"), col("s_user")).as("uid"),
+            col("signup_id"),
+            round(col("p_ts").cast("double") - col("s_ts").cast("double"), 2).as("sec_since_signup"))
+          .withColumnRenamed("uid", "user_id")
+          .orderBy(coalesce(col("purchase_id"), lit(-1L)), coalesce(col("signup_id"), lit(-1L)))
+      },
+      Some("WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "s AS (SELECT event_id AS signup_id, user_id AS s_user, ts AS s_ts FROM events " +
+        "WHERE event_type = 'signup') " +
+        "SELECT purchase_id, COALESCE(user_id, s_user) AS user_id, signup_id, " +
+        "ROUND(epoch(p_ts) - epoch(s_ts), 2) AS sec_since_signup " +
+        "FROM p FULL JOIN s ON user_id = s_user AND s_ts <= p_ts " +
+        "AND s_ts >= p_ts - INTERVAL 24 HOURS " +
+        "ORDER BY COALESCE(purchase_id, -1), COALESCE(signup_id, -1)")),
+
     QueryDef("q40_dedup_earliest",
       (s, d) => {
         val w = Window.partitionBy(col("user_id"), col("event_type"))

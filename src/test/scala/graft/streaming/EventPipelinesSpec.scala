@@ -259,6 +259,41 @@ class EventPipelinesSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join emits unmatched rows from BOTH sides") {
+    // the q71b batch shape in streaming form: a purchase with no signup
+    // arrives with NULL signup_id AND a signup that attributed nothing
+    // arrives with NULL purchase_id, each finalized only after both
+    // watermarks pass its interval
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val signups = MemoryStream[Ev]
+    val q = EventPipelines.purchaseAttribution(
+        purchases.toDF(), signups.toDF(), watermark = "1 hour",
+        horizon = "2 hours", joinType = "full_outer")
+      .writeStream.format("memory").queryName("attrib_fo")
+      .outputMode("append").start()
+    try {
+      signups.addData(
+        Ev(10, t("2024-01-01 00:00:00"), 1, "signup", 0.0), // matched by 20
+        Ev(11, t("2024-01-01 03:00:00"), 2, "signup", 0.0)) // converts nothing
+      purchases.addData(
+        Ev(20, t("2024-01-01 01:00:00"), 1, "purchase", 5.0), // matched
+        Ev(21, t("2024-01-01 06:00:00"), 1, "purchase", 5.0)) // no signup in horizon
+      q.processAllAvailable()
+      signups.addData(Ev(12, t("2024-01-02 00:00:00"), 3, "signup", 0.0))
+      purchases.addData(Ev(23, t("2024-01-02 00:00:00"), 3, "purchase", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("attrib_fo")
+        .select(col("purchase_id"), col("signup_id")).collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      assert(got.contains((Some(20L), Some(10L))))
+      assert(got.contains((Some(21L), None)), s"unmatched purchase 21 never emitted: $got")
+      assert(got.contains((None, Some(11L))), s"unmatched signup 11 never emitted: $got")
+    } finally q.stop()
+  }
+
   test("dedup runs on the RocksDB state store provider") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
