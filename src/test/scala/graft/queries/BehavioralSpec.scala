@@ -67,4 +67,29 @@ class BehavioralSpec extends AnyFunSuite with SparkTestSession {
     assert(row.getAs[Long]("n_purchase_24h") == nPurchase)
     assert(nView >= nClick && nClick >= nPurchase, "funnel must be monotone")
   }
+
+  test("q84 WAU dominates DAU and matches a driver-side trailing-window replay") {
+    val rows = SparkEntry.queries("q84_rolling_active_users")(spark, dir).collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Long]("dau_users"), r.getAs[Long]("wau_users")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (day, dau, wau) =>
+      assert(wau >= dau, s"$day: trailing-7-day actives $wau < same-day actives $dau")
+    }
+    // exact replay from collected (user, day) pairs; day strings are
+    // rendered inside Spark (session UTC) so the replay never touches
+    // the JVM default timezone
+    val ud = Tables(spark, dir, "events")
+      .select(col("user_id"), date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    val expected = ud.map(_._2).distinct.sortBy(_.toEpochDay).map { d =>
+      val dau = ud.count(_._2 == d)
+      val wau = ud.filter { case (_, ed) =>
+        !ed.isAfter(d) && ed.isAfter(d.minusDays(7))
+      }.map(_._1).distinct.length
+      (d.toString, dau.toLong, wau.toLong)
+    }
+    val got = rows.map { case (day, dau, wau) => (day.take(10), dau, wau) }.toSeq
+    assert(got == expected.toSeq, "rolling actives disagree with replay")
+  }
 }
