@@ -101,6 +101,40 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q83 folds kNN scores map-side — no window over the scored stream") {
+    // the vote window runs over the queries-sized vote relation (fine);
+    // the SCORED stream (queries × n rows) must be reduced by the
+    // partial TopKRows aggregation, never window-sorted
+    val p = plan("q83_knn_label_vote")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"q83 lacks a partial ObjectHashAggregate phase:\n${p.take(1200)}")
+  }
+
+  test("q84 trailing window joins against broadcast days, never a shuffle of events") {
+    // the day dimension is calendar-bounded: the range join must build
+    // on the broadcast day side; a SortMergeJoin here would shuffle the
+    // user-day relation once per window position
+    val p = plan("q84_rolling_active_users")
+    assert(p.contains("Broadcast"), s"q84 day join is not broadcast:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), "q84 plans a cartesian product")
+  }
+
+  test("q85 classifies with centroids as literals — no join, no window") {
+    // nearest-centroid assignment must be a pure map over the scan
+    // (centroids are plan literals); any Join or Window means the
+    // centroid relation leaked into the distributed plan
+    val p = plan("q85_centroid_classify")
+    assert(!p.contains("Join"), s"q85 plans a join:\n${p.take(1200)}")
+    assert(!p.contains("Window"), s"q85 plans a window:\n${p.take(1200)}")
+  }
+
+  test("q71b full-outer interval join stays an equi-join — no BNLJ") {
+    val p = plan("q71b_attribution_audit")
+    assert(p.contains("FullOuter"), s"q71b is not a full-outer join:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q71b plans a BNLJ")
+    assert(!p.contains("CartesianProduct"), "q71b plans a cartesian product")
+  }
+
   test("q73/q73b probe sides broadcast — member scan never shuffles on cell") {
     // the IVF probe join must be a BroadcastHashJoin (queries are a
     // handful of rows): a shuffle join keyed on cell would ceiling
