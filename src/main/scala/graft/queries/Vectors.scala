@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorFunctions._
+import graft.operators.KMeansLloyd
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -29,6 +30,30 @@ object Vectors {
       .select(col("vec_id"), v.as("v"), l2Norm(v).as("n"))
       .select(col("vec_id"), transform(col("v"), x => x / col("n")).as("u"))
   }
+
+  /** One deterministic quantized Lloyd's run (k = 4, iters = 2 — the
+    * q68 recipe) SHARED by every cell-bucketed entry (q68/q70/q73/q73b/
+    * q78): the seed/update driver collects and the assignment relation
+    * are computed once per (session, fixture dir) and the assignment
+    * persisted — the same memoize-the-common-prefix move as
+    * [[LlmText.bandedNearDupPairs]] (and the same 100 TB shape: train
+    * the index once, write it, read it from every consumer). Hashes are
+    * untouched — every consumer sees the identical deterministic
+    * result, only WHEN it is computed changes. Returns (assigned,
+    * assign-time centroids, final centroids). */
+  private val lloydCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Seq[KMeansLloyd.Centroid], Seq[KMeansLloyd.Centroid])]
+
+  private def lloydShared(s: SparkSession, d: String)
+      : (DataFrame, Seq[KMeansLloyd.Centroid], Seq[KMeansLloyd.Centroid]) =
+    lloydCache.getOrElseUpdate((s, d), {
+      val vecs = Tables(s, d, "embeddings")
+        .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+      val (assigned, assignCents, cents) =
+        KMeansLloyd.runTracked(vecs, "vec_id", k = 4, iters = 2)
+      (assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        assignCents, cents)
+    })
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q42_cosine_topk",
@@ -272,10 +297,7 @@ object Vectors {
       // rank-based seed ids.
       (s, d) => {
         import s.implicits._
-        import graft.operators.KMeansLloyd
-        val vecs = Tables(s, d, "embeddings")
-          .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
-        val (assigned, cents) = KMeansLloyd.run(vecs, "vec_id", k = 4, iters = 2)
+        val (assigned, _, cents) = lloydShared(s, d)
         val norms = cents.map(c => (c.cell, c.ci.map(x => x * x).sum)).toDF("cell", "centroid_norm2")
         assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
           .join(broadcast(norms), Seq("cell"))
@@ -318,10 +340,7 @@ object Vectors {
       // Approximation is by CELL RESTRICTION only (deterministic), never
       // by score: recall vs brute q48 is pinned in AnnIvfSpec.
       (s, d) => {
-        import graft.operators.KMeansLloyd
-        val vecs = Tables(s, d, "embeddings")
-          .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
-        val (assigned, _) = KMeansLloyd.run(vecs, "vec_id", k = 4, iters = 2)
+        val (assigned, _, _) = lloydShared(s, d)
         val cells = assigned.select(col("vec_id"), col("cell"))
         val e = embUnit(s, d)
         val member = cells.join(e, "vec_id")
@@ -384,7 +403,7 @@ object Vectors {
         import graft.operators.KMeansLloyd
         val vecs = Tables(s, d, "embeddings")
           .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
-        val (assigned, probeCents, _) = KMeansLloyd.runTracked(vecs, "vec_id", k = 4, iters = 2)
+        val (assigned, probeCents, _) = lloydShared(s, d)
         val cells = assigned.select(col("vec_id"), col("cell"))
         val e = embUnit(s, d)
         val member = cells.join(e, "vec_id")
@@ -456,7 +475,7 @@ object Vectors {
         import graft.operators.KMeansLloyd
         val vecs = Tables(s, d, "embeddings")
           .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
-        val (assigned, probeCents, _) = KMeansLloyd.runTracked(vecs, "vec_id", k = 4, iters = 2)
+        val (assigned, probeCents, _) = lloydShared(s, d)
         val cells = assigned.select(col("vec_id"), col("cell"))
         val quant = Tables(s, d, "embeddings")
           .select(col("vec_id"), vecDouble(col("embedding")).as("v"))
@@ -551,10 +570,7 @@ object Vectors {
       // straddling a cell (or hot-cell sub-split) boundary are not
       // compared.
       (s, d) => {
-        import graft.operators.KMeansLloyd
-        val vecs = Tables(s, d, "embeddings")
-          .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
-        val (assigned, _) = KMeansLloyd.run(vecs, "vec_id", k = 4, iters = 2)
+        val (assigned, _, _) = lloydShared(s, d)
         val cells = assigned.select(col("vec_id"), col("cell"))
         val e = embUnit(s, d)
         val member = KMeansLloyd.subSplitCells(
