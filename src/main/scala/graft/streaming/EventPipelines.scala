@@ -14,6 +14,18 @@ final case class SessionAcc(startMs: Long, endMs: Long, n: Long)
 final case class SessionOut(user_id: Long, session_start: Timestamp,
     events: Long, session_sec: Double)
 
+/** Funnel state for [[EventPipelines.funnelViaState]]: first qualifying
+  * entry time per stage (epoch ms, 0 = not reached) plus the
+  * not-yet-releasable event buffer (events newer than the watermark,
+  * kept so late arrivals are folded in event-time order). */
+final case class FunnelAcc(t1Ms: Long, t2Ms: Long, t3Ms: Long,
+    pending: Seq[(Long, String)])
+
+/** A funnel stage reached by a user (1 = view, 2 = click-within-24h,
+  * 3 = purchase-within-24h), emitted by
+  * [[EventPipelines.funnelViaState]]. */
+final case class FunnelStage(user_id: Long, stage: Int, reached: Timestamp)
+
 /** Streaming twins of the batch window queries Q37–Q40 (SURVEY.md §2C):
   * the same logical transforms over an unbounded `events`-shaped stream
   * (`ts timestamp, event_id long, user_id long, event_type string,
@@ -110,6 +122,63 @@ object EventPipelines {
             closed.iterator
           }
         })(Encoders.product[SessionAcc], Encoders.product[SessionOut])
+      .toDF()
+  }
+
+  /** Q82 streaming: the ordered view → click → purchase funnel as a
+    * per-user state machine (`flatMapGroupsWithState` +
+    * `EventTimeTimeout`). Semantics are EXACTLY the batch q82: stage 1
+    * is the user's first view; stage n>1 is the first qualifying event
+    * STRICTLY after the previous stage's entry and within
+    * `horizonHours` of it.
+    *
+    * Out-of-order arrival is handled the principled way: events are
+    * BUFFERED in state until the watermark passes their event time,
+    * then released in event-time order into the FSM — so a late view
+    * that precedes an already-buffered click still wins stage 1, and
+    * the stream result equals the batch result on any arrival order the
+    * watermark admits (pinned in EventPipelinesSpec). An event later
+    * than its watermark is dropped by Spark before reaching the FSM —
+    * the standard contract.
+    *
+    * 100 TB shape: state per user is three longs plus only the events
+    * inside the lateness window (watermark-bounded, NOT stream-length-
+    * bounded); the FSM emits each stage once, so output is ≤ 3 rows per
+    * user. Timeouts flush users whose buffered events all age past the
+    * watermark with no new arrivals. */
+  def funnelViaState(events: DataFrame, horizonHours: Int = 24,
+      watermark: String = "1 hour"): DataFrame = {
+    val hMs = horizonHours * 3600000L
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, Timestamp, String)](Encoders.tuple(
+        Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.STRING))
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelAcc, FunnelStage](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (user: Long, it: Iterator[(Long, Timestamp, String)],
+            state: GroupState[FunnelAcc]) => {
+          val acc = state.getOption.getOrElse(FunnelAcc(0L, 0L, 0L, Nil))
+          val wm = state.getCurrentWatermarkMs
+          val all = acc.pending ++ it.map(e => (e._2.getTime, e._3))
+          val (ripe, hold) = all.partition(_._1 <= wm)
+          var (t1, t2, t3) = (acc.t1Ms, acc.t2Ms, acc.t3Ms)
+          var out = Vector.empty[FunnelStage]
+          ripe.sortBy(_._1).foreach { case (t, tp) =>
+            if (tp == "view" && t1 == 0L) {
+              t1 = t; out :+= FunnelStage(user, 1, new Timestamp(t))
+            } else if (tp == "click" && t1 != 0L && t2 == 0L && t > t1 && t <= t1 + hMs) {
+              t2 = t; out :+= FunnelStage(user, 2, new Timestamp(t))
+            } else if (tp == "purchase" && t2 != 0L && t3 == 0L && t > t2 && t <= t2 + hMs) {
+              t3 = t; out :+= FunnelStage(user, 3, new Timestamp(t))
+            }
+          }
+          state.update(FunnelAcc(t1, t2, t3, hold))
+          if (hold.nonEmpty)
+            // wake when the watermark can release the oldest held event
+            state.setTimeoutTimestamp(math.max(hold.map(_._1).min, wm + 1))
+          out.iterator
+        })(Encoders.product[FunnelAcc], Encoders.product[FunnelStage])
       .toDF()
   }
 

@@ -259,6 +259,54 @@ class EventPipelinesSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("funnel FSM matches batch q82 semantics, including out-of-order arrival") {
+    // the q82 streaming twin: stage entries must follow the chained
+    // strictly-after + within-horizon rule, and a LATE view delivered a
+    // batch after the click it precedes in event time must still win
+    // stage 1 (the watermark buffer re-orders before the FSM consumes)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventPipelines.funnelViaState(mem.toDF(), horizonHours = 24,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("funnel_fmgws")
+      .outputMode("append").start()
+    try {
+      // batch 1: u1's click arrives FIRST; u2 full in-order funnel;
+      // u3 click-before-view then nothing qualifying after
+      mem.addData(
+        Ev(20, t("2024-01-01 01:40:00"), 1, "click", 0.0),
+        Ev(30, t("2024-01-01 01:00:00"), 2, "view", 0.0),
+        Ev(31, t("2024-01-01 01:30:00"), 2, "click", 0.0),
+        Ev(32, t("2024-01-01 02:00:00"), 2, "purchase", 0.0),
+        Ev(40, t("2024-01-01 01:00:00"), 3, "click", 0.0),
+        Ev(41, t("2024-01-01 01:30:00"), 3, "view", 0.0))
+      q.processAllAvailable() // watermark after this batch: 02:00 - 1h = 01:00
+      // batch 2: u1's view, event time 01:10 — later than the watermark,
+      // earlier than the already-buffered click
+      mem.addData(Ev(21, t("2024-01-01 01:10:00"), 1, "view", 0.0))
+      q.processAllAvailable()
+      // two far-future batches: first advances the watermark past all
+      // buffered events, second lets the release/timeout pass run
+      mem.addData(Ev(90, t("2024-01-03 00:00:00"), 99, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(91, t("2024-01-04 00:00:00"), 99, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("funnel_fmgws")
+        .select(col("user_id"), col("stage"), col("reached").cast("string"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(got.contains((1L, 1, "2024-01-01 01:10:00")), got.toString)
+      assert(got.contains((1L, 2, "2024-01-01 01:40:00")),
+        s"late view must precede the buffered click: $got")
+      assert(got.contains((2L, 1, "2024-01-01 01:00:00")))
+      assert(got.contains((2L, 2, "2024-01-01 01:30:00")))
+      assert(got.contains((2L, 3, "2024-01-01 02:00:00")))
+      // u3: the click at 01:00 precedes the first view — stage 1 only
+      assert(got.contains((3L, 1, "2024-01-01 01:30:00")))
+      assert(!got.exists(g => g._1 == 3L && g._2 >= 2), s"u3 must stall at stage 1: $got")
+    } finally q.stop()
+  }
+
   test("full-outer stream-stream join emits unmatched rows from BOTH sides") {
     // the q71b batch shape in streaming form: a purchase with no signup
     // arrives with NULL signup_id AND a signup that attributed nothing
