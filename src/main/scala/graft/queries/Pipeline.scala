@@ -540,6 +540,50 @@ object Pipeline {
         "SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair " +
         "ORDER BY cnt DESC, pair LIMIT 20")),
 
+    QueryDef("q86_multi_signal_curation",
+      // The combined curation decision a production 100 TB pipeline
+      // actually ships: every document judged by THREE dedup signals
+      // with fixed precedence — exact text dup (not the min-id copy of
+      // its text) > lexical near-dup (MinHash-banded verified pairs,
+      // the q54 relation: dropped iff some smaller doc_id is
+      // jaccard-similar) > semantic near-dup (SemDeDup cells, the q70
+      // rule over the aligned embedding: dropped iff some smaller
+      // vec_id in the cell is cosine-similar). Output is the per-source
+      // action histogram. Both expensive relations come from the
+      // SESSION CACHES (LlmText.bandedNearDupPairs,
+      // Vectors.semanticDups on the shared Lloyd's run), so the
+      // composition adds only the exact-dup window and two left joins
+      // on doc_id — the point: signals are computed once and REUSED
+      // across every query that consumes them, which at 100 TB is
+      // write-once-read-everywhere storage, not recomputation.
+      (s, d) => {
+        val base = docs(s, d)
+          .withColumn("exact_rep", min(col("doc_id")).over(Window.partitionBy(col("text"))))
+        val lex = LlmText.bandedNearDupPairs(s, d)
+          .select(col("doc_b").as("doc_id")).distinct().withColumn("lex", lit(1))
+        val sem = Vectors.semanticDups(s, d)
+          .select(col("vec_id").as("doc_id"), lit(1).as("sem"))
+        base.join(lex, Seq("doc_id"), "left").join(sem, Seq("doc_id"), "left")
+          .withColumn("action",
+            when(col("doc_id") =!= col("exact_rep"), "drop_exact")
+              .when(col("lex").isNotNull, "drop_lexical")
+              .when(col("sem").isNotNull, "drop_semantic")
+              .otherwise("keep"))
+          .groupBy(col("source"), col("action"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("source"), col("action"))
+      },
+      Some("WITH " + LlmText.BandedPairsSqlCtes + ", " + Vectors.SemDedupSqlCtes + ", " +
+        "base AS (SELECT doc_id, source, MIN(doc_id) OVER (PARTITION BY text) AS exact_rep " +
+        "FROM documents), " +
+        "lex AS (SELECT DISTINCT doc_b AS doc_id FROM pairs), " +
+        "act AS (SELECT b.source, CASE WHEN b.doc_id <> b.exact_rep THEN 'drop_exact' " +
+        "WHEN l.doc_id IS NOT NULL THEN 'drop_lexical' " +
+        "WHEN sd.vec_id IS NOT NULL THEN 'drop_semantic' ELSE 'keep' END AS action " +
+        "FROM base b LEFT JOIN lex l ON l.doc_id = b.doc_id " +
+        "LEFT JOIN dups sd ON sd.vec_id = b.doc_id) " +
+        "SELECT source, action, COUNT(*) AS cnt FROM act GROUP BY 1, 2 ORDER BY 1, 2")),
+
     QueryDef("q75_span_coverage",
       // Cross-document repeated-span coverage (the bounded form of
       // suffix-based exact substring dedup, Lee et al. 2021,

@@ -55,6 +55,47 @@ object Vectors {
         assignCents, cents)
     })
 
+  /** The q70 semantic-dup core, exposed so compositions (q86's multi-
+    * signal curation) can reuse it: per vector, the smallest-id
+    * ≥ τ-similar neighbor in its (sub-split) k-means cell, or no row if
+    * the vector is semantically unique. Returns (vec_id, dup_of). */
+  private[queries] def semanticDups(s: SparkSession, d: String): DataFrame = {
+    val (assigned, _, _) = lloydShared(s, d)
+    val cells = assigned.select(col("vec_id"), col("cell"))
+    val member = KMeansLloyd.subSplitCells(
+      cells.join(embUnit(s, d), "vec_id"), "vec_id", KMeansLloyd.CellCap)
+    member.as("x").join(member.as("y"),
+        col("x.cell") === col("y.cell") && col("x.subcell") === col("y.subcell") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("cand"),
+        round(dot(col("x.u"), col("y.u")), 4).as("sim"))
+      .where(col("sim") >= 0.4)
+      .groupBy(col("vec_id")).agg(min(col("cand")).as("dup_of"))
+  }
+
+  /** DuckDB CTE chain ending in `a2(vec_id, cell)` + `dups(vec_id,
+    * dup_of)` — mirrors [[semanticDups]] (2-round deterministic Lloyd's
+    * from the 4 lowest-id seeds, then within-cell exact cosine). */
+  private[queries] val SemDedupSqlCtes: String =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
+      "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+      "c0 AS (SELECT vec_id AS cell, d, xi AS ci FROM comps WHERE vec_id < 4), " +
+      "d1 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+      "FROM comps c JOIN c0 k USING (d) GROUP BY 1, 2), " +
+      "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+      "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
+      "c1 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+      "FROM comps c JOIN a1 a USING (vec_id) GROUP BY 1, 2), " +
+      "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+      "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
+      "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+      "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
+      "dups AS (SELECT y.vec_id, MIN(x.vec_id) AS dup_of FROM a2 x " +
+      "JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id " +
+      "JOIN e ea ON ea.vec_id = x.vec_id JOIN e eb ON eb.vec_id = y.vec_id " +
+      "WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4 GROUP BY y.vec_id)"
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q42_cosine_topk",
       (s, d) => {
@@ -572,40 +613,13 @@ object Vectors {
       (s, d) => {
         val (assigned, _, _) = lloydShared(s, d)
         val cells = assigned.select(col("vec_id"), col("cell"))
-        val e = embUnit(s, d)
-        val member = KMeansLloyd.subSplitCells(
-          cells.join(e, "vec_id"), "vec_id", KMeansLloyd.CellCap)
-        val dups = member.as("x").join(member.as("y"),
-            col("x.cell") === col("y.cell") && col("x.subcell") === col("y.subcell") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("cand"),
-            round(dot(col("x.u"), col("y.u")), 4).as("sim"))
-          .where(col("sim") >= 0.4)
-          .groupBy(col("vec_id")).agg(min(col("cand")).as("dup_of"))
-        cells.join(dups, Seq("vec_id"), "left")
+        cells.join(semanticDups(s, d), Seq("vec_id"), "left")
           .select(col("vec_id"), col("cell").cast("long").as("cell"),
             when(col("dup_of").isNotNull, lit("drop")).otherwise(lit("keep")).as("action"),
             col("dup_of"))
           .orderBy(col("vec_id"))
       },
-      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
-        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
-        "c0 AS (SELECT vec_id AS cell, d, xi AS ci FROM comps WHERE vec_id < 4), " +
-        "d1 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
-        "FROM comps c JOIN c0 k USING (d) GROUP BY 1, 2), " +
-        "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
-        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
-        "c1 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
-        "FROM comps c JOIN a1 a USING (vec_id) GROUP BY 1, 2), " +
-        "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
-        "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
-        "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
-        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
-        "dups AS (SELECT y.vec_id, MIN(x.vec_id) AS dup_of FROM a2 x " +
-        "JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id " +
-        "JOIN e ea ON ea.vec_id = x.vec_id JOIN e eb ON eb.vec_id = y.vec_id " +
-        "WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4 GROUP BY y.vec_id) " +
+      Some("WITH " + SemDedupSqlCtes + " " +
         "SELECT a.vec_id, a.cell, CASE WHEN d.dup_of IS NOT NULL THEN 'drop' ELSE 'keep' END AS action, " +
         "d.dup_of FROM a2 a LEFT JOIN dups d ON d.vec_id = a.vec_id ORDER BY a.vec_id")),
 

@@ -130,6 +130,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q86 conserves documents per source and applies signal precedence") {
+    val rows = SparkEntry.queries("q86_multi_signal_curation")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("cnt")))
+    val perSource = Tables(spark, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(got == perSource, "every doc must get exactly one action")
+    assert(rows.map(_._2).toSet.subsetOf(
+      Set("keep", "drop_exact", "drop_lexical", "drop_semantic")))
+    // drop_exact total equals the independently-computed non-min text copies
+    val exactDups = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+      Tables(spark, dir, "documents")
+        .withColumn("r", min(col("doc_id")).over(w))
+        .where(col("doc_id") =!= col("r")).count()
+    }
+    assert(rows.filter(_._2 == "drop_exact").map(_._3).sum == exactDups)
+    assert(rows.exists(_._2 == "keep"), "fixture must keep some documents")
+  }
+
   test("q81 top pair matches an exact driver-side recount") {
     val texts = Tables(spark, dir, "documents")
       .select(col("text")).collect().map(_.getString(0))
