@@ -119,5 +119,45 @@ object Behavioral {
         "wau AS (SELECT d, COUNT(DISTINCT user_id) AS wau_users FROM days " +
         "JOIN ud ON date_diff('day', ud.day, days.d) BETWEEN 0 AND 6 GROUP BY 1) " +
         "SELECT strftime(dau.d, '%Y-%m-%d %H:%M:%S') AS day, dau_users, wau_users " +
-        "FROM dau JOIN wau USING (d) ORDER BY day")))
+        "FROM dau JOIN wau USING (d) ORDER BY day")),
+
+    QueryDef("q87_rate_anomaly",
+      // Event-rate anomaly detection: an (event_type, hour) cell is
+      // anomalous when its count deviates from that type's hourly mean
+      // by more than 2 standard deviations. The z-test is done ENTIRELY
+      // in integer arithmetic — (n·c − T)² > 4·(n·Σc² − T²) is the
+      // |z| > 2 test multiplied through by n² — so no float, no sqrt,
+      // no tolerance: bit-identical on both engines (the same
+      // transcendental-avoidance doctrine as BM25's quantized idf).
+      // Scale shape: the only pass over events is the first hour-cell
+      // agg (map-side partial); cells are calendar-bounded, the 5-row
+      // per-type stats broadcast back onto them, and the verdict agg is
+      // types-sized.
+      (s, d) => {
+        val hc = events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+        val st = hc.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("t"),
+            sum(col("c") * col("c")).as("s2"))
+        val dev = col("n") * col("c") - col("t")
+        hc.join(broadcast(st), Seq("event_type"))
+          .withColumn("is_anomaly",
+            when(dev * dev > lit(4L) * (col("n") * col("s2") - col("t") * col("t")), 1L)
+              .otherwise(0L))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"),
+            sum(col("is_anomaly")).cast("long").as("n_anomalies"),
+            max(col("c")).cast("long").as("max_hourly"))
+          .orderBy(col("event_type"))
+      },
+      Some("WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c " +
+        "FROM events GROUP BY 1, 2), " +
+        "st AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS t, SUM(c*c) AS s2 FROM hc GROUP BY 1), " +
+        "fl AS (SELECT hc.event_type, " +
+        "CASE WHEN (st.n*hc.c - st.t)*(st.n*hc.c - st.t) > 4*(st.n*st.s2 - st.t*st.t) " +
+        "THEN 1 ELSE 0 END AS is_anomaly, hc.c " +
+        "FROM hc JOIN st USING (event_type)) " +
+        "SELECT event_type, COUNT(*) AS n_hours, CAST(SUM(is_anomaly) AS BIGINT) AS n_anomalies, " +
+        "CAST(MAX(c) AS BIGINT) AS max_hourly FROM fl GROUP BY 1 ORDER BY 1")))
 }
