@@ -97,17 +97,25 @@ object Behavioral {
       // that day (DAU) and over the trailing 7 days (WAU). The
       // (user, day) DISTINCT collapses the event stream FIRST — at
       // 100 TB that single shuffle shrinks events to user-days — and
-      // the trailing window is then a BROADCAST range join against the
-      // tiny day dimension (days are bounded by the calendar, not the
-      // data), never a self-join of events. Day truncation and the
-      // 0..6-day membership are integer-exact on both engines.
+      // the trailing window is the IntervalJoin bucketize doctrine
+      // (q10b): each user-day EXPLODES into the exactly-7 window days
+      // it covers (day..day+6) and the count is a hash aggregation on
+      // the window day. A non-equi `datediff BETWEEN` join against a
+      // day dimension would force a BroadcastNestedLoopJoin — every
+      // user-day tested against EVERY calendar day — whereas the
+      // explode is a flat 7× map with no join at all; window days with
+      // no events of their own drop out at the inner join with `dau`
+      // (exactly the days the old day-dimension join admitted). Day
+      // truncation and the 0..6-day offsets are integer-exact on both
+      // engines.
       (s, d) => {
         val ud = events(s, d)
           .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
           .distinct()
-        val days = broadcast(ud.select(col("day").as("d")).distinct())
         val dau = ud.groupBy(col("day").as("d")).agg(count(lit(1)).as("dau_users"))
-        val wau = ud.join(days, datediff(col("d"), col("day")).between(0, 6))
+        val wau = ud
+          .select(col("user_id"), explode(sequence(col("day"),
+            col("day") + expr("INTERVAL 6 DAYS"), expr("INTERVAL 1 DAY"))).as("d"))
           .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau_users"))
         dau.join(wau, Seq("d"))
           .select(date_format(col("d"), Fmt).as("day"), col("dau_users"), col("wau_users"))

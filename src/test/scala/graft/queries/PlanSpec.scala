@@ -110,13 +110,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"q83 lacks a partial ObjectHashAggregate phase:\n${p.take(1200)}")
   }
 
-  test("q84 trailing window joins against broadcast days, never a shuffle of events") {
-    // the day dimension is calendar-bounded: the range join must build
-    // on the broadcast day side; a SortMergeJoin here would shuffle the
-    // user-day relation once per window position
+  test("q84 trailing window is an explode-to-offsets equi-join — no nested-loop join") {
+    // the 0..6-day window membership must be computed by EXPLODING each
+    // user-day into its 7 covered window days (the q10b bucketize
+    // doctrine) and hash-aggregating on the window day — a `datediff
+    // BETWEEN` join against a day dimension is non-equi and plans a
+    // BroadcastNestedLoopJoin (every user-day × every calendar day)
     val p = plan("q84_rolling_active_users")
-    assert(p.contains("Broadcast"), s"q84 day join is not broadcast:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q84 plans a nested-loop join:\n${p.take(1200)}")
     assert(!p.contains("CartesianProduct"), "q84 plans a cartesian product")
+    assert(p.contains("Generate"),
+      s"q84 lost its explode-to-window-days Generate:\n${p.take(1200)}")
   }
 
   test("q85 classifies with centroids as literals — no join, no window") {
