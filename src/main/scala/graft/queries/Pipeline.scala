@@ -540,6 +540,87 @@ object Pipeline {
         "SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair " +
         "ORDER BY cnt DESC, pair LIMIT 20")),
 
+    QueryDef("q81b_bpe_merge_training",
+      // The actual BPE tokenizer-training LOOP (q81 is its first
+      // counting step): 3 greedy merge rounds, each = count adjacent
+      // token pairs → take the argmax (ties to the lexicographically
+      // smaller pair — a total order, so the learned vocabulary is a
+      // pure function of the corpus) → re-tokenize every word by
+      // merging that pair left-to-right non-overlapping. Output is the
+      // merge table (round, pair, merged token, count at selection
+      // time) — the artifact a tokenizer trainer ships. Scale shape per
+      // round (the KMeansLloyd iteration doctrine): the pair count is
+      // scan + vocab²-bounded shuffle (map-side partials), the argmax
+      // collects ONE row to the driver, and the re-tokenization is a
+      // MAP-ONLY aggregate() fold with the winning pair folded into the
+      // plan as literals — no join, no shuffle; lineage is cut per
+      // round (localCheckpoint) so round N never recomputes rounds
+      // 1..N−1. The fold appends token-by-token and fuses (last == a,
+      // next == b) — left-to-right and non-overlapping by construction
+      // ("aaa" + (a,a) → [aa, a], never [aaa]), matching the reference
+      // BPE algorithm and DuckDB's list_reduce twin in the oracle.
+      (s, d) => {
+        import s.implicits._
+        var toks = docs(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .where(length(col("w")) >= 2)
+          .select(transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1))).as("t"))
+          .localCheckpoint(true)
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+        for (r <- 1 to 3) {
+          val top = toks
+            .select(explode(zip_with(
+              slice(col("t"), lit(1), size(col("t")) - 1),
+              slice(col("t"), lit(2), size(col("t")) - 1),
+              (a, b) => concat(a, lit(" "), b))).as("pair"))
+            .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+            .orderBy(col("cnt").desc, col("pair"))
+            .limit(1).collect()(0) // the 1-row argmax — the round's model
+          val pair = top.getString(0)
+          val cnt = top.getLong(1)
+          val Array(a, b) = pair.split(" ", 2)
+          merges += ((r, pair, a + b, cnt))
+          if (r < 3) toks = toks.select(
+            aggregate(
+              slice(col("t"), lit(2), size(col("t")) - 1),
+              slice(col("t"), 1, 1),
+              (acc, x) => when(
+                element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(x)))).as("t"))
+            .localCheckpoint(true)
+        }
+        merges.toSeq.toDF("round", "pair", "merged", "cnt")
+          .orderBy(col("round"))
+      },
+      Some {
+        // unrolled 3-round CTE chain: pN counts pairs of tokenization
+        // tN, mN is the argmax, tN+1 re-tokenizes via a list_reduce
+        // fold over a space-joined accumulator (tokens never contain
+        // spaces — words come from splitting on space)
+        def pairs(t: String, p: String) =
+          s"$p AS (SELECT t[i] || ' ' || t[i+1] AS pair FROM " +
+            s"(SELECT t, UNNEST(generate_series(1, len(t) - 1)) AS i FROM $t) z), "
+        def argmax(p: String, m: String, r: Int) =
+          s"$m AS (SELECT $r AS round, pair, COUNT(*) AS cnt FROM $p " +
+            "GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1), "
+        def merge(t: String, m: String, t2: String) =
+          s"$t2 AS (SELECT string_split(list_reduce(t, (acc, x) -> " +
+            s"CASE WHEN string_split(acc, ' ')[-1] = split_part(m.pair, ' ', 1) " +
+            s"AND x = split_part(m.pair, ' ', 2) " +
+            s"THEN substr(acc, 1, length(acc) - length(split_part(m.pair, ' ', 1))) " +
+            s"|| replace(m.pair, ' ', '') " +
+            s"ELSE acc || ' ' || x END), ' ') AS t FROM $t CROSS JOIN $m m), "
+        "WITH w0 AS (SELECT UNNEST(string_split(text,' ')) AS w FROM documents), " +
+          "t1 AS (SELECT string_split(w, '') AS t FROM w0 WHERE length(w) >= 2), " +
+          pairs("t1", "p1") + argmax("p1", "m1", 1) + merge("t1", "m1", "t2") +
+          pairs("t2", "p2") + argmax("p2", "m2", 2) + merge("t2", "m2", "t3") +
+          pairs("t3", "p3") + argmax("p3", "m3", 3) +
+          "u AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3) " +
+          "SELECT round, pair, replace(pair, ' ', '') AS merged, cnt FROM u ORDER BY round"
+      }),
+
     QueryDef("q86_multi_signal_curation",
       // The combined curation decision a production 100 TB pipeline
       // actually ships: every document judged by THREE dedup signals

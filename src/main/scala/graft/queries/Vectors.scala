@@ -715,5 +715,76 @@ object Vectors {
         "a AS (SELECT vec_id, label, cell FROM (SELECT vec_id, label, cell, " +
         "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM dist) WHERE rn = 1) " +
         "SELECT label AS true_label, CAST(cell AS INTEGER) AS pred_label, COUNT(*) AS n " +
-        "FROM a GROUP BY 1, 2 ORDER BY 1, 2")))
+        "FROM a GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    QueryDef("q88_incremental_ivf",
+      // INCREMENTAL IVF index maintenance under the batch oracle — the
+      // q66 doctrine applied to ANN: a 100 TB pipeline never retrains
+      // its index per arrival. The base corpus (80%: vec_id % 5 ≠ 4)
+      // trains the deterministic Lloyd's index (the q68/q73 recipe);
+      // the arrivals (20%) then stream in TWO waves through
+      // streaming/IncrementalIvf's foreachBatch hook, each wave
+      // map-only assigned against the SERVING centroids (the
+      // assign-time centroids the base membership was scored with,
+      // folded into the plan as literals — no join, no shuffle, the
+      // q73 shape) and appended idempotently to parquet state. Output:
+      // the composed index (base ∪ streamed) summarized per cell, plus
+      // a per-cell retrain flag (streamed growth > 25% of the cell —
+      // the drift boundary at which the next index generation should
+      // train). Because assignment is a pure integer function of
+      // (vector, centroids), the accumulated stream state equals a
+      // one-shot assignment of all arrivals — which is exactly what
+      // the DuckDB oracle computes, so the stream/batch equivalence is
+      // held to the hash gate rather than only to ScalaTest
+      // (IncrementalIvfSpec adds shuffled multi-wave arrival, replay
+      // idempotence, and the retrainDue boundary).
+      (s, d) => {
+        import graft.operators.KMeansLloyd
+        import graft.streaming.IncrementalIvf
+        val all = Tables(s, d, "embeddings")
+        val vecs = all.select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+        val (baseAssigned, servingCents, _) = KMeansLloyd.runTracked(
+          vecs.where(col("vec_id") % 5 =!= 4), "vec_id", k = 4, iters = 2)
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q88-incremental-ivf").toString
+        val inc = new IncrementalIvf(statePath, servingCents)
+        val arrivals = all.where(col("vec_id") % 5 === 4)
+          .select(col("vec_id"), col("embedding"))
+        inc.processBatch(arrivals.where(col("vec_id") % 2 === 0), 0L)
+        inc.processBatch(arrivals.where(col("vec_id") % 2 === 1), 1L)
+        baseAssigned.select(col("vec_id"), col("cell"), lit(0L).as("is_new"))
+          .unionByName(inc.members(s)
+            .select(col("vec_id"), col("cell"), lit(1L).as("is_new")))
+          .groupBy(col("cell").cast("long").as("cell"))
+          .agg(sum(lit(1L) - col("is_new")).as("n_base"),
+            sum(col("is_new")).as("n_new"))
+          .withColumn("retrain_due",
+            when(col("n_new") * 4 > col("n_base") + col("n_new"), 1L).otherwise(0L))
+          .orderBy(col("cell"))
+      },
+      // the oracle trains on the base 80% (c0..c1) and scores EVERY
+      // vector against the serving centroids c1 in one pass — base
+      // rows reproduce the Lloyd's final assignment, arrival rows
+      // reproduce the incremental map-only assignment, because both
+      // are the same pure integer argmin
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
+        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+        "b AS (SELECT * FROM comps WHERE vec_id % 5 <> 4), " +
+        "c0 AS (SELECT vec_id AS cell, d, xi AS ci FROM b WHERE vec_id < 4), " +
+        "d1 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM b c JOIN c0 k USING (d) GROUP BY 1, 2), " +
+        "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
+        "c1 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+        "FROM b c JOIN a1 a USING (vec_id) GROUP BY 1, 2), " +
+        "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
+        "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
+        "u AS (SELECT vec_id, cell, CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END AS is_new FROM a2) " +
+        "SELECT cell, CAST(SUM(1 - is_new) AS BIGINT) AS n_base, " +
+        "CAST(SUM(is_new) AS BIGINT) AS n_new, " +
+        "CAST(CASE WHEN SUM(is_new) * 4 > COUNT(*) THEN 1 ELSE 0 END AS BIGINT) AS retrain_due " +
+        "FROM u GROUP BY cell ORDER BY cell")))
 }

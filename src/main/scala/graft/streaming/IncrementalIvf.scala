@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.KMeansLloyd
+
+/** Incremental (streaming) IVF index maintenance: the production shape
+  * where new embeddings arrive continuously (e.g. from the CDC source)
+  * and are folded into an EXISTING inverted-file ANN index instead of
+  * retraining it from scratch — a 100 TB pipeline never rebuilds its
+  * index per arrival; it assigns new vectors against the serving
+  * centroids and retrains only at an explicit boundary. The same
+  * doctrine as [[IncrementalNearDup]] (q66), applied to ANN (q73).
+  *
+  * The serving centroids are the ASSIGN-time centroids of the base
+  * training run ([[KMeansLloyd.runTracked]]'s middle result) — the ones
+  * the base membership was actually scored against — so base members
+  * and streamed arrivals live in one consistent coordinate system: the
+  * accumulated index after N batches equals a single batch assignment
+  * of all arrivals (`IncrementalIvfSpec` pins this, and q88 holds the
+  * composed index to the DuckDB hash gate).
+  *
+  * State, materialized as parquet under `statePath` (the foreachBatch
+  * analog of a state store — append-only, survives restarts):
+  *  - `members/` — (vec_id, cell): the streamed part of the inverted
+  *    file. The base membership stays wherever the index build wrote it;
+  *    a probe reads both sides union'd.
+  *
+  * Per micro-batch: quantize (the q68 doctrine — micro-unit longs, so
+  * assignment is a pure integer function of the data), assign MAP-ONLY
+  * (centroids ride as plan literals — no join, no shuffle; the q73
+  * recipe), anti-join against existing state so a replayed micro-batch
+  * (foreachBatch retry) is a no-op, append. Per-batch cost is one linear
+  * pass over the batch — nothing touches the accumulated members except
+  * the replay guard's id anti-join.
+  *
+  * Retrain boundary: [[retrainDue]] — streamed growth beyond a fixed
+  * fraction of the base size means the centroids no longer describe the
+  * corpus (drift) and the next index generation should be trained. The
+  * check is pure integer arithmetic on two counts; acting on it (train,
+  * swap, re-assign) is the index build the consumer already owns —
+  * deliberately OUT of the per-batch path, a boundary event.
+  */
+final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid]) {
+
+  private def readStateOr(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** foreachBatch hook: `batch` needs (vec_id, embedding: array<numeric>). */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val vecs = batch
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+      .localCheckpoint(true) // micro-batch sources are not re-scannable
+    val assigned = KMeansLloyd.assign(vecs, cents)
+      .select(col("vec_id"), col("cell"))
+    val old = readStateOr(spark, s"$statePath/members", assigned.schema)
+    // replayed micro-batch (foreachBatch retries after failure) is a
+    // no-op instead of doubling rows — same idempotent-append contract
+    // as IncrementalNearDup
+    val fresh = assigned.join(old.select("vec_id"), Seq("vec_id"), "left_anti")
+    fresh.write.mode("append").parquet(s"$statePath/members")
+  }
+
+  /** Accumulated streamed index members (vec_id, cell). */
+  def members(spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType)))
+    readStateOr(spark, s"$statePath/members", schema)
+  }
+
+  /** Retrain boundary: true once the streamed membership exceeds
+    * `num/den` of the base corpus the centroids were trained on
+    * (default 1/4 — the classic "index grew 25% since training" rule).
+    * Pure integer comparison; the caller owns the actual retrain. */
+  def retrainDue(spark: SparkSession, baseCount: Long,
+      num: Long = 1L, den: Long = 4L): Boolean =
+    members(spark).count() * den > baseCount * num
+
+  /** Compact the append-only member state (one small file set lands per
+    * micro-batch; periodic compaction is standard streaming-state
+    * hygiene — see [[IncrementalNearDup.compact]]). */
+  def compact(spark: SparkSession, parts: Int = 8): Unit = {
+    val dir = s"$statePath/members"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val snap = spark.read.parquet(dir).localCheckpoint(true)
+      snap.coalesce(parts).write.mode("overwrite").parquet(dir)
+    }
+  }
+}

@@ -124,6 +124,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"q84 lost its explode-to-window-days Generate:\n${p.take(1200)}")
   }
 
+  test("q88 composes the incremental index without a nested-loop join or window") {
+    // base training is the guarded q68 shape; the arrival waves are
+    // map-only assignments (centroids as plan literals) appended to
+    // parquet state — the composed summary must stay hash-agg + one
+    // union, with no BNLJ/cartesian anywhere and no window at all
+    val p = plan("q88_incremental_ivf")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q88 plans a nested-loop join:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), "q88 plans a cartesian product")
+    assert(!p.contains("Window"), s"q88 plans a window:\n${p.take(1200)}")
+  }
+
   test("q85 classifies with centroids as literals — no join, no window") {
     // nearest-centroid assignment must be a pure map over the scan
     // (centroids are plan literals); any Join or Window means the

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.{SparkTestSession, Tables}
+import graft.operators.KMeansLloyd
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The incremental (CDC-fed) IVF index equals the one-shot batch
+  * assignment: arrivals streamed in three shuffled micro-batches through
+  * foreachBatch must accumulate exactly the (vec_id, cell) membership a
+  * single map-only assignment of all arrivals computes — arrival order
+  * and batch boundaries must not matter, replay must be a no-op, and the
+  * retrain boundary must fire on growth. */
+class IncrementalIvfSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stream-accumulated IVF members equal the one-shot assignment") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+    val base = vecs.where(col("vec_id") % 5 =!= 4)
+    val (_, servingCents, _) = KMeansLloyd.runTracked(base, "vec_id", k = 4, iters = 2)
+
+    val arrivals = Tables(spark, dir, "embeddings")
+      .where(col("vec_id") % 5 === 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(arrivals.length >= 10, "fixture slice too small to be meaningful")
+
+    val statePath = java.nio.file.Files
+      .createTempDirectory("inc-ivf").toString
+    val inc = new IncrementalIvf(statePath, servingCents)
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val query = stream.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        inc.processBatch(batch, id))
+      .start()
+    try {
+      // three uneven arrival waves, shuffled so cell-mates land in
+      // different batches (state accumulation across batch boundaries
+      // is the thing under test)
+      val shuffled = new scala.util.Random(7).shuffle(arrivals.toVector)
+      val cut1 = shuffled.size / 5
+      val cut2 = shuffled.size / 2
+      for (wave <- Seq(shuffled.slice(0, cut1),
+          shuffled.slice(cut1, cut2), shuffled.drop(cut2))) {
+        stream.addData(wave)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val streamed = inc.members(spark).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val oneShot = KMeansLloyd.assign(
+        vecs.where(col("vec_id") % 5 === 4), servingCents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == oneShot,
+      s"memberships differ: stream-only=${(streamed.toSet -- oneShot.toSet).take(5)} " +
+        s"batch-only=${(oneShot.toSet -- streamed.toSet).take(5)}")
+
+    // replayed micro-batch (foreachBatch retry semantics) is a no-op
+    val before = inc.members(spark).count()
+    inc.processBatch(
+      spark.createDataFrame(arrivals.take(5).toSeq).toDF("vec_id", "embedding"), 99L)
+    val after = inc.members(spark).count()
+    assert(after == before, s"replay mutated state: $before -> $after")
+
+    // retrain boundary: pure integer threshold on (streamed, base) counts
+    val n = streamed.size.toLong
+    assert(inc.retrainDue(spark, baseCount = n * 4 - 1),
+      "growth just past 25% of base must trip the boundary")
+    assert(!inc.retrainDue(spark, baseCount = n * 4),
+      "growth at exactly 25% of base must NOT trip the strict boundary")
+
+    // compaction preserves content while bounding file counts
+    inc.compact(spark, parts = 2)
+    val compacted = inc.members(spark).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(compacted == streamed)
+    val nFiles = new java.io.File(s"$statePath/members")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles <= 2, s"members not compacted: $nFiles files")
+  }
+}
