@@ -137,6 +137,13 @@ object Behavioral {
       // |z| > 2 test multiplied through by n² — so no float, no sqrt,
       // no tolerance: bit-identical on both engines (the same
       // transcendental-avoidance doctrine as BM25's quantized idf).
+      // The squared terms run in decimal(38,0) on the Spark side and
+      // HUGEINT on DuckDB (plain BIGINT would wrap n·Σc² once hourly
+      // counts × cell count pass ~1.5e9 — reachable in the 100 TB
+      // regime; decimal38/int128 push the exactness bound to ~1e38,
+      // i.e. n·C < ~1e19, unreachable). Only the tiny calendar-bounded
+      // cell relation pays decimal arithmetic — the events-sized pass
+      // is still pure long counting.
       // Scale shape: the only pass over events is the first hour-cell
       // agg (map-side partial); cells are calendar-bounded, the 5-row
       // per-type stats broadcast back onto them, and the verdict agg is
@@ -145,10 +152,11 @@ object Behavioral {
         val hc = events(s, d)
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
           .agg(count(lit(1)).as("c"))
+        val dec = "decimal(38,0)"
         val st = hc.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("c")).as("t"),
-            sum(col("c") * col("c")).as("s2"))
-        val dev = col("n") * col("c") - col("t")
+          .agg(count(lit(1)).cast(dec).as("n"), sum(col("c")).cast(dec).as("t"),
+            sum(col("c").cast(dec) * col("c").cast(dec)).as("s2"))
+        val dev = col("n") * col("c").cast(dec) - col("t")
         hc.join(broadcast(st), Seq("event_type"))
           .withColumn("is_anomaly",
             when(dev * dev > lit(4L) * (col("n") * col("s2") - col("t") * col("t")), 1L)
@@ -161,7 +169,8 @@ object Behavioral {
       },
       Some("WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c " +
         "FROM events GROUP BY 1, 2), " +
-        "st AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS t, SUM(c*c) AS s2 FROM hc GROUP BY 1), " +
+        "st AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, SUM(c) AS t, " +
+        "SUM(CAST(c AS HUGEINT) * c) AS s2 FROM hc GROUP BY 1), " +
         "fl AS (SELECT hc.event_type, " +
         "CASE WHEN (st.n*hc.c - st.t)*(st.n*hc.c - st.t) > 4*(st.n*st.s2 - st.t*st.t) " +
         "THEN 1 ELSE 0 END AS is_anomaly, hc.c " +

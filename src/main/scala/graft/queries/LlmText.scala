@@ -213,12 +213,13 @@ object LlmText {
     * what it contains, and the key includes the session so a stopped
     * session's plans are never reused. At cluster scale the same move
     * is writing the verified pairs once and reading them from storage
-    * in every downstream stage. */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    * in every downstream stage. Entries evict (and unpersist) when the
+    * session's context stops — see [[graft.SessionCache]]. */
+  private val pairsCache = new graft.SessionCache[DataFrame](
+    df => df.unpersist(blocking = false))
 
   private[graft] def bandedNearDupPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, d), {
+    pairsCache.getOrElseUpdate(s, d, {
       val state = nearDupState(docs(s, d))
       verifyPairs(
         bandedCandidates(state, 8, 2),

@@ -324,8 +324,14 @@ object Pipeline {
           .createTempDirectory("q66-incremental").toString
         val inc = new IncrementalNearDup(statePath)
         val docsDf = docs(s, d).select(col("doc_id"), col("text"))
-        inc.processBatch(docsDf.where(col("doc_id") % 2 === 0), 0L)
-        inc.processBatch(docsDf.where(col("doc_id") % 2 === 1), 1L)
+        // the whole corpus is known here, so the per-doc signature state
+        // is computed in ONE scan and each wave gets its slice — the
+        // wire path (processBatch) computes it per batch; state rows
+        // are per-doc pure functions of text, so the slices are
+        // row-identical to per-wave recomputation (hash unchanged)
+        val st = LlmText.nearDupState(docsDf).localCheckpoint(true)
+        inc.processState(st.where(col("doc_id") % 2 === 0), 0L)
+        inc.processState(st.where(col("doc_id") % 2 === 1), 1L)
         inc.groups(s)
           .groupBy(col("rep").as("rep_doc"))
           .agg(count(lit(1)).as("n_members"))
@@ -552,27 +558,34 @@ object Pipeline {
       // round (the KMeansLloyd iteration doctrine): the pair count is
       // scan + vocab²-bounded shuffle (map-side partials), the argmax
       // collects ONE row to the driver, and the re-tokenization is a
-      // MAP-ONLY aggregate() fold with the winning pair folded into the
-      // plan as literals — no join, no shuffle; lineage is cut per
-      // round (localCheckpoint) so round N never recomputes rounds
-      // 1..N−1. The fold appends token-by-token and fuses (last == a,
-      // next == b) — left-to-right and non-overlapping by construction
-      // ("aaa" + (a,a) → [aa, a], never [aaa]), matching the reference
-      // BPE algorithm and DuckDB's list_reduce twin in the oracle.
+      // single MAP-ONLY native replace() with the winning pair folded
+      // into the plan as a literal — no join, no shuffle, no lambda.
+      // Token encoding: tokens joined AND bounded by DOUBLE spaces
+      // ("  a  b  c  " — tokens never contain spaces, words come from
+      // splitting on space), so the pattern " a  b " → " ab " is
+      // full-token anchored (each match consumes one space of each
+      // neighboring double gap; the replacement's outer spaces restore
+      // them) and replace()'s left-to-right scan gives exactly BPE's
+      // non-overlapping merge order ("aaa" + (a,a) → [aa, a], never
+      // [aaa]). The DuckDB oracle implements the same semantics as an
+      // INDEPENDENT algorithm — a list_reduce fold — so the two
+      // engines agreeing checks the merge rule itself, not one shared
+      // implementation.
       (s, d) => {
         import s.implicits._
-        var toks = docs(s, d)
+        var enc = docs(s, d)
           .select(explode(split(col("text"), " ")).as("w"))
           .where(length(col("w")) >= 2)
-          .select(transform(sequence(lit(1), length(col("w"))),
-            i => col("w").substr(i, lit(1))).as("t"))
-          .localCheckpoint(true)
+          .select(concat(lit("  "),
+            regexp_replace(col("w"), "(?s)(.)", "$1  ")).as("e"))
         val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
         for (r <- 1 to 3) {
-          val top = toks
+          val t = split(col("e"), "  ") // ["", t1, …, tn, ""]
+          val toks = slice(t, lit(2), size(t) - 2)
+          val top = enc
             .select(explode(zip_with(
-              slice(col("t"), lit(1), size(col("t")) - 1),
-              slice(col("t"), lit(2), size(col("t")) - 1),
+              slice(toks, lit(1), size(toks) - 1),
+              slice(toks, lit(2), size(toks) - 1),
               (a, b) => concat(a, lit(" "), b))).as("pair"))
             .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
             .orderBy(col("cnt").desc, col("pair"))
@@ -581,15 +594,8 @@ object Pipeline {
           val cnt = top.getLong(1)
           val Array(a, b) = pair.split(" ", 2)
           merges += ((r, pair, a + b, cnt))
-          if (r < 3) toks = toks.select(
-            aggregate(
-              slice(col("t"), lit(2), size(col("t")) - 1),
-              slice(col("t"), 1, 1),
-              (acc, x) => when(
-                element_at(acc, -1) === lit(a) && x === lit(b),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-                .otherwise(concat(acc, array(x)))).as("t"))
-            .localCheckpoint(true)
+          if (r < 3) enc = enc.select(
+            replace(col("e"), lit(s" $a  $b "), lit(s" ${a + b} ")).as("e"))
         }
         merges.toSeq.toDF("round", "pair", "merged", "cnt")
           .orderBy(col("round"))

@@ -40,13 +40,16 @@ object Vectors {
     * the index once, write it, read it from every consumer). Hashes are
     * untouched — every consumer sees the identical deterministic
     * result, only WHEN it is computed changes. Returns (assigned,
-    * assign-time centroids, final centroids). */
-  private val lloydCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, Seq[KMeansLloyd.Centroid], Seq[KMeansLloyd.Centroid])]
+    * assign-time centroids, final centroids). Entries evict (and
+    * unpersist) when the session's context stops — see
+    * [[graft.SessionCache]]. */
+  private val lloydCache = new graft.SessionCache[
+    (DataFrame, Seq[KMeansLloyd.Centroid], Seq[KMeansLloyd.Centroid])](
+    t => t._1.unpersist(blocking = false))
 
   private def lloydShared(s: SparkSession, d: String)
       : (DataFrame, Seq[KMeansLloyd.Centroid], Seq[KMeansLloyd.Centroid]) =
-    lloydCache.getOrElseUpdate((s, d), {
+    lloydCache.getOrElseUpdate(s, d, {
       val vecs = Tables(s, d, "embeddings")
         .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
       val (assigned, assignCents, cents) =

@@ -205,6 +205,7 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
       gtid = Option(g),
       connectTimeoutMs = options.getOrElse("connectTimeoutMs", "2000").toInt,
       readTimeoutMs = options.getOrElse("readTimeoutMs", "200").toInt,
+      writeTimeoutMs = options.getOrElse("writeTimeoutMs", "2000").toInt,
       bufferSize = options.getOrElse("bufferSize", "4096").toInt,
       wireType = options.getOrElse("wireType", "JSON").toUpperCase)
   }

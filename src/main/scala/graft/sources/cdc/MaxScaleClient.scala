@@ -40,6 +40,7 @@ final class MaxScaleClient(
     gtid: Option[String] = None,
     val connectTimeoutMs: Int = 2000,
     readTimeoutMs: Int = 2000,
+    writeTimeoutMs: Int = 2000,
     val bufferSize: Int = 4096,
     val wireType: String = "JSON") {
 
@@ -67,20 +68,51 @@ final class MaxScaleClient(
     val req = new StringBuilder(s"REQUEST-DATA $database.$table")
     version.foreach(v => req.append(s".$v"))
     gtid.foreach(g => req.append(s" $g"))
-    out.write(req.toString.getBytes(UTF_8))
-    out.flush()
+    writeBounded(req.toString.getBytes(UTF_8), "subscription")
   }
 
   /** Write a handshake phase and check the (≤1024 byte) reply. */
   private def initRequest(payload: String, phase: String): Unit = {
-    out.write(payload.getBytes(UTF_8))
-    out.flush()
+    writeBounded(payload.getBytes(UTF_8), phase)
     val reply = new Array[Byte](1024)
     val n = in.read(reply)
     if (n < 0) throw new MaxScaleProtocolException(s"$phase: connection closed")
     val text = new String(reply, 0, n, UTF_8).trim
     if (text.toUpperCase.startsWith("ERR"))
       throw new MaxScaleProtocolException(s"$phase failed: $text")
+  }
+
+  /** Protocol write with a deadline — parity with the reference, which
+    * arms a write deadline around EVERY protocol write
+    * (`gomaxscale.go:231-243` via `WithTimeout`,
+    * `gomaxscale_options.go:60-65`); `SO_TIMEOUT` only bounds reads, so
+    * without this a blocking write to a wedged server (zero TCP window
+    * during connect/auth/register) hangs the client thread forever.
+    * Java blocking sockets have no native write timeout, so the bound
+    * is a watchdog: if the write hasn't completed within
+    * `writeTimeoutMs` the socket is closed, which forces the blocked
+    * `write` to fail immediately — the standard deadline idiom for
+    * `java.net.Socket`. The timer task is cancelled on the fast path,
+    * so a healthy write costs one schedule/cancel pair. */
+  private[cdc] def writeBounded(payload: Array[Byte], phase: String): Unit = {
+    val expired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val task = new java.util.TimerTask {
+      def run(): Unit = {
+        expired.set(true)
+        try socket.close() catch { case _: java.io.IOException => () }
+      }
+    }
+    MaxScaleClient.writeDeadlineTimer.schedule(task, writeTimeoutMs.toLong)
+    try {
+      out.write(payload)
+      out.flush()
+    } catch {
+      case e: java.io.IOException =>
+        if (expired.get())
+          throw new MaxScaleProtocolException(
+            s"$phase: write deadline exceeded (${writeTimeoutMs}ms)")
+        else throw e
+    } finally task.cancel()
   }
 
   /** Pull the next batch of decoded events. Empty on read timeout (the
@@ -119,6 +151,15 @@ final class MaxScaleClient(
   }
 
   def close(): Unit = if (socket != null) socket.close()
+}
+
+object MaxScaleClient {
+  /** One shared daemon timer for all clients' write deadlines — a
+    * timer thread per write (or per client) would not scale to a
+    * multi-table fan-in; scheduled tasks are cancelled on the write
+    * fast path so the wheel stays empty in the healthy case. */
+  private val writeDeadlineTimer =
+    new java.util.Timer("maxscale-write-deadline", true)
 }
 
 final case class PollResult(

@@ -173,10 +173,34 @@ object EventPipelines {
               t3 = t; out :+= FunnelStage(user, 3, new Timestamp(t))
             }
           }
-          state.update(FunnelAcc(t1, t2, t3, hold))
-          if (hold.nonEmpty)
-            // wake when the watermark can release the oldest held event
-            state.setTimeoutTimestamp(math.max(hold.map(_._1).min, wm + 1))
+          // terminal users release their state-store entry instead of
+          // keeping it forever: with no held events, the funnel can
+          // never advance once (a) it completed, (b) the conversion
+          // horizon for the next stage has passed the watermark (any
+          // future arrival has event time > watermark — Spark drops
+          // later-late rows before the stateful operator), or (c) no
+          // stage was ever entered (all-zero state ≡ the fresh-user
+          // default, so dropping it is a no-op semantically). Keyed
+          // state then tracks ACTIVE funnels, not every user ever seen.
+          val terminal = hold.isEmpty && (
+            t3 != 0L ||
+            (t2 != 0L && wm >= t2 + hMs) ||
+            (t1 != 0L && t2 == 0L && wm >= t1 + hMs) ||
+            t1 == 0L)
+          if (terminal) { if (state.exists) state.remove() }
+          else {
+            state.update(FunnelAcc(t1, t2, t3, hold))
+            if (hold.nonEmpty)
+              // wake when the watermark can release the oldest held event
+              state.setTimeoutTimestamp(math.max(hold.map(_._1).min, wm + 1))
+            else if (t2 != 0L)
+              // mid-funnel, nothing buffered: wake when the purchase
+              // horizon closes so the entry self-removes (> wm here,
+              // else `terminal` would have fired)
+              state.setTimeoutTimestamp(t2 + hMs)
+            else
+              state.setTimeoutTimestamp(t1 + hMs) // click horizon
+          }
           out.iterator
         })(Encoders.product[FunnelAcc], Encoders.product[FunnelStage])
       .toDF()

@@ -48,14 +48,26 @@ final class IncrementalNearDup(statePath: String) {
 
   /** foreachBatch hook: `batch` needs (doc_id, text). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
     val docs = batch.select(col("doc_id"), col("text"))
       .localCheckpoint(true) // micro-batch sources are not re-scannable
 
     // one scan + one shuffle yields both the signature arrays and the
     // minhash components (LlmText.nearDupState), materialized once for
     // the batch's several uses
-    val state = LlmText.nearDupState(docs).localCheckpoint(true)
+    processState(LlmText.nearDupState(docs).localCheckpoint(true), batchId)
+  }
+
+  /** Shared-scan entry: `state` must be `LlmText.nearDupState` rows for
+    * exactly the batch's documents. The wire path ([[processBatch]])
+    * computes it per micro-batch — that's the streaming contract; a
+    * BATCH caller replaying a known corpus in waves (q66) can instead
+    * compute the full-corpus state ONCE and feed each wave its slice,
+    * halving the number of document scans without touching semantics:
+    * state rows are per-doc pure functions of the text (group-by
+    * doc_id), so slicing a precomputed relation is row-identical to
+    * recomputing per wave. */
+  def processState(state: DataFrame, batchId: Long): Unit = {
+    val spark = state.sparkSession
     val newSets = state.select("doc_id", "hs", "nbg")
     val newBands = LlmText.bandKeys(state, 8, 2)
 
