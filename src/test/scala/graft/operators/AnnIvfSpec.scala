@@ -109,6 +109,49 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestSession {
       s"int8 quantization flipped more than one neighbor: $overlap/${exact.size}")
   }
 
+  test("q89 PQ-ADC top-3 true distances stay within 25% of the exact top-3") {
+    // the fixture embeddings' distances CONCENTRATE (nearest neighbor
+    // ≈ 0.6× the median distance), so neighbor-identity recall is the
+    // WRONG contract for any compressed index here — an 8% distance
+    // error reorders the crowd without making results worse. The
+    // honest PQ contracts (Jégou et al. 2011 evaluate exactly these):
+    // (a) approximation ratio — the TRUE distance of each ADC-selected
+    //     neighbor within 25% of the true neighbor at the same rank
+    //     (measured 1.08 at m=16/ksub=32);
+    // (b) mean relative ADC error on the selected pairs ≤ 0.35
+    //     (measured 0.21 — above the all-pairs 0.12 because ADC
+    //     selection biases toward pairs whose distance it
+    //     underestimated).
+    import graft.operators.KMeansLloyd
+    import graft.SparkEntry
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+    val q = broadcast(vecs.where(col("vec_id").between(1, 5))
+      .select(col("vec_id").as("query_id"), col("xi").as("qx")))
+    val truth = vecs.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("aggregate(zip_with(xi, qx, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("dist"))
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) -> r.getAs[Long]("dist"))
+      .toMap
+    val exactTop = truth.toSeq
+      .groupBy(_._1._1)
+      .map { case (qid, ds) => qid -> ds.map(d => (d._2, d._1._2)).sorted.take(3).map(_._1) }
+    val pq = SparkEntry.queries("q89_pq_adc")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("adist")))
+    assert(pq.length == 15, s"expected 5 queries × top-3, got ${pq.length}")
+    val ratios = pq.map { case (qid, rnk, nb, _) =>
+      truth((qid, nb)).toDouble / exactTop(qid)(rnk - 1) }
+    val meanRatio = ratios.sum / ratios.size
+    val relErrs = pq.map { case (qid, _, nb, adist) =>
+      val t = truth((qid, nb)); math.abs(adist - t).toDouble / t }
+    val meanRelErr = relErrs.sum / relErrs.size
+    info(f"q89 PQ-ADC top-3 approx ratio $meanRatio%.3f, mean rel dist err $meanRelErr%.3f")
+    assert(meanRatio <= 1.25, f"approximation ratio $meanRatio%.3f above bound")
+    assert(meanRelErr <= 0.35, f"mean relative ADC error $meanRelErr%.3f above bound")
+  }
+
   test("sf0.1: recall >= 0.9 while scanning <= nProbe/nCells of the corpus") {
     // VERDICT round-1 item 7: quantified evidence at the bench tier
     // (2000 vectors, 50 queries, nProbe 10 of 16 cells)

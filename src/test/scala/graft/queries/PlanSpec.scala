@@ -152,6 +152,21 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"), "q71b plans a cartesian product")
   }
 
+  test("q89 scores ADC by broadcast LUT join + map-side fold — no window, no BNLJ") {
+    // the PQ encode must be map-only (codewords as plan literals), the
+    // per-query LUT must BROADCAST onto the code stream (a shuffle join
+    // keyed on (sub, code) would ceiling parallelism at m·ksub keys),
+    // and the top-k must ride the TopKRows partial aggregation — the
+    // scored stream is never window-sorted
+    val p = plan("q89_pq_adc")
+    assert(!p.contains("Window"), s"q89 plans a window:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q89 plans a BNLJ:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), "q89 plans a cartesian product")
+    assert(p.contains("BroadcastHashJoin"), s"q89 LUT join is not broadcast:\n${p.take(1200)}")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"q89 lacks a partial ObjectHashAggregate phase:\n${p.take(1200)}")
+  }
+
   test("q73/q73b probe sides broadcast — member scan never shuffles on cell") {
     // the IVF probe join must be a BroadcastHashJoin (queries are a
     // handful of rows): a shuffle join keyed on cell would ceiling
