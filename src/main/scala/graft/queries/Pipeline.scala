@@ -573,30 +573,53 @@ object Pipeline {
       // implementation.
       (s, d) => {
         import s.implicits._
+        // each round's argmax collect re-executes the whole lineage, so
+        // the per-round encodings are PERSISTED (and dropped before
+        // returning — the output is a driver-side 3-row table): round r
+        // costs one cached scan, not r replays of the initial encode.
+        // The encode itself is native concat_ws/split, not a
+        // per-character regex backreference.
+        val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        // train on the WORD-FREQUENCY table, not word instances — the
+        // standard tokenizer-trainer shape (a pair occurring in a word
+        // contributes the word's corpus count): pair totals are
+        // identical, but every round's explode/merge runs over the
+        // vocabulary (distinct words) instead of the corpus, which at
+        // 100 TB is the difference between vocab-bounded work per
+        // round and a full corpus re-scan per round
         var enc = docs(s, d)
           .select(explode(split(col("text"), " ")).as("w"))
           .where(length(col("w")) >= 2)
-          .select(concat(lit("  "),
-            regexp_replace(col("w"), "(?s)(.)", "$1  ")).as("e"))
+          .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+          .select(concat(lit("  "), concat_ws("  ", split(col("w"), "")), lit("  ")).as("e"),
+            col("wcnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += enc
         val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
         for (r <- 1 to 3) {
           val t = split(col("e"), "  ") // ["", t1, …, tn, ""]
           val toks = slice(t, lit(2), size(t) - 2)
           val top = enc
-            .select(explode(zip_with(
+            .select(col("wcnt"), explode(zip_with(
               slice(toks, lit(1), size(toks) - 1),
               slice(toks, lit(2), size(toks) - 1),
               (a, b) => concat(a, lit(" "), b))).as("pair"))
-            .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+            .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
             .orderBy(col("cnt").desc, col("pair"))
             .limit(1).collect()(0) // the 1-row argmax — the round's model
           val pair = top.getString(0)
           val cnt = top.getLong(1)
           val Array(a, b) = pair.split(" ", 2)
           merges += ((r, pair, a + b, cnt))
-          if (r < 3) enc = enc.select(
-            replace(col("e"), lit(s" $a  $b "), lit(s" ${a + b} ")).as("e"))
+          if (r < 3) {
+            enc = enc.select(
+              replace(col("e"), lit(s" $a  $b "), lit(s" ${a + b} ")).as("e"),
+              col("wcnt"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            persisted += enc
+          }
         }
+        persisted.foreach(_.unpersist(blocking = false))
         merges.toSeq.toDF("round", "pair", "merged", "cnt")
           .orderBy(col("round"))
       },
