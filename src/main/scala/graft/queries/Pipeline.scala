@@ -33,6 +33,85 @@ object Pipeline {
   private def bucketSql(salt: String, key: String) =
     s"CAST(('0x' || substring(md5('$salt' || CAST($key AS VARCHAR)),1,8)) AS BIGINT) % 100"
 
+  /** The BPE training loop (q81b's body), factored out so the encoder
+    * (q91) applies the SAME learned merge table — train once, encode
+    * everywhere. 3 greedy merge rounds over the word-FREQUENCY table
+    * (a pair occurring in a word contributes the word's corpus count):
+    * per round, count adjacent token pairs (vocab²-bounded shuffle with
+    * map-side partials), collect the 1-row argmax (ties to the
+    * lexicographically smaller pair — a total order), and re-tokenize
+    * every word with a single map-only native replace() whose pattern
+    * is the winning pair folded in as a literal. Each round's encoding
+    * is PERSISTED so round r costs one cached vocab scan, not r replays
+    * of the corpus explode; all intermediates are unpersisted before
+    * returning (the result is a driver-side 3-row merge table, cached
+    * per (session, dir) like the Lloyd's run and PQ codebooks).
+    * Token encoding: tokens joined AND bounded by DOUBLE spaces
+    * ("  a  b  c  ") so " a  b " → " ab " is full-token anchored and
+    * replace()'s left-to-right scan gives BPE's non-overlapping merge
+    * order. */
+  private val bpeCache =
+    new graft.SessionCache[Seq[(Int, String, String, Long)]](_ => ())
+
+  private[queries] def bpeMerges(s: SparkSession, d: String): Seq[(Int, String, String, Long)] =
+    bpeCache.getOrElseUpdate(s, d, {
+      val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var enc = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+        .select(concat(lit("  "), concat_ws("  ", split(col("w"), "")), lit("  ")).as("e"),
+          col("wcnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += enc
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (r <- 1 to 3) {
+        val t = split(col("e"), "  ") // ["", t1, …, tn, ""]
+        val toks = slice(t, lit(2), size(t) - 2)
+        val top = enc
+          .select(col("wcnt"), explode(zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1).collect()(0) // the 1-row argmax — the round's model
+        val pair = top.getString(0)
+        val cnt = top.getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((r, pair, a + b, cnt))
+        if (r < 3) {
+          enc = enc.select(
+            replace(col("e"), lit(s" $a  $b "), lit(s" ${a + b} ")).as("e"),
+            col("wcnt"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persisted += enc
+        }
+      }
+      persisted.foreach(_.unpersist(blocking = false))
+      merges.toSeq
+    })
+
+  /** DuckDB twins of the q81b/q91 training chain — an INDEPENDENT
+    * algorithm (list_reduce fold over word instances) so the engines
+    * agreeing checks the merge rule, not a shared implementation.
+    * `bpeSqlPairs` counts adjacent pairs of tokenization `t`,
+    * `bpeSqlArgmax` takes round `r`'s greedy winner, `bpeSqlMerge`
+    * re-tokenizes via the fold. */
+  private def bpeSqlPairs(t: String, p: String) =
+    s"$p AS (SELECT t[i] || ' ' || t[i+1] AS pair FROM " +
+      s"(SELECT t, UNNEST(generate_series(1, len(t) - 1)) AS i FROM $t) z), "
+  private def bpeSqlArgmax(p: String, m: String, r: Int) =
+    s"$m AS (SELECT $r AS round, pair, COUNT(*) AS cnt FROM $p " +
+      "GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1), "
+  private def bpeSqlMerge(t: String, m: String, t2: String, carry: String = "") =
+    s"$t2 AS (SELECT ${carry}string_split(list_reduce(t, (acc, x) -> " +
+      s"CASE WHEN string_split(acc, ' ')[-1] = split_part(m.pair, ' ', 1) " +
+      s"AND x = split_part(m.pair, ' ', 2) " +
+      s"THEN substr(acc, 1, length(acc) - length(split_part(m.pair, ' ', 1))) " +
+      s"|| replace(m.pair, ' ', '') " +
+      s"ELSE acc || ' ' || x END), ' ') AS t FROM $t CROSS JOIN $m m), "
+
   /** q67's fixed keyword query (terms present across fixture sources
     * with moderate document frequency). */
   private[graft] val Bm25Terms = Seq("vector", "merge", "stream", "window", "customer")
@@ -547,6 +626,7 @@ object Pipeline {
         "ORDER BY cnt DESC, pair LIMIT 20")),
 
     QueryDef("q81b_bpe_merge_training",
+      // see [[bpeMerges]] — the training loop, shared with q91's encoder
       // The actual BPE tokenizer-training LOOP (q81 is its first
       // counting step): 3 greedy merge rounds, each = count adjacent
       // token pairs → take the argmax (ties to the lexicographically
@@ -573,81 +653,88 @@ object Pipeline {
       // implementation.
       (s, d) => {
         import s.implicits._
-        // each round's argmax collect re-executes the whole lineage, so
-        // the per-round encodings are PERSISTED (and dropped before
-        // returning — the output is a driver-side 3-row table): round r
-        // costs one cached scan, not r replays of the initial encode.
-        // The encode itself is native concat_ws/split, not a
-        // per-character regex backreference.
-        val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-        // train on the WORD-FREQUENCY table, not word instances — the
-        // standard tokenizer-trainer shape (a pair occurring in a word
-        // contributes the word's corpus count): pair totals are
-        // identical, but every round's explode/merge runs over the
-        // vocabulary (distinct words) instead of the corpus, which at
-        // 100 TB is the difference between vocab-bounded work per
-        // round and a full corpus re-scan per round
-        var enc = docs(s, d)
-          .select(explode(split(col("text"), " ")).as("w"))
-          .where(length(col("w")) >= 2)
-          .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
-          .select(concat(lit("  "), concat_ws("  ", split(col("w"), "")), lit("  ")).as("e"),
-            col("wcnt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        persisted += enc
-        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-        for (r <- 1 to 3) {
-          val t = split(col("e"), "  ") // ["", t1, …, tn, ""]
-          val toks = slice(t, lit(2), size(t) - 2)
-          val top = enc
-            .select(col("wcnt"), explode(zip_with(
-              slice(toks, lit(1), size(toks) - 1),
-              slice(toks, lit(2), size(toks) - 1),
-              (a, b) => concat(a, lit(" "), b))).as("pair"))
-            .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
-            .orderBy(col("cnt").desc, col("pair"))
-            .limit(1).collect()(0) // the 1-row argmax — the round's model
-          val pair = top.getString(0)
-          val cnt = top.getLong(1)
-          val Array(a, b) = pair.split(" ", 2)
-          merges += ((r, pair, a + b, cnt))
-          if (r < 3) {
-            enc = enc.select(
-              replace(col("e"), lit(s" $a  $b "), lit(s" ${a + b} ")).as("e"),
-              col("wcnt"))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            persisted += enc
-          }
-        }
-        persisted.foreach(_.unpersist(blocking = false))
-        merges.toSeq.toDF("round", "pair", "merged", "cnt")
+        bpeMerges(s, d).toDF("round", "pair", "merged", "cnt")
           .orderBy(col("round"))
       },
       Some {
-        // unrolled 3-round CTE chain: pN counts pairs of tokenization
-        // tN, mN is the argmax, tN+1 re-tokenizes via a list_reduce
-        // fold over a space-joined accumulator (tokens never contain
-        // spaces — words come from splitting on space)
-        def pairs(t: String, p: String) =
-          s"$p AS (SELECT t[i] || ' ' || t[i+1] AS pair FROM " +
-            s"(SELECT t, UNNEST(generate_series(1, len(t) - 1)) AS i FROM $t) z), "
-        def argmax(p: String, m: String, r: Int) =
-          s"$m AS (SELECT $r AS round, pair, COUNT(*) AS cnt FROM $p " +
-            "GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1), "
-        def merge(t: String, m: String, t2: String) =
-          s"$t2 AS (SELECT string_split(list_reduce(t, (acc, x) -> " +
-            s"CASE WHEN string_split(acc, ' ')[-1] = split_part(m.pair, ' ', 1) " +
-            s"AND x = split_part(m.pair, ' ', 2) " +
-            s"THEN substr(acc, 1, length(acc) - length(split_part(m.pair, ' ', 1))) " +
-            s"|| replace(m.pair, ' ', '') " +
-            s"ELSE acc || ' ' || x END), ' ') AS t FROM $t CROSS JOIN $m m), "
+        // unrolled 3-round CTE chain (helpers at [[bpeSqlPairs]]): pN
+        // counts pairs of tokenization tN, mN is the argmax, tN+1
+        // re-tokenizes via a list_reduce fold over a space-joined
+        // accumulator (tokens never contain spaces — words come from
+        // splitting on space)
         "WITH w0 AS (SELECT UNNEST(string_split(text,' ')) AS w FROM documents), " +
           "t1 AS (SELECT string_split(w, '') AS t FROM w0 WHERE length(w) >= 2), " +
-          pairs("t1", "p1") + argmax("p1", "m1", 1) + merge("t1", "m1", "t2") +
-          pairs("t2", "p2") + argmax("p2", "m2", 2) + merge("t2", "m2", "t3") +
-          pairs("t3", "p3") + argmax("p3", "m3", 3) +
+          bpeSqlPairs("t1", "p1") + bpeSqlArgmax("p1", "m1", 1) + bpeSqlMerge("t1", "m1", "t2") +
+          bpeSqlPairs("t2", "p2") + bpeSqlArgmax("p2", "m2", 2) + bpeSqlMerge("t2", "m2", "t3") +
+          bpeSqlPairs("t3", "p3") + bpeSqlArgmax("p3", "m3", 3) +
           "u AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3) " +
           "SELECT round, pair, replace(pair, ' ', '') AS merged, cnt FROM u ORDER BY round"
+      }),
+
+    QueryDef("q91_bpe_encode",
+      // The ENCODE half of the tokenizer loop (q81b trains, q91
+      // applies): every word in the corpus is re-tokenized with the
+      // learned 3-merge table and the per-source compression report is
+      // emitted — words, character-level token count, BPE token count,
+      // tokens saved. This is the operation a training-data pipeline
+      // actually runs at 100 TB scale (tokenize the whole corpus with a
+      // FIXED tokenizer), and its scale shape is the whole point: the
+      // merge table comes from [[bpeMerges]] (session-cached — train
+      // once, encode everywhere) and folds into the plan as replace()
+      // LITERALS applied in merge-priority order, so the encode is one
+      // map-only scan — no join against a merge table, no shuffle of
+      // the corpus, and the replace chain is exactly how fast BPE
+      // encoders apply ranked merges. The only shuffle is the
+      // (source, word)-frequency agg that bounds per-row work by the
+      // VOCABULARY (each distinct word is encoded once per source, not
+      // once per occurrence) and the final per-source fold. Unlike
+      // q81b's training (len ≥ 2 words only — a 1-char word has no
+      // pairs), the encode covers EVERY non-empty word: single-char
+      // words pass through as single tokens, so tokens_char/tokens_bpe
+      // are corpus totals.
+      (s, d) => {
+        val merges = bpeMerges(s, d)
+        val words = docs(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+          .where(col("w") =!= "")
+          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("wcnt"))
+        // the trained merges applied in order, each a native replace
+        // with the pair as a plan literal (the q81b anchoring doctrine)
+        var e: org.apache.spark.sql.Column =
+          concat(lit("  "), concat_ws("  ", split(col("w"), "")), lit("  "))
+        for ((_, pair, merged, _) <- merges) {
+          val Array(a, b) = pair.split(" ", 2)
+          e = replace(e, lit(s" $a  $b "), lit(s" $merged "))
+        }
+        words
+          .select(col("source"), col("wcnt"), length(col("w")).as("chars"),
+            (size(split(e, "  ")) - 2).as("toks"))
+          .groupBy(col("source"))
+          .agg(sum(col("wcnt")).as("words"),
+            sum(col("chars") * col("wcnt")).as("tokens_char"),
+            sum(col("toks") * col("wcnt")).as("tokens_bpe"),
+            sum((col("chars") - col("toks")) * col("wcnt")).as("tokens_saved"))
+          .orderBy(col("source"))
+      },
+      Some {
+        // the q81b training chain verbatim, then the fold applied to
+        // the per-(source, word) relation — the encode-side carry
+        "WITH w0 AS (SELECT UNNEST(string_split(text,' ')) AS w FROM documents), " +
+          "t1 AS (SELECT string_split(w, '') AS t FROM w0 WHERE length(w) >= 2), " +
+          bpeSqlPairs("t1", "p1") + bpeSqlArgmax("p1", "m1", 1) + bpeSqlMerge("t1", "m1", "t2") +
+          bpeSqlPairs("t2", "p2") + bpeSqlArgmax("p2", "m2", 2) + bpeSqlMerge("t2", "m2", "t3") +
+          bpeSqlPairs("t3", "p3") + bpeSqlArgmax("p3", "m3", 3) +
+          "wf AS (SELECT source, w, COUNT(*) AS wcnt FROM (SELECT source, " +
+          "UNNEST(string_split(text,' ')) AS w FROM documents) z WHERE w <> '' GROUP BY 1, 2), " +
+          "e1 AS (SELECT source, w, wcnt, string_split(w, '') AS t FROM wf), " +
+          bpeSqlMerge("e1", "m1", "e2", "source, w, wcnt, ") +
+          bpeSqlMerge("e2", "m2", "e3", "source, w, wcnt, ") +
+          bpeSqlMerge("e3", "m3", "e4", "source, w, wcnt, ").stripSuffix(", ") +
+          " SELECT source, CAST(SUM(wcnt) AS BIGINT) AS words, " +
+          "CAST(SUM(length(w) * wcnt) AS BIGINT) AS tokens_char, " +
+          "CAST(SUM(len(t) * wcnt) AS BIGINT) AS tokens_bpe, " +
+          "CAST(SUM((length(w) - len(t)) * wcnt) AS BIGINT) AS tokens_saved " +
+          "FROM e4 GROUP BY source ORDER BY source"
       }),
 
     QueryDef("q86_multi_signal_curation",

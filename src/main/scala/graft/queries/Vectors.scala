@@ -999,5 +999,121 @@ object Vectors {
         "r AS (SELECT query_id, vec_id, adist, ROW_NUMBER() OVER (PARTITION BY query_id " +
         "ORDER BY adist, vec_id) AS rnk FROM sc) " +
         "SELECT query_id, rnk, vec_id AS neighbor_id, adist FROM r WHERE rnk <= 3 " +
+        "ORDER BY query_id, rnk")),
+
+    QueryDef("q90_ivfpq",
+      // The full FAISS IVFPQ serving shape (Jégou et al. 2011 §V;
+      // IndexIVFPQ with by_residual=false): the COARSE quantizer
+      // restricts each query to its nProbe = 2 nearest k-means cells
+      // (q73b's probe machinery — ranked by exact integer distance to
+      // the assign-time centroids) and the FINE quantizer scores only
+      // those cells' members by PQ ADC (q89's kernel — the candidate's
+      // 80-bit code selects m LUT entries, their integer sum is the
+      // approximate distance). This is THE industry-standard
+      // billion-vector index: IVF bounds candidates to ~nProbe·n/k,
+      // PQ bounds bytes touched per candidate to m·log2(ksub) bits, so
+      // a query reads ~nProbe·n/k·10 bytes instead of n·256 — at
+      // n = 10⁹ that's 5 MB instead of 256 GB. Everything stays in the
+      // quantized-integer doctrine, so the composed approximate index
+      // is oracle-hashable end-to-end (train → assign → encode → probe
+      // → ADC). Shape at 100 TB: both indexes are session-cached
+      // relations (cells from the shared Lloyd's run, codes from
+      // [[pqCodes]] — write once, read everywhere); the probe table ×
+      // ADC LUT (nProbe·m·ksub rows per query) BROADCASTS to the code
+      // scan, so the member side never shuffles; the per-(query, vec)
+      // m-entry sum folds map-side through a hash agg and the top-k
+      // rides TopKRows — no window sort anywhere (PlanSpec guards all
+      // three). AnnIvfSpec pins the ADC kernel's consistency: q90's
+      // distances agree exactly with full-scan q89 on every
+      // (query, neighbor) it emits.
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.KMeansLloyd
+        val books = pqBooks(s, d)
+        val vecs = Tables(s, d, "embeddings")
+          .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+        val (assigned, probeCents, _) = lloydShared(s, d)
+        val member = pqCodes(s, d)
+          .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+        val probes = KMeansLloyd.probeCells(
+            vecs.where(col("vec_id").between(1, 5)), probeCents, nProbe = 2)
+          .select(col("vec_id").as("query_id"), col("cell").as("pcell"))
+        val bookDf = (for { sub <- 0 until PqM; c <- books(sub) }
+          yield (sub, c.cell.toLong, c.ci.toSeq)).toDF("sub", "cw_cell", "cw")
+        val qsub = vecs.where(col("vec_id").between(1, 5))
+          .select(col("vec_id").as("query_id"),
+            posexplode(array((0 until PqM).map(sub =>
+              expr(s"slice(xi, ${sub * PqSubDim + 1}, $PqSubDim)")): _*))
+              .as(Seq("sub", "sx")))
+        val lut = qsub.join(bookDf, Seq("sub"))
+          .select(col("query_id"), col("sub"), col("cw_cell"),
+            aggregate(zip_with(col("sx"), col("cw"), (x, y) => (x - y) * (x - y)),
+              lit(0L), (a, v) => a + v).as("dist"))
+        // probe × LUT: nProbe·m·ksub rows per query — the broadcast side
+        val probeLut = probes.join(lut, "query_id")
+        val scored = member.join(broadcast(probeLut),
+            member("cell") === probeLut("pcell") &&
+              member("sub") === probeLut("sub") &&
+              member("code") === probeLut("cw_cell") &&
+              col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("dist")).as("adist"))
+        val topk = udaf(new graft.functions.TopKRows(3),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        scored
+          .select(col("query_id"), col("vec_id"), (-col("adist")).cast("double").as("negd"))
+          .groupBy(col("query_id"))
+          .agg(topk(col("negd"), col("vec_id"), lit(0L)).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("query_id"), (col("pos") + 1).as("rnk"),
+            col("e._2").as("neighbor_id"), (-col("e._1")).cast("long").as("adist"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      // oracle = q73b's coarse chain (cells a2, probes p) + q89's PQ
+      // chain (prefixed pcm/pc0/pd1/pa1/pc1/pd2 → codes, lut), joined in
+      // the scoring CTE: a candidate scores iff its cell is probed
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
+        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+        "c0 AS (SELECT vec_id AS cell, d, xi AS ci FROM comps WHERE vec_id < 4), " +
+        "d1 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c0 k USING (d) GROUP BY 1, 2), " +
+        "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
+        "c1 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+        "FROM comps c JOIN a1 a USING (vec_id) GROUP BY 1, 2), " +
+        "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
+        "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
+        "p AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2 WHERE vec_id BETWEEN 1 AND 5) " +
+        "WHERE rn <= 2), " +
+        "pcm AS (SELECT vec_id, CAST(i // 4 AS BIGINT) AS sub, i % 4 AS sd, " +
+        "CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
+        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+        "pc0 AS (SELECT sub, vec_id AS cell, sd, xi AS ci FROM pcm WHERE vec_id < 32), " +
+        "pd1 AS (SELECT c.vec_id, c.sub, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM pcm c JOIN pc0 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +
+        "pa1 AS (SELECT vec_id, sub, cell FROM (SELECT vec_id, sub, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM pd1) WHERE rn = 1), " +
+        "pc1 AS (SELECT a.sub, a.cell, c.sd, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+        "FROM pcm c JOIN pa1 a ON a.vec_id = c.vec_id AND a.sub = c.sub GROUP BY 1, 2, 3), " +
+        "pd2 AS (SELECT c.vec_id, c.sub, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM pcm c JOIN pc1 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +
+        "codes AS (SELECT vec_id, sub, cell AS code FROM (SELECT vec_id, sub, cell, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM pd2) WHERE rn = 1), " +
+        "lut AS (SELECT vec_id AS query_id, sub, cell, dist FROM pd2 WHERE vec_id BETWEEN 1 AND 5), " +
+        "sc AS (SELECT l.query_id, c.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adist " +
+        "FROM codes c JOIN lut l ON l.sub = c.sub AND l.cell = c.code " +
+        "JOIN a2 m ON m.vec_id = c.vec_id " +
+        "JOIN p ON p.query_id = l.query_id AND p.cell = m.cell " +
+        "WHERE c.vec_id <> l.query_id GROUP BY 1, 2), " +
+        "r AS (SELECT query_id, vec_id, adist, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY adist, vec_id) AS rnk FROM sc) " +
+        "SELECT query_id, rnk, vec_id AS neighbor_id, adist FROM r WHERE rnk <= 3 " +
         "ORDER BY query_id, rnk")))
 }

@@ -152,6 +152,33 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestSession {
     assert(meanRelErr <= 0.35, f"mean relative ADC error $meanRelErr%.3f above bound")
   }
 
+  test("q90 IVFPQ distances agree exactly with full-scan q89 on shared pairs") {
+    // the composed index changes WHICH candidates are scored (probed
+    // cells only), never HOW a candidate scores: every (query, neighbor)
+    // q90 emits must carry the identical integer ADC distance q89's
+    // full scan computed for that pair — any divergence means the
+    // composition corrupted the LUT or code path. And restricting to
+    // probed cells can only LOSE candidates, so each q90 rank-r
+    // distance is >= q89's rank-r distance (ascending-distance ranks).
+    import graft.SparkEntry
+    val full = SparkEntry.queries("q89_pq_adc")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Long]("adist"))
+    val fullByRank = full.groupBy(_._1._1).map { case (q, rs) => q -> rs.map(_._2).sorted }
+    val ivfpq = SparkEntry.queries("q90_ivfpq")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("adist")))
+    assert(ivfpq.length == 15, s"expected 5 queries × top-3, got ${ivfpq.length}")
+    val fullMap = full.toMap
+    val shared = ivfpq.filter { case (q, _, nb, _) => fullMap.contains((q, nb)) }
+    shared.foreach { case (q, _, nb, adist) =>
+      assert(adist == fullMap((q, nb)),
+        s"ADC distance diverged for ($q, $nb): IVFPQ $adist vs full ${fullMap((q, nb))}") }
+    info(s"q90 overlaps q89's top-3 on ${shared.length}/15 pairs, all distances identical")
+    ivfpq.foreach { case (q, rnk, _, adist) =>
+      assert(adist >= fullByRank(q)(rnk - 1),
+        s"q90 rank-$rnk distance $adist beats full-scan q89's ${fullByRank(q)(rnk - 1)} for query $q") }
+  }
+
   test("sf0.1: recall >= 0.9 while scanning <= nProbe/nCells of the corpus") {
     // VERDICT round-1 item 7: quantified evidence at the bench tier
     // (2000 vectors, 50 queries, nProbe 10 of 16 cells)

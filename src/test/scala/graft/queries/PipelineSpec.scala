@@ -168,4 +168,46 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(got == exactTop, "top-20 BPE pair table disagrees with exact recount")
     assert(got.forall(_._1.length == 2))
   }
+
+  test("q91 encode matches a driver-side greedy re-tokenization with q81b's merges") {
+    // apply the SAME learned merge table with an independent in-memory
+    // BPE encoder (greedy left-to-right per merge, in rank order) and
+    // recount every per-source total the query reports
+    val merges = SparkEntry.queries("q81b_bpe_merge_training")(spark, dir).collect()
+      .sortBy(_.getAs[Int]("round")).map(r => r.getString(1).split(" ", 2))
+    def encode(w: String): Int = {
+      var toks = w.split("").toSeq
+      merges.foreach { case Array(a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.toSeq
+      }
+      toks.length
+    }
+    val expect = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    Tables(spark, dir, "documents").select(col("source"), col("text")).collect()
+      .foreach { r =>
+        val src = r.getString(0)
+        r.getString(1).split(" ").filter(_.nonEmpty).foreach { w =>
+          val (ws, ch, tk) = expect.getOrElse(src, (0L, 0L, 0L))
+          expect(src) = (ws + 1, ch + w.length, tk + encode(w))
+        }
+      }
+    val got = SparkEntry.queries("q91_bpe_encode")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("words"), r.getAs[Long]("tokens_char"),
+        r.getAs[Long]("tokens_bpe"), r.getAs[Long]("tokens_saved"))).toMap
+    assert(got.keySet == expect.keySet, "per-source coverage differs")
+    expect.foreach { case (src, (ws, ch, tk)) =>
+      val (gw, gc, gt, gs) = got(src)
+      assert((gw, gc, gt) == (ws, ch, tk),
+        s"$src: got words=$gw chars=$gc toks=$gt, expected $ws/$ch/$tk")
+      assert(gs == gc - gt, s"$src: tokens_saved inconsistent")
+    }
+    assert(got.values.map(_._4).sum > 0, "merges never applied — nothing saved")
+  }
 }

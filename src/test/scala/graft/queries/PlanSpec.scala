@@ -167,6 +167,30 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"q89 lacks a partial ObjectHashAggregate phase:\n${p.take(1200)}")
   }
 
+  test("q90 IVFPQ: probe×LUT broadcasts onto the code scan — no window, no BNLJ") {
+    // the composed index must keep both component disciplines: the
+    // probe-restricted ADC join is a BroadcastHashJoin (the member/code
+    // side never shuffles), scoring folds map-side, and the top-k rides
+    // TopKRows — a Window or BNLJ anywhere means a component regressed
+    val p = plan("q90_ivfpq")
+    assert(!p.contains("Window"), s"q90 plans a window:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q90 plans a BNLJ:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), "q90 plans a cartesian product")
+    assert(p.contains("BroadcastHashJoin"), s"q90 probe/LUT join is not broadcast:\n${p.take(1200)}")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"q90 lacks a partial ObjectHashAggregate phase:\n${p.take(1200)}")
+  }
+
+  test("q91 encodes with merges as plan literals — no join, no window") {
+    // the trained merge table must fold into the replace() chain as
+    // literals: a Join means the merge table leaked into the
+    // distributed plan, a Window means the per-source totals stopped
+    // being a hash agg
+    val p = plan("q91_bpe_encode")
+    assert(!p.contains("Join"), s"q91 plans a join:\n${p.take(1200)}")
+    assert(!p.contains("Window"), s"q91 plans a window:\n${p.take(1200)}")
+  }
+
   test("q73/q73b probe sides broadcast — member scan never shuffles on cell") {
     // the IVF probe join must be a BroadcastHashJoin (queries are a
     // handful of rows): a shuffle join keyed on cell would ceiling
