@@ -176,5 +176,71 @@ object Behavioral {
         "THEN 1 ELSE 0 END AS is_anomaly, hc.c " +
         "FROM hc JOIN st USING (event_type)) " +
         "SELECT event_type, COUNT(*) AS n_hours, CAST(SUM(is_anomaly) AS BIGINT) AS n_anomalies, " +
-        "CAST(MAX(c) AS BIGINT) AS max_hourly FROM fl GROUP BY 1 ORDER BY 1")))
+        "CAST(MAX(c) AS BIGINT) AS max_hourly FROM fl GROUP BY 1 ORDER BY 1"))) ++ pagerank
+
+  /** q92 in its own val so the iteration loop reads top-to-bottom. */
+  private def pagerank: Seq[QueryDef] = Seq(
+    QueryDef("q92_pagerank",
+      // Weighted PageRank over the SESSION-TRANSITION graph — iterative
+      // graph centrality, the one large-scale workload class (PageRank /
+      // label propagation / power iteration) the engine didn't cover
+      // beyond connected components (q57's large-star/small-star).
+      // Nodes are event types, edges the user-consecutive transitions
+      // (q59's ordering: per user by event_id), weighted by transition
+      // count. PR with damping d = 0.85, 3 unrolled iterations, in the
+      // integer doctrine end-to-end: ranks live in e-6 micro-units with
+      // mass 1 per node (so the teleport base is the constant 150 000 —
+      // no global N scalar needed anywhere), the per-edge contribution
+      // is the exact integer (r·w) div W(src), and d multiplies as the
+      // exact rational 17/20. Dangling-node mass is dropped (the
+      // standard simplification; deterministic). Both engines fold
+      // identically, so the 3-iteration fixpoint is oracle-hashable.
+      // Scale shape: edge extraction is ONE window pass over events
+      // (the user_id partitioning every Behavioral query reuses) and
+      // the edge/out-weight relations — vocabulary-sized, not
+      // corpus-sized — are what iterations touch. Each iteration is an
+      // equi-join of edges with ranks on src (shuffle keyed on node id,
+      // the partitioning every subsequent iteration reuses) plus a
+      // dst-keyed agg; nothing ever collects to the driver, so the SAME
+      // code runs when nodes are 1e9 URLs instead of 5 event types. At
+      // production iteration counts (20+) each iteration's ranks would
+      // checkpoint to storage instead of nesting lineage — 3 unrolled
+      // iterations keep the whole thing one oracle-hashable plan.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        val ed = ev.select(col("user_id"), col("event_id"), col("event_type").as("dst"))
+          .withColumn("src", lag(col("dst"), 1).over(w))
+          .where(col("src").isNotNull)
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        val ow = ed.groupBy(col("src")).agg(sum(col("w")).as("tw"))
+        val nodes = ev.select(col("event_type").as("v")).distinct()
+        var ranks = nodes.select(col("v"), lit(1000000L).as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = ed.join(ow, "src")
+            .join(ranks.withColumnRenamed("v", "src"), "src")
+            .groupBy(col("dst")).agg(sum(expr("(r * w) div tw")).as("cs"))
+          ranks = nodes.join(contrib.withColumnRenamed("dst", "v"), Seq("v"), "left")
+            .select(col("v"), expr("150000L + (17 * coalesce(cs, 0L)) div 20").as("r"))
+        }
+        ranks.select(col("v").as("event_type"), col("r").as("rank_e6"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        def iter(prev: String, c: String, next: String) =
+          s"$c AS (SELECT e.dst AS v, SUM(CAST((r.r * e.w) // o.tw AS BIGINT)) AS cs " +
+            s"FROM ed e JOIN ow o USING (src) JOIN $prev r ON r.v = e.src GROUP BY 1), " +
+            s"$next AS (SELECT nd.v, CAST(150000 + (17 * COALESCE(c.cs, 0)) // 20 AS BIGINT) AS r " +
+            s"FROM nodes nd LEFT JOIN $c c USING (v)), "
+        "WITH tr AS (SELECT user_id, event_type AS dst, LAG(event_type) OVER " +
+          "(PARTITION BY user_id ORDER BY event_id) AS src FROM events), " +
+          "ed AS (SELECT src, dst, COUNT(*) AS w FROM tr WHERE src IS NOT NULL GROUP BY 1, 2), " +
+          "ow AS (SELECT src, SUM(w) AS tw FROM ed GROUP BY 1), " +
+          "nodes AS (SELECT DISTINCT event_type AS v FROM events), " +
+          "r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes), " +
+          iter("r0", "c1", "r1") + iter("r1", "c2", "r2") +
+          iter("r2", "c3", "r3").stripSuffix(", ") +
+          " SELECT v AS event_type, r AS rank_e6 FROM r3 ORDER BY event_type"
+      }))
 }

@@ -92,4 +92,37 @@ class BehavioralSpec extends AnyFunSuite with SparkTestSession {
     val got = rows.map { case (day, dau, wau) => (day.take(10), dau, wau) }.toSeq
     assert(got == expected.toSeq, "rolling actives disagree with replay")
   }
+
+  test("q92 matches an independent driver-side integer PageRank replay") {
+    // rebuild the transition graph imperatively from the raw events and
+    // fold the same integer recurrence 3 times — the engines' joins and
+    // window never enter this path, so agreement checks the algorithm
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val edges = scala.collection.mutable.Map.empty[(String, String), Long]
+    ev.groupBy(_._1).values.foreach { rows =>
+      rows.sortBy(_._2).map(_._3).toSeq.sliding(2).foreach {
+        case Seq(a, b) => edges((a, b)) = edges.getOrElse((a, b), 0L) + 1
+        case _ =>
+      }
+    }
+    val nodes = ev.map(_._3).distinct.sorted
+    val outW = edges.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map.empty[String, Long]
+      edges.foreach { case ((s, dst), w) =>
+        contrib(dst) = contrib.getOrElse(dst, 0L) + (r(s) * w) / outW(s)
+      }
+      r = nodes.map(v => v -> (150000L + (17 * contrib.getOrElse(v, 0L)) / 20)).toMap
+    }
+    val got = SparkEntry.queries("q92_pagerank")(spark, dir).collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("rank_e6")).toMap
+    assert(got == r, s"pagerank disagrees with replay:\n got $got\n exp $r")
+    // structural sanity: every rank holds the teleport base, and total
+    // mass never exceeds the initial N (floors and dangling only lose)
+    assert(r.values.forall(_ >= 150000L))
+    assert(got.values.sum <= nodes.length * 1000000L)
+  }
 }
