@@ -183,5 +183,54 @@ object Windowed {
       },
       Some("SELECT COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value FROM (" +
         "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type " +
-        "ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1")))
+        "ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1")),
+
+    QueryDef("q93_gap_fill",
+      // Time-series resample + forward fill — the feature-pipeline
+      // standard for turning an irregular event stream into a regular
+      // grid (every ML feature store and monitoring system runs this
+      // before any windowed model input). Per event type: the hourly
+      // last-observed value (arg-max by event_id — deterministic, no
+      // float ties), a calendar spine from the type's first to last
+      // observed hour (sequence + explode — calendar-bounded, never
+      // corpus-sized), and gaps carry the last observation forward via
+      // last(ignoreNulls) over an hour-ordered running frame. Values
+      // are integer cents (floor(x·100 + 0.5)) so the fill chain is
+      // hash-exact on both engines. Scale shape: ONE pass over events
+      // (hour-cell agg with map-side partials), then everything
+      // downstream — spine, join, fill window — operates on the
+      // calendar-bounded cell relation, partitioned per series key, so
+      // a series with a million-hour span costs its hours, not its
+      // events; with millions of series (entity × metric) the window
+      // parallelism scales with the key count.
+      (s, d) => {
+        val obs = Tables(s, d, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(expr("max_by(CAST(floor(value * 100 + 0.5) AS BIGINT), event_id)").as("cents"),
+            count(lit(1)).as("n"))
+        val spine = obs.groupBy(col("event_type"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("event_type"),
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(obs, Seq("event_type", "h"), "left")
+          .select(col("event_type"),
+            date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+            last(col("cents"), ignoreNulls = true).over(w).as("filled_cents"),
+            when(col("n").isNull, 1L).otherwise(0L).as("is_gap"))
+          .orderBy(col("event_type"), col("h"))
+      },
+      Some("WITH obs AS (SELECT event_type, date_trunc('hour', ts) AS h, " +
+        "arg_max(CAST(floor(value * 100 + 0.5) AS BIGINT), event_id) AS cents, " +
+        "COUNT(*) AS n FROM events GROUP BY 1, 2), " +
+        "sp AS (SELECT event_type, UNNEST(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h " +
+        "FROM obs GROUP BY event_type), " +
+        "j AS (SELECT sp.event_type, sp.h, o.cents, o.n FROM sp " +
+        "LEFT JOIN obs o ON o.event_type = sp.event_type AND o.h = sp.h) " +
+        "SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS h, " +
+        "last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h " +
+        "ROWS UNBOUNDED PRECEDING) AS filled_cents, " +
+        "CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap " +
+        "FROM j ORDER BY event_type, h")))
 }

@@ -125,4 +125,36 @@ class BehavioralSpec extends AnyFunSuite with SparkTestSession {
     assert(r.values.forall(_ >= 150000L))
     assert(got.values.sum <= nodes.length * 1000000L)
   }
+
+  test("q93 grid is dense per type and fills match a driver-side replay") {
+    val rows = SparkEntry.queries("q93_gap_fill")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("filled_cents"),
+        r.getAs[Long]("is_gap")))
+    // per type: consecutive hours, no duplicates, from first to last
+    rows.groupBy(_._1).foreach { case (et, rs) =>
+      val hours = rs.map(_._2).sorted
+      assert(hours.distinct.length == hours.length, s"$et grid has duplicate hours")
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      val h0 = java.time.LocalDateTime.parse(hours.head, fmt)
+      val h1 = java.time.LocalDateTime.parse(hours.last, fmt)
+      assert(hours.length == java.time.Duration.between(h0, h1).toHours + 1,
+        s"$et grid is not dense")
+    }
+    // replay: per (type, hour) the latest-by-event_id value of the
+    // latest observed hour at or before it
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val lastPerHour = ev.groupBy(r => (r._1, r._3))
+      .map { case (k, rs) => k -> rs.maxBy(_._2)._4 }
+    rows.foreach { case (et, h, filled, isGap) =>
+      assert(isGap == (if (lastPerHour.contains((et, h))) 0L else 1L),
+        s"($et, $h) gap flag wrong")
+      val expected = lastPerHour.filter { case ((t, oh), _) => t == et && oh <= h }
+        .maxBy(_._1._2)._2
+      assert(filled == expected, s"($et, $h): filled $filled, expected $expected")
+    }
+  }
 }
