@@ -862,6 +862,64 @@ object Pipeline {
         "SELECT source, n_tokens, CAST((w_mu * 1000000) // w_tot AS BIGINT) AS p_e6 " +
         "FROM w CROSS JOIN t ORDER BY source")),
 
+    QueryDef("q94_mixture_sample",
+      // The SAMPLER that realizes q77's mixture weights — the step
+      // between "computed the target mix" and "materialized the
+      // training corpus". Per-source keep rate ∝ p_s / n_s (target
+      // share over natural share), normalized so the most-upweighted
+      // source keeps everything: with α = 0.5 temperature weights that
+      // is rate_s ∝ n_s^-1/2, i.e. big sources get sqrt-downsampled,
+      // the smallest passes whole. Chained integer arithmetic
+      // (q_s = (p_e6·1e6) div n_s, rate_e6 = (q_s·1e6) div max q) keeps
+      // every rate engine-exact, and membership is the q58 doctrine —
+      // a salted md5 e-6 bucket of doc_id compared to rate_e6, a pure
+      // per-row function: deterministic, partition-independent,
+      // reproducible on any cluster size. Whole docs approximate
+      // token-level rates (documented bias: long docs within a source
+      // are not downweighted — acceptable because rates are per-source
+      // constants). Scale shape: weights/rates are a 20-row broadcast;
+      // the corpus pass is a map-only filter + per-source agg — no
+      // shuffle of kept docs, no sort, no driver loop.
+      (s, d) => {
+        val counts = docs(s, d)
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+          .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+          .withColumn("w_mu", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"))
+        val tot = counts.agg(sum(col("w_mu")).as("w_tot"))
+        val q0 = counts.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"),
+            expr("((w_mu * 1000000) div w_tot) * 1000000 div n_tokens").as("q0"))
+        val qm = q0.agg(max(col("q0")).as("qm"))
+        val rates = q0.crossJoin(broadcast(qm))
+          .select(col("source"), expr("(q0 * 1000000) div qm").as("rate_e6"))
+        val kept = docs(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n"))
+          .join(broadcast(rates), "source")
+          .where(conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 1000000L < col("rate_e6"))
+        kept.groupBy(col("source"), col("rate_e6"))
+          .agg(count(lit(1)).as("kept_docs"), sum(col("n")).as("kept_tokens"))
+          .select(col("source"), col("rate_e6"), col("kept_docs"), col("kept_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("WITH c AS (SELECT source, CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY source), " +
+        "w AS (SELECT source, n_tokens, " +
+        "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w_mu FROM c), " +
+        "t AS (SELECT SUM(w_mu) AS w_tot FROM w), " +
+        "q0 AS (SELECT source, n_tokens, " +
+        "CAST(CAST((w_mu * 1000000) // w_tot AS BIGINT) * 1000000 // n_tokens AS BIGINT) AS q0 " +
+        "FROM w CROSS JOIN t), " +
+        "m AS (SELECT MAX(q0) AS qm FROM q0), " +
+        "r AS (SELECT source, CAST((q0 * 1000000) // qm AS BIGINT) AS rate_e6 FROM q0 CROSS JOIN m), " +
+        "kept AS (SELECT d.source, r.rate_e6, len(string_split(d.text,' ')) AS n FROM documents d " +
+        "JOIN r ON r.source = d.source " +
+        "WHERE CAST(('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)),1,8)) AS BIGINT) " +
+        "% 1000000 < r.rate_e6) " +
+        "SELECT source, rate_e6, COUNT(*) AS kept_docs, CAST(SUM(n) AS BIGINT) AS kept_tokens " +
+        "FROM kept GROUP BY 1, 2 ORDER BY source")),
+
     QueryDef("q67_bm25_retrieval",
       // BM25 keyword retrieval (k1 = 1.2, b = 0.75): the ranked-search
       // primitive a curation pipeline uses for targeted corpus pulls and

@@ -169,6 +169,38 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(got.forall(_._1.length == 2))
   }
 
+  test("q94 sampler matches an exact driver-side replay of the rate rule") {
+    // recompute rates and md5 membership imperatively; the smallest
+    // (most-upweighted) source must keep every document
+    val docs = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ").length.toLong))
+    val nTok = docs.groupBy(_._1).map { case (s, ds) => s -> ds.map(_._3).sum }
+    val wMu = nTok.map { case (s, n) => s -> math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong }
+    val wTot = wMu.values.sum
+    val q0 = nTok.map { case (s, n) => s -> (wMu(s) * 1000000L / wTot) * 1000000L / n }
+    val qm = q0.values.max
+    val rates = q0.map { case (s, q) => s -> q * 1000000L / qm }
+    def bucketE6(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map(b => f"$b%02x").mkString, 16) % 1000000L
+    }
+    val expect = docs.filter { case (s, id, _) => bucketE6(id) < rates(s) }
+      .groupBy(_._1).map { case (s, ds) => s -> (ds.length.toLong, ds.map(_._3).sum) }
+    val got = SparkEntry.queries("q94_mixture_sample")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("rate_e6"),
+        r.getAs[Long]("kept_docs"), r.getAs[Long]("kept_tokens"))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (s, (nd, nt)) =>
+      assert(got(s)._1 == rates(s), s"$s rate mismatch")
+      assert((got(s)._2, got(s)._3) == (nd, nt), s"$s kept counts mismatch") }
+    val smallest = nTok.minBy(_._2)._1
+    assert(rates(smallest) == 1000000L, "most-upweighted source rate is not 1")
+    assert(got(smallest)._2 == docs.count(_._1 == smallest).toLong,
+      "most-upweighted source lost documents")
+  }
+
   test("q91 encode matches a driver-side greedy re-tokenization with q81b's merges") {
     // apply the SAME learned merge table with an independent in-memory
     // BPE encoder (greedy left-to-right per merge, in rank order) and
