@@ -191,6 +191,24 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Window"), s"q91 plans a window:\n${p.take(1200)}")
   }
 
+  test("q92/q93/q94 stay equi-join shaped — no nested loop over data relations") {
+    // q92's three unrolled iterations are edges⋈ranks equi-joins and
+    // q93's spine join is keyed on (type, hour) — neither may degrade
+    // to a nested loop
+    for (q <- Seq("q92_pagerank", "q93_gap_fill")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+    }
+    // q94 carries the q77 scalar-broadcast idiom (crossJoin of 1-row
+    // aggregates — a benign O(1)-per-row BNLJ), but its CORPUS join
+    // (documents ⋈ rates) must be a BroadcastHashJoin: shuffling the
+    // corpus on source for a 20-row rate table would be the defect
+    val p94 = plan("q94_mixture_sample")
+    assert(p94.contains("BroadcastHashJoin"), s"q94 rate join is not broadcast:\n${p94.take(1200)}")
+    assert(!p94.contains("CartesianProduct"), "q94 plans a cartesian product")
+  }
+
   test("q73/q73b probe sides broadcast — member scan never shuffles on cell") {
     // the IVF probe join must be a BroadcastHashJoin (queries are a
     // handful of rows): a shuffle join keyed on cell would ceiling
