@@ -1001,6 +1001,57 @@ object Vectors {
         "SELECT query_id, rnk, vec_id AS neighbor_id, adist FROM r WHERE rnk <= 3 " +
         "ORDER BY query_id, rnk")),
 
+    QueryDef("q95_filtered_ann",
+      // Metadata-FILTERED vector search — the production retrieval
+      // shape every vector store ships (Qdrant/pgvector/Vespa filtered
+      // top-k): return each query's nearest neighbors AMONG documents
+      // matching a structured predicate (here lang = 'en', the
+      // documents↔embeddings id alignment q86 relies on). The design
+      // decision that matters at 100 TB is WHERE the predicate runs:
+      // PRE-filter — restrict the candidate set before any scoring —
+      // so the scan scores |filtered| vectors, not n (post-filtering a
+      // top-k can also return < k rows when the filter is selective —
+      // the classic filtered-ANN correctness bug; pre-filtering cannot).
+      // The filter is an equi-join of the embedding scan with the
+      // predicate's doc_id set: co-partitioned by id at scale, and the
+      // scored stream folds through TopKRows map-side like q48b —
+      // windowless, ≤ k·queries·tasks shuffled tuples. Queries
+      // themselves are NOT filtered (a query doc may be any language —
+      // asking "nearest English docs to this Chinese doc" is the
+      // cross-lingual retrieval case).
+      (s, d) => {
+        val e = embUnit(s, d)
+        val allowed = Tables(s, d, "documents")
+          .where(col("lang") === "en").select(col("doc_id").as("vec_id"))
+        val member = e.join(allowed, "vec_id")
+        val q = broadcast(e.where(col("vec_id").between(1, 5))
+          .select(col("vec_id").as("query_id"), col("u").as("qu")))
+        val scored = member.join(q, col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(dot(col("u"), col("qu")), 4).as("sim"))
+        val topk = udaf(new graft.functions.TopKRows(3),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        scored.groupBy(col("query_id"))
+          .agg(topk(col("sim"), col("vec_id"), lit(0L)).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("query_id"), (col("pos") + 1).as("rnk"),
+            col("e._2").as("neighbor_id"), col("e._1").as("sim"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "f AS (SELECT e.vec_id, e.v FROM e JOIN documents d ON d.doc_id = e.vec_id " +
+        "WHERE d.lang = 'en'), " +
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id BETWEEN 1 AND 5), " +
+        "c AS (SELECT q.query_id, f.vec_id, ROUND(list_cosine_similarity(f.v, q.qv), 4) AS sim " +
+        "FROM f JOIN q ON f.vec_id <> q.query_id), " +
+        "r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY sim DESC, vec_id) AS rnk FROM c) " +
+        "SELECT query_id, rnk, vec_id AS neighbor_id, sim FROM r WHERE rnk <= 3 " +
+        "ORDER BY query_id, rnk")),
+
     QueryDef("q90_ivfpq",
       // The full FAISS IVFPQ serving shape (Jégou et al. 2011 §V;
       // IndexIVFPQ with by_residual=false): the COARSE quantizer

@@ -179,6 +179,27 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestSession {
         s"q90 rank-$rnk distance $adist beats full-scan q89's ${fullByRank(q)(rnk - 1)} for query $q") }
   }
 
+  test("q95 filtered search returns only matching docs, never beating unfiltered q48") {
+    // every neighbor must satisfy the predicate (pre-filter correctness:
+    // no leakage), and restricting candidates can only lower each
+    // rank-r similarity vs the unfiltered q48 top-3
+    import graft.SparkEntry
+    val en = Tables(spark, dir, "documents").where(col("lang") === "en")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val filtered = SparkEntry.queries("q95_filtered_ann")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim")))
+    assert(filtered.length == 15, s"expected 5 queries × top-3, got ${filtered.length}")
+    filtered.foreach { case (q, _, nb, _) =>
+      assert(en.contains(nb), s"query $q returned non-en neighbor $nb") }
+    val unfiltered = SparkEntry.queries("q48_ann_topk")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk")) -> r.getAs[Double]("sim"))
+      .toMap
+    filtered.foreach { case (q, rnk, _, sim) =>
+      assert(sim <= unfiltered((q, rnk)) + 1e-9,
+        s"filtered rank-$rnk sim $sim beats unfiltered ${unfiltered((q, rnk))} for query $q") }
+  }
+
   test("sf0.1: recall >= 0.9 while scanning <= nProbe/nCells of the corpus") {
     // VERDICT round-1 item 7: quantified evidence at the bench tier
     // (2000 vectors, 50 queries, nProbe 10 of 16 cells)

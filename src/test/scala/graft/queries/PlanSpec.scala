@@ -209,6 +209,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p94.contains("CartesianProduct"), "q94 plans a cartesian product")
   }
 
+  test("q95 pre-filters then folds top-k map-side — no window over the scored stream") {
+    // the predicate must restrict candidates BEFORE scoring (an equi-
+    // join with the doc_id set) and the top-k must ride TopKRows; the
+    // only nested loop allowed is the 5-row query broadcast (the q48
+    // scoring idiom)
+    val p = plan("q95_filtered_ann")
+    assert(!p.contains("Window"), s"q95 plans a window:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), "q95 plans a cartesian product")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"q95 lacks a partial ObjectHashAggregate phase:\n${p.take(1200)}")
+  }
+
   test("q73/q73b probe sides broadcast — member scan never shuffles on cell") {
     // the IVF probe join must be a BroadcastHashJoin (queries are a
     // handful of rows): a shuffle join keyed on cell would ceiling
