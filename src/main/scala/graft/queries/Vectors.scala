@@ -137,47 +137,52 @@ object Vectors {
     array_min(scored).getField("cell")
   }
 
+  /** The PQ training loop over ANY (vec_id, xi) relation — q89/q90
+    * train on the raw quantized vectors, q96 on the per-vector IVF
+    * RESIDUALS. Seeds are the PqKsub lowest-id rows' sub-vectors. */
+  private def trainPqBooks(vecs: DataFrame): Seq[Seq[KMeansLloyd.Centroid]] = {
+    // seeds: the PqKsub lowest-id vectors, sliced per subspace on the
+    // driver — one bounded collect covers all m codebooks
+    val seeds = vecs.orderBy(col("vec_id")).limit(PqKsub).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getAs[Seq[Long]]("xi").toArray) }
+    var books: Seq[Seq[KMeansLloyd.Centroid]] = (0 until PqM).map { sub =>
+      seeds.toSeq.map { case (i, x) =>
+        KMeansLloyd.Centroid(i, x.slice(sub * PqSubDim, (sub + 1) * PqSubDim)) }
+    }
+    // PqIters assign→update rounds, but the returned codebook is the
+    // ASSIGN-TIME centroid set of the final round (c1 for iters = 2)
+    // — the runTracked self-consistency rule: the q89 encode argmin
+    // and its ADC LUT must score against the same codewords the
+    // oracle's d2 chain does, so only PqIters−1 updates materialize
+    for (_ <- 1 until PqIters) {
+      val coded = vecs.select(col("vec_id"),
+        posexplode(array((0 until PqM).map(sub =>
+          struct(pqSubCode(sub, books(sub)).as("code"),
+            expr(s"slice(xi, ${sub * PqSubDim + 1}, $PqSubDim)").as("sx"))): _*))
+          .as(Seq("sub", "sc")))
+      val rows = coded
+        .select(col("sub"), col("sc.code").as("cell"),
+          posexplode(col("sc.sx")).as(Seq("sd", "x")))
+        .groupBy(col("sub"), col("cell"), col("sd"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect() // m·ksub·subDim rows — bounded, like KMeansLloyd.update
+      books = (0 until PqM).map { sub =>
+        rows.filter(_.getAs[Int]("sub") == sub)
+          .groupBy(_.getAs[Long]("cell")).toSeq.sortBy(_._1).map { case (cell, rs) =>
+            val ci = rs.sortBy(_.getAs[Int]("sd")).map { r =>
+              math.floor(r.getAs[Long]("sx").toDouble / r.getAs[Long]("n") + 0.5).toLong
+            }.toArray
+            KMeansLloyd.Centroid(cell.toInt, ci)
+          }
+      }
+    }
+    books
+  }
+
   private def pqBooks(s: SparkSession, d: String): Seq[Seq[KMeansLloyd.Centroid]] =
-    pqCache.getOrElseUpdate(s, d, {
-      val vecs = Tables(s, d, "embeddings")
-        .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
-      // seeds: the PqKsub lowest-id vectors, sliced per subspace on the
-      // driver — one bounded collect covers all m codebooks
-      val seeds = vecs.orderBy(col("vec_id")).limit(PqKsub).collect()
-        .zipWithIndex.map { case (r, i) => (i, r.getAs[Seq[Long]]("xi").toArray) }
-      var books: Seq[Seq[KMeansLloyd.Centroid]] = (0 until PqM).map { sub =>
-        seeds.toSeq.map { case (i, x) =>
-          KMeansLloyd.Centroid(i, x.slice(sub * PqSubDim, (sub + 1) * PqSubDim)) }
-      }
-      // PqIters assign→update rounds, but the returned codebook is the
-      // ASSIGN-TIME centroid set of the final round (c1 for iters = 2)
-      // — the runTracked self-consistency rule: the q89 encode argmin
-      // and its ADC LUT must score against the same codewords the
-      // oracle's d2 chain does, so only PqIters−1 updates materialize
-      for (_ <- 1 until PqIters) {
-        val coded = vecs.select(col("vec_id"),
-          posexplode(array((0 until PqM).map(sub =>
-            struct(pqSubCode(sub, books(sub)).as("code"),
-              expr(s"slice(xi, ${sub * PqSubDim + 1}, $PqSubDim)").as("sx"))): _*))
-            .as(Seq("sub", "sc")))
-        val rows = coded
-          .select(col("sub"), col("sc.code").as("cell"),
-            posexplode(col("sc.sx")).as(Seq("sd", "x")))
-          .groupBy(col("sub"), col("cell"), col("sd"))
-          .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-          .collect() // m·ksub·subDim rows — bounded, like KMeansLloyd.update
-        books = (0 until PqM).map { sub =>
-          rows.filter(_.getAs[Int]("sub") == sub)
-            .groupBy(_.getAs[Long]("cell")).toSeq.sortBy(_._1).map { case (cell, rs) =>
-              val ci = rs.sortBy(_.getAs[Int]("sd")).map { r =>
-                math.floor(r.getAs[Long]("sx").toDouble / r.getAs[Long]("n") + 0.5).toLong
-              }.toArray
-              KMeansLloyd.Centroid(cell.toInt, ci)
-            }
-        }
-      }
-      books
-    })
+    pqCache.getOrElseUpdate(s, d, trainPqBooks(
+      Tables(s, d, "embeddings")
+        .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))))
 
   /** The PQ code table — ONE row per (vec_id, subspace) holding the
     * subspace's argmin code. This IS the serving index (80 bits per
@@ -195,6 +200,41 @@ object Vectors {
       val vecs = Tables(s, d, "embeddings")
         .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
       vecs.select(col("vec_id"),
+          posexplode(array((0 until PqM).map(sub =>
+            pqSubCode(sub, books(sub))): _*)).as(Seq("sub", "code")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Per-vector IVF residual `xi − centroid(assigned cell)` with the
+    * assigned cell carried alongside — the relation residual PQ (q96)
+    * trains and encodes on. The centroid lookup is a cell→array
+    * when-chain over the k assign-time centroids, so subtraction is
+    * map-only (centroids as plan literals, the q73 recipe). */
+  private def residualVecs(s: SparkSession, d: String): DataFrame = {
+    val (assigned, probeCents, _) = lloydShared(s, d)
+    val cent = probeCents.foldLeft(lit(null).cast("array<bigint>")) { (acc, c) =>
+      when(col("cell") === c.cell, array(c.ci.map(lit(_)): _*)).otherwise(acc) }
+    assigned.select(col("vec_id"), col("cell"),
+      zip_with(col("xi"), cent, (a, b) => a - b).as("xi"))
+  }
+
+  private val pqResCache =
+    new graft.SessionCache[Seq[Seq[KMeansLloyd.Centroid]]](_ => ())
+
+  private def pqResBooks(s: SparkSession, d: String): Seq[Seq[KMeansLloyd.Centroid]] =
+    pqResCache.getOrElseUpdate(s, d,
+      trainPqBooks(residualVecs(s, d).select(col("vec_id"), col("xi"))))
+
+  /** Residual PQ code table (q96's serving index) — one row per
+    * (vec_id, subspace) plus the coarse cell, built once per
+    * (session, dir) and persisted like [[pqCodes]]. */
+  private val pqResCodesCache = new graft.SessionCache[DataFrame](
+    _.unpersist(blocking = false))
+
+  private def pqResCodes(s: SparkSession, d: String): DataFrame =
+    pqResCodesCache.getOrElseUpdate(s, d, {
+      val books = pqResBooks(s, d)
+      residualVecs(s, d).select(col("vec_id"), col("cell"),
           posexplode(array((0 until PqM).map(sub =>
             pqSubCode(sub, books(sub))): _*)).as(Seq("sub", "code")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1163,6 +1203,125 @@ object Vectors {
         "JOIN a2 m ON m.vec_id = c.vec_id " +
         "JOIN p ON p.query_id = l.query_id AND p.cell = m.cell " +
         "WHERE c.vec_id <> l.query_id GROUP BY 1, 2), " +
+        "r AS (SELECT query_id, vec_id, adist, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY adist, vec_id) AS rnk FROM sc) " +
+        "SELECT query_id, rnk, vec_id AS neighbor_id, adist FROM r WHERE rnk <= 3 " +
+        "ORDER BY query_id, rnk")),
+
+    QueryDef("q96_ivfpq_residual",
+      // RESIDUAL product quantization — FAISS IndexIVFPQ's actual
+      // default (by_residual=true, Jégou et al. 2011 §V.B): the PQ
+      // codebooks are trained on xi − centroid(assigned cell), not the
+      // raw vectors. Residuals concentrate around the origin, so the
+      // same 80-bit budget spends its codewords on a smaller ball —
+      // an effect that GROWS with coarse-quantizer quality: on this
+      // fixture (k = 4 cells over diffuse embeddings) residuals are
+      // nearly as spread as the raw vectors, so AnnIvfSpec pins
+      // PARITY with q90 (error within 25%, under the q89 0.35 bound)
+      // rather than dominance. The serving subtlety that defines
+      // residual PQ: the ADC LUT is PER (query, probed cell) — the
+      // query's residual differs for each cell it probes — so the
+      // broadcast side is nProbe·m·ksub rows per query (built from the
+      // probe table and the LocalRelation codebook; still tiny), and a
+      // member in cell C scores against the (query, C) slice. All
+      // arithmetic stays exact-integer (residual subtraction included),
+      // so train → assign → residual-encode → probe → per-cell ADC is
+      // oracle-hashable end-to-end. Scale shape identical to q90: both
+      // index relations session-cached and persisted, the member/code
+      // scan never shuffles, scoring folds map-side, top-k on TopKRows.
+      (s, d) => {
+        import s.implicits._
+        val books = pqResBooks(s, d)
+        val vecs = Tables(s, d, "embeddings")
+          .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+        val (_, probeCents, _) = lloydShared(s, d)
+        val member = pqResCodes(s, d)
+        val probes = KMeansLloyd.probeCells(
+            vecs.where(col("vec_id").between(1, 5)), probeCents, nProbe = 2)
+          .select(col("vec_id").as("query_id"), col("cell").as("pcell"), col("xi"))
+        // the query's residual w.r.t. EACH probed cell's centroid
+        val centP = probeCents.foldLeft(lit(null).cast("array<bigint>")) { (acc, c) =>
+          when(col("pcell") === c.cell, array(c.ci.map(lit(_)): _*)).otherwise(acc) }
+        val qsub = probes
+          .select(col("query_id"), col("pcell"),
+            zip_with(col("xi"), centP, (a, b) => a - b).as("xi"))
+          .select(col("query_id"), col("pcell"),
+            posexplode(array((0 until PqM).map(sub =>
+              expr(s"slice(xi, ${sub * PqSubDim + 1}, $PqSubDim)")): _*))
+              .as(Seq("sub", "sx")))
+        val bookDf = (for { sub <- 0 until PqM; c <- books(sub) }
+          yield (sub, c.cell.toLong, c.ci.toSeq)).toDF("sub", "cw_cell", "cw")
+        val lut = qsub.join(bookDf, Seq("sub"))
+          .select(col("query_id"), col("pcell"), col("sub"), col("cw_cell"),
+            aggregate(zip_with(col("sx"), col("cw"), (x, y) => (x - y) * (x - y)),
+              lit(0L), (a, v) => a + v).as("dist"))
+        val scored = member.join(broadcast(lut),
+            member("cell") === lut("pcell") &&
+              member("sub") === lut("sub") &&
+              member("code") === lut("cw_cell") &&
+              col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("dist")).as("adist"))
+        val topk = udaf(new graft.functions.TopKRows(3),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        scored
+          .select(col("query_id"), col("vec_id"), (-col("adist")).cast("double").as("negd"))
+          .groupBy(col("query_id"))
+          .agg(topk(col("negd"), col("vec_id"), lit(0L)).as("top"))
+          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("query_id"), (col("pos") + 1).as("rnk"),
+            col("e._2").as("neighbor_id"), (-col("e._1")).cast("long").as("adist"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      // oracle = q90's coarse chain, then the PQ chain retrained on the
+      // residual relation rcm (xi − c1 centroid of the a2-assigned
+      // cell); the LUT is built per (query, probed cell) from the
+      // query's per-cell residual qr scored against the pc1 codebook —
+      // the same codewords the encode argmin (pd2) ran on
+      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
+        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+        "c0 AS (SELECT vec_id AS cell, d, xi AS ci FROM comps WHERE vec_id < 4), " +
+        "d1 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c0 k USING (d) GROUP BY 1, 2), " +
+        "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
+        "c1 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+        "FROM comps c JOIN a1 a USING (vec_id) GROUP BY 1, 2), " +
+        "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
+        "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
+        "p AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2 WHERE vec_id BETWEEN 1 AND 5) " +
+        "WHERE rn <= 2), " +
+        "rcm AS (SELECT c.vec_id, CAST(c.d // 4 AS BIGINT) AS sub, c.d % 4 AS sd, " +
+        "c.xi - k.ci AS xi FROM comps c JOIN a2 a ON a.vec_id = c.vec_id " +
+        "JOIN c1 k ON k.cell = a.cell AND k.d = c.d), " +
+        "pc0 AS (SELECT sub, vec_id AS cell, sd, xi AS ci FROM rcm WHERE vec_id < 32), " +
+        "pd1 AS (SELECT c.vec_id, c.sub, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM rcm c JOIN pc0 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +
+        "pa1 AS (SELECT vec_id, sub, cell FROM (SELECT vec_id, sub, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM pd1) WHERE rn = 1), " +
+        "pc1 AS (SELECT a.sub, a.cell, c.sd, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+        "FROM rcm c JOIN pa1 a ON a.vec_id = c.vec_id AND a.sub = c.sub GROUP BY 1, 2, 3), " +
+        "pd2 AS (SELECT c.vec_id, c.sub, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM rcm c JOIN pc1 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +
+        "codes AS (SELECT vec_id, sub, cell AS code FROM (SELECT vec_id, sub, cell, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM pd2) WHERE rn = 1), " +
+        "qr AS (SELECT p.query_id, p.cell AS pcell, CAST(c.d // 4 AS BIGINT) AS sub, " +
+        "c.d % 4 AS sd, c.xi - k.ci AS xi FROM p JOIN comps c ON c.vec_id = p.query_id " +
+        "JOIN c1 k ON k.cell = p.cell AND k.d = c.d), " +
+        "lut AS (SELECT q.query_id, q.pcell, q.sub, k.cell, " +
+        "SUM((q.xi - k.ci)*(q.xi - k.ci)) AS dist FROM qr q " +
+        "JOIN pc1 k ON k.sub = q.sub AND k.sd = q.sd GROUP BY 1, 2, 3, 4), " +
+        "mem AS (SELECT c.vec_id, a.cell, c.sub, c.code FROM codes c JOIN a2 a USING (vec_id)), " +
+        "sc AS (SELECT l.query_id, m.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adist " +
+        "FROM mem m JOIN lut l ON l.pcell = m.cell AND l.sub = m.sub AND l.cell = m.code " +
+        "WHERE m.vec_id <> l.query_id GROUP BY 1, 2), " +
         "r AS (SELECT query_id, vec_id, adist, ROW_NUMBER() OVER (PARTITION BY query_id " +
         "ORDER BY adist, vec_id) AS rnk FROM sc) " +
         "SELECT query_id, rnk, vec_id AS neighbor_id, adist FROM r WHERE rnk <= 3 " +

@@ -179,6 +179,43 @@ class AnnIvfSpec extends AnyFunSuite with SparkTestSession {
         s"q90 rank-$rnk distance $adist beats full-scan q89's ${fullByRank(q)(rnk - 1)} for query $q") }
   }
 
+  test("q96 residual PQ holds the PQ quality contract next to raw-vector q90") {
+    // by_residual=true spends the codeword budget on the residual ball;
+    // how much that helps depends on the coarse quantizer's quality.
+    // On this fixture (k = 4 cells over diffuse embeddings) residuals
+    // are nearly as spread as the raw vectors, so the honest pins are:
+    // the q89 error bound (≤ 0.35), and parity with raw-vector PQ
+    // (within 25% on each entry's own selected pairs) — NOT dominance,
+    // which would only emerge with a fine coarse quantizer.
+    import graft.operators.KMeansLloyd
+    import graft.SparkEntry
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+    val q = broadcast(vecs.where(col("vec_id").between(1, 5))
+      .select(col("vec_id").as("query_id"), col("xi").as("qx")))
+    val truth = vecs.join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("aggregate(zip_with(xi, qx, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("dist"))
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")) -> r.getAs[Long]("dist"))
+      .toMap
+    def meanRelErr(name: String): Double = {
+      val rows = SparkEntry.queries(name)(spark, dir).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Long]("adist")))
+      assert(rows.length == 15, s"$name: expected 15 rows, got ${rows.length}")
+      val errs = rows.map { case (qid, nb, adist) =>
+        val t = truth((qid, nb)); math.abs(adist - t).toDouble / t }
+      errs.sum / errs.size
+    }
+    val raw = meanRelErr("q90_ivfpq")
+    val res = meanRelErr("q96_ivfpq_residual")
+    info(f"mean rel ADC err: raw-PQ (q90) $raw%.3f vs residual-PQ (q96) $res%.3f")
+    assert(res <= 0.35, f"residual PQ error $res%.3f above the q89 bound")
+    assert(res <= raw * 1.25,
+      f"residual PQ error $res%.3f more than 25%% worse than raw PQ's $raw%.3f")
+  }
+
   test("q95 filtered search returns only matching docs, never beating unfiltered q48") {
     // every neighbor must satisfy the predicate (pre-filter correctness:
     // no leakage), and restricting candidates can only lower each

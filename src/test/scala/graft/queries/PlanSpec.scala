@@ -172,13 +172,15 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // probe-restricted ADC join is a BroadcastHashJoin (the member/code
     // side never shuffles), scoring folds map-side, and the top-k rides
     // TopKRows — a Window or BNLJ anywhere means a component regressed
-    val p = plan("q90_ivfpq")
-    assert(!p.contains("Window"), s"q90 plans a window:\n${p.take(1200)}")
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"q90 plans a BNLJ:\n${p.take(1200)}")
-    assert(!p.contains("CartesianProduct"), "q90 plans a cartesian product")
-    assert(p.contains("BroadcastHashJoin"), s"q90 probe/LUT join is not broadcast:\n${p.take(1200)}")
-    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
-      s"q90 lacks a partial ObjectHashAggregate phase:\n${p.take(1200)}")
+    for (q <- Seq("q90_ivfpq", "q96_ivfpq_residual")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q plans a window:\n${p.take(1200)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a BNLJ:\n${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(p.contains("BroadcastHashJoin"), s"$q probe/LUT join is not broadcast:\n${p.take(1200)}")
+      assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+        s"$q lacks a partial ObjectHashAggregate phase:\n${p.take(1200)}")
+    }
   }
 
   test("q91 encodes with merges as plan literals — no join, no window") {
