@@ -737,6 +737,63 @@ object Pipeline {
           "FROM e4 GROUP BY source ORDER BY source"
       }),
 
+    QueryDef("q97_pmi_pairs",
+      // Word-association mining: top-20 adjacent-word pairs by
+      // pointwise mutual information, PMI(a,b) = ln(P(a,b)/(P(a)P(b)))
+      // with bigram probabilities — the classic collocation/phrase-
+      // detection signal (word2vec's phrase pass, n-gram feature
+      // selection) a corpus pipeline runs before tokenizer or embedding
+      // training. Portability is the q67/q69 doctrine: the ONE
+      // transcendental evaluates on a single exact-integer ratio —
+      // ln((c_ab·T²)/(B·c_a·c_b)) with both products exact BIGINTs
+      // converted once to DOUBLE and divided once — then quantizes to
+      // 1e-4-nat integers, so ranking and output are engine-exact
+      // (margin-guarded in the spec like Bm25Spec). Exactness bound:
+      // c_ab·T² < 2^63 — holds to ~10⁹-token corpora per partition of
+      // analysis; beyond that the products move to decimal(38,0), the
+      // q87 move. Scale shape: one corpus scan explodes bigrams
+      // (vocab²-bounded shuffle with map-side partials — the q81
+      // shape); unigram counts join by word key (vocab-sized); the two
+      // 1-row totals broadcast; min-count ≥ 5 prunes the pair tail
+      // BEFORE the joins; top-20 is TakeOrderedAndProject.
+      (s, d) => {
+        val toks = docs(s, d).select(split(col("text"), " ").as("t"))
+          .select(expr("filter(t, x -> x <> '')").as("t"))
+        val uni = toks.select(explode(col("t")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val tot = uni.agg(sum(col("c")).as("tt"))
+        val big = toks.where(size(col("t")) >= 2)
+          .select(explode(zip_with(
+            expr("slice(t, 1, size(t) - 1)"), expr("slice(t, 2, size(t) - 1)"),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+        val btot = big.agg(sum(col("cab")).as("bt"))
+        big.where(col("cab") >= 5)
+          .join(uni.select(col("w").as("a"), col("c").as("ca")), "a")
+          .join(uni.select(col("w").as("b"), col("c").as("cb")), "b")
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+          .select(col("a"), col("b"), col("cab"),
+            expr("CAST(floor(ln(CAST(cab * tt * tt AS DOUBLE) / " +
+              "CAST(bt * ca * cb AS DOUBLE)) * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+              .as("pmi_e4"))
+          .orderBy(col("pmi_e4").desc, col("a"), col("b")).limit(20)
+      },
+      Some("WITH tf AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t " +
+        "FROM documents), " +
+        "u AS (SELECT w, COUNT(*) AS c FROM (SELECT UNNEST(t) AS w FROM tf) z GROUP BY w), " +
+        "tt AS (SELECT SUM(c) AS tt FROM u), " +
+        "bg AS (SELECT t[i] AS a, t[i+1] AS b FROM " +
+        "(SELECT t, UNNEST(generate_series(1, len(t) - 1)) AS i FROM tf WHERE len(t) >= 2) z), " +
+        "bc AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY 1, 2), " +
+        "bt AS (SELECT SUM(cab) AS bt FROM bc), " +
+        "p AS (SELECT bc.a, bc.b, bc.cab, " +
+        "CAST(floor(ln(CAST(bc.cab * tt.tt * tt.tt AS DOUBLE) / " +
+        "CAST(bt.bt * ua.c * ub.c AS DOUBLE)) * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS pmi_e4 " +
+        "FROM bc JOIN u ua ON ua.w = bc.a JOIN u ub ON ub.w = bc.b " +
+        "CROSS JOIN tt CROSS JOIN bt WHERE bc.cab >= 5) " +
+        "SELECT a, b, cab, pmi_e4 FROM p ORDER BY pmi_e4 DESC, a, b LIMIT 20")),
+
     QueryDef("q86_multi_signal_curation",
       // The combined curation decision a production 100 TB pipeline
       // actually ships: every document judged by THREE dedup signals

@@ -169,6 +169,42 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(got.forall(_._1.length == 2))
   }
 
+  test("q97 PMI matches an exact recount and keeps quantization margin") {
+    // recount unigrams/bigrams imperatively, recompute every PMI from
+    // the same single-division form, and (Bm25Spec doctrine) assert the
+    // scaled values land far from the floor(x·1e4 + 0.5) boundary so a
+    // last-ulp libm difference cannot flip a digit
+    val texts = Tables(spark, dir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val w = t.split(" ").filter(_.nonEmpty)
+      w.foreach(x => uni(x) = uni.getOrElse(x, 0L) + 1)
+      w.sliding(2).foreach { p =>
+        if (p.length == 2) bi((p(0), p(1))) = bi.getOrElse((p(0), p(1)), 0L) + 1 }
+    }
+    val tt = uni.values.sum
+    val bt = bi.values.sum
+    val pmi = bi.filter(_._2 >= 5).map { case ((a, b), cab) =>
+      val x = (cab * tt * tt).toDouble / (bt * uni(a) * uni(b)).toDouble
+      val scaled = math.log(x) * 10000
+      // floor(scaled + 0.5) flips when (scaled + 0.5) crosses an
+      // integer — require every fixture input to keep 1e-6 of margin
+      val frac = (scaled + 0.5) - math.floor(scaled + 0.5)
+      assert(math.min(frac, 1 - frac) > 1e-6,
+        s"($a,$b) PMI $scaled sits within 1e-6 of the rounding boundary")
+      (a, b) -> (cab, math.floor(scaled + 0.5).toLong)
+    }
+    val expect = pmi.toSeq.map { case ((a, b), (cab, p)) => (p, a, b, cab) }
+      .sortBy { case (p, a, b, _) => (-p, a, b) }.take(20)
+      .map { case (p, a, b, cab) => (a, b, cab, p) }
+    val got = SparkEntry.queries("q97_pmi_pairs")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("cab"),
+        r.getAs[Long]("pmi_e4"))).toSeq
+    assert(got == expect, s"PMI top-20 disagrees:\n got $got\n exp $expect")
+  }
+
   test("q94 sampler matches an exact driver-side replay of the rate rule") {
     // recompute rates and md5 membership imperatively; the smallest
     // (most-upweighted) source must keep every document
