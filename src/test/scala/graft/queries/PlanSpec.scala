@@ -223,6 +223,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"q95 lacks a partial ObjectHashAggregate phase:\n${p.take(1200)}")
   }
 
+  test("q97 top-20 is TakeOrderedAndProject over hash aggs — no global sort") {
+    // the pair relation is vocab²-bounded but still the biggest thing
+    // in the plan; its top-20 must never become a full sort, and the
+    // only nested loops allowed are the two 1-row total broadcasts
+    val p = plan("q97_pmi_pairs")
+    assert(p.contains("TakeOrderedAndProject"), s"q97 plans a global sort:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), "q97 plans a cartesian product")
+    assert(!p.contains("Window"), s"q97 plans a window:\n${p.take(1200)}")
+  }
+
   test("q73/q73b probe sides broadcast — member scan never shuffles on cell") {
     // the IVF probe join must be a BroadcastHashJoin (queries are a
     // handful of rows): a shuffle join keyed on cell would ceiling
