@@ -262,6 +262,67 @@ object LlmText {
       "sim AS (SELECT doc_id, CAST(SUM(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << b) " +
       "ELSE 0 END) AS BIGINT) AS simhash FROM acc GROUP BY doc_id)"
 
+  /** Per-doc heuristic quality score (length, stopword ratio, mean word
+    * length — the q50 formula) as a map-only scored scan, shared by q50
+    * (per-source averages) and q98 (per-source caps). */
+  private def qualityScored(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tok", size(col("t")))
+      .withColumn("n_stop", size(expr(
+        "filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for','it'))")))
+      .withColumn("n_char", length(expr("replace(text, ' ', '')")))
+      .withColumn("score",
+        lit(0.4) * least(col("n_tok") / 50.0, lit(1.0)) +
+          lit(0.3) * (col("n_stop").cast("double") / col("n_tok")) +
+          lit(0.3) * least((col("n_char").cast("double") / col("n_tok")) / 5.0, lit(1.0)))
+
+  /** Distinct (doc_id, 60-bit bigram hash) tokens — the shared input of
+    * q46b's prefix index and its verify sets. */
+  private[graft] def bigramTokens(s: SparkSession, d: String): DataFrame = {
+    val h60 = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+    shingles(s, d, 2).select(col("doc_id"), h60.as("h"))
+  }
+
+  /** AllPairs/PPJoin candidate pairs for jaccard >= 1/10 over a
+    * (doc_id, h) token relation — LOSSLESS: a superset of the true
+    * result pairs, a (often drastic) subset of all n² pairs. Tokens are
+    * ordered per doc by (document frequency asc, h asc); a doc of sz
+    * tokens keeps the first sz - ceil(sz/10) + 1 as its prefix; the
+    * candidate join is an inverted-index equi-join on prefix tokens
+    * with the PPJoin positional filter on top. Integer-exact ceils:
+    * ceil(sz/10) = (sz+9) div 10, min overlap ceil((sa+sb)/11)
+    * (t/(1+t) at t = 1/10). See q46b's entry comment for the proof
+    * sketch and citations. */
+  private[graft] def jaccardPrefixCandidates(tok: DataFrame): DataFrame = {
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ordered = tok.join(dfreq, Seq("h"))
+      .select(col("doc_id"), col("h"),
+        row_number().over(byDoc.orderBy(col("df"), col("h"))).as("pos"),
+        count(lit(1)).over(byDoc).as("sz"))
+    val prefix = ordered.where(col("pos") <= col("sz") - expr("(sz + 9) div 10") + 1)
+    prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          expr("1 + least(a.sz - a.pos, b.sz - b.pos) >= (a.sz + b.sz + 10) div 11"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The exact all-pairs bigram-Jaccard oracle (threshold 0.1) shared
+    * verbatim by q46 (brute-force form) and q46b (prefix-filtered form):
+    * prefix filtering is LOSSLESS, so both must produce byte-identical
+    * results against the same SQL. */
+  private val NgramJaccardSql: String =
+    "WITH " + shinglesSql(2) + ", " +
+      "sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter " +
+      "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, jaccard FROM (" +
+      "SELECT i.doc_a, i.doc_b, ROUND(CAST(i.ninter AS DOUBLE)/(za.nbg + zb.nbg - i.ninter), 4) AS jaccard " +
+      "FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b) " +
+      "WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b"
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q41_exact_dedup",
       (s, d) => docs(s, d).groupBy(col("text")).agg(count(lit(1)).as("cnt"))
@@ -372,14 +433,40 @@ object LlmText {
           .where(col("jaccard") >= 0.1)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some("WITH " + shinglesSql(2) + ", " +
-        "sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM sh GROUP BY doc_id), " +
-        "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter " +
-        "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        "SELECT doc_a, doc_b, jaccard FROM (" +
-        "SELECT i.doc_a, i.doc_b, ROUND(CAST(i.ninter AS DOUBLE)/(za.nbg + zb.nbg - i.ninter), 4) AS jaccard " +
-        "FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b) " +
-        "WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b")),
+      Some(NgramJaccardSql)),
+
+    QueryDef("q46b_jaccard_prefix_join",
+      // The LOSSLESS scale form of q46: AllPairs/PPJoin prefix filtering
+      // (Bayardo et al., WWW'07; Xiao et al., WWW'08). Order each doc's
+      // bigram set by ascending document frequency (ties by hash); a
+      // pair with jaccard >= t must share >= ceil(t*|x|) elements with
+      // each member, so its globally-SMALLEST common token must sit in
+      // the first |x| - ceil(t*|x|) + 1 positions of BOTH docs — the
+      // "prefix". Candidates are therefore an inverted-index equi-join
+      // on prefix tokens only, further pruned by the PPJoin positional
+      // filter (1 + min(remaining_a, remaining_b) >= the minimum
+      // overlap ceil(t/(1+t)*(|a|+|b|))), then exact-verified with the
+      // same codegen set kernel as q46. No approximation anywhere:
+      // the oracle is q46's all-pairs SQL VERBATIM, and
+      // PrefixJoinSpec pins result equality to q46 plus candidate-count
+      // shrinkage. Both thresholds are integer-exact (t = 1/10 →
+      // ceil(sz/10) = (sz+9) div 10; t/(1+t) = 1/11) so no FP ceil can
+      // shorten a prefix and silently drop a pair. df-ascending order
+      // makes prefixes carry the RAREST tokens — the corpus-hot bigrams
+      // that explode an inverted index as Σdf² sit in the pruned
+      // suffixes — and at production thresholds (0.7-0.9) the prefix is
+      // only (1-t)|x|+1 tokens, so the join touches a small fraction of
+      // the index. The window is per-doc (partitionBy doc_id), the df
+      // table one row per distinct bigram: nothing driver-side, no n².
+      (s, d) => {
+        val tok = bigramTokens(s, d)
+        val sets = tok.groupBy(col("doc_id"))
+          .agg(sort_array(collect_set(col("h"))).as("hs"))
+          .select(col("doc_id"), col("hs"), size(col("hs")).as("nbg"))
+        verifyPairs(jaccardPrefixCandidates(tok), sets, minJaccard = 0.1)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(NgramJaccardSql)),
 
     QueryDef("q54_banded_neardup",
       // The composed 100 TB near-dup pipeline (VERDICT round-1 item 1):
@@ -462,16 +549,7 @@ object LlmText {
         "GROUP BY 1, 2 ORDER BY lang, predicted")),
 
     QueryDef("q50_quality_score",
-      (s, d) => docs(s, d)
-        .withColumn("t", split(col("text"), " "))
-        .withColumn("n_tok", size(col("t")))
-        .withColumn("n_stop", size(expr(
-          "filter(t, x -> x IN ('the','a','of','and','to','in','is','on','for','it'))")))
-        .withColumn("n_char", length(expr("replace(text, ' ', '')")))
-        .withColumn("score",
-          lit(0.4) * least(col("n_tok") / 50.0, lit(1.0)) +
-            lit(0.3) * (col("n_stop").cast("double") / col("n_tok")) +
-            lit(0.3) * least((col("n_char").cast("double") / col("n_tok")) / 5.0, lit(1.0)))
+      (s, d) => qualityScored(s, d)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("cnt"), round(avg(col("score")), 4).as("avg_quality"))
         .orderBy(col("source")),
@@ -506,5 +584,104 @@ object LlmText {
         .orderBy(col("doc_id")),
       Some("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
-        "(h, c) -> (h * 31 + c) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id")))
+        "(h, c) -> (h * 31 + c) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id")),
+
+    QueryDef("q98_source_cap",
+      // Per-source contribution cap — the standard web-curation step
+      // (C4/RefinedWeb-style: no single domain may dominate the corpus)
+      // expressed as keep-the-top-5-docs-per-source by quality score.
+      // Windowless: the mergeable bounded-buffer Aggregator
+      // (functions/TopKRows) folds each task's docs into a ≤ 5-entry
+      // buffer, so the shuffle carries at most 5·sources·tasks tuples —
+      // a per-domain cap over a 100 TB crawl never sorts a domain's
+      // full document set (a hot domain is exactly where the window
+      // form degenerates: one partition holding millions of rows).
+      // Ranking ties break on doc_id; the emitted score uses the
+      // engine-portable floor(x*1e4+0.5)/1e4 rounding (q22 doctrine).
+      (s, d) => {
+        val topk = udaf(new graft.functions.TopKRows(5),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        qualityScored(s, d)
+          .groupBy(col("source"))
+          .agg(topk(col("score"), col("doc_id"), lit(0L)).as("top"))
+          .select(col("source"), posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("source"), (col("pos") + 1).as("rk"), col("e._2").as("doc_id"),
+            (floor(col("e._1") * 10000 + lit(0.5)) / 10000).as("score"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("WITH q AS (SELECT doc_id, source, len(string_split(text,' ')) AS n_tok, " +
+        "len(list_filter(string_split(text,' '), x -> x IN " +
+        "('the','a','of','and','to','in','is','on','for','it'))) AS n_stop, " +
+        "length(replace(text, ' ', '')) AS n_char FROM documents), " +
+        "sc AS (SELECT doc_id, source, 0.4 * LEAST(n_tok/50.0, 1.0) + " +
+        "0.3 * (CAST(n_stop AS DOUBLE)/n_tok) + " +
+        "0.3 * LEAST((CAST(n_char AS DOUBLE)/n_tok)/5.0, 1.0) AS score FROM q) " +
+        "SELECT source, rk, doc_id, FLOOR(score*10000 + 0.5)/10000 AS score FROM (" +
+        "SELECT source, doc_id, score, ROW_NUMBER() OVER " +
+        "(PARTITION BY source ORDER BY score DESC, doc_id) AS rk FROM sc) " +
+        "WHERE rk <= 5 ORDER BY source, rk")),
+
+    QueryDef("q99_neardup_triangles",
+      // Triangle census of the near-dup graph (q54's verified pairs):
+      // per-doc triangle participation + local clustering coefficient
+      // in integer micro-units. Dense triangles = template families
+      // (every member near-dups every other); a high-degree node with
+      // LOW clustering is a boilerplate hub stitching unrelated docs —
+      // the two structures a curation pass treats differently (drop the
+      // family, keep the hub's neighbors). Scale shape is
+      // compact-forward (Latapy 2008): orient every edge from its
+      // (degree, id)-smaller endpoint to the larger, pair ORIENTED
+      // out-edges per source, close each wedge with an equi-join back
+      // on the oriented edge set. Per-node fan-out is out-degree², and
+      // degree-orientation bounds Σ outdeg² by O(m^1.5) REGARDLESS of
+      // hub degrees (a hub's edges point INTO it, so its out-degree
+      // stays ≤ √m-ish) — the reason this exact algorithm, unlike the
+      // naive neighbor-join (Σ deg², quadratic on hubs), survives a
+      // 100 TB pair graph. Triangles are orientation-invariant, so the
+      // oracle counts the same set via the id-ordered 3-way join.
+      (s, d) => {
+        val pairs = bandedNearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+        val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+          .toDF("src", "dst")
+        val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        val withDeg = edges
+          .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), Seq("src"))
+          .join(deg.select(col("node").as("dst"), col("deg").as("ddeg")), Seq("dst"))
+        val oriented = withDeg.where(col("sdeg") < col("ddeg") ||
+            (col("sdeg") === col("ddeg") && col("src") < col("dst")))
+          .select(col("src"), col("dst"), col("ddeg"))
+        val wedges = oriented.as("e1").join(oriented.as("e2"),
+            col("e1.src") === col("e2.src") &&
+              (col("e1.ddeg") < col("e2.ddeg") ||
+                (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
+          .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+        val tri = wedges.join(
+          oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+        val triPerNode = tri
+          .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+        deg.join(triPerNode, Seq("node"), "left_outer")
+          .select(col("node").as("doc_id"), col("deg"),
+            coalesce(col("triangles"), lit(0L)).as("triangles"))
+          .withColumn("cc_micro", expr(
+            "CASE WHEN deg >= 2 THEN (2 * triangles * 1000000) div (deg * (deg - 1)) " +
+              "ELSE CAST(0 AS BIGINT) END"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH " + BandedPairsSqlCtes + ", " +
+        "e AS (SELECT doc_a AS a, doc_b AS b FROM pairs), " +
+        "ed AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e), " +
+        "deg AS (SELECT src AS node, COUNT(*) AS deg FROM ed GROUP BY src), " +
+        "tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c FROM e e1 " +
+        "JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "tn AS (SELECT node, COUNT(*) AS triangles FROM (" +
+        "SELECT a AS node FROM tri UNION ALL SELECT b FROM tri " +
+        "UNION ALL SELECT c FROM tri) GROUP BY node) " +
+        "SELECT d.node AS doc_id, d.deg, COALESCE(tn.triangles, 0) AS triangles, " +
+        "CASE WHEN d.deg >= 2 THEN CAST((2 * COALESCE(tn.triangles, 0) * 1000000) // " +
+        "(d.deg * (d.deg - 1)) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS cc_micro " +
+        "FROM deg d LEFT JOIN tn ON tn.node = d.node ORDER BY doc_id")))
 }

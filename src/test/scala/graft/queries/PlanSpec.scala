@@ -79,6 +79,26 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(1200))
   }
 
+  test("q98 caps each source without a window sort") {
+    // a hot domain is where the window form degenerates (one partition
+    // holds the domain's full document set); the cap must stay a
+    // bounded-buffer aggregation with a map-side partial phase
+    val p = plan("q98_source_cap")
+    assert(!p.contains("Window"), p.take(1200))
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"q98 lacks a partial ObjectHashAggregate phase:\n${p.take(1200)}")
+  }
+
+  test("q99 triangle census is equi-joins only — wedge closure never goes nested-loop") {
+    // compact-forward's bound rests on the wedge pair join (on src) and
+    // the closure join (on (v, w)) staying hash equi-joins; a BNLJ here
+    // would re-create the all-pairs neighborhood scan the orientation
+    // exists to avoid
+    val p = plan("q99_neardup_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q99 plans a BNLJ:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), "q99 plans a cartesian product")
+  }
+
   test("q70 pairs only within k-means cells — equi-join on cell, no all-pairs") {
     // SemDeDup's scale claim rests on the pair join being keyed by the
     // cell id; a planner regression to BNLJ/cartesian would silently
@@ -221,6 +241,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"), "q95 plans a cartesian product")
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
       s"q95 lacks a partial ObjectHashAggregate phase:\n${p.take(1200)}")
+  }
+
+  test("q46b prefix join plans equi-joins only — the lossless form never falls back to n²") {
+    // q46 is the deliberate all-pairs recall oracle; q46b exists so the
+    // EXACT same result has a scale-shaped plan: inverted-index
+    // equi-join on prefix tokens + sort-merge/hash verify joins, never
+    // a nested-loop or cartesian pair space
+    val p = plan("q46b_jaccard_prefix_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q46b plans a BNLJ:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), s"q46b plans a cartesian product:\n${p.take(1200)}")
   }
 
   test("q97 top-20 is TakeOrderedAndProject over hash aggs — no global sort") {
