@@ -89,6 +89,25 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"q98 lacks a partial ObjectHashAggregate phase:\n${p.take(1200)}")
   }
 
+  test("q100 joins bucketed tables with no exchange and no sort on either side") {
+    // the entire point of the physical bucket layout: the sort-merge
+    // join must consume the buckets' partitioning and sort order
+    // directly — an Exchange or Sort on a join input means the layout
+    // was ignored and the join re-shuffled the fact table
+    val p = plan("q100_bucket_join")
+    assert(p.contains("SortMergeJoin"), s"q100 did not plan a sort-merge join:\n${p.take(1200)}")
+    assert(p.contains("Bucketed: true"), s"q100 scan is not bucketed:\n${p.take(1200)}")
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+      !p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"q100 re-shuffles a bucketed side:\n${p.take(2000)}")
+    // tree printing is root-first: the join's inputs print AFTER the
+    // join line, and the only legitimate Sort (the final orderBy) is an
+    // ancestor printed before it — so any Sort past the join line is a
+    // sort of a bucketed input
+    assert(p.indexOf("Sort ", p.indexOf("SortMergeJoin")) == -1,
+      s"q100 sorts a bucketed join input:\n${p.take(2000)}")
+  }
+
   test("q99 triangle census is equi-joins only — wedge closure never goes nested-loop") {
     // compact-forward's bound rests on the wedge pair join (on src) and
     // the closure join (on (v, w)) staying hash equi-joins; a BNLJ here
