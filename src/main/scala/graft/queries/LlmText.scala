@@ -264,9 +264,14 @@ object LlmText {
 
   /** Per-doc heuristic quality score (length, stopword ratio, mean word
     * length — the q50 formula) as a map-only scored scan, shared by q50
-    * (per-source averages) and q98 (per-source caps). */
+    * (per-source averages), q98 (per-source caps), and — DataFrame-based
+    * so the same expressions score a streaming micro-batch — the q98
+    * streaming cap twin (streaming/SourceCap). */
   private def qualityScored(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    qualityScoredDf(docs(s, d))
+
+  private[graft] def qualityScoredDf(docsDf: DataFrame): DataFrame =
+    docsDf
       .withColumn("t", split(col("text"), " "))
       .withColumn("n_tok", size(col("t")))
       .withColumn("n_stop", size(expr(
