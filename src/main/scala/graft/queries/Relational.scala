@@ -666,5 +666,39 @@ object Relational {
       Some("SELECT o_orderpriority, COUNT(*) AS n_items, " +
         "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents " +
         "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
-        "GROUP BY o_orderpriority ORDER BY o_orderpriority")))
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    QueryDef("q101_bloom_reduced_join",
+      // Bloom-filter semi-join reduction (operators/BloomReduce): the
+      // urgent-orders dimension is selective (~1/5 of orders), so the
+      // fact scan first drops lineitems whose order key can't be in it
+      // — a literal might_contain(xxhash64(key)) predicate evaluated IN
+      // the scan stage, before any shuffle — and only the survivors
+      // enter the exact equi-join. This is Spark's runtime row-level
+      // filtering made explicit, deterministic, and plan-guarded: at
+      // 100 TB the filter is the difference between shuffling the full
+      // fact table and shuffling the ~matching fraction, for one
+      // bounded driver action (a single ~100 KB binary, the
+      // centroids-as-literals doctrine). Bloom false positives cost
+      // only work — the equi-join keeps results exact — so the oracle
+      // is the PLAIN join SQL.
+      (s, d) => {
+        import graft.operators.BloomReduce
+        val urgent = t(s, d, "orders")
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val bloom = BloomReduce.bloomOf(urgent, col("o_orderkey"))
+        t(s, d, "lineitem")
+          .where(BloomReduce.mightContain(bloom, col("l_orderkey")))
+          .join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")).as("revenue_cents"))
+          .orderBy(col("o_year"))
+      },
+      Some("SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, COUNT(*) AS n_items, " +
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderpriority = '1-URGENT' " +
+        "GROUP BY 1 ORDER BY 1")))
 }

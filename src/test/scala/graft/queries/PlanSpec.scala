@@ -108,6 +108,19 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"q100 sorts a bucketed join input:\n${p.take(2000)}")
   }
 
+  test("q101 probes the Bloom filter in the fact scan, before the join") {
+    // the reduction only pays off if might_contain runs scan-side: it
+    // must appear in the plan, and appear BEFORE (above) the join's own
+    // key comparison — i.e. inside the lineitem filter, not as a
+    // post-join residual
+    val p = plan("q101_bloom_reduced_join")
+    assert(p.contains("might_contain"), s"q101 lost its Bloom probe:\n${p.take(1200)}")
+    val joinIdx = math.max(p.indexOf("HashJoin"), p.indexOf("SortMergeJoin"))
+    assert(joinIdx >= 0, s"q101 plans no join:\n${p.take(1200)}")
+    assert(p.indexOf("might_contain", joinIdx) >= 0,
+      s"q101's Bloom probe is not on a join input:\n${p.take(2000)}")
+  }
+
   test("q99 triangle census is equi-joins only — wedge closure never goes nested-loop") {
     // compact-forward's bound rests on the wedge pair join (on src) and
     // the closure join (on (v, w)) staying hash equi-joins; a BNLJ here
