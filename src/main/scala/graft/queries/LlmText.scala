@@ -289,36 +289,40 @@ object LlmText {
     shingles(s, d, 2).select(col("doc_id"), h60.as("h"))
   }
 
-  /** AllPairs/PPJoin candidate pairs for jaccard >= 1/10 over a
+  /** AllPairs/PPJoin candidate pairs for jaccard >= tn/td over a
     * (doc_id, h) token relation — LOSSLESS: a superset of the true
     * result pairs, a (often drastic) subset of all n² pairs. Tokens are
     * ordered per doc by (document frequency asc, h asc); a doc of sz
-    * tokens keeps the first sz - ceil(sz/10) + 1 as its prefix; the
+    * tokens keeps the first sz - ceil(t·sz) + 1 as its prefix; the
     * candidate join is an inverted-index equi-join on prefix tokens
-    * with the PPJoin positional filter on top. Integer-exact ceils:
-    * ceil(sz/10) = (sz+9) div 10, min overlap ceil((sa+sb)/11)
-    * (t/(1+t) at t = 1/10). See q46b's entry comment for the proof
-    * sketch and citations. */
-  private[graft] def jaccardPrefixCandidates(tok: DataFrame): DataFrame = {
+    * with the PPJoin positional filter on top. All ceilings are
+    * integer-exact (ceil(tn·x/td) = (tn·x + td − 1) div td; minimum
+    * overlap uses t/(1+t) = tn/(tn+td)) so no FP rounding can shorten
+    * a prefix and silently drop a pair. See q46b's entry comment for
+    * the proof sketch and citations. */
+  private[graft] def jaccardPrefixCandidates(tok: DataFrame, tn: Int, td: Int): DataFrame = {
     val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("doc_id"))
     val ordered = tok.join(dfreq, Seq("h"))
       .select(col("doc_id"), col("h"),
         row_number().over(byDoc.orderBy(col("df"), col("h"))).as("pos"),
         count(lit(1)).over(byDoc).as("sz"))
-    val prefix = ordered.where(col("pos") <= col("sz") - expr("(sz + 9) div 10") + 1)
+    val prefix = ordered.where(
+      col("pos") <= col("sz") - expr(s"($tn * sz + ${td - 1}) div $td") + 1)
     prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
-          expr("1 + least(a.sz - a.pos, b.sz - b.pos) >= (a.sz + b.sz + 10) div 11"))
+          expr(s"1 + least(a.sz - a.pos, b.sz - b.pos) >= " +
+            s"($tn * (a.sz + b.sz) + ${tn + td - 1}) div ${tn + td}"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
 
-  /** The exact all-pairs bigram-Jaccard oracle (threshold 0.1) shared
-    * verbatim by q46 (brute-force form) and q46b (prefix-filtered form):
-    * prefix filtering is LOSSLESS, so both must produce byte-identical
-    * results against the same SQL. */
-  private val NgramJaccardSql: String =
+  /** The exact all-pairs bigram-Jaccard oracle, parameterized only by
+    * the keep threshold: q46 declares it at 0.1 (the brute-force recall
+    * oracle), q46b at 0.35 (the prefix-filtered form) — prefix
+    * filtering is LOSSLESS, so q46b against THIS SQL is exactly q46's
+    * result restricted to >= 0.35. */
+  private def ngramJaccardSql(threshold: String): String =
     "WITH " + shinglesSql(2) + ", " +
       "sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM sh GROUP BY doc_id), " +
       "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter " +
@@ -326,7 +330,7 @@ object LlmText {
       "SELECT doc_a, doc_b, jaccard FROM (" +
       "SELECT i.doc_a, i.doc_b, ROUND(CAST(i.ninter AS DOUBLE)/(za.nbg + zb.nbg - i.ninter), 4) AS jaccard " +
       "FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b) " +
-      "WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b"
+      s"WHERE jaccard >= $threshold ORDER BY doc_a, doc_b"
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q41_exact_dedup",
@@ -438,40 +442,47 @@ object LlmText {
           .where(col("jaccard") >= 0.1)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(NgramJaccardSql)),
+      Some(ngramJaccardSql("0.1"))),
 
     QueryDef("q46b_jaccard_prefix_join",
-      // The LOSSLESS scale form of q46: AllPairs/PPJoin prefix filtering
-      // (Bayardo et al., WWW'07; Xiao et al., WWW'08). Order each doc's
-      // bigram set by ascending document frequency (ties by hash); a
-      // pair with jaccard >= t must share >= ceil(t*|x|) elements with
-      // each member, so its globally-SMALLEST common token must sit in
-      // the first |x| - ceil(t*|x|) + 1 positions of BOTH docs — the
+      // The LOSSLESS exact twin of q54's banded near-dup, at the same
+      // 0.35 threshold: AllPairs/PPJoin prefix filtering (Bayardo et
+      // al., WWW'07; Xiao et al., WWW'08). Order each doc's bigram set
+      // by ascending document frequency (ties by hash); a pair with
+      // jaccard >= t must share >= ceil(t*|x|) elements with each
+      // member, so its globally-SMALLEST common token must sit in the
+      // first |x| - ceil(t*|x|) + 1 positions of BOTH docs — the
       // "prefix". Candidates are therefore an inverted-index equi-join
       // on prefix tokens only, further pruned by the PPJoin positional
       // filter (1 + min(remaining_a, remaining_b) >= the minimum
       // overlap ceil(t/(1+t)*(|a|+|b|))), then exact-verified with the
-      // same codegen set kernel as q46. No approximation anywhere:
-      // the oracle is q46's all-pairs SQL VERBATIM, and
-      // PrefixJoinSpec pins result equality to q46 plus candidate-count
-      // shrinkage. Both thresholds are integer-exact (t = 1/10 →
-      // ceil(sz/10) = (sz+9) div 10; t/(1+t) = 1/11) so no FP ceil can
-      // shorten a prefix and silently drop a pair. df-ascending order
-      // makes prefixes carry the RAREST tokens — the corpus-hot bigrams
-      // that explode an inverted index as Σdf² sit in the pruned
-      // suffixes — and at production thresholds (0.7-0.9) the prefix is
-      // only (1-t)|x|+1 tokens, so the join touches a small fraction of
-      // the index. The window is per-doc (partitionBy doc_id), the df
-      // table one row per distinct bigram: nothing driver-side, no n².
+      // same codegen set kernel as q46. No approximation anywhere: the
+      // oracle is q46's all-pairs SQL at 0.35, so this is PROVABLY
+      // q46's result restricted to >= 0.35 — and a strict superset of
+      // q54's banded pairs (banding can miss, prefix filtering cannot);
+      // PrefixJoinSpec pins both plus candidate-count shrinkage. All
+      // ceilings are integer-exact (t = 7/20, t/(1+t) = 7/27) so no FP
+      // rounding can shorten a prefix and drop a pair. df-ascending
+      // order makes prefixes carry the RAREST tokens — the corpus-hot
+      // bigrams that explode an inverted index as Σdf² sit in the
+      // pruned suffixes. Prefix filtering is a HIGH-threshold
+      // technique: at t = 0.35 the prefix is ~65% of each doc and the
+      // positional filter removes most hot-token collisions; as t→0.1
+      // prefixes approach the whole set (measured 29 s vs 5.5 s brute
+      // at sf0.1) — below ~0.3, LSH recall/verify (q54) is the right
+      // tool, and q46b exists precisely to be its exact counterpart
+      // where exactness is required. The window is per-doc (partitionBy
+      // doc_id), the df table one row per distinct bigram: nothing
+      // driver-side, no n².
       (s, d) => {
         val tok = bigramTokens(s, d)
         val sets = tok.groupBy(col("doc_id"))
           .agg(sort_array(collect_set(col("h"))).as("hs"))
           .select(col("doc_id"), col("hs"), size(col("hs")).as("nbg"))
-        verifyPairs(jaccardPrefixCandidates(tok), sets, minJaccard = 0.1)
+        verifyPairs(jaccardPrefixCandidates(tok, 7, 20), sets, minJaccard = 0.35)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(NgramJaccardSql)),
+      Some(ngramJaccardSql("0.35"))),
 
     QueryDef("q54_banded_neardup",
       // The composed 100 TB near-dup pipeline (VERDICT round-1 item 1):

@@ -3,12 +3,13 @@ package graft.queries
 import graft.{SparkEntry, SparkTestSession}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** q46b (AllPairs/PPJoin prefix-filtered exact Jaccard) claims to be a
-  * LOSSLESS plan rewrite of q46's all-pairs form: same pairs, same
-  * scores, with candidate generation bounded by shared prefix tokens
-  * instead of n². These specs pin both halves of that claim — exact
-  * result equality, and real candidate-space shrinkage (the filter must
-  * prune, or the entry is all-pairs with extra steps).
+/** q46b (AllPairs/PPJoin prefix-filtered exact Jaccard at 0.35) claims
+  * to be a LOSSLESS plan rewrite: exactly q46's all-pairs result
+  * restricted to >= 0.35, a strict superset of q54's approximate
+  * banding at the same threshold, with candidate generation bounded by
+  * shared prefix tokens instead of n². These specs pin all three
+  * relations — exactness, domination of the banded form, and real
+  * candidate-space shrinkage.
   */
 class PrefixJoinSpec extends AnyFunSuite with SparkTestSession {
 
@@ -18,26 +19,38 @@ class PrefixJoinSpec extends AnyFunSuite with SparkTestSession {
     SparkEntry.queries(name)(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
 
-  test("q46b equals q46 exactly — prefix filtering is lossless") {
-    val brute = rows("q46_ngram_jaccard")
+  test("q46b equals q46 restricted to >= 0.35 — prefix filtering is lossless") {
+    val brute = rows("q46_ngram_jaccard").filter(_._2 >= 0.35)
     val prefix = rows("q46b_jaccard_prefix_join")
-    assert(brute.nonEmpty, "fixture should produce jaccard pairs")
+    assert(brute.nonEmpty, "fixture should produce >= 0.35 jaccard pairs")
     assert(prefix == brute,
       s"prefix-join diverged from all-pairs: missing=${(brute.keySet -- prefix.keySet).take(5)} " +
         s"extra=${(prefix.keySet -- brute.keySet).take(5)}")
+  }
+
+  test("q46b dominates q54: every banded pair appears exactly, with the same score") {
+    // q54's MinHash banding can miss a qualifying pair (recall < 1 by
+    // design); the lossless form may never — and scores must agree
+    // because both verify with the same exact kernel
+    val exact = rows("q46b_jaccard_prefix_join")
+    val banded = rows("q54_banded_neardup")
+    assert((banded.keySet -- exact.keySet).isEmpty,
+      s"banded pairs missing from the lossless form: ${(banded.keySet -- exact.keySet).take(5)}")
+    banded.foreach { case (p, j) => assert(exact(p) == j, s"score mismatch at $p") }
+    info(s"q46b ${exact.size} pairs, q54 ${banded.size} (recall ${banded.size}/${exact.size})")
   }
 
   test("prefix candidates cover every result pair and shrink the pair space") {
     val tok = LlmText.bigramTokens(spark, dir)
     val nDocs = tok.select("doc_id").distinct().count()
     val allPairs = nDocs * (nDocs - 1) / 2
-    val candidates = LlmText.jaccardPrefixCandidates(tok).collect()
+    val candidates = LlmText.jaccardPrefixCandidates(tok, 7, 20).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val result = rows("q46_ngram_jaccard").keySet
+    val result = rows("q46b_jaccard_prefix_join").keySet
     assert((result -- candidates).isEmpty,
       s"candidate set lost result pairs: ${(result -- candidates).take(5)}")
-    assert(candidates.size < allPairs,
-      s"no pruning: ${candidates.size} candidates vs $allPairs all-pairs")
+    assert(candidates.size < allPairs / 2,
+      s"no real pruning: ${candidates.size} candidates vs $allPairs all-pairs")
     info(f"candidates ${candidates.size}/$allPairs (${100.0 * candidates.size / allPairs}%.1f%% of n²), " +
       s"result pairs ${result.size}")
   }
