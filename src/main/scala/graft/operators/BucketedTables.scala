@@ -34,6 +34,12 @@ object BucketedTables {
       // because the writer routes each bucket to exactly one file
       // (scans of non-bucketed parquet are unaffected by this flag)
       s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // DisableUnnecessaryBucketedScan turns a point lookup's scan back
+      // into a plain file scan (no join/agg needs the distribution) —
+      // but that also discards static bucket PRUNING, the whole point
+      // of q100b. Only bucketed-table scans are affected by this flag,
+      // and the only bucketed tables in this app are the two below.
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       val pfx = "graft_b" + buckets + "_" + Integer.toHexString(dir.hashCode & 0x7fffffff)
       val orders = s"${pfx}_orders"
       val lineitem = s"${pfx}_lineitem"

@@ -668,6 +668,24 @@ object Relational {
         "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
 
+    QueryDef("q100b_bucket_pruned_lookup",
+      // Point lookup on the bucketed layout: a literal equality on the
+      // bucket column statically prunes the scan to the ONE bucket that
+      // can hold the key (plan-guarded `SelectedBucketsCount: 1 out of
+      // 8`) — at 100 TB a keyed lookup reads 1/n_buckets of the files
+      // instead of the table, with no index structure to maintain
+      // beyond the layout q100 already paid for. The oracle reads the
+      // raw parquet: pruning skips bytes, never rows.
+      (s, d) => {
+        val (ordersTbl, _) = graft.operators.BucketedTables.ensure(s, d)
+        s.table(ordersTbl)
+          .where(col("o_orderkey") === 1L)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderpriority"))
+      },
+      Some("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority " +
+        "FROM orders WHERE o_orderkey = 1")),
+
     QueryDef("q101_bloom_reduced_join",
       // Bloom-filter semi-join reduction (operators/BloomReduce): the
       // urgent-orders dimension is selective (~1/5 of orders), so the

@@ -108,6 +108,14 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"q100 sorts a bucketed join input:\n${p.take(2000)}")
   }
 
+  test("q100b statically prunes the scan to one bucket") {
+    // the literal key must cut the file set to the single bucket that
+    // can hold it — reading all 8 means bucket pruning silently died
+    val p = plan("q100b_bucket_pruned_lookup")
+    assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+      s"q100b reads more than one bucket:\n${p.take(1500)}")
+  }
+
   test("q101 probes the Bloom filter in the fact scan, before the join") {
     // the reduction only pays off if might_contain runs scan-side: it
     // must appear in the plan, and appear BEFORE (above) the join's own
