@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.{SessionCache, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, to_date}
+
+/** Date-partitioned physical layout of the `events` table — the other
+  * half of the storage-layout doctrine next to [[BucketedTables]]:
+  * bucketing co-locates a JOIN key, partitioning makes a TIME predicate
+  * a directory listing instead of a scan. `partitionBy(d)` writes one
+  * directory per event day, so any filter on `d` — static, or injected
+  * at runtime by dynamic partition pruning from a joined dimension —
+  * prunes whole days of files before a single row is read. At 100 TB
+  * (a year of events, ~280 GB/day) a 10-day analysis reads 3% of the
+  * table; without the layout every query scans everything and ALL
+  * pruning happens row-by-row after the IO is already spent.
+  *
+  * Same once-per-(session, fixture) materialization contract as
+  * BucketedTables: rewritten, never trusted across JVMs. Partition
+  * count here is days (30 at the fixtures) — at production scale keep
+  * partitions coarse enough that each holds >= one full task's worth
+  * of data (day or day+hour, never user-id-grained: a high-cardinality
+  * partition column is the classic small-files failure).
+  */
+object PartitionedEvents {
+
+  private val cache = new SessionCache[String]()
+
+  /** Returns the table name of the events copy partitioned by event
+    * date `d`, writing it on first use in this session. */
+  def ensure(s: SparkSession, dir: String): String =
+    cache.getOrElseUpdate(s, dir, {
+      val table = "graft_pd_" + Integer.toHexString(dir.hashCode & 0x7fffffff) + "_events"
+      s.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      // route each day's rows to one write task -> one file per day
+      // directory (the fixture is 30 days; tiny many-files partitions
+      // would model the exact anti-pattern the Scaladoc warns about)
+      Tables(s, dir, "events")
+        .withColumn("d", to_date(col("ts")))
+        .repartition(col("d"))
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .partitionBy("d")
+        .saveAsTable(table)
+      table
+    })
+}

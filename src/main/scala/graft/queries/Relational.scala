@@ -718,5 +718,133 @@ object Relational {
         "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "WHERE o_orderpriority = '1-URGENT' " +
-        "GROUP BY 1 ORDER BY 1")))
+        "GROUP BY 1 ORDER BY 1")),
+
+    QueryDef("q102_dynamic_partition_pruning",
+      // Dynamic partition pruning on the date-partitioned events layout
+      // (operators/PartitionedEvents): the "top revenue days" dimension
+      // is only known at RUNTIME — computed from the purchase stream —
+      // yet the fact scan must still skip the other 20 days' files.
+      // Catalyst handles this by injecting a dynamicpruningexpression
+      // subquery into the fact scan's PartitionFilters (plan-guarded):
+      // the dim side evaluates first (it's broadcast for the join
+      // anyway, so the pruning subquery REUSES that exchange — zero
+      // extra work), and the scan then lists only the matching day
+      // directories. q100b is static pruning (literal key, known at
+      // plan time); this is its runtime twin, and at 100 TB it is THE
+      // mechanism that makes fact⋈date-dim star queries read 10 of 365
+      // day partitions instead of the year. The oracle reads the raw
+      // parquet and joins on CAST(ts AS DATE): partition layout may
+      // only change which files are read, never the relation.
+      (s, d) => {
+        val tbl = graft.operators.PartitionedEvents.ensure(s, d)
+        val top = t(s, d, "events")
+          .where(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("rev_cents"))
+          .orderBy(col("rev_cents").desc, col("d"))
+          .limit(10)
+          .select(col("d"))
+        s.table(tbl).join(top, Seq("d"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      Some("WITH rev AS (SELECT CAST(ts AS DATE) AS d, " +
+        "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS rev_cents " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        "top AS (SELECT d FROM rev ORDER BY rev_cents DESC, d LIMIT 10) " +
+        "SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users " +
+        "FROM events JOIN top ON CAST(ts AS DATE) = top.d " +
+        "GROUP BY 1 ORDER BY 1")),
+
+    QueryDef("q103_salted_skew_join",
+      // Salted shuffle join (operators/SaltedJoin) — the skew doctrine
+      // for fact⋈dim joins where the dim cannot broadcast and the fact
+      // keys are hot. event_type is the WORST case: 5 keys over the
+      // whole fact table, so an unsalted shuffle join runs exactly 5
+      // reducer tasks no matter how many executors exist. Salting by
+      // pmod(xxhash64(event_id), 8) turns the join key into
+      // (event_type, salt): 40 sub-keys, 8-way parallelism per hot key,
+      // dim replicated 8x (5 rows -> 40 — the replication cost lands on
+      // the SMALL side by construction). The salt is deterministic so
+      // the oracle is the PLAIN join SQL — salting may only change
+      // movement, never the relation. The query itself is the classic
+      // "above type average" flag, integer-exact: an event beats its
+      // type's mean iff cents * n_type > total_cents (no division, no
+      // float: both engines compare the same integers).
+      (s, d) => {
+        import graft.operators.SaltedJoin
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("event_type"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        val dim = ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_type"), sum(col("cents")).as("tot_cents"))
+        SaltedJoin.inner(ev, dim, "event_type", col("event_id"), salts = 8)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("cents") * col("n_type") > col("tot_cents"), 1L)
+              .otherwise(0L)).as("n_above_avg"))
+          .orderBy(col("event_type"))
+      },
+      Some("WITH dim AS (SELECT event_type, COUNT(*) AS n_type, " +
+        "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS tot_cents " +
+        "FROM events GROUP BY 1) " +
+        "SELECT e.event_type, COUNT(*) AS n_events, " +
+        "CAST(SUM(CASE WHEN CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) * d.n_type " +
+        "> d.tot_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg " +
+        "FROM events e JOIN dim d USING (event_type) " +
+        "GROUP BY 1 ORDER BY 1")),
+
+    QueryDef("q104_kcore_peel",
+      // 3-round k-core peeling (k = 90) over the co-purchase graph —
+      // iterative subgraph refinement, the graph-family member next to
+      // q92 (power iteration) and q99 (triangle counting). Nodes are
+      // parts, edges "appeared in the same order" (the self-join is
+      // bounded per order: <= C(13,2) pairs at the fixtures, and at any
+      // scale by the max basket size — never n²). Each round drops
+      // vertices of degree < k and restricts edges to survivors; the
+      // fixture peels 2000 -> 1745 -> 1534 -> 1221 at sf0.01, so every
+      // round does real work. Scale shape: one degree agg + two semi
+      // joins per round, ALL keyed on the vertex id — the first shuffle
+      // establishes the partitioning and every later round reuses it;
+      // nothing collects to the driver, so the same code runs on a
+      // billion-node graph. 3 unrolled rounds keep the whole fixpoint
+      // prefix one oracle-hashable plan (q92's doctrine); at production
+      // depth each round's edge set would checkpoint instead of nesting
+      // lineage. Output is the surviving vertices with their degree in
+      // the round-3 subgraph.
+      (s, d) => {
+        val k = 90
+        val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+          .distinct()
+        var edges = pairs.select(col("pa").as("v"), col("pb").as("u"))
+          .unionAll(pairs.select(col("pb").as("v"), col("pa").as("u")))
+        for (_ <- 1 to 3) {
+          val keep = edges.groupBy(col("v")).agg(count(lit(1)).as("dg"))
+            .where(col("dg") >= k).select(col("v"))
+          edges = edges.join(keep, Seq("v"), "left_semi")
+            .join(keep.withColumnRenamed("v", "u"), Seq("u"), "left_semi")
+        }
+        edges.groupBy(col("v").as("l_partkey")).agg(count(lit(1)).as("deg"))
+          .orderBy(col("l_partkey"))
+      },
+      Some {
+        def round(prev: String, kc: String, next: String) =
+          s"$kc AS (SELECT v FROM $prev GROUP BY v HAVING COUNT(*) >= 90), " +
+            s"$next AS (SELECT s.v, s.u FROM $prev s JOIN $kc a ON s.v = a.v " +
+            s"JOIN $kc b ON s.u = b.v), "
+        "WITH e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb " +
+          "FROM lineitem a JOIN lineitem b " +
+          "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+          "s0 AS (SELECT pa AS v, pb AS u FROM e UNION ALL SELECT pb, pa FROM e), " +
+          round("s0", "k1", "s1") + round("s1", "k2", "s2") +
+          round("s2", "k3", "s3").stripSuffix(", ") +
+          " SELECT v AS l_partkey, COUNT(*) AS deg FROM s3 GROUP BY 1 ORDER BY 1"
+      }))
 }

@@ -116,6 +116,32 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"q100b reads more than one bucket:\n${p.take(1500)}")
   }
 
+  test("q102 injects dynamic partition pruning into the fact scan") {
+    // the runtime dim must become a dynamicpruningexpression in the
+    // partitioned scan's PartitionFilters — without it the layout is
+    // decoration and every day's files are read
+    val p = plan("q102_dynamic_partition_pruning")
+    assert(p.contains("dynamicpruning"),
+      s"q102 scan has no dynamic pruning subquery:\n${p.take(1500)}")
+  }
+
+  test("q103 joins on the salt and never broadcasts") {
+    // the salt only spreads skew if it is a JOIN key of a SHUFFLE join:
+    // a broadcast join would erase the shuffle the salt exists to
+    // spread, and a salt-free key list means the helper regressed
+    val p = plan("q103_salted_skew_join")
+    assert(p.contains("SortMergeJoin") && p.contains("__salt"),
+      s"q103 lost the salted shuffle join:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q103 broadcast a side of the salted join:\n${p.take(1500)}")
+  }
+
+  test("q104 peels with semi joins only — degree filter never goes nested-loop") {
+    val p = plan("q104_kcore_peel")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q104 planned a nested loop:\n${p.take(1500)}")
+  }
+
   test("q101 probes the Bloom filter in the fact scan, before the join") {
     // the reduction only pays off if might_contain runs scan-side: it
     // must appear in the plan, and appear BEFORE (above) the join's own
