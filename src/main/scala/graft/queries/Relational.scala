@@ -846,5 +846,57 @@ object Relational {
           round("s0", "k1", "s1") + round("s1", "k2", "s2") +
           round("s2", "k3", "s3").stripSuffix(", ") +
           " SELECT v AS l_partkey, COUNT(*) AS deg FROM s3 GROUP BY 1 ORDER BY 1"
-      }))
+      }),
+
+    QueryDef("q105_skyline",
+      // Two-phase distributed skyline (Pareto frontier) per return
+      // flag: the points no other point dominates on (lower cost,
+      // higher quantity) — the dominance-query class (Börzsönyi et al.,
+      // ICDE'01 "The Skyline Operator"). The naive form is an O(n²)
+      // NOT EXISTS anti-join; the scale form rests on the skyline's
+      // distributive property: a globally non-dominated point is
+      // non-dominated in ANY subset containing it, so per-bucket
+      // skylines (deterministic xxhash64 buckets, 32-way parallel) are
+      // a lossless candidate superset, and the global pass runs over
+      // that tiny survivor set instead of the table. Both passes are
+      // the same windowed running-max: sorted by (cost asc, qty desc),
+      // a point survives iff its qty strictly exceeds every preceding
+      // qty (preceding rows have cost <, or cost = with qty > — either
+      // way domination iff max(qty) >= qty). The global window is
+      // single-task BY DESIGN — it only ever sees ~32 bucket frontiers
+      // (skylines of random data are O(log n); even adversarial input
+      // caps it at Σ bucket-skyline sizes), the same bounded-final-pass
+      // shape as q25's TakeOrderedAndProject. Integer cents + integer
+      // quantities end-to-end; the oracle uses the windowed form too —
+      // an independent derivation, not a shared plan.
+      (s, d) => {
+        val pts = t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cost_cents"),
+            col("l_quantity").cast("long").as("qty"))
+          .distinct()
+        def skyline(df: DataFrame, part: Seq[String]): DataFrame = {
+          val w = Window.partitionBy(part.map(col): _*)
+            .orderBy(col("cost_cents").asc, col("qty").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          df.withColumn("__m", max(col("qty")).over(w))
+            .where(col("__m").isNull || col("qty") > col("__m"))
+            .drop("__m")
+        }
+        val local = skyline(
+          pts.withColumn("__bk",
+            pmod(xxhash64(col("cost_cents"), col("qty")), lit(32L))),
+          Seq("l_returnflag", "__bk")).drop("__bk")
+        skyline(local, Seq("l_returnflag"))
+          .orderBy(col("l_returnflag"), col("cost_cents"), col("qty"))
+      },
+      Some("WITH pts AS (SELECT DISTINCT l_returnflag, " +
+        "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cost_cents, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem) " +
+        "SELECT l_returnflag, cost_cents, qty FROM (" +
+        "SELECT l_returnflag, cost_cents, qty, " +
+        "MAX(qty) OVER (PARTITION BY l_returnflag ORDER BY cost_cents ASC, qty DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m FROM pts) " +
+        "WHERE m IS NULL OR qty > m " +
+        "ORDER BY l_returnflag, cost_cents, qty")))
 }

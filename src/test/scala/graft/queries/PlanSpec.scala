@@ -142,6 +142,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"q104 planned a nested loop:\n${p.take(1500)}")
   }
 
+  test("q105 runs the bucketed local skyline pass before the global window") {
+    // the global window is single-task by design; it must only ever see
+    // per-bucket frontier survivors, so the parallel __bk-partitioned
+    // pass has to exist in the plan (dropping it silently turns the
+    // query into one task over the whole table)
+    val p = plan("q105_skyline")
+    assert(p.contains("__bk"), s"q105 lost the local skyline pass:\n${p.take(1500)}")
+    assert("Window".r.findAllIn(p).length >= 2, p.take(1500))
+  }
+
   test("q101 probes the Bloom filter in the fact scan, before the join") {
     // the reduction only pays off if might_contain runs scan-side: it
     // must appear in the plan, and appear BEFORE (above) the join's own
