@@ -311,6 +311,9 @@ object LlmText {
       col("pos") <= col("sz") - expr(s"($tn * sz + ${td - 1}) div $td") + 1)
     prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          // AllPairs length filter: J <= min(sz)/max(sz), so a
+          // qualifying pair needs td*min >= tn*max (integer-exact)
+          expr(s"$td * least(a.sz, b.sz) >= $tn * greatest(a.sz, b.sz)") &&
           expr(s"1 + least(a.sz - a.pos, b.sz - b.pos) >= " +
             s"($tn * (a.sz + b.sz) + ${tn + td - 1}) div ${tn + td}"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -319,9 +322,9 @@ object LlmText {
 
   /** The exact all-pairs bigram-Jaccard oracle, parameterized only by
     * the keep threshold: q46 declares it at 0.1 (the brute-force recall
-    * oracle), q46b at 0.35 (the prefix-filtered form) — prefix
+    * oracle), q46b at 0.7 (the prefix-filtered form) — prefix
     * filtering is LOSSLESS, so q46b against THIS SQL is exactly q46's
-    * result restricted to >= 0.35. */
+    * result restricted to >= 0.7. */
   private def ngramJaccardSql(threshold: String): String =
     "WITH " + shinglesSql(2) + ", " +
       "sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM sh GROUP BY doc_id), " +
@@ -445,44 +448,46 @@ object LlmText {
       Some(ngramJaccardSql("0.1"))),
 
     QueryDef("q46b_jaccard_prefix_join",
-      // The LOSSLESS exact twin of q54's banded near-dup, at the same
-      // 0.35 threshold: AllPairs/PPJoin prefix filtering (Bayardo et
+      // LOSSLESS exact Jaccard join at the production near-dup
+      // threshold t = 0.7: AllPairs/PPJoin prefix filtering (Bayardo et
       // al., WWW'07; Xiao et al., WWW'08). Order each doc's bigram set
       // by ascending document frequency (ties by hash); a pair with
       // jaccard >= t must share >= ceil(t*|x|) elements with each
       // member, so its globally-SMALLEST common token must sit in the
       // first |x| - ceil(t*|x|) + 1 positions of BOTH docs — the
       // "prefix". Candidates are therefore an inverted-index equi-join
-      // on prefix tokens only, further pruned by the PPJoin positional
-      // filter (1 + min(remaining_a, remaining_b) >= the minimum
-      // overlap ceil(t/(1+t)*(|a|+|b|))), then exact-verified with the
-      // same codegen set kernel as q46. No approximation anywhere: the
-      // oracle is q46's all-pairs SQL at 0.35, so this is PROVABLY
-      // q46's result restricted to >= 0.35 — and a strict superset of
-      // q54's banded pairs (banding can miss, prefix filtering cannot);
-      // PrefixJoinSpec pins both plus candidate-count shrinkage. All
-      // ceilings are integer-exact (t = 7/20, t/(1+t) = 7/27) so no FP
-      // rounding can shorten a prefix and drop a pair. df-ascending
-      // order makes prefixes carry the RAREST tokens — the corpus-hot
-      // bigrams that explode an inverted index as Σdf² sit in the
-      // pruned suffixes. Prefix filtering is a HIGH-threshold
-      // technique: at t = 0.35 the prefix is ~65% of each doc and the
-      // positional filter removes most hot-token collisions; as t→0.1
-      // prefixes approach the whole set (measured 29 s vs 5.5 s brute
-      // at sf0.1) — below ~0.3, LSH recall/verify (q54) is the right
-      // tool, and q46b exists precisely to be its exact counterpart
-      // where exactness is required. The window is per-doc (partitionBy
-      // doc_id), the df table one row per distinct bigram: nothing
-      // driver-side, no n².
+      // on prefix tokens only, pruned further by the AllPairs length
+      // filter (td*min(sz) >= tn*max(sz)) and the PPJoin positional
+      // filter (1 + min(remaining) >= minimum overlap
+      // ceil(t/(1+t)*(|a|+|b|))), then exact-verified with the same
+      // codegen set kernel as q46. No approximation anywhere: the
+      // oracle is q46's all-pairs SQL at 0.7, so this is PROVABLY q46's
+      // result restricted to >= 0.7 — and where exactness at the
+      // near-dup threshold is required, this is the exact counterpart
+      // of q54's recall-bound banding (every banded pair scoring >= 0.7
+      // must appear here with the identical score; spec-pinned). All
+      // ceilings are integer-exact (t = 7/10, t/(1+t) = 7/17) so no FP
+      // rounding can shorten a prefix and drop a pair. THRESHOLD
+      // SENSITIVITY, measured at sf0.1: prefix filtering is a
+      // high-threshold technique (prefix ≈ (1-t)·sz + 1), and this
+      // fixture is its worst case — 931 distinct bigrams over 5000 docs
+      // means every token is corpus-hot and blocking degenerates: 5.5M
+      // candidate pairs at t=0.35 (16.7 s), 1.4M at 0.7; at a realistic
+      // Zipfian vocabulary the df-ascending prefixes carry RARE tokens
+      // and the index join touches a vanishing fraction of Σdf². Below
+      // t ≈ 0.3 (or on hot-vocab corpora) LSH recall/verify (q54) is
+      // the right tool; the window is per-doc (partitionBy doc_id), the
+      // df table one row per distinct bigram: nothing driver-side,
+      // no n².
       (s, d) => {
         val tok = bigramTokens(s, d)
         val sets = tok.groupBy(col("doc_id"))
           .agg(sort_array(collect_set(col("h"))).as("hs"))
           .select(col("doc_id"), col("hs"), size(col("hs")).as("nbg"))
-        verifyPairs(jaccardPrefixCandidates(tok, 7, 20), sets, minJaccard = 0.35)
+        verifyPairs(jaccardPrefixCandidates(tok, 7, 10), sets, minJaccard = 0.7)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(ngramJaccardSql("0.35"))),
+      Some(ngramJaccardSql("0.7"))),
 
     QueryDef("q54_banded_neardup",
       // The composed 100 TB near-dup pipeline (VERDICT round-1 item 1):
