@@ -848,6 +848,61 @@ object Relational {
           " SELECT v AS l_partkey, COUNT(*) AS deg FROM s3 GROUP BY 1 ORDER BY 1"
       }),
 
+    QueryDef("q106_data_quality_audit",
+      // Deequ-style data-quality audit over the star schema — the
+      // validation gate every production ingest runs before data is
+      // allowed downstream: completeness (nulls), domain ranges, key
+      // uniqueness, referential integrity, and policy predicates, each
+      // reported as a (check, n_violations) row. Scale shape: all
+      // row-level predicates for one table fold into ONE conditional
+      // aggregation over ONE scan (stack() unpivots the single agg row
+      // into check rows — adding a 20th check costs zero extra IO);
+      // the two referential checks are anti-join counts on the join
+      // keys. Mixed zero/nonzero results by design: a healthy audit is
+      // mostly zeros, and the 257 childless orders prove the query
+      // counts real violations, not vacuous truths.
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val liRow = li.agg(
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("v1"),
+          sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("v2"),
+          sum(when(col("l_discount") > 0.08, 1L).otherwise(0L)).as("v3"))
+        val oRow = o.agg(
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v1"),
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("v2"))
+        val liChecks = liRow.select(expr(
+          "stack(3, 'lineitem_qty_out_of_range', v1, " +
+            "'lineitem_nonpositive_price', v2, " +
+            "'lineitem_high_discount', v3) AS (check, n_violations)"))
+        val oChecks = oRow.select(expr(
+          "stack(2, 'orders_dup_orderkey', v1, " +
+            "'orders_null_totalprice', v2) AS (check, n_violations)"))
+        val orphanLi = li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("lineitem_orphan_orderkey").as("check"), col("n_violations"))
+        val childless = o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("orders_childless").as("check"), col("n_violations"))
+        liChecks.unionAll(oChecks).unionAll(orphanLi).unionAll(childless)
+          .orderBy(col("check"))
+      },
+      Some("SELECT 'lineitem_qty_out_of_range' AS \"check\", " +
+        "CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS n_violations FROM lineitem " +
+        "UNION ALL SELECT 'lineitem_nonpositive_price', " +
+        "CAST(COUNT(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'lineitem_high_discount', " +
+        "CAST(COUNT(*) FILTER (WHERE l_discount > 0.08) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'orders_dup_orderkey', " +
+        "CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'orders_null_totalprice', " +
+        "CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'lineitem_orphan_orderkey', " +
+        "CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders) " +
+        "UNION ALL SELECT 'orders_childless', " +
+        "CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem) " +
+        "ORDER BY \"check\"")),
+
     QueryDef("q105_skyline",
       // Two-phase distributed skyline (Pareto frontier) per return
       // flag: the points no other point dominates on (lower cost,

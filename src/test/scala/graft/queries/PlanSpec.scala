@@ -152,6 +152,20 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert("Window".r.findAllIn(p).length >= 2, p.take(1500))
   }
 
+  test("q106 folds row-level checks into conditional aggs — no nested loop anywhere") {
+    val p = plan("q106_data_quality_audit")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q106 planned a nested loop:\n${p.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1500))
+  }
+
+  test("q107 drift agg shuffles only type×bin cells — no window, no nested loop") {
+    val p = plan("q107_distribution_drift")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q107 planned a nested loop:\n${p.take(1500)}")
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
   test("q101 probes the Bloom filter in the fact scan, before the join") {
     // the reduction only pays off if might_contain runs scan-side: it
     // must appear in the plan, and appear BEFORE (above) the join's own
