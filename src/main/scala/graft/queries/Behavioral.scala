@@ -307,5 +307,52 @@ object Behavioral {
         "SELECT event_type, CAST(SUM((p_e6 - q_e6) * " +
         "CAST(FLOOR(LN(CAST(p_e6 AS DOUBLE) / CAST(q_e6 AS DOUBLE)) * 10000 " +
         "+ CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS psi_e10 " +
-        "FROM pq GROUP BY 1 ORDER BY 1")))
+        "FROM pq GROUP BY 1 ORDER BY 1")),
+
+    QueryDef("q108_histogram_quantiles",
+      // Mergeable fixed-bin histogram quantiles per event type — the
+      // sketch-class answer to "p50/p95/p99 at 100 TB": exact
+      // percentiles (q23b) need a per-group sort of the DATA, a
+      // histogram needs one conditional agg to bins that MERGE across
+      // shards/days/streams by simple addition, with error bounded by
+      // the bin width (here 10 value units = 1000 cents, spec-pinned
+      // against the exact quantile). Deterministic end-to-end: integer
+      // cents, fixed bin edges (bin = cents div 1000 — never
+      // data-derived), quantile = the lower edge of the first bin whose
+      // cumulative count reaches ceil(p·N/100) (integer ceil, exact in
+      // both engines). Scale shape: the scan aggregates to ≤ ~50 bins
+      // per type map-side; the cumulative walk is a window over BINS
+      // (dozens of rows), not data — the same bounded-final-pass shape
+      // as q105's global frontier. At production this is the histogram
+      // a metrics pipeline keeps per (feature, day) and merges on
+      // demand for any time range — recomputing nothing.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hist = events(s, d)
+          .select(col("event_type"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 1000").as("bin"))
+          .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("c"))
+        val wcum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wtot = Window.partitionBy(col("event_type"))
+        val cum = hist.select(col("event_type"), col("bin"),
+          sum(col("c")).over(wcum).as("cum"), sum(col("c")).over(wtot).as("n"))
+        cum.groupBy(col("event_type")).agg(
+          min(when(col("cum") >= expr("(50 * n + 99) div 100"), col("bin") * 1000)).as("p50_cents"),
+          min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("bin") * 1000)).as("p95_cents"),
+          min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("bin") * 1000)).as("p99_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("WITH hist AS (SELECT event_type, " +
+        "CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 1000 AS BIGINT) AS bin, " +
+        "COUNT(*) AS c FROM events GROUP BY 1, 2), " +
+        "cum AS (SELECT event_type, bin, " +
+        "SUM(c) OVER (PARTITION BY event_type ORDER BY bin " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "SUM(c) OVER (PARTITION BY event_type) AS n FROM hist) " +
+        "SELECT event_type, " +
+        "CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN bin * 1000 END) AS BIGINT) AS p50_cents, " +
+        "CAST(MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN bin * 1000 END) AS BIGINT) AS p95_cents, " +
+        "CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin * 1000 END) AS BIGINT) AS p99_cents " +
+        "FROM cum GROUP BY 1 ORDER BY 1")))
 }
