@@ -814,26 +814,15 @@ object Relational {
       // prefix one oracle-hashable plan (q92's doctrine); at production
       // depth each round's edge set would checkpoint instead of nesting
       // lineage. Output is the surviving vertices with their degree in
-      // the round-3 subgraph.
-      (s, d) => {
-        val k = 90
-        val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-        val pairs = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-          .distinct()
-        var edges = pairs.select(col("pa").as("v"), col("pb").as("u"))
-          .unionAll(pairs.select(col("pb").as("v"), col("pa").as("u")))
-        for (_ <- 1 to 3) {
-          val keep = edges.groupBy(col("v")).agg(count(lit(1)).as("dg"))
-            .where(col("dg") >= k).select(col("v"))
-          edges = edges.join(keep, Seq("v"), "left_semi")
-            .join(keep.withColumnRenamed("v", "u"), Seq("u"), "left_semi")
-        }
-        edges.groupBy(col("v").as("l_partkey")).agg(count(lit(1)).as("deg"))
-          .orderBy(col("l_partkey"))
-      },
+      // the round-3 subgraph. The rounds materialize per-iteration via
+      // operators/KCorePeel: one fully-lazy unrolled plan measured 500
+      // FileScans / 0 ReusedExchange (every round re-derives the pair
+      // join on both semi-join sides) — checkpoint-per-round is not a
+      // production footnote, it's load-bearing at ANY scale.
+      (s, d) =>
+        graft.operators.KCorePeel.peeledEdges(s, d, k = 90, rounds = 3)
+          .groupBy(col("v").as("l_partkey")).agg(count(lit(1)).as("deg"))
+          .orderBy(col("l_partkey")),
       Some {
         def round(prev: String, kc: String, next: String) =
           s"$kc AS (SELECT v FROM $prev GROUP BY v HAVING COUNT(*) >= 90), " +
