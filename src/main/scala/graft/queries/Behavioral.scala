@@ -245,6 +245,29 @@ object Behavioral {
           " SELECT v AS event_type, r AS rank_e6 FROM r3 ORDER BY event_type"
       }))
 
+  /** q107's deterministic binning — DataFrame-based so the SAME
+    * expressions bin a streaming micro-batch (streaming/DriftMonitor,
+    * the q107 running twin): fixed 50-unit value bins capped at 9,
+    * h1 = 1 for the month's first half. */
+  private[graft] def binnedDrift(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+      least(floor(col("value") / 50).cast("long"), lit(9L)).as("bin"),
+      when(col("ts") < lit("2024-01-16").cast("timestamp"), 1L).otherwise(0L).as("h1"))
+
+  /** q107's PSI fold from smoothed per-bin counts, shared with the
+    * streaming twin so both sides quantize identically: e-6 integer
+    * proportions, ln on the exact integer ratio quantized to 1e-4
+    * nats, order-free integer sum. */
+  private[graft] def psiE10(n1: IndexedSeq[Long], n2: IndexedSeq[Long]): Long = {
+    val t1 = n1.sum + 10
+    val t2 = n2.sum + 10
+    (0 until 10).map { b =>
+      val p = (n1(b) + 1) * 1000000L / t1
+      val q = (n2(b) + 1) * 1000000L / t2
+      (p - q) * math.floor(math.log(p.toDouble / q.toDouble) * 10000 + 0.5).toLong
+    }.sum
+  }
+
   /** q107 in its own val: distribution-drift monitoring. */
   private def drift: Seq[QueryDef] = Seq(
     QueryDef("q107_distribution_drift",
@@ -268,9 +291,7 @@ object Behavioral {
       // feature column as a map-side-combined agg over the feature
       // scan; nothing grows with row count.
       (s, d) => {
-        val binned = events(s, d).select(col("event_type"),
-          least(floor(col("value") / 50).cast("long"), lit(9L)).as("bin"),
-          when(col("ts") < lit("2024-01-16").cast("timestamp"), 1L).otherwise(0L).as("h1"))
+        val binned = binnedDrift(events(s, d))
         val cells = binned.groupBy(col("event_type"), col("bin"))
           .agg(sum(col("h1")).as("n1"), sum(lit(1L) - col("h1")).as("n2"))
         val spine = events(s, d).select(col("event_type")).distinct()
