@@ -977,6 +977,51 @@ object Pipeline {
         "SELECT source, rate_e6, COUNT(*) AS kept_docs, CAST(SUM(n) AS BIGINT) AS kept_tokens " +
         "FROM kept GROUP BY 1, 2 ORDER BY source")),
 
+    QueryDef("q109_weighted_sample",
+      // Deterministic WEIGHTED sampling without replacement, top-3 per
+      // source, weight = document length (token-budget-proportional
+      // selection) — the Efraimidis–Spirakis A-ES scheme (IPL 2006):
+      // draw u ~ U(0,1] per item, rank by u^(1/w); the top-m by that
+      // key are a weighted sample without replacement. Made
+      // reproducible and engine-exact: u is the salted-md5 e-6 bucket
+      // of doc_id (the q58 doctrine, +1 so ln never sees 0), the key is
+      // ranked through its monotone transform ln(u)/w (one ln on the
+      // exact integer ratio, one IEEE division by the INTEGER weight,
+      // quantized to e-6 — the q67/q97 transcendental doctrine), ties
+      // break on doc_id. Selection is a TopKRows fold (consumer #6):
+      // map-side ≤ 3-entry buffers per source, no window, no sort of
+      // the corpus — at 100 TB re-drawing the same sample (the
+      // reproducibility a training pipeline needs for ablations) is one
+      // map-only scan + a 3·sources-row shuffle.
+      (s, d) => {
+        val topk = udaf(new graft.functions.TopKRows(3),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        val keyed = docs(s, d).select(col("source"), col("doc_id"), col("n_chars"),
+          (conv(substring(md5(concat(lit("esample:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 1000000L + 1L).as("u_e6"))
+          .select(col("source"), col("doc_id"),
+            expr("CAST(floor(ln(CAST(u_e6 AS DOUBLE) / CAST(1000000 AS DOUBLE)) " +
+              "/ CAST(n_chars AS DOUBLE) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+              .as("key_e6"))
+        keyed.groupBy(col("source"))
+          .agg(topk(col("key_e6").cast("double"), col("doc_id"), lit(0L)).as("top"))
+          .select(col("source"), posexplode(col("top")).as(Seq("pos", "e")))
+          .select(col("source"), (col("pos") + 1).as("rk"), col("e._2").as("doc_id"),
+            col("e._1").cast("long").as("key_e6"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("WITH keyed AS (SELECT source, doc_id, " +
+        "CAST(floor(ln(CAST((CAST(('0x' || substring(md5('esample:' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000000 + 1) AS DOUBLE) / CAST(1000000 AS DOUBLE)) " +
+        "/ CAST(n_chars AS DOUBLE) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS key_e6 " +
+        "FROM documents) " +
+        "SELECT source, rk, doc_id, key_e6 FROM (" +
+        "SELECT source, doc_id, key_e6, ROW_NUMBER() OVER " +
+        "(PARTITION BY source ORDER BY key_e6 DESC, doc_id) AS rk FROM keyed) " +
+        "WHERE rk <= 3 ORDER BY source, rk")),
+
     QueryDef("q67_bm25_retrieval",
       // BM25 keyword retrieval (k1 = 1.2, b = 0.75): the ranked-search
       // primitive a curation pipeline uses for targeted corpus pulls and

@@ -166,6 +166,12 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Window"), p.take(1500))
   }
 
+  test("q109 folds the weighted sample map-side — no window over the corpus") {
+    val p = plan("q109_weighted_sample")
+    assert(!p.contains("Window"), s"q109 sorted the corpus in a window:\n${p.take(1500)}")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(1500))
+  }
+
   test("q101 probes the Bloom filter in the fact scan, before the join") {
     // the reduction only pays off if might_contain runs scan-side: it
     // must appear in the plan, and appear BEFORE (above) the join's own
