@@ -375,5 +375,53 @@ object Behavioral {
         "CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN bin * 1000 END) AS BIGINT) AS p50_cents, " +
         "CAST(MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN bin * 1000 END) AS BIGINT) AS p95_cents, " +
         "CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin * 1000 END) AS BIGINT) AS p99_cents " +
-        "FROM cum GROUP BY 1 ORDER BY 1")))
+        "FROM cum GROUP BY 1 ORDER BY 1")),
+
+    QueryDef("q110_trend_regression",
+      // Grouped OLS trend per event type — is each metric drifting up
+      // or down over the month? Closed-form least squares from one
+      // conditional agg pass: slope = (n·Σxy − Σx·Σy)/(n·Σxx − Σx²)
+      // with x = hours since month start (≤ 720) and y = integer cents.
+      // DIVISION-FREE by the q87 doctrine: the exact rational slope
+      // ships as (trend_num, trend_den) BIGINTs, and the direction
+      // classifies by cross-multiplication (num·100 vs ±den ⇔
+      // |slope| vs 0.01 cents/hour) — no float, no rounding rule to
+      // disagree on, both engines compare the same integers. Overflow
+      // bounds at these magnitudes: sxy ≤ 3.5e7/row, n·sxy ≤ 1.4e16,
+      // sx·sy ≤ 1.4e16, num·100 ≤ 1.4e18 < 2^63 — exact through ~1e7
+      // rows/type at hour-granularity x; beyond that (the 100 TB
+      // regime) the num/den combination moves to decimal(38,0), the
+      // q87 move. Scale shape: ONE events scan, map-side partial sums,
+      // a types-row result — the same shape at any corpus size.
+      (s, d) => {
+        val xy = events(s, d).select(col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("y"),
+          expr("(unix_timestamp(ts) - unix_timestamp(TIMESTAMP '2024-01-01 00:00:00')) div 3600")
+            .as("x"))
+        xy.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("trend_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("trend_den"))
+          .select(col("event_type"), col("n"), col("trend_num"), col("trend_den"),
+            when(col("trend_num") * 100 > col("trend_den"), "up")
+              .when(col("trend_num") * 100 < -col("trend_den"), "down")
+              .otherwise("flat").as("direction"))
+          .orderBy(col("event_type"))
+      },
+      Some("WITH xy AS (SELECT event_type, " +
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y, " +
+        "CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS x " +
+        "FROM events), " +
+        "s AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, " +
+        "SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy GROUP BY 1), " +
+        "t AS (SELECT event_type, n, " +
+        "CAST(n * sxy - sx * sy AS BIGINT) AS trend_num, " +
+        "CAST(n * sxx - sx * sx AS BIGINT) AS trend_den FROM s) " +
+        "SELECT event_type, n, trend_num, trend_den, " +
+        "CASE WHEN trend_num * 100 > trend_den THEN 'up' " +
+        "WHEN trend_num * 100 < -trend_den THEN 'down' " +
+        "ELSE 'flat' END AS direction " +
+        "FROM t ORDER BY event_type")))
 }

@@ -172,6 +172,13 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(1500))
   }
 
+  test("q110 computes OLS sums in one partial-agg pass — no join, no window") {
+    val p = plan("q110_trend_regression")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q110 should be a single agg pass:\n${p.take(1500)}")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1500))
+  }
+
   test("q101 probes the Bloom filter in the fact scan, before the join") {
     // the reduction only pays off if might_contain runs scan-side: it
     // must appear in the plan, and appear BEFORE (above) the join's own
