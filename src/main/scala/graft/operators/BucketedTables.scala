@@ -27,7 +27,10 @@ object BucketedTables {
   /** Returns (ordersTable, lineitemTable) bucketed+sorted on the order
     * key, writing them on first use in this session. */
   def ensure(s: SparkSession, dir: String, buckets: Int = 8): (String, String) =
-    cache.getOrElseUpdate(s, dir, {
+    // bucket count is part of the cache identity (the table name already
+    // encodes it — the cache key must too, or a buckets=4 caller after a
+    // buckets=8 one silently gets the 8-bucket tables back)
+    cache.getOrElseUpdate(s, s"$dir#b=$buckets", {
       // expose the buckets' sortBy order to the scan so the join skips
       // its Sort entirely; off by default since Spark 3.0 because
       // multi-file buckets would need a per-file merge — safe here
@@ -49,27 +52,20 @@ object BucketedTables {
     })
 
   private def write(s: SparkSession, dir: String, src: String, table: String,
-      key: String, buckets: Int): Unit = {
-    // a previous JVM's in-memory catalog forgot the table but its
-    // warehouse directory survives — clear both or CREATE fails with
-    // LOCATION_ALREADY_EXISTS
-    s.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    // one FILE per bucket, not just one bucket per file: the scan only
-    // exposes the sortBy order (letting the join skip its Sort) when
-    // every bucket is a single file, so route each bucket's rows to one
-    // write task first (repartition uses the same murmur3 hash as the
-    // bucket spec)
-    Tables(s, dir, src)
-      .repartition(buckets, org.apache.spark.sql.functions.col(key))
-      .write
-      .mode("overwrite")
-      .format("parquet")
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .saveAsTable(table)
-  }
+      key: String, buckets: Int): Unit =
+    WarehouseTables.rewrite(s, table) {
+      // one FILE per bucket, not just one bucket per file: the scan only
+      // exposes the sortBy order (letting the join skip its Sort) when
+      // every bucket is a single file, so route each bucket's rows to one
+      // write task first (repartition uses the same murmur3 hash as the
+      // bucket spec)
+      Tables(s, dir, src)
+        .repartition(buckets, org.apache.spark.sql.functions.col(key))
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    }
 }

@@ -28,7 +28,9 @@ object KCorePeel {
     * peels at threshold `k`: parts sharing an order, restricted each
     * round to vertices of current degree >= k. */
   def peeledEdges(s: SparkSession, dir: String, k: Int = 90, rounds: Int = 3): DataFrame =
-    cache.getOrElseUpdate(s, dir, {
+    // parameters are part of the cache identity — a (k=50) caller after
+    // a (k=90) one must not silently get the k=90 relation back
+    cache.getOrElseUpdate(s, s"$dir#k=$k,rounds=$rounds", {
       val li = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
       val pairs = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&

@@ -31,22 +31,19 @@ object PartitionedEvents {
   def ensure(s: SparkSession, dir: String): String =
     cache.getOrElseUpdate(s, dir, {
       val table = "graft_pd_" + Integer.toHexString(dir.hashCode & 0x7fffffff) + "_events"
-      s.sql(s"DROP TABLE IF EXISTS `$table`")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      // route each day's rows to one write task -> one file per day
-      // directory (the fixture is 30 days; tiny many-files partitions
-      // would model the exact anti-pattern the Scaladoc warns about)
-      Tables(s, dir, "events")
-        .withColumn("d", to_date(col("ts")))
-        .repartition(col("d"))
-        .write
-        .mode("overwrite")
-        .format("parquet")
-        .partitionBy("d")
-        .saveAsTable(table)
+      WarehouseTables.rewrite(s, table) {
+        // route each day's rows to one write task -> one file per day
+        // directory (the fixture is 30 days; tiny many-files partitions
+        // would model the exact anti-pattern the Scaladoc warns about)
+        Tables(s, dir, "events")
+          .withColumn("d", to_date(col("ts")))
+          .repartition(col("d"))
+          .write
+          .mode("overwrite")
+          .format("parquet")
+          .partitionBy("d")
+          .saveAsTable(table)
+      }
       table
     })
 }

@@ -251,7 +251,10 @@ object Behavioral {
     * h1 = 1 for the month's first half. */
   private[graft] def binnedDrift(ev: DataFrame): DataFrame =
     ev.select(col("event_type"),
-      least(floor(col("value") / 50).cast("long"), lit(9L)).as("bin"),
+      // clamped BOTH ends: an unclamped negative value would index
+      // outside the streaming twin's state array (crash) while the
+      // batch spine join silently dropped it — divergent AND fragile
+      greatest(lit(0L), least(floor(col("value") / 50).cast("long"), lit(9L))).as("bin"),
       when(col("ts") < lit("2024-01-16").cast("timestamp"), 1L).otherwise(0L).as("h1"))
 
   /** q107's PSI fold from smoothed per-bin counts, shared with the
@@ -312,7 +315,7 @@ object Behavioral {
           .orderBy(col("event_type"))
       },
       Some("WITH binned AS (SELECT event_type, " +
-        "LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bin, " +
+        "GREATEST(0, LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9)) AS bin, " +
         "CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS h1 FROM events), " +
         "cells AS (SELECT event_type, bin, SUM(h1) AS n1, SUM(1 - h1) AS n2 " +
         "FROM binned GROUP BY 1, 2), " +

@@ -183,22 +183,36 @@ object LlmText {
     * rounded jaccard being nonzero — at corpus scale a genuine 1-shingle
     * overlap between long docs rounds to 0.0000 and must still survive
     * when the contract keeps all overlapping pairs (q44). */
+  /** Exact-verify candidate pairs against the sorted token sets. The
+    * default keep rule filters on the ROUNDED 4-decimal jaccard (the
+    * emitted column); `exactThreshold = Some((tn, td))` filters on the
+    * exact rational td·ninter >= tn·union instead — required when the
+    * candidate generator's losslessness proof is stated for true
+    * J >= tn/td (q46b): a pair with true J in [t − 5e-5, t) ROUNDS to
+    * t and would pass the rounded filter without being guaranteed a
+    * candidate. */
   private[graft] def verifyPairs(cand: DataFrame, sets: DataFrame,
-      minJaccard: Double = 0.35, minInter: Long = 0L): DataFrame = {
+      minJaccard: Double = 0.35, minInter: Long = 0L,
+      exactThreshold: Option[(Int, Int)] = None): DataFrame = {
     import graft.functions.SortedArrayIntersectCount
     import org.apache.spark.sql.graftbridge.ColumnBridge
     def interCount(a: Column, b: Column): Column =
       ColumnBridge.column(SortedArrayIntersectCount(
         ColumnBridge.expression(a), ColumnBridge.expression(b)))
-    cand.join(sets.as("a"), col("doc_a") === col("a.doc_id"))
+    val scored = cand.join(sets.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sets.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         interCount(col("a.hs"), col("b.hs")).as("ninter"),
         (col("a.nbg") + col("b.nbg")).as("ntot"))
       .where(col("ninter") >= minInter)
-      .select(col("doc_a"), col("doc_b"),
-        round(col("ninter").cast("double") / (col("ntot") - col("ninter")), 4).as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
+    val kept = exactThreshold match {
+      case Some((tn, td)) => scored.where(
+        lit(td) * col("ninter") >= lit(tn) * (col("ntot") - col("ninter")))
+      case None => scored
+    }
+    val withJ = kept.select(col("doc_a"), col("doc_b"),
+      round(col("ninter").cast("double") / (col("ntot") - col("ninter")), 4).as("jaccard"))
+    if (exactThreshold.isDefined) withJ else withJ.where(col("jaccard") >= minJaccard)
   }
 
   /** Session-scoped cache of the verified banded pairs. q54 (pairs),
@@ -321,19 +335,21 @@ object LlmText {
   }
 
   /** The exact all-pairs bigram-Jaccard oracle, parameterized only by
-    * the keep threshold: q46 declares it at 0.1 (the brute-force recall
-    * oracle), q46b at 0.7 (the prefix-filtered form) — prefix
-    * filtering is LOSSLESS, so q46b against THIS SQL is exactly q46's
-    * result restricted to >= 0.7. */
-  private def ngramJaccardSql(threshold: String): String =
+    * the keep rule over (ninter, nunion): q46 keeps on the rounded
+    * jaccard >= 0.1 (the brute-force recall oracle); q46b keeps on the
+    * exact rational 10·ninter >= 7·nunion, matching its verify filter —
+    * prefix filtering is LOSSLESS for true J >= 0.7, so q46b against
+    * THIS SQL is exactly q46's result restricted to true J >= 0.7. */
+  private def ngramJaccardSql(keep: String): String =
     "WITH " + shinglesSql(2) + ", " +
       "sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM sh GROUP BY doc_id), " +
       "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter " +
-      "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-      "SELECT doc_a, doc_b, jaccard FROM (" +
-      "SELECT i.doc_a, i.doc_b, ROUND(CAST(i.ninter AS DOUBLE)/(za.nbg + zb.nbg - i.ninter), 4) AS jaccard " +
+      "FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "jj AS (SELECT i.doc_a, i.doc_b, i.ninter, " +
+      "za.nbg + zb.nbg - i.ninter AS nunion " +
       "FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b) " +
-      s"WHERE jaccard >= $threshold ORDER BY doc_a, doc_b"
+      "SELECT doc_a, doc_b, ROUND(CAST(ninter AS DOUBLE)/nunion, 4) AS jaccard " +
+      s"FROM jj WHERE $keep ORDER BY doc_a, doc_b"
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q41_exact_dedup",
@@ -445,7 +461,7 @@ object LlmText {
           .where(col("jaccard") >= 0.1)
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(ngramJaccardSql("0.1"))),
+      Some(ngramJaccardSql("ROUND(CAST(ninter AS DOUBLE)/nunion, 4) >= 0.1"))),
 
     QueryDef("q46b_jaccard_prefix_join",
       // LOSSLESS exact Jaccard join at the production near-dup
@@ -484,10 +500,11 @@ object LlmText {
         val sets = tok.groupBy(col("doc_id"))
           .agg(sort_array(collect_set(col("h"))).as("hs"))
           .select(col("doc_id"), col("hs"), size(col("hs")).as("nbg"))
-        verifyPairs(jaccardPrefixCandidates(tok, 7, 10), sets, minJaccard = 0.7)
+        verifyPairs(jaccardPrefixCandidates(tok, 7, 10), sets,
+          exactThreshold = Some((7, 10)))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(ngramJaccardSql("0.7"))),
+      Some(ngramJaccardSql("10 * ninter >= 7 * nunion"))),
 
     QueryDef("q54_banded_neardup",
       // The composed 100 TB near-dup pipeline (VERDICT round-1 item 1):

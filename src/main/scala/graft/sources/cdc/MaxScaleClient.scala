@@ -113,6 +113,14 @@ final class MaxScaleClient(
             s"$phase: write deadline exceeded (${writeTimeoutMs}ms)")
         else throw e
     } finally task.cancel()
+    // the timer may have fired in the window between the write
+    // completing and cancel() running — the socket is then already
+    // closed and the "successful" write must still surface as a
+    // deadline error here, not as a bare 'Socket closed' on the NEXT
+    // protocol read
+    if (expired.get())
+      throw new MaxScaleProtocolException(
+        s"$phase: write deadline exceeded (${writeTimeoutMs}ms)")
   }
 
   /** Pull the next batch of decoded events. Empty on read timeout (the

@@ -145,10 +145,22 @@ object EventPipelines {
     * inside the lateness window (watermark-bounded, NOT stream-length-
     * bounded); the FSM emits each stage once, so output is ≤ 3 rows per
     * user. Timeouts flush users whose buffered events all age past the
-    * watermark with no new arrivals. */
+    * watermark with no new arrivals.
+    *
+    * State lifecycle: a TERMINAL funnel (completed, or its conversion
+    * horizon expired) collapses to a 4-long TOMBSTONE that swallows the
+    * user's later events — removing the entry outright would let a
+    * later view RE-ENTER stage 1 and re-emit rows batch q82 emits only
+    * once (a state machine with no memory of termination restarts).
+    * The tombstone self-removes once the watermark has advanced
+    * `tombstoneTtlHours` past termination with no arrivals — the
+    * standard state-TTL trade: exact batch parity inside the TTL
+    * window, bounded keyed state (active funnels + tombstones within
+    * TTL) on an unbounded stream. */
   def funnelViaState(events: DataFrame, horizonHours: Int = 24,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour", tombstoneTtlHours: Int = 168): DataFrame = {
     val hMs = horizonHours * 3600000L
+    val ttlMs = tombstoneTtlHours * 3600000L
     events.withWatermark("ts", watermark)
       .select(col("user_id"), col("ts"), col("event_type"))
       .as[(Long, Timestamp, String)](Encoders.tuple(
@@ -160,6 +172,14 @@ object EventPipelines {
             state: GroupState[FunnelAcc]) => {
           val acc = state.getOption.getOrElse(FunnelAcc(0L, 0L, 0L, Nil))
           val wm = state.getCurrentWatermarkMs
+          if (acc.t1Ms == -1L) {
+            // tombstone: the funnel terminated — swallow arrivals so a
+            // later view can't restart stage 1; release on TTL timeout
+            it.foreach(_ => ())
+            if (state.hasTimedOut) state.remove()
+            else state.setTimeoutTimestamp(wm + ttlMs)
+            Iterator.empty
+          } else {
           val all = acc.pending ++ it.map(e => (e._2.getTime, e._3))
           val (ripe, hold) = all.partition(_._1 <= wm)
           var (t1, t2, t3) = (acc.t1Ms, acc.t2Ms, acc.t3Ms)
@@ -173,35 +193,41 @@ object EventPipelines {
               t3 = t; out :+= FunnelStage(user, 3, new Timestamp(t))
             }
           }
-          // terminal users release their state-store entry instead of
-          // keeping it forever: with no held events, the funnel can
-          // never advance once (a) it completed, (b) the conversion
-          // horizon for the next stage has passed the watermark (any
-          // future arrival has event time > watermark — Spark drops
-          // later-late rows before the stateful operator), or (c) no
-          // stage was ever entered (all-zero state ≡ the fresh-user
-          // default, so dropping it is a no-op semantically). Keyed
-          // state then tracks ACTIVE funnels, not every user ever seen.
+          // with no held events, the funnel can never ADVANCE once
+          // (a) it completed, (b) the conversion horizon for the next
+          // stage has passed the watermark (any future arrival has
+          // event time > watermark — Spark drops later-late rows before
+          // the stateful operator), or (c) no stage was ever entered
+          // (all-zero state ≡ the fresh-user default, so dropping it is
+          // a no-op semantically). Case (c) removes outright; (a)/(b)
+          // must NOT — a fresh state would let a later view re-enter
+          // stage 1 — so they collapse to the TTL'd tombstone instead.
           val terminal = hold.isEmpty && (
             t3 != 0L ||
             (t2 != 0L && wm >= t2 + hMs) ||
             (t1 != 0L && t2 == 0L && wm >= t1 + hMs) ||
             t1 == 0L)
-          if (terminal) { if (state.exists) state.remove() }
-          else {
+          if (terminal) {
+            if (t1 == 0L) { if (state.exists) state.remove() }
+            else {
+              state.update(FunnelAcc(-1L, 0L, 0L, Nil))
+              state.setTimeoutTimestamp(wm + ttlMs)
+            }
+          } else {
             state.update(FunnelAcc(t1, t2, t3, hold))
             if (hold.nonEmpty)
               // wake when the watermark can release the oldest held event
               state.setTimeoutTimestamp(math.max(hold.map(_._1).min, wm + 1))
             else if (t2 != 0L)
               // mid-funnel, nothing buffered: wake when the purchase
-              // horizon closes so the entry self-removes (> wm here,
-              // else `terminal` would have fired)
+              // horizon closes so the entry collapses to its tombstone
+              // (> wm here, else `terminal` would have fired)
               state.setTimeoutTimestamp(t2 + hMs)
             else
               state.setTimeoutTimestamp(t1 + hMs) // click horizon
           }
           out.iterator
+          }
         })(Encoders.product[FunnelAcc], Encoders.product[FunnelStage])
       .toDF()
   }

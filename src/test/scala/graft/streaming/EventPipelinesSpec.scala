@@ -307,6 +307,41 @@ class EventPipelinesSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("a terminal funnel never re-emits: later views hit the tombstone") {
+    // completing the funnel must terminate the user's FSM permanently
+    // (within the tombstone TTL): a later view re-entering stage 1 and
+    // re-emitting rows is exactly what batch q82 never does
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventPipelines.funnelViaState(mem.toDF(), horizonHours = 24,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("funnel_tomb")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(50, t("2024-01-01 01:00:00"), 5, "view", 0.0),
+        Ev(51, t("2024-01-01 01:30:00"), 5, "click", 0.0),
+        Ev(52, t("2024-01-01 02:00:00"), 5, "purchase", 0.0))
+      q.processAllAvailable()
+      // advance the watermark far past the purchase so the funnel goes
+      // terminal (tombstone), then send a fresh view for the SAME user
+      // and advance again so it would be released into the FSM
+      mem.addData(Ev(90, t("2024-01-03 00:00:00"), 99, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(53, t("2024-01-03 01:00:00"), 5, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(91, t("2024-01-05 00:00:00"), 99, "view", 0.0))
+      q.processAllAvailable()
+      val u5 = spark.table("funnel_tomb")
+        .where(col("user_id") === 5).collect()
+        .map(r => (r.getInt(1), r.getTimestamp(2).toString)).toSet
+      assert(u5 == Set((1, "2024-01-01 01:00:00.0"), (2, "2024-01-01 01:30:00.0"),
+        (3, "2024-01-01 02:00:00.0")),
+        s"terminal funnel re-emitted after a later view: $u5")
+    } finally q.stop()
+  }
+
   test("full-outer stream-stream join emits unmatched rows from BOTH sides") {
     // the q71b batch shape in streaming form: a purchase with no signup
     // arrives with NULL signup_id AND a signup that attributed nothing
