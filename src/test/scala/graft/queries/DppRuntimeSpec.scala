@@ -51,4 +51,26 @@ class DppRuntimeSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(checked, s"did not find the partitioned events scan; scans seen: $seen")
   }
+
+  test("q100b scans roughly one bucket's rows at runtime") {
+    // numFiles stays 0 for bucketed scans (the driver-side file metric
+    // is only filled on the dynamic-partition path), so pin the runtime
+    // effect through the scan's OUTPUT rows: reading 1 of 8 buckets of
+    // a 1500-row table must surface ~1/8 of the rows (pushed parquet
+    // filters work at row-group granularity, so the scan emits the
+    // bucket's rows, not the final 1) — a full-table scan would emit 8x
+    val df = SparkEntry.queries("q100b_bucket_pruned_lookup")(spark, dir)
+    df.collect()
+    val total = graft.Tables(spark, dir, "orders").count()
+    var checked = false
+    walk(df.queryExecution.executedPlan) { scan =>
+      if (scan.relation.location.rootPaths.exists(_.toString.contains("_orders"))) {
+        val rows = scan.metrics("numOutputRows").value
+        assert(rows > 0 && rows * 4 < total,
+          s"bucket-pruned scan emitted $rows of $total rows — more than a bucket's worth")
+        checked = true
+      }
+    }
+    assert(checked, "did not find the bucketed orders scan in the executed plan")
+  }
 }
