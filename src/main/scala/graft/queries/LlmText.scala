@@ -321,16 +321,34 @@ object LlmText {
       .select(col("doc_id"), col("h"),
         row_number().over(byDoc.orderBy(col("df"), col("h"))).as("pos"),
         count(lit(1)).over(byDoc).as("sz"))
-    val prefix = ordered.where(
+    // asymmetric prefixes (the PPJoin self-join refinement): the LARGER
+    // doc of a pair probes with the standard prefix
+    // sz − ceil(t·sz) + 1, the SMALLER is indexed with the short prefix
+    // sz − ceil(2t/(1+t)·sz) + 1. Lossless GIVEN the length filter:
+    // the minimum overlap α = ceil(t/(1+t)·(sa+sb)) satisfies both
+    // α >= ceil(t·sa) (needs sb >= t·sa — the length filter) and
+    // α >= ceil(2t/(1+t)·sb) (needs sa >= sb — the size ordering), so
+    // the pair's globally-smallest shared token sits inside BOTH
+    // prefixes. At t = 0.7 the index side shrinks from ~30% to ~18%
+    // of each doc — candidate pairs drop ~40%.
+    val probe = ordered.where(
       col("pos") <= col("sz") - expr(s"($tn * sz + ${td - 1}) div $td") + 1)
-    prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+    val index = ordered.where(
+      col("pos") <= col("sz") - expr(s"(2 * $tn * sz + ${tn + td - 1}) div ${tn + td}") + 1)
+    probe.as("a").join(index.as("b"),
+        col("a.h") === col("b.h") &&
+          // b is the smaller side in (sz, doc_id) order
+          (col("b.sz") < col("a.sz") ||
+            (col("b.sz") === col("a.sz") && col("b.doc_id") < col("a.doc_id"))) &&
           // AllPairs length filter: J <= min(sz)/max(sz), so a
-          // qualifying pair needs td*min >= tn*max (integer-exact)
-          expr(s"$td * least(a.sz, b.sz) >= $tn * greatest(a.sz, b.sz)") &&
+          // qualifying pair needs td*min >= tn*max (integer-exact);
+          // REQUIRED for the asymmetric prefixes' losslessness, not
+          // just an optimization
+          expr(s"$td * b.sz >= $tn * a.sz") &&
           expr(s"1 + least(a.sz - a.pos, b.sz - b.pos) >= " +
             s"($tn * (a.sz + b.sz) + ${tn + td - 1}) div ${tn + td}"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
   }
 
