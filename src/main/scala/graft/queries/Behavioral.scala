@@ -271,6 +271,29 @@ object Behavioral {
     }.sum
   }
 
+  /** q108's deterministic cent-bin — shared with the streaming
+    * quantile twin (streaming/QuantileMonitor) like binnedDrift. */
+  private[graft] def centsBinned(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 1000").as("bin"))
+
+  /** q108's quantile rule from a bin→count histogram, shared with the
+    * streaming twin: lower edge of the first bin whose cumulative
+    * count reaches ceil(p·N/100). */
+  private[graft] def histQuantiles(bins: collection.Map[Long, Long]): (Long, Long, Long) = {
+    val n = bins.valuesIterator.sum
+    def q(p: Long): Long = {
+      val need = (p * n + 99) / 100
+      var cum = 0L
+      for ((b, c) <- bins.toSeq.sortBy(_._1)) {
+        cum += c
+        if (cum >= need) return b * 1000
+      }
+      Long.MinValue // unreachable for non-empty histograms
+    }
+    (q(50), q(95), q(99))
+  }
+
   /** q107 in its own val: distribution-drift monitoring. */
   private def drift: Seq[QueryDef] = Seq(
     QueryDef("q107_distribution_drift",
@@ -352,9 +375,7 @@ object Behavioral {
       // demand for any time range — recomputing nothing.
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val hist = events(s, d)
-          .select(col("event_type"),
-            expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 1000").as("bin"))
+        val hist = centsBinned(events(s, d))
           .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("c"))
         val wcum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
