@@ -24,6 +24,26 @@ object BucketedTables {
 
   private val cache = new SessionCache[(String, String)]()
 
+  /** Planner confs the bucketed layout relies on; applied by every
+    * graft session builder at construction so a session never changes
+    * planner configuration mid-flight (see the note in [[ensure]]).
+    *
+    *  - `legacy.bucketedTableScan.outputOrdering=true` exposes the
+    *    buckets' sortBy order to the scan so the join skips its Sort;
+    *    off by default since Spark 3.0 because multi-file buckets would
+    *    need a per-file merge — safe here because the writer routes
+    *    each bucket to exactly one file. Non-bucketed parquet scans are
+    *    unaffected.
+    *  - `autoBucketedScan.enabled=false`: DisableUnnecessaryBucketedScan
+    *    would turn a point lookup's scan back into a plain file scan
+    *    (no join/agg needs the distribution) — discarding static bucket
+    *    PRUNING, the whole point of q100b. Only bucketed-table scans
+    *    are affected, and the only bucketed tables in this app are the
+    *    two written below. */
+  val sessionConfs: Seq[(String, String)] = Seq(
+    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true",
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")
+
   /** Returns (ordersTable, lineitemTable) bucketed+sorted on the order
     * key, writing them on first use in this session. */
   def ensure(s: SparkSession, dir: String, buckets: Int = 8): (String, String) =
@@ -31,19 +51,17 @@ object BucketedTables {
     // encodes it — the cache key must too, or a buckets=4 caller after a
     // buckets=8 one silently gets the 8-bucket tables back)
     cache.getOrElseUpdate(s, s"$dir#b=$buckets", {
-      // expose the buckets' sortBy order to the scan so the join skips
-      // its Sort entirely; off by default since Spark 3.0 because
-      // multi-file buckets would need a per-file merge — safe here
-      // because the writer routes each bucket to exactly one file
-      // (scans of non-bucketed parquet are unaffected by this flag)
-      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-      // DisableUnnecessaryBucketedScan turns a point lookup's scan back
-      // into a plain file scan (no join/agg needs the distribution) —
-      // but that also discards static bucket PRUNING, the whole point
-      // of q100b. Only bucketed-table scans are affected by this flag,
-      // and the only bucketed tables in this app are the two below.
-      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-      val pfx = "graft_b" + buckets + "_" + Integer.toHexString(dir.hashCode & 0x7fffffff)
+      // The two bucketed-scan confs must be active when a q100/q100b
+      // PLAN is compiled (action time, not construction time — the
+      // driver executes lazily), so they cannot be scoped save/restore
+      // around this call. Instead every graft-managed session builder
+      // (Bench, Verify, SparkTestSession) pre-sets them via
+      // [[sessionConfs]], making the planner configuration uniform from
+      // the session's first query — no mid-session flip. The sets below
+      // are then no-ops, kept only so the q100/q100b plan guards still
+      // hold under an externally-built session.
+      sessionConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      val pfx = "graft_b" + buckets + "_" + WarehouseTables.dirDigest(dir)
       val orders = s"${pfx}_orders"
       val lineitem = s"${pfx}_lineitem"
       write(s, dir, "orders", orders, "o_orderkey", buckets)

@@ -30,7 +30,7 @@ object PartitionedEvents {
     * date `d`, writing it on first use in this session. */
   def ensure(s: SparkSession, dir: String): String =
     cache.getOrElseUpdate(s, dir, {
-      val table = "graft_pd_" + Integer.toHexString(dir.hashCode & 0x7fffffff) + "_events"
+      val table = "graft_pd_" + WarehouseTables.dirDigest(dir) + "_events"
       WarehouseTables.rewrite(s, table) {
         // route each day's rows to one write task -> one file per day
         // directory (the fixture is 30 days; tiny many-files partitions

@@ -418,7 +418,17 @@ object Behavioral {
       // q87 move. Scale shape: ONE events scan, map-side partial sums,
       // a types-row result — the same shape at any corpus size.
       (s, d) => {
-        val xy = events(s, d).select(col("event_type"),
+        // ts >= origin filter: for NEGATIVE offsets Spark's `div`
+        // (truncate toward zero) and DuckDB's date_diff (hour-boundary
+        // crossings) disagree (−30 min → x=0 vs x=−1), and a
+        // DST-shifting session TZ could skew the literal parse. The
+        // trend window is the month starting at the origin, so
+        // restricting to it is the semantics; fixtures are entirely
+        // January-2024 (hash unchanged). Sessions run UTC (all graft
+        // builders pin spark.sql.session.timeZone=UTC).
+        val xy = events(s, d)
+          .filter(col("ts") >= expr("TIMESTAMP '2024-01-01 00:00:00'"))
+          .select(col("event_type"),
           expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("y"),
           expr("(unix_timestamp(ts) - unix_timestamp(TIMESTAMP '2024-01-01 00:00:00')) div 3600")
             .as("x"))
@@ -437,7 +447,7 @@ object Behavioral {
       Some("WITH xy AS (SELECT event_type, " +
         "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y, " +
         "CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS x " +
-        "FROM events), " +
+        "FROM events WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'), " +
         "s AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, " +
         "SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM xy GROUP BY 1), " +
         "t AS (SELECT event_type, n, " +

@@ -999,7 +999,13 @@ object Pipeline {
             org.apache.spark.sql.Encoders.scalaDouble,
             org.apache.spark.sql.Encoders.scalaLong,
             org.apache.spark.sql.Encoders.scalaLong))
-        val keyed = docs(s, d).select(col("source"), col("doc_id"), col("n_chars"),
+        // n_chars > 0 guard: a zero-length document would put -Infinity
+        // (ln(u)/0) through the BIGINT cast — Long.MinValue in Spark but
+        // a CAST error in DuckDB. Weight-zero items can never be sampled
+        // under A-ES anyway, so excluding them is the semantics, not a
+        // fixture hack. (Fixtures have no empty docs; hash unchanged.)
+        val keyed = docs(s, d).filter(col("n_chars") > 0)
+          .select(col("source"), col("doc_id"), col("n_chars"),
           (conv(substring(md5(concat(lit("esample:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
             .cast("long") % 1000000L + 1L).as("u_e6"))
           .select(col("source"), col("doc_id"),
@@ -1016,7 +1022,7 @@ object Pipeline {
       Some("WITH keyed AS (SELECT source, doc_id, " +
         "CAST(floor(ln(CAST((CAST(('0x' || substring(md5('esample:' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 1000000 + 1) AS DOUBLE) / CAST(1000000 AS DOUBLE)) " +
         "/ CAST(n_chars AS DOUBLE) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS key_e6 " +
-        "FROM documents) " +
+        "FROM documents WHERE n_chars > 0) " +
         "SELECT source, rk, doc_id, key_e6 FROM (" +
         "SELECT source, doc_id, key_e6, ROW_NUMBER() OVER " +
         "(PARTITION BY source ORDER BY key_e6 DESC, doc_id) AS rk FROM keyed) " +

@@ -152,11 +152,13 @@ object EventPipelines {
     * user's later events — removing the entry outright would let a
     * later view RE-ENTER stage 1 and re-emit rows batch q82 emits only
     * once (a state machine with no memory of termination restarts).
-    * The tombstone self-removes once the watermark has advanced
-    * `tombstoneTtlHours` past termination with no arrivals — the
-    * standard state-TTL trade: exact batch parity inside the TTL
+    * The tombstone self-removes once the watermark passes a deadline
+    * FIXED at termination (wm_at_termination + `tombstoneTtlHours`,
+    * recorded in the state itself) — arrivals never extend it, so even
+    * a user with steady post-conversion traffic releases on schedule.
+    * The standard state-TTL trade: exact batch parity inside the TTL
     * window, bounded keyed state (active funnels + tombstones within
-    * TTL) on an unbounded stream. */
+    * TTL of termination) on an unbounded stream. */
   def funnelViaState(events: DataFrame, horizonHours: Int = 24,
       watermark: String = "1 hour", tombstoneTtlHours: Int = 168): DataFrame = {
     val hMs = horizonHours * 3600000L
@@ -174,10 +176,20 @@ object EventPipelines {
           val wm = state.getCurrentWatermarkMs
           if (acc.t1Ms == -1L) {
             // tombstone: the funnel terminated — swallow arrivals so a
-            // later view can't restart stage 1; release on TTL timeout
+            // later view can't restart stage 1; release on TTL timeout.
+            // The deadline was FIXED at termination (stored in t2Ms):
+            // Spark clears a group's timeout on every invocation, so
+            // re-arm with the stored deadline, NOT wm+ttl — re-arming
+            // from the current watermark would let a user with steady
+            // post-conversion traffic hold their tombstone forever
+            // (state bounded by trafficked users, not by the TTL). The
+            // max(…, wm+1) guard covers the same-trigger race where
+            // data arrives after the watermark already passed the
+            // deadline (a timeout timestamp must exceed the watermark);
+            // it extends the tombstone by at most one trigger.
             it.foreach(_ => ())
             if (state.hasTimedOut) state.remove()
-            else state.setTimeoutTimestamp(wm + ttlMs)
+            else state.setTimeoutTimestamp(math.max(acc.t2Ms, wm + 1))
             Iterator.empty
           } else {
           val all = acc.pending ++ it.map(e => (e._2.getTime, e._3))
@@ -210,7 +222,9 @@ object EventPipelines {
           if (terminal) {
             if (t1 == 0L) { if (state.exists) state.remove() }
             else {
-              state.update(FunnelAcc(-1L, 0L, 0L, Nil))
+              // tombstone with its release deadline recorded in t2Ms:
+              // TTL is measured from TERMINATION, immutable thereafter
+              state.update(FunnelAcc(-1L, wm + ttlMs, 0L, Nil))
               state.setTimeoutTimestamp(wm + ttlMs)
             }
           } else {

@@ -14,14 +14,17 @@ trait SparkTestSession extends BeforeAndAfterAll { self: Suite =>
 
 object SparkTestSession {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // one planner configuration for the whole session (see Bench)
+    graft.operators.BucketedTables.sessionConfs
+      .foreach { case (k, v) => builder.config(k, v) }
+    val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
