@@ -30,19 +30,13 @@ final class TopKRows(k: Int) extends Aggregator[(Double, Long, Long), TopKBuf, S
 
   override def zero: TopKBuf = TopKBuf(Vector.empty)
 
-  override def reduce(b: TopKBuf, a: (Double, Long, Long)): TopKBuf = {
-    // fast reject: full buffer and `a` ranks below the current floor
-    if (b.items.size >= k && !lt(a, b.items.last)) b
-    else {
-      val (hi, lo) = b.items.span(lt(_, a))
-      TopKBuf(((hi :+ a) ++ lo).take(k))
-    }
-  }
+  // insert/merge delegate to BoundedTopK — the single implementation
+  // this Aggregator shares with SourceCap's streaming state machine
+  override def reduce(b: TopKBuf, a: (Double, Long, Long)): TopKBuf =
+    TopKBuf(BoundedTopK.insert(b.items.toVector, a, k)(lt))
 
-  override def merge(x: TopKBuf, y: TopKBuf): TopKBuf = {
-    val out = (x.items ++ y.items).sortWith(lt).take(k)
-    TopKBuf(out)
-  }
+  override def merge(x: TopKBuf, y: TopKBuf): TopKBuf =
+    TopKBuf(BoundedTopK.merge(x.items, y.items, k)(lt))
 
   override def finish(b: TopKBuf): Seq[(Double, Long, Long)] = b.items
 

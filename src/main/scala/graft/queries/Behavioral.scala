@@ -148,25 +148,10 @@ object Behavioral {
       // agg (map-side partial); cells are calendar-bounded, the 5-row
       // per-type stats broadcast back onto them, and the verdict agg is
       // types-sized.
-      (s, d) => {
-        val hc = events(s, d)
+      (s, d) => rateAnomaly(
+        events(s, d)
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-          .agg(count(lit(1)).as("c"))
-        val dec = "decimal(38,0)"
-        val st = hc.groupBy(col("event_type"))
-          .agg(count(lit(1)).cast(dec).as("n"), sum(col("c")).cast(dec).as("t"),
-            sum(col("c").cast(dec) * col("c").cast(dec)).as("s2"))
-        val dev = col("n") * col("c").cast(dec) - col("t")
-        hc.join(broadcast(st), Seq("event_type"))
-          .withColumn("is_anomaly",
-            when(dev * dev > lit(4L) * (col("n") * col("s2") - col("t") * col("t")), 1L)
-              .otherwise(0L))
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_hours"),
-            sum(col("is_anomaly")).cast("long").as("n_anomalies"),
-            max(col("c")).cast("long").as("max_hourly"))
-          .orderBy(col("event_type"))
-      },
+          .agg(count(lit(1)).as("c"))),
       Some("WITH hc AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c " +
         "FROM events GROUP BY 1, 2), " +
         "st AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, SUM(c) AS t, " +
@@ -244,6 +229,31 @@ object Behavioral {
           iter("r2", "c3", "r3").stripSuffix(", ") +
           " SELECT v AS event_type, r AS rank_e6 FROM r3 ORDER BY event_type"
       }))
+
+  /** q87's z-test core over an (event_type, h, c) hour-cell relation —
+    * factored out so the overflow spec can feed SYNTHETIC counts past
+    * the 64-bit wrap (RateAnomalySpec drives cells with c ~ 3e9, where
+    * n·Σc² ≈ 6e19 > 2^63: plain BIGINT arithmetic would wrap and flip
+    * verdicts; decimal(38,0) here and HUGEINT on the DuckDB side stay
+    * exact to ~1e38). Everything after the one events-sized pass runs
+    * on this calendar-bounded cell relation, so only it pays decimal
+    * arithmetic. */
+  private[graft] def rateAnomaly(hc: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val st = hc.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("c")).cast(dec).as("t"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("s2"))
+    val dev = col("n") * col("c").cast(dec) - col("t")
+    hc.join(broadcast(st), Seq("event_type"))
+      .withColumn("is_anomaly",
+        when(dev * dev > lit(4L) * (col("n") * col("s2") - col("t") * col("t")), 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("is_anomaly")).cast("long").as("n_anomalies"),
+        max(col("c")).cast("long").as("max_hourly"))
+      .orderBy(col("event_type"))
+  }
 
   /** q107's deterministic binning — DataFrame-based so the SAME
     * expressions bin a streaming micro-batch (streaming/DriftMonitor,

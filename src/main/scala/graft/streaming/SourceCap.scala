@@ -34,12 +34,9 @@ object SourceCap {
         (src: String, it: Iterator[ScoredDoc], state: org.apache.spark.sql.streaming.GroupState[CapState]) => {
           var items = state.getOption.map(_.items.toVector).getOrElse(Vector.empty)
           it.foreach { d =>
-            val e = (d.score, d.doc_id)
-            // same fast-reject + sorted-insert as TopKRows.reduce
-            if (!(items.size >= k && !lt(e, items.last))) {
-              val (hi, lo) = items.span(lt(_, e))
-              items = ((hi :+ e) ++ lo).take(k)
-            }
+            // the SAME insert as TopKRows.reduce — one implementation,
+            // so the spec-pinned stream==batch parity can't de-sync
+            items = graft.functions.BoundedTopK.insert(items, (d.score, d.doc_id), k)(lt)
           }
           state.update(CapState(items))
           CapOut(src, items)
