@@ -1,0 +1,32 @@
+package graft.queries
+
+import graft.QueryDef
+
+/** The composed CDC-to-analytics entries: queries whose INPUT is not a
+  * fixture parquet scan but the materialized state of a CDC stream
+  * that itself ran through the full wire path (mock server → source →
+  * registry → projection → exactly-once upsert). See
+  * [[graft.streaming.CdcAnalytics]] for the design and the
+  * oracle-checkability argument.
+  */
+object CdcComposed {
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("qc1_cdc_materialized_agg",
+      // End-to-end: scripted insert/update_before/update_after/delete
+      // workload (derived from `customer`) → maxscale-cdc stream →
+      // CdcSnapshotTable exactly-once materialization → q13-shape
+      // aggregation over the final state. The DuckDB oracle computes
+      // the same final state INDEPENDENTLY from `customer` (no CDC
+      // anywhere), so the hash gate certifies the whole pipeline:
+      // framing, decode, projection, binlog ordering, upsert/delete
+      // semantics, and exactly-once delivery.
+      (s, d) => graft.streaming.CdcAnalytics.materializedAgg(s, d),
+      Some("WITH final AS (SELECT c_custkey, c_nationkey, " +
+        "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + " +
+        "CASE WHEN c_custkey % 3 = 0 THEN 10000 ELSE 0 END AS cents " +
+        "FROM customer WHERE c_custkey % 5 <> 0) " +
+        "SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_cust, " +
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents " +
+        "FROM final GROUP BY 1 ORDER BY 1")))
+}

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import graft.Tables
+import graft.sources.cdc.{CdcProjection, SchemaRegistry}
+import graft.sources.cdc.testkit.MockMaxScaleServer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The connector and the engine, composed: a scripted DML workload
+  * flows through the FULL wire path — mock MaxScale server → the
+  * `maxscale-cdc` DSv2 source (framing, decode, offset tracking) →
+  * in-band DDL schema registry → payload projection → exactly-once
+  * copy-on-write upsert materialization ([[CdcSnapshotTable]]) — and
+  * the materialized state then answers an ordinary analytics query
+  * (qc1, a q13-shape aggregation). This is the reference's whole
+  * purpose ("consume a CDC stream and DO something with it" —
+  * `gomaxscale_test.go:81-223` scripts exactly this DDL→DML workload)
+  * carried through to the analytics surface the reference never had.
+  *
+  * ORACLE-CHECKABILITY is the design constraint: the workload is a
+  * pure function of the `customer` fixture table —
+  *   - every customer row is INSERTed (bal in integer cents);
+  *   - custkey % 3 == 0 rows get an update_before/update_after pair
+  *     adding $100 (same binlog sequence, event_number 1 and 2 — the
+  *     MaxScale wire shape for an UPDATE);
+  *   - custkey % 5 == 0 rows are DELETEd last;
+  * so DuckDB can compute the final materialized state INDEPENDENTLY
+  * (plain SQL over `customer`, no CDC machinery) and the driver's
+  * hash gate closes over the entire connector+materializer path: one
+  * dropped event, mis-framed message, mis-ordered merge, or replayed
+  * duplicate anywhere in the pipeline and the hash breaks.
+  *
+  * The workload script itself is built driver-side from a collect of
+  * the customer table — that collect is the MOCK SERVER's binlog (the
+  * external database side of the wire), not part of the analytics
+  * plan; it is bounded by the fixture (15k rows at sf0.1) exactly as
+  * the ingest micro-bench's script is (`Bench.ingestEventsPerSec`).
+  */
+object CdcAnalytics {
+
+  val Database = "graft"
+  val TableName = "customer_bal"
+
+  /** Stable wide schema of the materialized table. */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("custkey", LongType),
+    StructField("nationkey", IntegerType),
+    StructField("bal_cents", LongType)))
+
+  def ddlJson: String =
+    s"""{"namespace":"MaxScaleChangeDataSchema.avro","type":"record","name":"ChangeRecord","table":"$TableName","database":"$Database","version":1,"gtid":"0-1-1","fields":[{"name":"custkey","type":"long"},{"name":"nationkey","type":"int"},{"name":"bal_cents","type":"long"}]}"""
+
+  def dmlJson(seq: Long, eventNumber: Long, op: String,
+      ck: Long, nk: Int, cents: Long): String =
+    s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":$eventNumber,"timestamp":1754956800,"event_type":"$op","custkey":$ck,"nationkey":$nk,"bal_cents":$cents}"""
+
+  /** The deterministic scripted binlog for a fixture dir. Starts with
+    * the DDL — MaxScale sends the schema at the head of every
+    * REQUEST-DATA stream, which is also what makes a RESUMED
+    * connection self-describing: a restart's phase-2 server script is
+    * `ddlJson +: remainingEvents` (see CdcAnalyticsSpec's drill). */
+  def workloadEvents(s: SparkSession, dir: String): Vector[String] = {
+    val rows = customerRows(s, dir)
+    var seq = 0L
+    val out = Vector.newBuilder[String]
+    out += ddlJson
+    rows.foreach { case (ck, nk, cents) =>
+      seq += 1; out += dmlJson(seq, 1, "insert", ck, nk, cents)
+    }
+    rows.filter(_._1 % 3 == 0).foreach { case (ck, nk, cents) =>
+      seq += 1
+      out += dmlJson(seq, 1, "update_before", ck, nk, cents)
+      out += dmlJson(seq, 2, "update_after", ck, nk, cents + 10000L)
+    }
+    rows.filter(_._1 % 5 == 0).foreach { case (ck, nk, cents) =>
+      seq += 1
+      out += dmlJson(seq, 1, "delete", ck, nk,
+        if (ck % 3 == 0) cents + 10000L else cents)
+    }
+    out.result()
+  }
+
+  private def customerRows(s: SparkSession, dir: String): Seq[(Long, Int, Long)] =
+    Tables(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("int"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"))
+      .orderBy(col("c_custkey"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+  /** Run the full wire pipeline over `events`, draining until
+    * `expectRows` rows (DDL + DML) have been consumed IN THIS RUN,
+    * materializing into `snapPath` with offsets checkpointed at
+    * `ckptPath`. Returns the snapshot table handle. Reusing the same
+    * snapPath+ckptPath resumes: the source replays from its committed
+    * offset and the snapshot merges on top of its committed state —
+    * the restart drill in CdcAnalyticsSpec kills a run mid-workload
+    * and proves the resumed result hash-matches the one-shot run. */
+  def runPipeline(s: SparkSession, events: Seq[String], snapPath: String,
+      ckptPath: String, expectRows: Long,
+      timeoutMs: Long = 60000,
+      sourceOptions: Map[String, String] = Map.empty): CdcSnapshotTable = {
+    val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
+    val snap = new CdcSnapshotTable(snapPath, Seq("custkey"), payloadSchema)
+    val reg = new SchemaRegistry
+    val consumed = new java.util.concurrent.atomic.AtomicLong
+    val stream = sourceOptions.foldLeft(
+      s.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("user", "u").option("password", "p")
+        .option("database", Database).option("table", TableName)) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      .load()
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      CdcProjection.registryFrom(batch, reg)
+      if (reg.latest(Database, TableName).isDefined) {
+        val proj = CdcProjection.projectLatest(batch, reg, Database, TableName)
+        snap.applyBatch(proj, bid)
+      }
+      consumed.addAndGet(batch.count())
+      ()
+    }.option("checkpointLocation", ckptPath).start()
+    try {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (consumed.get() < expectRows && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        if (consumed.get() < expectRows) Thread.sleep(50)
+      }
+      require(consumed.get() == expectRows,
+        s"CDC pipeline drained ${consumed.get()} of $expectRows rows")
+    } finally q.stop()
+    snap.prune(s)
+    snap
+  }
+
+  /** qc1's query body: run the whole composition for a fixture dir and
+    * aggregate the materialized state (fresh temp dirs per call — the
+    * entry measures the real pipeline, not a cache hit). */
+  def materializedAgg(s: SparkSession, dir: String): DataFrame = {
+    val events = workloadEvents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc1-cdc").toString
+    val snap = runPipeline(s, events, s"$tmp/snap", s"$tmp/ckpt", events.size.toLong)
+    snap.snapshot(s)
+      .groupBy(col("nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("sum_cents"))
+      .orderBy(col("nationkey"))
+  }
+}

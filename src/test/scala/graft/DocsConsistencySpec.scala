@@ -12,7 +12,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class DocsConsistencySpec extends AnyFunSuite {
 
   private val registered = SparkEntry.queries.keySet
-  private val qname = "q\\d+[a-z]?_[a-z0-9_]+".r
+  // qc? covers the composed CDC entries (qc1_...) next to the plain qNN
+  private val qname = "qc?\\d+[a-z]?_[a-z0-9_]+".r
   private def mentionedIn(path: String): Set[String] = {
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The qc1 composition's failure drills — the properties the oracle
+  * hash can't exercise because Verify only ever runs the happy path:
+  *
+  *  1. mid-workload restart: stop the stream partway through the
+  *     binlog (inside an update_before/update_after pair, so binlog
+  *     ordering spans the outage), restart against a NEW connection
+  *     serving the remainder (schema re-sent at stream head, offsets
+  *     resumed from the checkpoint), and require the final snapshot to
+  *     equal the one-shot run row-for-row;
+  *  2. forced micro-batch fragmentation: maxEventsPerTrigger=37 chops
+  *     the same workload into many batches with update pairs split
+  *     across batch boundaries — batch-boundary placement must not be
+  *     observable in the result;
+  *  3. batch replay: re-applying a committed batchId (what a
+  *     foreachBatch retry after a crash does) must be bit-for-bit
+  *     idempotent on the snapshot.
+  */
+class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(snap: CdcSnapshotTable): Seq[(Long, Int, Long)] =
+    snap.snapshot(spark).orderBy("custkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+  test("mid-workload kill/restart resumes from the checkpoint to the one-shot result") {
+    val events = CdcAnalytics.workloadEvents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("cdc-restart").toString
+
+    val oneShot = CdcAnalytics.runPipeline(spark, events,
+      s"$tmp/ref_snap", s"$tmp/ref_ckpt", events.size.toLong)
+    val expected = rows(oneShot)
+    assert(expected.nonEmpty)
+
+    // cut INSIDE the update section at an odd offset: the last phase-A
+    // event is an update_before whose matching update_after only
+    // arrives after the restart — resume must preserve binlog order
+    // across the outage
+    val cut = 1 + 150 + 37
+    assert(events(cut - 1).contains("update_before") &&
+      events(cut).contains("update_after"),
+      "fixture drift: the cut no longer splits an update pair")
+    val phaseA = events.take(cut)
+    // a reconnect's stream is self-describing: schema first, then data
+    val phaseB = CdcAnalytics.ddlJson +: events.drop(cut)
+
+    CdcAnalytics.runPipeline(spark, phaseA,
+      s"$tmp/snap", s"$tmp/ckpt", phaseA.size.toLong)
+    val resumed = CdcAnalytics.runPipeline(spark, phaseB,
+      s"$tmp/snap", s"$tmp/ckpt", phaseB.size.toLong)
+
+    assert(rows(resumed) == expected)
+  }
+
+  test("micro-batch boundaries are not observable: fragmented run equals one-shot") {
+    val events = CdcAnalytics.workloadEvents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("cdc-frag").toString
+    val ref = CdcAnalytics.runPipeline(spark, events,
+      s"$tmp/ref_snap", s"$tmp/ref_ckpt", events.size.toLong)
+    val frag = CdcAnalytics.runPipeline(spark, events,
+      s"$tmp/frag_snap", s"$tmp/frag_ckpt", events.size.toLong,
+      sourceOptions = Map("maxEventsPerTrigger" -> "37"))
+    assert(frag.snapshotIds(spark).size > 1, "fragmentation did not happen")
+    assert(rows(frag) == rows(ref))
+  }
+
+  test("replaying a committed batchId is bit-for-bit idempotent") {
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Files.createTempDirectory("cdc-replay").toString
+    val snap = new CdcSnapshotTable(tmp, Seq("custkey"), CdcAnalytics.payloadSchema)
+    val cdcSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType) +:
+      org.apache.spark.sql.types.StructField("sequence", org.apache.spark.sql.types.LongType) +:
+      org.apache.spark.sql.types.StructField("event_number", org.apache.spark.sql.types.LongType) +:
+      CdcAnalytics.payloadSchema.fields.toSeq)
+    def batch(rws: Seq[Row]) = spark.createDataFrame(rws.asJava, cdcSchema)
+
+    snap.applyBatch(batch(Seq(
+      Row("insert", 1L, 1L, 1L, 10, 100L),
+      Row("insert", 2L, 1L, 2L, 11, 200L))), 0L)
+    val b1 = batch(Seq(
+      Row("update_before", 3L, 1L, 1L, 10, 100L),
+      Row("update_after", 3L, 2L, 1L, 10, 150L),
+      Row("delete", 4L, 1L, 2L, 11, 200L)))
+    snap.applyBatch(b1, 1L)
+    val before = rows(snap)
+    assert(before == Seq((1L, 10, 150L)))
+
+    snap.applyBatch(b1, 1L) // foreachBatch retry / restart replay
+    assert(rows(snap) == before)
+    assert(snap.snapshotIds(spark) == Seq(0L, 1L))
+  }
+}
