@@ -162,7 +162,7 @@ object Behavioral {
         "FROM hc JOIN st USING (event_type)) " +
         "SELECT event_type, COUNT(*) AS n_hours, CAST(SUM(is_anomaly) AS BIGINT) AS n_anomalies, " +
         "CAST(MAX(c) AS BIGINT) AS max_hourly FROM fl GROUP BY 1 ORDER BY 1"))) ++
-    pagerank ++ drift
+    pagerank ++ drift ++ approxDistinct
 
   /** q92 in its own val so the iteration loop reads top-to-bottom. */
   private def pagerank: Seq[QueryDef] = Seq(
@@ -468,4 +468,49 @@ object Behavioral {
         "WHEN trend_num * 100 < -trend_den THEN 'down' " +
         "ELSE 'flat' END AS direction " +
         "FROM t ORDER BY event_type")))
+
+  /** q111: the grouped mergeable approx-distinct pair. */
+  private def approxDistinct: Seq[QueryDef] = Seq(
+    QueryDef("q111_grouped_approx_distinct",
+      // Grouped MERGEABLE approx-distinct — the monitoring primitive a
+      // 100 TB pipeline runs hourly (distinct users per day × type):
+      // graft.functions.HllDistinct folds user ids into a 4 KB HLL
+      // register array per (group, task) map-side, so the shuffle
+      // carries 4 KB per group per task — NEVER the ids — and exact
+      // distinct's per-key state (the q14/q84 shape, fine at fixture
+      // scale, deadly at 1e9 users/day) is gone. Registers merge by
+      // elementwise max: idempotent, commutative, associative, so the
+      // result is partition- and arrival-order-invariant, and per-day
+      // sketches roll up to coarser windows WITHOUT rescanning.
+      // No DuckDB oracle by nature (approximate — declared rows-only,
+      // the q14b precedent); pinned the MisraGries way instead:
+      // HllDistinctSpec replays the identical fold on the driver
+      // bit-for-bit, proves partition invariance and day→whole-range
+      // register merge-up, and bounds the error against the exact twin
+      // q111b (which carries the hash-gate oracle).
+      (s, d) => {
+        val hll = udaf(new graft.functions.HllDistinct,
+          org.apache.spark.sql.Encoders.scalaLong)
+        events(s, d)
+          .select(date_format(date_trunc("day", col("ts")), Fmt).as("day"),
+            col("event_type"), col("user_id"))
+          .groupBy(col("day"), col("event_type"))
+          .agg(hll(col("user_id")).as("approx_users"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      None),
+    QueryDef("q111b_grouped_exact_distinct",
+      // q111's exact twin: the same grouping through countDistinct,
+      // oracle-checked — the ground truth the sketch's error bound is
+      // measured against (and the shape whose per-key state cost is
+      // the reason q111 exists).
+      (s, d) => events(s, d)
+        .select(date_format(date_trunc("day", col("ts")), Fmt).as("day"),
+          col("event_type"), col("user_id"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("day"), col("event_type")),
+      Some("SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day, " +
+        "event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM events GROUP BY 1, 2 ORDER BY day, event_type")))
 }
