@@ -232,9 +232,31 @@ object LlmText {
   private val pairsCache = new graft.SessionCache[DataFrame](
     df => df.unpersist(blocking = false))
 
+  /** Session-scoped cache of the BIGRAM near-dup state itself — one
+    * level below the pairs cache. Five consumers derive from this one
+    * relation (VERDICT r6 item 6: each used to re-scan and re-shuffle
+    * `documents` for its own copy): the banded pipeline (q54/q57/q61
+    * via [[bandedNearDupPairs]]), q46's exact all-pairs sets and q46b's
+    * prefix-join tokens (both are column subsets/explosions of the
+    * state — same h60 hash, same sorted collect_set), and q66's
+    * streaming waves (state rows are per-doc pure functions of text,
+    * so wave slices of the cached relation are row-identical to
+    * per-wave recomputation). Hashes untouched: persist changes WHEN
+    * the relation is computed, never what it contains. At cluster
+    * scale this is the write-once shingle-state table every dedup
+    * stage reads. */
+  private val stateCache = new graft.SessionCache[DataFrame](
+    df => df.unpersist(blocking = false))
+
+  private[graft] def bigramStateCached(s: SparkSession, d: String): DataFrame =
+    stateCache.getOrElseUpdate(s, d, {
+      nearDupState(docs(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   private[graft] def bandedNearDupPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate(s, d, {
-      val state = nearDupState(docs(s, d))
+      val state = bigramStateCached(s, d)
       verifyPairs(
         bandedCandidates(state, 8, 2),
         state.select(col("doc_id"), col("hs"), col("nbg")))
@@ -296,12 +318,13 @@ object LlmText {
           lit(0.3) * (col("n_stop").cast("double") / col("n_tok")) +
           lit(0.3) * least((col("n_char").cast("double") / col("n_tok")) / 5.0, lit(1.0)))
 
-  /** Distinct (doc_id, 60-bit bigram hash) tokens — the shared input of
-    * q46b's prefix index and its verify sets. */
-  private[graft] def bigramTokens(s: SparkSession, d: String): DataFrame = {
-    val h60 = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
-    shingles(s, d, 2).select(col("doc_id"), h60.as("h"))
-  }
+  /** Distinct (doc_id, 60-bit bigram hash) tokens — q46b's prefix-index
+    * input, derived by EXPLODING the cached state's sorted hash sets
+    * (hs IS the distinct h60 set, so this is row-identical to the old
+    * re-derivation from `documents` — hash-pinned by the oracle — but
+    * costs an in-memory explode instead of a scan + shuffle). */
+  private[graft] def bigramTokens(s: SparkSession, d: String): DataFrame =
+    bigramStateCached(s, d).select(col("doc_id"), explode(col("hs")).as("h"))
 
   /** AllPairs/PPJoin candidate pairs for jaccard >= tn/td over a
     * (doc_id, h) token relation — LOSSLESS: a superset of the true
@@ -458,12 +481,10 @@ object LlmText {
         def interCount(a: Column, b: Column): Column =
           ColumnBridge.column(SortedArrayIntersectCount(
             ColumnBridge.expression(a), ColumnBridge.expression(b)))
-        val h60 = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
-        val sets = shingles(s, d, 2)
-          .select(col("doc_id"), h60.as("h"))
-          .groupBy(col("doc_id"))
-          .agg(sort_array(collect_set(col("h"))).as("hs"))
-          .select(col("doc_id"), col("hs"), size(col("hs")).as("nbg"))
+        // (doc_id, hs, nbg) is a column subset of the shared cached
+        // bigram state — same h60 hash, same sorted collect_set
+        val sets = bigramStateCached(s, d)
+          .select(col("doc_id"), col("hs"), col("nbg"))
         // the stream side must be spread explicitly: a few thousand
         // aggregated rows land in one (AQE-coalesced) partition, which
         // would serialize the O(n²) pair loop into a single task
@@ -515,9 +536,8 @@ object LlmText {
       // no n².
       (s, d) => {
         val tok = bigramTokens(s, d)
-        val sets = tok.groupBy(col("doc_id"))
-          .agg(sort_array(collect_set(col("h"))).as("hs"))
-          .select(col("doc_id"), col("hs"), size(col("hs")).as("nbg"))
+        val sets = bigramStateCached(s, d)
+          .select(col("doc_id"), col("hs"), col("nbg"))
         verifyPairs(jaccardPrefixCandidates(tok, 7, 10), sets,
           exactThreshold = Some((7, 10)))
           .orderBy(col("doc_a"), col("doc_b"))

@@ -402,13 +402,12 @@ object Pipeline {
         val statePath = java.nio.file.Files
           .createTempDirectory("q66-incremental").toString
         val inc = new IncrementalNearDup(statePath)
-        val docsDf = docs(s, d).select(col("doc_id"), col("text"))
-        // the whole corpus is known here, so the per-doc signature state
-        // is computed in ONE scan and each wave gets its slice — the
-        // wire path (processBatch) computes it per batch; state rows
-        // are per-doc pure functions of text, so the slices are
-        // row-identical to per-wave recomputation (hash unchanged)
-        val st = LlmText.nearDupState(docsDf).localCheckpoint(true)
+        // the whole corpus is known here, so each wave gets its slice
+        // of the SESSION-CACHED per-doc signature state (the wire path,
+        // processBatch, computes it per batch; state rows are per-doc
+        // pure functions of text, so slices of the shared relation are
+        // row-identical to per-wave recomputation — hash unchanged)
+        val st = LlmText.bigramStateCached(s, d)
         inc.processState(st.where(col("doc_id") % 2 === 0), 0L)
         inc.processState(st.where(col("doc_id") % 2 === 1), 1L)
         inc.groups(s)

@@ -72,21 +72,30 @@ final class IncrementalNearDup(statePath: String) {
     val newBands = LlmText.bandKeys(state, 8, 2)
 
     val oldBands = readStateOr(spark, s"$statePath/bands", newBands.schema)
-    val allBands = oldBands.unionByName(newBands)
-    // hot-bucket cap over the combined index (see class doc)
-    val smallKeys = allBands.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") <= LlmText.HotBucketCap)
-      .select(col("band"), col("key"))
-    val probe = newBands.join(smallKeys, Seq("band", "key"), "left_semi")
-    val index = allBands.join(smallKeys, Seq("band", "key"), "left_semi")
-    // new-vs-all: canonicalize so (a, b) is found once regardless of
-    // which side is the new doc
-    val cand = probe.as("x").join(index.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") =!= col("y.doc_id"))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    // ONE shuffle for count + cap + candidate generation (VERDICT r6
+    // item 4 — previously a count agg, two semi-joins, and a two-sided
+    // self equi-join over the same band rows): tag each band row with
+    // its origin, group the TAGGED union by bucket, apply the
+    // hot-bucket cap as a size filter ON the grouped row, and expand
+    // new-vs-all pairs inside the task. The expansion is bounded by
+    // the cap (≤ HotBucketCap structs per group — the same bound the
+    // semi-join form enforced), so no bucket can blow up a task at
+    // 100 TB; candidates are row-identical to the join form
+    // (spec-pinned stream==batch, q66 oracle hash unchanged).
+    val tagged = oldBands.withColumn("is_new", lit(false))
+      .unionByName(newBands.withColumn("is_new", lit(true)))
+    val buckets = tagged.groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("ms"))
+      .where(size(col("ms")) <= LlmText.HotBucketCap)
+    // new-vs-all within the bucket: canonicalize so (a, b) is found
+    // once regardless of which side is the new doc
+    val cand = buckets
+      .select(explode(col("ms")).as("x"), col("ms"))
+      .where(col("x.is_new"))
+      .select(col("x.doc_id").as("xd"), explode(col("ms")).as("y"))
+      .where(col("y.doc_id") =!= col("xd"))
+      .select(least(col("xd"), col("y.doc_id")).as("doc_a"),
+        greatest(col("xd"), col("y.doc_id")).as("doc_b"))
       .distinct()
 
     val oldSets = readStateOr(spark, s"$statePath/sets", newSets.schema)
@@ -102,9 +111,18 @@ final class IncrementalNearDup(statePath: String) {
     val freshSets = newSets.join(oldSets.select("doc_id"), Seq("doc_id"), "left_anti")
     val freshBands = newBands.join(oldBands.select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
-    fresh.write.mode("append").parquet(s"$statePath/pairs")
-    freshBands.write.mode("append").parquet(s"$statePath/bands")
-    freshSets.write.mode("append").parquet(s"$statePath/sets")
+    // the three appends are INDEPENDENT jobs (each reads only committed
+    // state dirs, none reads a dir being written), so they run
+    // concurrently: per-wave latency is the slowest chain (the verify
+    // behind `fresh`), not the sum — the driver-side analog of AQE's
+    // parallel stages, worth ~1 s/wave of pure scheduling serialization
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(fresh.write.mode("append").parquet(s"$statePath/pairs")),
+      Future(freshBands.write.mode("append").parquet(s"$statePath/bands")),
+      Future(freshSets.write.mode("append").parquet(s"$statePath/sets")))),
+      scala.concurrent.duration.Duration.Inf)
   }
 
   /** Compact a state directory tree: per-batch appends accumulate one
