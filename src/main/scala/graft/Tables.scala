@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver's parquet fixture tables (TESTDATA.md).
   *
@@ -16,14 +16,20 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    // default; read it as a nanos long and truncate to µs — the same
-    // precision DuckDB coerces TIMESTAMP_NS to, keeping the oracle exact.
+    // events.ts has shipped as TIMESTAMP(NANOS) (which Spark 4 rejects
+    // by default) and, since the 2026-08-13 fixture regeneration, as
+    // µs-precision with isAdjustedToUTC=false (which Spark 4 infers as
+    // TIMESTAMP_NTZ — a type unix_micros()/bigint casts reject). Both
+    // normalize HERE, the single fixture chokepoint, to a session-TZ
+    // TIMESTAMP: the sessions all run UTC, so the NTZ→LTZ cast and the
+    // nanos→µs truncation land on the exact instants DuckDB's naive
+    // TIMESTAMP oracle sees.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None => df
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) => df.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      case _ => df
     }
   }
 }

@@ -759,5 +759,76 @@ object LlmText {
         "SELECT d.node AS doc_id, d.deg, COALESCE(tn.triangles, 0) AS triangles, " +
         "CASE WHEN d.deg >= 2 THEN CAST((2 * COALESCE(tn.triangles, 0) * 1000000) // " +
         "(d.deg * (d.deg - 1)) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS cc_micro " +
-        "FROM deg d LEFT JOIN tn ON tn.node = d.node ORDER BY doc_id")))
+        "FROM deg d LEFT JOIN tn ON tn.node = d.node ORDER BY doc_id")),
+
+    QueryDef("q112_duplicate_spans",
+      // Exact SUBSTRING-level dedup (the Lee et al. 2022 "Deduplicating
+      // Training Data" granularity, at word-5-gram resolution): for
+      // every doc, the maximal token spans covered by at least one
+      // 5-gram that also occurs in ANOTHER document. Doc-level dedup
+      // (q41/q44/q54) drops whole near-identical documents; THIS finds
+      // the boilerplate paragraph pasted into 10k otherwise-unique
+      // pages — the duplication mode doc-level methods are blind to.
+      // Output per affected doc: merged span count, duplicated-token
+      // count, doc length (span EXTENTS, not gram hit counts —
+      // overlapping/adjacent gram hits are unioned into islands first).
+      // Scale shape — and why this, unlike pair-based dedup, has NO n²
+      // risk anywhere: (1) one shuffle keyed on the 32-bit gram hash
+      // counts distinct docs per gram (partial-agg combines repeats
+      // map-side; a corpus-hot boilerplate gram costs ONE row per
+      // partition, never a pair explosion); (2) the dup-gram set
+      // semi-joins back to gram occurrences on the same hash key (same
+      // partitioning → ReuseExchange, no extra shuffle of the big
+      // side); (3) island-merge is a per-doc window — state bounded by
+      // doc length, partition count by docs, never by corpus. Contrast
+      // q44/q54: those emit candidate PAIRS (bounded only by banding
+      // caps); this emits one row per gram occurrence, linear always.
+      (s, d) => {
+        val n = 5
+        val t = docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .where(size(col("t")) >= n)
+        val g = t.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+            posexplode(expr(
+              s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', ${(0 until n).map(k => s"t[i+$k]").mkString(", ")}))")))
+          .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"),
+            h32(col("col")).as("h"))
+        val dup = g.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 2).select(col("h"))
+        val hits = g.join(dup, Seq("h"))
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val flagged = hits.withColumn("prev_end",
+            max(col("pos") + lit(n - 1)).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("nf",
+            when(col("pos") > coalesce(col("prev_end"), lit(-2L)) + 1, 1L).otherwise(0L))
+        val islands = flagged.withColumn("iid", sum(col("nf")).over(byDoc))
+        val spans = islands.groupBy(col("doc_id"), col("iid"))
+          .agg(max(col("n_tokens")).as("n_tokens"),
+            min(col("pos")).as("s"), (max(col("pos")) + lit(n - 1)).as("e"))
+        spans.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("e") - col("s") + 1).as("dup_tokens"),
+            max(col("n_tokens")).as("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val n = 5
+        val parts = (0 until n).map(k => s"t[i+${k + 1}]").mkString(" || ' ' || ")
+        "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents " +
+          s"WHERE len(string_split(text,' ')) >= $n), " +
+          "g AS (SELECT doc_id, len(t) AS n_tokens, i-1 AS pos, " +
+          s"CAST(('0x' || substring(md5($parts),1,8)) AS BIGINT) AS h " +
+          s"FROM toks JOIN (SELECT UNNEST(range(1,200)) AS i) ix ON i <= len(t)-${n - 1}), " +
+          "dup AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY h) WHERE nd >= 2), " +
+          "hits AS (SELECT doc_id, n_tokens, pos FROM g JOIN dup USING (h)), " +
+          "fl AS (SELECT doc_id, n_tokens, pos, " +
+          s"CASE WHEN pos > COALESCE(MAX(pos+${n - 1}) OVER (PARTITION BY doc_id ORDER BY pos " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS nf FROM hits), " +
+          "isl AS (SELECT doc_id, n_tokens, pos, SUM(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS iid FROM fl), " +
+          "sp AS (SELECT doc_id, iid, MAX(n_tokens) AS n_tokens, MIN(pos) AS s, " +
+          s"MAX(pos)+${n - 1} AS e FROM isl GROUP BY 1,2) " +
+          "SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(e-s+1) AS BIGINT) AS dup_tokens, MAX(n_tokens) AS n_tokens " +
+          "FROM sp GROUP BY doc_id ORDER BY doc_id"
+      }))
 }
