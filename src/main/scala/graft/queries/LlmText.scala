@@ -814,12 +814,18 @@ object LlmText {
       },
       Some {
         val n = 5
-        val parts = (0 until n).map(k => s"t[i+${k + 1}]").mkString(" || ' ' || ")
+        // i is 1-based (DuckDB list indexing): gram at pos = i-1 covers
+        // tokens i..i+n-1, matching the Spark side's t[pos..pos+n-1].
+        val parts = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
         "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents " +
           s"WHERE len(string_split(text,' ')) >= $n), " +
+          // position range derived from the corpus max doc length — a
+          // longer fixture widens the range instead of silently
+          // truncating gram enumeration (was a fixed range(1,200)).
+          "ix AS (SELECT UNNEST(range(1, (SELECT 1 + MAX(len(t)) FROM toks))) AS i), " +
           "g AS (SELECT doc_id, len(t) AS n_tokens, i-1 AS pos, " +
           s"CAST(('0x' || substring(md5($parts),1,8)) AS BIGINT) AS h " +
-          s"FROM toks JOIN (SELECT UNNEST(range(1,200)) AS i) ix ON i <= len(t)-${n - 1}), " +
+          s"FROM toks JOIN ix ON i <= len(t)-${n - 1}), " +
           "dup AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY h) WHERE nd >= 2), " +
           "hits AS (SELECT doc_id, n_tokens, pos FROM g JOIN dup USING (h)), " +
           "fl AS (SELECT doc_id, n_tokens, pos, " +
