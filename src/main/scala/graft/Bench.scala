@@ -49,13 +49,18 @@ object Bench {
       q.run(spark, sfDir).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // local-iteration filter (the driver sets no filter → full suite)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val defs = if (only.isEmpty) SparkEntry.allDefs
+      else SparkEntry.allDefs.filter(q => only(q.name))
     val passes = (1 to 3).map { _ =>
-      SparkEntry.allDefs.map { q =>
+      defs.map { q =>
         q.name -> (try once(q) catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1.0 })
       }.toMap
     }
-    val results = SparkEntry.allDefs.map { q =>
+    val results = defs.map { q =>
       val ts = passes.map(_(q.name))
       q.name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }

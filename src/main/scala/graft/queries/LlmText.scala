@@ -248,10 +248,21 @@ object LlmText {
   private val stateCache = new graft.SessionCache[DataFrame](
     df => df.unpersist(blocking = false))
 
+  // Both shared relations are materialized via eager localCheckpoint
+  // (MEMORY_AND_DISK blocks, lineage TRUNCATED) rather than persist():
+  // consumers reference them up to 6× in one plan (q99's census alone
+  // scans pairs/oriented six times), and a persisted DF still carries
+  // the full MinHash→verify logical tree into every reference — each
+  // AQE stage re-plans over it, which measured 2.4 s for a 256-row
+  // graph vs 0.6 s once the plan is a bare LogicalRDD (round-8 probe;
+  // the r7 q99/q63 regression). Cluster-scale analog: the verified
+  // pairs are WRITTEN ONCE as a table and every stage reads the table,
+  // not the pipeline that produced it. (Trade-off localCheckpoint
+  // accepts: blocks are not recomputable on executor loss — on a real
+  // cluster this relation would be a reliable checkpoint/table write.)
   private[graft] def bigramStateCached(s: SparkSession, d: String): DataFrame =
     stateCache.getOrElseUpdate(s, d, {
-      nearDupState(docs(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nearDupState(docs(s, d)).localCheckpoint(true)
     })
 
   private[graft] def bandedNearDupPairs(s: SparkSession, d: String): DataFrame =
@@ -260,7 +271,7 @@ object LlmText {
       verifyPairs(
         bandedCandidates(state, 8, 2),
         state.select(col("doc_id"), col("hs"), col("nbg")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
     })
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` —

@@ -435,7 +435,11 @@ object Pipeline {
       (s, d) => {
         val tok = docs(s, d).select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
-        val ntok = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+        // n_tok = Σ c re-aggregated from tf — same number as counting the
+        // raw explode, but the shuffle input is per-doc DISTINCT terms
+        // (tf is already doc_id-partitioned → no second full-token
+        // shuffle, and the re-agg reuses tf's exchange)
+        val ntok = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("n_tok"))
         val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
         val scored = tf.join(ntok, Seq("doc_id")).join(dfc, Seq("term"))
