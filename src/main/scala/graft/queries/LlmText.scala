@@ -337,6 +337,60 @@ object LlmText {
   private[graft] def bigramTokens(s: SparkSession, d: String): DataFrame =
     bigramStateCached(s, d).select(col("doc_id"), explode(col("hs")).as("h"))
 
+  /** One row per word-n-gram OCCURRENCE with its position:
+    * (doc_id, n, n_tokens, pos, h) — the input relation for
+    * substring-level dedup (q112 family). `ns` admits several gram
+    * lengths in ONE scan: the per-doc token array is split once and
+    * every resolution's grams are emitted from the same projection
+    * (a doc shorter than a given n simply emits no grams at that n).
+    * DataFrame-in/DataFrame-out so the same stage grams a batch table
+    * or a streaming micro-batch (the nearDupState doctrine). */
+  private[graft] def dupSpanGrams(docsDf: DataFrame, ns: Int*): DataFrame = {
+    val nsLit = ns.mkString(", ")
+    docsDf.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= ns.min)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        explode(expr(
+          // slice() is 1-based; gram at 0-based pos i covers tokens
+          // i..i+n-1. filter() drops resolutions longer than the doc
+          // BEFORE sequence() would produce a descending range.
+          s"flatten(transform(filter(array($nsLit), n -> size(t) >= n), " +
+            "n -> transform(sequence(0, size(t)-n), " +
+            "i -> struct(n AS n, CAST(i AS BIGINT) AS pos, " +
+            "array_join(slice(t, i+1, n), ' ') AS gram))))")).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("n_tokens"),
+        col("g.pos").as("pos"), h32(col("g.gram")).as("h"))
+  }
+
+  /** Island-merged duplicate-span statistics over a [[dupSpanGrams]]
+    * relation (accumulated streaming state or a one-shot batch):
+    * grams whose hash occurs in ≥2 DISTINCT docs (min≠max over doc_id —
+    * a plain hash agg, cheaper than countDistinct's expand and
+    * equivalent for a ≥2 test) mark their positions; overlapping or
+    * adjacent marked windows union into islands per (doc, n); output is
+    * one row per affected (doc, n) with span count / covered tokens /
+    * doc length. The dup agg and the hit join shuffle on the SAME key
+    * (n, h), so the exchange is planned once and reused. */
+  private[graft] def dupSpanStats(grams: DataFrame): DataFrame = {
+    val dup = grams.groupBy(col("n"), col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .where(col("mn") =!= col("mx")).select(col("n"), col("h"))
+    val hits = grams.join(dup, Seq("n", "h"))
+    val byDoc = Window.partitionBy(col("doc_id"), col("n")).orderBy(col("pos"))
+    val flagged = hits.withColumn("prev_end",
+        max(col("pos") + col("n") - 1).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nf",
+        when(col("pos") > coalesce(col("prev_end"), lit(-2L)) + 1, 1L).otherwise(0L))
+    val islands = flagged.withColumn("iid", sum(col("nf")).over(byDoc))
+    val spans = islands.groupBy(col("doc_id"), col("n"), col("iid"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        min(col("pos")).as("s"), (max(col("pos")) + col("n") - 1).as("e"))
+    spans.groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        max(col("n_tokens")).as("n_tokens"))
+  }
+
   /** AllPairs/PPJoin candidate pairs for jaccard >= tn/td over a
     * (doc_id, h) token relation — LOSSLESS: a superset of the true
     * result pairs, a (often drastic) subset of all n² pairs. Tokens are
@@ -794,58 +848,101 @@ object LlmText {
       // doc length, partition count by docs, never by corpus. Contrast
       // q44/q54: those emit candidate PAIRS (bounded only by banding
       // caps); this emits one row per gram occurrence, linear always.
+      (s, d) => dupSpanStats(dupSpanGrams(docs(s, d), 5))
+        .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"))
+        .orderBy(col("doc_id")),
+      Some(DupSpanOracleSql)),
+
+    QueryDef("q112s_incremental_dup_spans",
+      // The STREAMING q112 under the batch oracle (the q66 doctrine):
+      // documents arrive in two deterministic waves through
+      // IncrementalDupSpans — each wave only grams and APPENDS its own
+      // docs (no per-batch cross-doc work at all; the shared-gram
+      // decision is one hash agg at emission time over the accumulated
+      // state) — and the final span stats are checked against the SAME
+      // DuckDB oracle as batch q112. Stream==batch holds by
+      // construction: the state is a pure union of per-doc pure
+      // functions of text, so arrival order cannot change it.
       (s, d) => {
-        val n = 5
-        val t = docs(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .where(size(col("t")) >= n)
-        val g = t.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
-            posexplode(expr(
-              s"transform(sequence(0, size(t)-$n), i -> concat_ws(' ', ${(0 until n).map(k => s"t[i+$k]").mkString(", ")}))")))
-          .select(col("doc_id"), col("n_tokens"), col("pos").cast("long").as("pos"),
-            h32(col("col")).as("h"))
-        val dup = g.groupBy(col("h"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .where(col("nd") >= 2).select(col("h"))
-        val hits = g.join(dup, Seq("h"))
-        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val flagged = hits.withColumn("prev_end",
-            max(col("pos") + lit(n - 1)).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
-          .withColumn("nf",
-            when(col("pos") > coalesce(col("prev_end"), lit(-2L)) + 1, 1L).otherwise(0L))
-        val islands = flagged.withColumn("iid", sum(col("nf")).over(byDoc))
-        val spans = islands.groupBy(col("doc_id"), col("iid"))
-          .agg(max(col("n_tokens")).as("n_tokens"),
-            min(col("pos")).as("s"), (max(col("pos")) + lit(n - 1)).as("e"))
-        spans.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_spans"),
-            sum(col("e") - col("s") + 1).as("dup_tokens"),
-            max(col("n_tokens")).as("n_tokens"))
-          .orderBy(col("doc_id"))
+        import graft.streaming.IncrementalDupSpans
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q112s-incremental").toString
+        val inc = new IncrementalDupSpans(statePath)
+        val src = docs(s, d).select(col("doc_id"), col("text"))
+        inc.processBatch(src.where(col("doc_id") % 2 === 0), 0L)
+        inc.processBatch(src.where(col("doc_id") % 2 === 1), 1L)
+        inc.spans(s).orderBy(col("doc_id"))
       },
-      Some {
-        val n = 5
-        // i is 1-based (DuckDB list indexing): gram at pos = i-1 covers
-        // tokens i..i+n-1, matching the Spark side's t[pos..pos+n-1].
-        val parts = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+      Some(DupSpanOracleSql)),
+
+    QueryDef("q112b_multiscale_dup_spans",
+      // Multi-RESOLUTION duplicate spans: the q112 statistic at n ∈
+      // {5, 10, 20} side by side, long format (doc_id, n, …). Lee et
+      // al. 2022 dedup at a 50-token threshold ≈ large n (high
+      // precision, misses short boilerplate); n=5 is high-sensitivity
+      // (flags short common idioms too). Because any shared n-token run
+      // contains all its shared sub-runs, coverage at a smaller n is a
+      // SUPERSET per doc — the three rows bound the true duplication
+      // between "verbatim paragraphs" (n=20) and "any shared phrase"
+      // (n=5), which is the knob a curation pass actually tunes.
+      // Scale shape: ONE scan emits every resolution's grams from the
+      // same token array (dupSpanGrams' flatten-transform), ONE
+      // shuffle keyed (n, h) serves both the dup agg and the hit join
+      // (ReuseExchange), islands window per (doc, n) — still linear,
+      // ~3× the gram rows of q112.
+      (s, d) => dupSpanStats(dupSpanGrams(docs(s, d), 5, 10, 20))
+        .select(col("doc_id"), col("n"), col("n_spans"),
+          col("dup_tokens"), col("n_tokens"))
+        .orderBy(col("doc_id"), col("n")),
+      Some(
         "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents " +
-          s"WHERE len(string_split(text,' ')) >= $n), " +
-          // position range derived from the corpus max doc length — a
-          // longer fixture widens the range instead of silently
-          // truncating gram enumeration (was a fixed range(1,200)).
+          "WHERE len(string_split(text,' ')) >= 5), " +
+          "ns AS (SELECT UNNEST([5, 10, 20]) AS n), " +
           "ix AS (SELECT UNNEST(range(1, (SELECT 1 + MAX(len(t)) FROM toks))) AS i), " +
-          "g AS (SELECT doc_id, len(t) AS n_tokens, i-1 AS pos, " +
-          s"CAST(('0x' || substring(md5($parts),1,8)) AS BIGINT) AS h " +
-          s"FROM toks JOIN ix ON i <= len(t)-${n - 1}), " +
-          "dup AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY h) WHERE nd >= 2), " +
-          "hits AS (SELECT doc_id, n_tokens, pos FROM g JOIN dup USING (h)), " +
-          "fl AS (SELECT doc_id, n_tokens, pos, " +
-          s"CASE WHEN pos > COALESCE(MAX(pos+${n - 1}) OVER (PARTITION BY doc_id ORDER BY pos " +
+          // t[i:i+n-1] is 1-based inclusive slicing = the Spark side's
+          // slice(t, i+1, n) at 0-based pos i-1
+          "g AS (SELECT doc_id, n, len(t) AS n_tokens, i-1 AS pos, " +
+          "CAST(('0x' || substring(md5(array_to_string(t[i:i+n-1],' ')),1,8)) AS BIGINT) AS h " +
+          "FROM toks CROSS JOIN ns JOIN ix ON i <= len(t)-n+1), " +
+          "dup AS (SELECT n, h FROM (SELECT n, h, MIN(doc_id) AS mn, MAX(doc_id) AS mx " +
+          "FROM g GROUP BY n, h) WHERE mn <> mx), " +
+          "hits AS (SELECT doc_id, n, n_tokens, pos FROM g JOIN dup USING (n, h)), " +
+          "fl AS (SELECT doc_id, n, n_tokens, pos, " +
+          "CASE WHEN pos > COALESCE(MAX(pos+n-1) OVER (PARTITION BY doc_id, n ORDER BY pos " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS nf FROM hits), " +
-          "isl AS (SELECT doc_id, n_tokens, pos, SUM(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS iid FROM fl), " +
-          "sp AS (SELECT doc_id, iid, MAX(n_tokens) AS n_tokens, MIN(pos) AS s, " +
-          s"MAX(pos)+${n - 1} AS e FROM isl GROUP BY 1,2) " +
-          "SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(e-s+1) AS BIGINT) AS dup_tokens, MAX(n_tokens) AS n_tokens " +
-          "FROM sp GROUP BY doc_id ORDER BY doc_id"
-      }))
+          "isl AS (SELECT doc_id, n, n_tokens, pos, " +
+          "SUM(nf) OVER (PARTITION BY doc_id, n ORDER BY pos) AS iid FROM fl), " +
+          "sp AS (SELECT doc_id, n, iid, MAX(n_tokens) AS n_tokens, MIN(pos) AS s, " +
+          "MAX(pos)+n-1 AS e FROM isl GROUP BY 1,2,3) " +
+          "SELECT doc_id, n, COUNT(*) AS n_spans, CAST(SUM(e-s+1) AS BIGINT) AS dup_tokens, " +
+          "MAX(n_tokens) AS n_tokens FROM sp GROUP BY doc_id, n ORDER BY doc_id, n")))
+
+  /** DuckDB oracle for the q112 span statistic (batch q112 AND its
+    * streaming twin q112s — the stream==batch claim held at the hash
+    * gate, the q66 precedent). */
+  private val DupSpanOracleSql: String = {
+    val n = 5
+    // i is 1-based (DuckDB list indexing): gram at pos = i-1 covers
+    // tokens i..i+n-1, matching the Spark side's t[pos..pos+n-1].
+    // The position range is derived from the corpus max doc length — a
+    // longer fixture widens the range instead of silently truncating
+    // gram enumeration (was a fixed range(1,200)).
+    val parts = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents " +
+      s"WHERE len(string_split(text,' ')) >= $n), " +
+      "ix AS (SELECT UNNEST(range(1, (SELECT 1 + MAX(len(t)) FROM toks))) AS i), " +
+      "g AS (SELECT doc_id, len(t) AS n_tokens, i-1 AS pos, " +
+      s"CAST(('0x' || substring(md5($parts),1,8)) AS BIGINT) AS h " +
+      s"FROM toks JOIN ix ON i <= len(t)-${n - 1}), " +
+      "dup AS (SELECT h FROM (SELECT h, MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM g GROUP BY h) WHERE mn <> mx), " +
+      "hits AS (SELECT doc_id, n_tokens, pos FROM g JOIN dup USING (h)), " +
+      "fl AS (SELECT doc_id, n_tokens, pos, " +
+      s"CASE WHEN pos > COALESCE(MAX(pos+${n - 1}) OVER (PARTITION BY doc_id ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS nf FROM hits), " +
+      "isl AS (SELECT doc_id, n_tokens, pos, SUM(nf) OVER (PARTITION BY doc_id ORDER BY pos) AS iid FROM fl), " +
+      "sp AS (SELECT doc_id, iid, MAX(n_tokens) AS n_tokens, MIN(pos) AS s, " +
+      s"MAX(pos)+${n - 1} AS e FROM isl GROUP BY 1,2) " +
+      "SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(e-s+1) AS BIGINT) AS dup_tokens, MAX(n_tokens) AS n_tokens " +
+      "FROM sp GROUP BY doc_id ORDER BY doc_id"
+  }
 }

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.{SparkEntry, SparkTestSession, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The incremental duplicate-span engine equals batch q112: documents
+  * streamed in shuffled micro-batches through foreachBatch accumulate a
+  * gram-occurrence state whose span stats are row-identical to the
+  * one-shot batch query — including across a mid-stream engine restart
+  * (fresh instance, same state dir) and a replayed micro-batch. */
+class IncrementalDupSpansSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def batchResult: Map[Long, (Long, Long, Long)] =
+    SparkEntry.queries("q112_duplicate_spans")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("stream-accumulated span stats equal batch q112, across a restart") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("inc-dupspans").toString
+
+    // wave 1 through a real MemoryStream + foreachBatch wire path
+    val inc1 = new IncrementalDupSpans(statePath)
+    val stream = MemoryStream[(Long, String)]
+    val query = stream.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        inc1.processBatch(batch, id))
+      .start()
+    val shuffled = new scala.util.Random(7).shuffle(docs.toVector)
+    try {
+      stream.addData(shuffled.slice(0, 200))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // engine RESTART: waves 2-3 through a fresh instance on the same
+    // state dir (the state is the contract, not the object)
+    val inc2 = new IncrementalDupSpans(statePath)
+    inc2.processBatch(
+      spark.createDataFrame(shuffled.slice(200, 400)).toDF("doc_id", "text"), 1L)
+    inc2.processBatch(
+      spark.createDataFrame(shuffled.drop(400)).toDF("doc_id", "text"), 2L)
+
+    val streamed = inc2.spans(spark)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = batchResult
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only=${(streamed.keySet -- batch.keySet).take(5)} " +
+        s"batch-only=${(batch.keySet -- streamed.keySet).take(5)}")
+
+    // replayed micro-batch (foreachBatch retry semantics) is a no-op
+    val before = spark.read.parquet(s"$statePath/grams").count()
+    inc2.processBatch(
+      spark.createDataFrame(shuffled.slice(200, 400)).toDF("doc_id", "text"), 99L)
+    val after = spark.read.parquet(s"$statePath/grams").count()
+    assert(after == before, s"replay mutated state: $before -> $after")
+
+    // compaction preserves content while bounding file counts
+    inc2.compact(spark, parts = 2)
+    val compacted = inc2.spans(spark)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(compacted == batch)
+    val nFiles = new java.io.File(s"$statePath/grams")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles <= 2, s"grams not compacted: $nFiles files")
+  }
+
+  test("a later doc retroactively flags an old doc's span") {
+    // the deferred-dup property: doc A is alone in wave 1 (no dup
+    // grams anywhere); doc B arriving in wave 2 repeats A's phrase and
+    // BOTH docs' spans appear — without re-processing A
+    val statePath = java.nio.file.Files
+      .createTempDirectory("inc-dupspans2").toString
+    val inc = new IncrementalDupSpans(statePath)
+    val phrase = (1 to 6).map(i => s"p$i").mkString(" ")
+    inc.processBatch(
+      spark.createDataFrame(Seq((10L, s"a1 a2 $phrase a3"))).toDF("doc_id", "text"), 0L)
+    assert(inc.spans(spark).collect().isEmpty)
+    inc.processBatch(
+      spark.createDataFrame(Seq((20L, s"b1 $phrase b2 b3"))).toDF("doc_id", "text"), 1L)
+    val got = inc.spans(spark)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(10L -> ((1L, 6L, 9L)), 20L -> ((1L, 6L, 9L))), s"got=$got")
+  }
+}
