@@ -147,6 +147,22 @@ object CdcWarnings {
   def emit(source: String, msg: String): Unit = sink(source, msg)
 }
 
+/** Injectable time source for every CDC deadline computation — the
+  * analog of the reference's `timeRef` option
+  * (`gomaxscale_options.go:15,38`, armed around each socket deadline at
+  * `gomaxscale.go:232-240`): tests swap in a scripted clock to drive
+  * deadline paths deterministically instead of sleeping them out;
+  * production leaves walltime. Governs the AvailableNow drain bound,
+  * the replay wait, and the client's write deadline accounting (the
+  * watchdog TIMER stays on real time — it is the safety net that
+  * actually uncloses a wedged socket — but whether a completed write is
+  * judged late is a clock read, exactly the reference's
+  * `timeRef().Add(write)` semantics). */
+object CdcClock {
+  @volatile var nowMillis: () => Long = () => System.currentTimeMillis()
+  def now(): Long = nowMillis()
+}
+
 final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -306,14 +322,14 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
   override def prepareForTriggerAvailableNow(): Unit = {
     ensureReceiver()
     val idleMs = options.getOrElse("availableNowIdleMs", "1000").toLong
-    val deadline = System.currentTimeMillis() +
+    val deadline = CdcClock.now() +
       options.getOrElse("availableNowMaxWaitMs", "15000").toLong
     var last = -1L
-    var stableSince = System.currentTimeMillis()
+    var stableSince = CdcClock.now()
     var done = false
-    while (!done && System.currentTimeMillis() < deadline) {
+    while (!done && CdcClock.now() < deadline) {
       val size = buffer.synchronized(base + buffer.size)
-      val now = System.currentTimeMillis()
+      val now = CdcClock.now()
       if (size != last) { last = size; stableSince = now }
       done = (size > 0 || !receiver.isAlive) && now - stableSince >= idleMs
       if (!done) Thread.sleep(50)
@@ -378,12 +394,12 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
     // wait (bounded) until the buffer covers [s, e) so the replayed
     // batch is complete, never a timing-dependent prefix. Live batches
     // never wait: their `e` was derived from the buffered size.
-    val waitUntil = System.currentTimeMillis() +
+    val waitUntil = CdcClock.now() +
       options.getOrElse("replayWaitMs", "5000").toLong
     val rows = buffer.synchronized {
       rebaseIfBeyondLocked(s)
       while (base + buffer.size < e && receiver.isAlive &&
-          System.currentTimeMillis() < waitUntil)
+          CdcClock.now() < waitUntil)
         buffer.wait(50)
       val lo = math.max(0, (s - base).toInt)
       val hi = math.max(lo, math.min(buffer.size, (e - base).toInt))

@@ -95,6 +95,10 @@ final class MaxScaleClient(
     * `java.net.Socket`. The timer task is cancelled on the fast path,
     * so a healthy write costs one schedule/cancel pair. */
   private[cdc] def writeBounded(payload: Array[Byte], phase: String): Unit = {
+    // deadline accounting reads the injectable clock (the reference's
+    // `timeRef().Add(write)` — CdcClock); the watchdog TIMER stays on
+    // real time because it is what physically uncloses a wedged socket
+    val armedAt = CdcClock.now()
     val expired = new java.util.concurrent.atomic.AtomicBoolean(false)
     val task = new java.util.TimerTask {
       def run(): Unit = {
@@ -117,8 +121,11 @@ final class MaxScaleClient(
     // completing and cancel() running — the socket is then already
     // closed and the "successful" write must still surface as a
     // deadline error here, not as a bare 'Socket closed' on the NEXT
-    // protocol read
-    if (expired.get())
+    // protocol read. The clock check carries the same judgment for an
+    // injected time source: a write that completed after the deadline
+    // PASSED (per CdcClock) is late, exactly as the reference's socket
+    // deadline armed from timeRef would have failed it.
+    if (expired.get() || CdcClock.now() - armedAt > writeTimeoutMs)
       throw new MaxScaleProtocolException(
         s"$phase: write deadline exceeded (${writeTimeoutMs}ms)")
   }
