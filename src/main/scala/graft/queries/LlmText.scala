@@ -364,18 +364,23 @@ object LlmText {
 
   /** Island-merged duplicate-span statistics over a [[dupSpanGrams]]
     * relation (accumulated streaming state or a one-shot batch):
-    * grams whose hash occurs in ≥2 DISTINCT docs (min≠max over doc_id —
-    * a plain hash agg, cheaper than countDistinct's expand and
-    * equivalent for a ≥2 test) mark their positions; overlapping or
-    * adjacent marked windows union into islands per (doc, n); output is
-    * one row per affected (doc, n) with span count / covered tokens /
-    * doc length. The dup agg and the hit join shuffle on the SAME key
-    * (n, h), so the exchange is planned once and reused. */
+    * grams whose hash occurs in ≥2 DISTINCT docs mark their positions;
+    * overlapping or adjacent marked windows union into islands per
+    * (doc, n); output is one row per affected (doc, n) with span count
+    * / covered tokens / doc length. The shared-gram test is a WINDOW
+    * min≠max over (n, h) — equivalent to countDistinct ≥ 2 but ONE
+    * pass over the gram relation: the agg-then-join-back form computed
+    * the grams twice (AQE broadcasts the dup set, so the probe side
+    * re-scans + re-hashes the corpus rather than reusing the agg's
+    * exchange — measured 2× the md5 work at sf0.1), and at 100 TB the
+    * dup set is itself shuffle-scale, so a shape that never
+    * materializes it wins twice. */
   private[graft] def dupSpanStats(grams: DataFrame): DataFrame = {
-    val dup = grams.groupBy(col("n"), col("h"))
-      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-      .where(col("mn") =!= col("mx")).select(col("n"), col("h"))
-    val hits = grams.join(dup, Seq("n", "h"))
+    val byGram = Window.partitionBy(col("n"), col("h"))
+    val hits = grams
+      .withColumn("mn", min(col("doc_id")).over(byGram))
+      .withColumn("mx", max(col("doc_id")).over(byGram))
+      .where(col("mn") =!= col("mx")).drop("mn", "mx")
     val byDoc = Window.partitionBy(col("doc_id"), col("n")).orderBy(col("pos"))
     val flagged = hits.withColumn("prev_end",
         max(col("pos") + col("n") - 1).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))

@@ -24,40 +24,29 @@ object Probe {
       f
       println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    t("pairs-cold") { graft.queries.LlmText.bandedNearDupPairs(spark, d).collect() }
-    t("pairs-warm") { graft.queries.LlmText.bandedNearDupPairs(spark, d).collect() }
-    println("PROBE pairs rows = " + graft.queries.LlmText.bandedNearDupPairs(spark, d).count())
-    for (i <- 1 to 3) t(s"q99-$i") { SparkEntry.queries("q99_neardup_triangles")(spark, d).collect() }
-    val q99 = SparkEntry.queries("q99_neardup_triangles")(spark, d)
-    t("q99-optimize-only") { q99.queryExecution.optimizedPlan }
-    import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
-    def census(pairs: DataFrame): DataFrame = {
-      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("src", "dst")
-      val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      val withDeg = edges
-        .join(deg.select(col("node").as("src"), col("deg").as("sdeg")), Seq("src"))
-        .join(deg.select(col("node").as("dst"), col("deg").as("ddeg")), Seq("dst"))
-      val oriented = withDeg.where(col("sdeg") < col("ddeg") ||
-          (col("sdeg") === col("ddeg") && col("src") < col("dst")))
-        .select(col("src"), col("dst"), col("ddeg"))
-      val wedges = oriented.as("e1").join(oriented.as("e2"),
-          col("e1.src") === col("e2.src") &&
-            (col("e1.ddeg") < col("e2.ddeg") ||
-              (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
-        .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
-      val tri = wedges.join(
-        oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
-      tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
-    }
-    val cachedPairs = graft.queries.LlmText.bandedNearDupPairs(spark, d)
-      .select(col("doc_a"), col("doc_b"))
-    for (i <- 1 to 2) t(s"census-cached-$i") { census(cachedPairs).collect() }
-    val lcp = cachedPairs.localCheckpoint(true)
-    for (i <- 1 to 2) t(s"census-lcp-$i") { census(lcp).collect() }
-    for (i <- 1 to 3) t(s"q63-$i") { SparkEntry.queries("q63_tfidf_top_terms")(spark, d).collect() }
+    import graft.queries.LlmText
+    val docsDf = Tables(spark, d, "documents")
+    for (i <- 1 to 2) t(s"q112-$i") { SparkEntry.queries("q112_duplicate_spans")(spark, d).collect() }
+    for (i <- 1 to 2) t(s"q112b-$i") { SparkEntry.queries("q112b_multiscale_dup_spans")(spark, d).collect() }
+    val g5 = LlmText.dupSpanGrams(docsDf, 5)
+    val gAll = LlmText.dupSpanGrams(docsDf, 5, 10, 20)
+    t("grams5-count") { println("  rows=" + g5.count()) }
+    t("gramsAll-count") { println("  rows=" + gAll.count()) }
+    t("grams5-collect-h") { g5.select(sum(col("h"))).collect() }
+    t("gramsAll-collect-h") { gAll.select(sum(col("h"))).collect() }
+    val dup5 = g5.groupBy(col("n"), col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .where(col("mn") =!= col("mx")).select(col("n"), col("h"))
+    t("dup5-count") { println("  rows=" + dup5.count()) }
+    t("hits5-count") { println("  rows=" + g5.join(dup5, Seq("n", "h")).count()) }
+    t("stats5") { LlmText.dupSpanStats(g5).collect() }
+    println("PROBE explain q112:")
+    println(SparkEntry.queries("q112_duplicate_spans")(spark, d)
+      .queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Reused") ||
+        l.contains("Scan") || l.contains("Window") || l.contains("Generate"))
+      .mkString("\n"))
     spark.stop()
   }
 }
