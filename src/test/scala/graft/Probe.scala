@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scratch perf probe (test scope, not part of the driver contract):
   * times individual warm/cold paths while chasing a regression.
@@ -8,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -19,34 +20,37 @@ object Probe {
       .foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def t(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+
+    val vecs = Tables(spark, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val unit = vecs.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      id -> v.map(_ / n)
     }
-    import org.apache.spark.sql.functions._
-    import graft.queries.LlmText
-    val docsDf = Tables(spark, d, "documents")
-    for (i <- 1 to 2) t(s"q112-$i") { SparkEntry.queries("q112_duplicate_spans")(spark, d).collect() }
-    for (i <- 1 to 2) t(s"q112b-$i") { SparkEntry.queries("q112b_multiscale_dup_spans")(spark, d).collect() }
-    val g5 = LlmText.dupSpanGrams(docsDf, 5)
-    val gAll = LlmText.dupSpanGrams(docsDf, 5, 10, 20)
-    t("grams5-count") { println("  rows=" + g5.count()) }
-    t("gramsAll-count") { println("  rows=" + gAll.count()) }
-    t("grams5-collect-h") { g5.select(sum(col("h"))).collect() }
-    t("gramsAll-collect-h") { gAll.select(sum(col("h"))).collect() }
-    val dup5 = g5.groupBy(col("n"), col("h"))
-      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-      .where(col("mn") =!= col("mx")).select(col("n"), col("h"))
-    t("dup5-count") { println("  rows=" + dup5.count()) }
-    t("hits5-count") { println("  rows=" + g5.join(dup5, Seq("n", "h")).count()) }
-    t("stats5") { LlmText.dupSpanStats(g5).collect() }
-    println("PROBE explain q112:")
-    println(SparkEntry.queries("q112_duplicate_spans")(spark, d)
-      .queryExecution.executedPlan.toString.linesIterator
-      .filter(l => l.contains("Exchange") || l.contains("Reused") ||
-        l.contains("Scan") || l.contains("Window") || l.contains("Generate"))
-      .mkString("\n"))
+    val K = 6
+    val truth: Map[Long, Set[Long]] = unit.map { case (i, u) =>
+      val scored = unit.filter(_._1 != i).map { case (j, w) =>
+        val dotp = u.zip(w).map { case (a, b) => a * b }.sum
+        (math.floor(dotp * 10000 + 0.5) / 10000, j)
+      }
+      i -> scored.sortBy { case (s, j) => (-s, j) }.take(K).map(_._2).toSet
+    }.toMap
+    for (r <- 0 to 5) {
+      val t0 = System.nanoTime()
+      val got = graft.queries.Vectors.nnDescentGraph(spark, d, r, searchK = 16)
+        .where(col("rnk") <= K)
+        .select(col("src"), col("dst")).collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+        .groupBy(_._1).map { case (s, a) => s -> a.map(_._2).toSet }
+      val hits = truth.toSeq.map { case (i, t) =>
+        (t intersect got.getOrElse(i, Set.empty)).size
+      }.sum
+      val rec = hits.toDouble / (truth.size * K)
+      println(f"PROBE rounds=$r recall=$rec%.3f t=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     spark.stop()
   }
 }
