@@ -491,7 +491,13 @@ object LlmText {
       // oracle's inverted-index inner-join semantics (zero-overlap
       // band-collision candidates vanish, every overlapping pair stays).
       (s, d) => {
+        // the state relation feeds candidate generation AND both verify
+        // sides (3 plan references) — materialize once, lineage
+        // truncated (the round-8 localCheckpoint doctrine: a persisted
+        // multi-reference relation still re-plans its full tree per
+        // reference)
         val state = nearDupState(docs(s, d), n = 3, nHashes = 8)
+          .localCheckpoint(true)
         verifyPairs(bandedCandidates(state, 8, 1),
           state.select(col("doc_id"), col("hs"), col("nbg")),
           minJaccard = 0.0, minInter = 1L)

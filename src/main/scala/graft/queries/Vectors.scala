@@ -308,10 +308,14 @@ object Vectors {
           .select(col("vec_id"), posexplode(vecDouble(col("embedding"))).as(Seq("d", "x")))
           .select(col("vec_id"), col("d"),
             expr("CAST(floor(x * 1000000 + 0.5) AS BIGINT)").as("xi"))
+        // codes feed the probe expansion, the hot-key census, AND the
+        // capped build side (3 plan references) — materialize once,
+        // lineage truncated (the round-8 localCheckpoint doctrine)
         val codes = comps.join(broadcast(planes), Seq("d"))
           .groupBy(col("vec_id"), col("p")).agg(sum(col("w") * col("xi")).as("sgn"))
           .groupBy(col("vec_id"), expr("p div 8").as("band"))
           .agg(sum(when(col("sgn") >= 0, expr("shiftleft(1L, p % 8)")).otherwise(0L)).as("code"))
+          .localCheckpoint(true)
         // multi-probe: expand one side to the exact bucket + its 8
         // one-bit flips; equi-join covers every pair within hamming 1
         val probes = codes
