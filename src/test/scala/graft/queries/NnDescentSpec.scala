@@ -59,4 +59,35 @@ class NnDescentSpec extends AnyFunSuite with SparkTestSession {
     assert(r2 >= r1 && r3 >= r2, s"recall regressed round over round: $r1 -> $r2 -> $r3")
     assert(r3 >= 0.93, s"converged recall too low: $r3")
   }
+
+  test("q114 beam search over the graph finds the true top-3") {
+    // brute top-3 per query (exact doubles, driver-side), the q48
+    // convention: queries are vec_ids 1..5, self excluded
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val unit = vecs.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      id -> v.map(_ / n)
+    }
+    val truth = (1L to 5L).map { q =>
+      val qu = unit.find(_._1 == q).get._2
+      val top = unit.filter(_._1 != q).map { case (j, w) =>
+        (math.floor(qu.zip(w).map { case (a, b) => a * b }.sum * 10000 + 0.5) / 10000, j)
+      }.sortBy { case (sim, j) => (-sim, j) }.take(3).map(_._2).toSet
+      q -> top
+    }.toMap
+    val got = graft.SparkEntry.queries("q114_graph_ann_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val hits = truth.toSeq.map { case (q, t) =>
+      (t intersect got.getOrElse(q, Set.empty)).size
+    }.sum
+    info(s"beam-search recall@3: $hits/15")
+    // measured 15/15 at spec-pin time; the floor tolerates one miss
+    // after a fixture regeneration, not a broken walk
+    assert(hits >= 12, s"beam search missed too many true neighbors: $hits/15")
+  }
 }
