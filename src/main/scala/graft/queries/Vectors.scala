@@ -240,7 +240,9 @@ object Vectors {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
-  def defs: Seq[QueryDef] = Seq(
+  def defs: Seq[QueryDef] = headDefs ++ tailDefs
+
+  private lazy val headDefs: Seq[QueryDef] = Seq(
     QueryDef("q42_cosine_topk",
       (s, d) => {
         val e = embUnit(s, d)
@@ -290,6 +292,31 @@ object Vectors {
       // oracle-hashed, not just row counts. q47's all-pairs form remains
       // the recall baseline (see BandedNearDupSpec).
       (s, d) => {
+        val cand = lshCandidatePairs(s, d)
+        val e = embUnit(s, d)
+        cand.join(e.as("ea"), col("vec_a") === col("ea.vec_id"))
+          .join(e.as("eb"), col("vec_b") === col("eb.vec_id"))
+          .select(col("vec_a"), col("vec_b"),
+            round(dot(col("ea.u"), col("eb.u")), 4).as("sim"))
+          .where(col("sim") >= 0.4)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("WITH " + LshCandSqlCtes + " " +
+        "SELECT vec_a, vec_b, sim FROM (" +
+        "SELECT c.vec_a, c.vec_b, ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim " +
+        "FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b) " +
+        "WHERE sim >= 0.4 ORDER BY vec_a, vec_b")),
+    Q115Def)
+
+  /** Deterministic hyperplane-LSH candidate pairs (the q55 generation
+    * stage), memoized per (session, dir) and lineage-truncated — shared
+    * by q55 (near-dup verification) and q115 (margin pair mining), the
+    * retrieval stage both build on. */
+  private val lshCandCache = new graft.SessionCache[DataFrame](_ => ())
+  private[queries] def lshCandidatePairs(s: SparkSession, d: String): DataFrame =
+    lshCandCache.getOrElseUpdate(s, d, lshCandidatePairsUncached(s, d).localCheckpoint(true))
+
+  private def lshCandidatePairsUncached(s: SparkSession, d: String): DataFrame = {
         import s.implicits._
         val nPlanes = 64
         val bandBits = 8
@@ -335,19 +362,19 @@ object Vectors {
           .where(col("bsz") > LlmText.HotBucketCap)
           .select(col("band"), col("code"))
         val codesCapped = codes.join(hotKeys, Seq("band", "code"), "left_anti")
-        val cand = probes.as("x").join(codesCapped.as("y"),
+        probes.as("x").join(codesCapped.as("y"),
             col("x.band") === col("y.band") && col("x.probe") === col("y.code") &&
               col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b")).distinct()
-        val e = embUnit(s, d)
-        cand.join(e.as("ea"), col("vec_a") === col("ea.vec_id"))
-          .join(e.as("eb"), col("vec_b") === col("eb.vec_id"))
-          .select(col("vec_a"), col("vec_b"),
-            round(dot(col("ea.u"), col("eb.u")), 4).as("sim"))
-          .where(col("sim") >= 0.4)
-          .orderBy(col("vec_a"), col("vec_b"))
-      },
-      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+  }
+
+  /** DuckDB CTE chain ending in `cand(vec_a, vec_b)` + `e(vec_id, v)` —
+    * mirrors [[lshCandidatePairs]] (md5-parity hyperplanes, integer
+    * sign projections, 1-bit multi-probe). The fixture has no bucket
+    * over the hot cap, so the oracle omits the cap (documented at the
+    * Spark-side census). */
+  private val LshCandSqlCtes: String =
+      ("e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "planes AS (SELECT p, d, CASE WHEN CAST(('0x' || substring(md5(p || ':' || d),1,1)) AS INT) % 2 = 1 " +
         "THEN 1 ELSE -1 END AS w FROM (SELECT UNNEST(range(0,64)) AS p) pp " +
         "CROSS JOIN (SELECT UNNEST(range(0,64)) AS d) dd), " +
@@ -361,12 +388,95 @@ object Vectors {
         "ELSE xor(code, CAST(1 AS BIGINT) << k) END AS probe FROM codes " +
         "CROSS JOIN (SELECT UNNEST(range(-1,8)) AS k) kk), " +
         "cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b FROM probes x " +
-        "JOIN codes y ON x.band = y.band AND x.probe = y.code AND x.vec_id < y.vec_id) " +
-        "SELECT vec_a, vec_b, sim FROM (" +
-        "SELECT c.vec_a, c.vec_b, ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim " +
-        "FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b) " +
-        "WHERE sim >= 0.4 ORDER BY vec_a, vec_b")),
+        "JOIN codes y ON x.band = y.band AND x.probe = y.code AND x.vec_id < y.vec_id)")
 
+  /** q115 margin threshold (ratio × 1e4): pairs must beat their two
+    * endpoints' average retrieved-top-4 similarity by ≥ 2%. */
+  private val MarginThresholdE4 = 10200L
+
+  private lazy val Q115Def: QueryDef = QueryDef("q115_margin_pair_mining",
+    // Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    // CCMatrix/LASER bitext-mining criterion): align items across two
+    // embedding SIDES (here `label % 2` stands in for the two
+    // languages' encoder outputs) by requiring a candidate pair to be
+    // (a) MUTUALLY best and (b) better than either endpoint's average
+    // nearest-neighbor similarity by a margin — raw cosine alone
+    // over-selects hubs whose similarity to everything is high; the
+    // margin normalizes by each point's local density, which is the
+    // whole trick. Shape is the production retrieve-then-margin split:
+    // candidates come from the SHARED deterministic hyperplane-LSH
+    // stage (lshCandidatePairs — one retrieval index serves q55's
+    // near-dup and this aligner), margins are computed only over
+    // retrieved candidates (as FAISS-based miners do), the per-node
+    // top-4 normalizer is a node-keyed window, and mutual-best is one
+    // self-join on the ranked relation. All arithmetic is integer-e4
+    // rational (exact in double, portable) — the full miner is
+    // oracle-hashed end-to-end.
+    (s, d) => {
+      val sides = Tables(s, d, "embeddings")
+        .select(col("vec_id"), pmod(col("label"), lit(2)).as("side"))
+      val cand = lshCandidatePairs(s, d)
+        .join(sides.select(col("vec_id").as("vec_a"), col("side").as("sa")), Seq("vec_a"))
+        .join(sides.select(col("vec_id").as("vec_b"), col("side").as("sb")), Seq("vec_b"))
+        .where(col("sa") =!= col("sb")).select(col("vec_a"), col("vec_b"))
+      val e = embUnit(s, d)
+      val scored = cand
+        .join(e.as("ea"), col("vec_a") === col("ea.vec_id"))
+        .join(e.as("eb"), col("vec_b") === col("eb.vec_id"))
+        .select(col("vec_a"), col("vec_b"),
+          floor(round(dot(col("ea.u"), col("eb.u")), 4) * 10000 + 0.5)
+            .cast("long").as("sim_e4"))
+        .localCheckpoint(true)
+      val dirr = scored.select(col("vec_a").as("node"), col("vec_b").as("other"), col("sim_e4"))
+        .union(scored.select(col("vec_b").as("node"), col("vec_a").as("other"), col("sim_e4")))
+      val byNode = Window.partitionBy(col("node")).orderBy(col("sim_e4").desc, col("other"))
+      val stats = dirr.withColumn("rn", row_number().over(byNode))
+        .where(col("rn") <= 4)
+        .groupBy(col("node"))
+        .agg(sum(col("sim_e4")).as("sumk"), count(lit(1)).as("cntk"))
+      val marg = dirr
+        .join(stats.select(col("node"), col("sumk").as("suma"), col("cntk").as("cnta")), Seq("node"))
+        .join(stats.select(col("node").as("other"), col("sumk").as("sumb"), col("cntk").as("cntb")), Seq("other"))
+        .where(col("suma") * col("cntb") + col("sumb") * col("cnta") > 0)
+        .select(col("node"), col("other"),
+          expr("CAST(floor(2.0 * sim_e4 * cnta * cntb * 10000.0 / " +
+            "(suma * cntb + sumb * cnta) + 0.5) AS BIGINT)").as("margin_e4"))
+      val byMargin = Window.partitionBy(col("node")).orderBy(col("margin_e4").desc, col("other"))
+      val best = marg.withColumn("rn", row_number().over(byMargin)).where(col("rn") === 1)
+      best.as("a").join(best.as("b"),
+          col("b.node") === col("a.other") && col("b.other") === col("a.node"))
+        .where(col("a.node") < col("a.other") &&
+          col("a.margin_e4") >= MarginThresholdE4)
+        .select(col("a.node").as("src_id"), col("a.other").as("dst_id"),
+          col("a.margin_e4").as("margin_e4"))
+        .orderBy(col("src_id"))
+    },
+    Some("WITH " + LshCandSqlCtes + ", " +
+      "lab AS (SELECT vec_id, label % 2 AS side FROM embeddings), " +
+      "xc AS (SELECT vec_a, vec_b FROM cand " +
+      "JOIN lab la ON la.vec_id = vec_a JOIN lab lb ON lb.vec_id = vec_b " +
+      "WHERE la.side <> lb.side), " +
+      "scored AS MATERIALIZED (SELECT vec_a, vec_b, " +
+      "CAST(floor(ROUND(list_cosine_similarity(a.v, b.v), 4) * 10000 + 0.5) AS BIGINT) AS sim_e4 " +
+      "FROM xc JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b), " +
+      "dirr AS MATERIALIZED (SELECT vec_a AS node, vec_b AS other, sim_e4 FROM scored " +
+      "UNION ALL SELECT vec_b, vec_a, sim_e4 FROM scored), " +
+      "stats AS (SELECT node, SUM(sim_e4) AS sumk, COUNT(*) AS cntk FROM (" +
+      "SELECT node, sim_e4, ROW_NUMBER() OVER (PARTITION BY node " +
+      "ORDER BY sim_e4 DESC, other) AS rn FROM dirr) WHERE rn <= 4 GROUP BY node), " +
+      "marg AS (SELECT d.node, d.other, " +
+      "CAST(floor(2.0 * d.sim_e4 * sa.cntk * sb.cntk * 10000.0 / " +
+      "(sa.sumk * sb.cntk + sb.sumk * sa.cntk) + 0.5) AS BIGINT) AS margin_e4 " +
+      "FROM dirr d JOIN stats sa ON sa.node = d.node JOIN stats sb ON sb.node = d.other " +
+      "WHERE sa.sumk * sb.cntk + sb.sumk * sa.cntk > 0), " +
+      "best AS MATERIALIZED (SELECT node, other, margin_e4 FROM (" +
+      "SELECT node, other, margin_e4, ROW_NUMBER() OVER (PARTITION BY node " +
+      "ORDER BY margin_e4 DESC, other) AS rn FROM marg) WHERE rn = 1) " +
+      "SELECT a.node AS src_id, a.other AS dst_id, a.margin_e4 AS margin_e4 " +
+      "FROM best a JOIN best b ON b.node = a.other AND b.other = a.node " +
+      "WHERE a.node < a.other AND a.margin_e4 >= 10200 ORDER BY src_id"))
+
+  private lazy val tailDefs: Seq[QueryDef] = Seq(
     QueryDef("q48_ann_topk",
       (s, d) => {
         val e = embUnit(s, d).repartition(s.sparkContext.defaultParallelism)
