@@ -1447,7 +1447,7 @@ object Vectors {
       // Navigable search OVER the q113 graph — the query half of the
       // HNSW story (q113 builds the navigable substrate, this walks
       // it): batch greedy BEAM search, 5 query vectors (the q48
-      // convention), fixed entry node 0, beam width 8, 5 hops over the
+      // convention), per-query md5-derived entry nodes, beam width 8, 5 hops over the
       // full breadth-16 NN-Descent graph, report top-3 non-self
       // neighbors. Per hop: beam ∪ beam's out-neighbors, re-scored
       // against the query, top-8 kept (sim DESC, id — total order).
@@ -1465,6 +1465,7 @@ object Vectors {
         val Beam = 8
         val graph = nnDescentGraphShared(s, d).select(col("src"), col("dst"))
         val e = embUnit(s, d).localCheckpoint(true)
+        val n = e.count()
         val qv = broadcast(e.where(col("vec_id").between(1, 5))
           .select(col("vec_id").as("query_id"), col("u").as("qu")))
         def scoreBeam(beam: DataFrame): DataFrame =
@@ -1472,7 +1473,12 @@ object Vectors {
             .join(qv, Seq("query_id"))
             .select(col("query_id"), col("node"),
               round(dot(col("u"), col("qu")), 4).as("sim"))
-        var beam = qv.select(col("query_id"), lit(0L).as("node"))
+        // per-query md5-derived entry point (spreads walks across the
+        // graph, HNSW-style, and keeps the first hop a REAL equi-join —
+        // a shared literal entry constant-folds the hop into a BNLJ)
+        var beam = qv.select(col("query_id"),
+          pmod(conv(substring(md5(concat(lit("entry#"), col("query_id"))), 1, 8), 16, 10)
+            .cast("long"), lit(n)).as("node"))
         for (_ <- 1 to 5) {
           val expanded = beam
             .union(beam.join(graph, col("node") === col("src"))
@@ -1512,7 +1518,8 @@ object Vectors {
         "WITH " + NnGraphSqlCtes + ", " +
           "graph AS MATERIALIZED (SELECT src, dst FROM g3 WHERE rnk <= 16), " +
           "qv AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id BETWEEN 1 AND 5), " +
-          "b0 AS (SELECT query_id, CAST(0 AS BIGINT) AS node FROM qv), " +
+          "b0 AS (SELECT query_id, CAST(('0x' || substring(md5('entry#' || query_id),1,8)) AS BIGINT) % nn.n AS node " +
+          "FROM qv CROSS JOIN nn), " +
           hop("b0", "b1") + ", " + hop("b1", "b2") + ", " + hop("b2", "b3") + ", " +
           hop("b3", "b4") + ", " + hop("b4", "b5") + ", " +
           "fin AS (SELECT b.query_id, b.node, ROUND(list_cosine_similarity(ev.v, q.qv), 4) AS sim " +
