@@ -306,7 +306,7 @@ object Vectors {
         "SELECT c.vec_a, c.vec_b, ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim " +
         "FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b) " +
         "WHERE sim >= 0.4 ORDER BY vec_a, vec_b")),
-    Q115Def)
+    Q115Def, Q116Def)
 
   /** Deterministic hyperplane-LSH candidate pairs (the q55 generation
     * stage), memoized per (session, dir) and lineage-truncated — shared
@@ -389,6 +389,109 @@ object Vectors {
         "CROSS JOIN (SELECT UNNEST(range(-1,8)) AS k) kk), " +
         "cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b FROM probes x " +
         "JOIN codes y ON x.band = y.band AND x.probe = y.code AND x.vec_id < y.vec_id)")
+
+  /** Argmin DISTANCE for subspace `sub` (the [[pqSubCode]] sibling —
+    * same scored struct array, dist field instead of cell): the row's
+    * exact integer quantization error against its nearest codeword. */
+  private def pqSubDist(sub: Int, cents: Seq[KMeansLloyd.Centroid]): Column = {
+    val sl = expr(s"slice(xi, ${sub * PqSubDim + 1}, $PqSubDim)")
+    val scored = array(cents.map { c =>
+      val lits = array(c.ci.map(lit(_)): _*)
+      struct(
+        aggregate(zip_with(sl, lits, (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, v) => a + v).as("dist"),
+        lit(c.cell.toLong).as("cell"))
+    }: _*)
+    array_min(scored).getField("dist")
+  }
+
+  /** q116's trained permuted index — (dealt perm, permuted vectors,
+    * codebooks), memoized per (session, dir) like [[pqBooks]]: train
+    * once, serve the entry and every bench repetition. */
+  private val opqCache = new graft.SessionCache[
+    (Seq[(Int, Int, Int, Long)], DataFrame, Seq[Seq[KMeansLloyd.Centroid]])](_ => ())
+
+  private lazy val Q116Def: QueryDef = QueryDef("q116_opq_balanced_pq",
+    // OPQ, parametric form (Ge et al., CVPR 2013 "Optimized Product
+    // Quantization", the OPQ-P variant; FAISS OPQMatrix's cheap
+    // baseline): PQ's distortion depends on how dimensions are
+    // ALLOCATED to subspaces — contiguous slicing (q89) can put all
+    // high-variance dimensions in one codebook (32 codewords must
+    // cover a wide subspace while others idle). OPQ-P rebalances by
+    // permutation only: rank dimensions by variance, deal them
+    // round-robin so every subspace gets one dimension from each
+    // variance tier, then run the UNCHANGED PQ trainer on the permuted
+    // vectors (trainPqBooks is reused verbatim — permutation composes,
+    // rotation would need the full OPQ alternation). Output: per
+    // subspace, its dealt dimensions, total variance key, and the
+    // exact integer training distortion Σ‖x_sub − nearest codeword‖².
+    // Everything is deterministic integer math: variance keys are the
+    // exact rational n·Σx²−(Σx)² (scaled /1e6 only to keep the per-sub
+    // SUM in int64), the 64-row variance agg is the only driver
+    // collect (the codebook-seed doctrine), and the full permuted
+    // train replays in DuckDB — OPQ-P is oracle-HASHED, which a
+    // learned rotation (SVD) could never be. The spec pins the point:
+    // balanced allocation's max-to-min subspace variance ratio must
+    // collapse vs contiguous, and total distortion must not regress.
+    (s, d) => {
+      val (perm, pvecs, books) = opqCache.getOrElseUpdate(s, d, {
+        val vecs = Tables(s, d, "embeddings")
+          .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+        // per-dimension variance keys — 64 rows, bounded driver collect
+        val varRows = vecs
+          .select(posexplode(col("xi")).as(Seq("dd", "x")))
+          .groupBy(col("dd"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("dd"), (col("n") * col("sxx") - col("sx") * col("sx")).as("vk"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        // deal dims round-robin by descending variance: rank i →
+        // subspace i % m, slot i / m — every subspace gets one dim per
+        // variance tier
+        val ranked = varRows.sortBy { case (dd, vk) => (-vk, dd) }
+        val perm0: Seq[(Int, Int, Int, Long)] = ranked.zipWithIndex.map {
+          case ((dd, vk), i) => (i % PqM, i / PqM, dd, vk) }.toSeq
+        val order = perm0.sortBy { case (sub, sd, _, _) => (sub, sd) }
+        val pv = vecs.select(col("vec_id"),
+          array(order.map { case (_, _, dd, _) => col("xi").getItem(dd) }: _*).as("xi"))
+          .localCheckpoint(true)
+        (perm0, pv, trainPqBooks(pv))
+      })
+      val dists = pvecs.select(
+          posexplode(array((0 until PqM).map(sub =>
+            pqSubDist(sub, books(sub))): _*)).as(Seq("sub", "dist")))
+        .groupBy(col("sub")).agg(sum(col("dist")).as("distortion"))
+      val meta = perm.groupBy(_._1).toSeq.map { case (sub, rows) =>
+        val bySlot = rows.sortBy(_._2)
+        (sub.toLong, bySlot.map(_._3).mkString(","), bySlot.map(_._4 / 1000000L).sum)
+      }
+      val metaDf = s.createDataFrame(meta).toDF("sub", "dims", "var_scaled")
+      metaDf.join(dists, metaDf("sub") === dists("sub"))
+        .select(metaDf("sub"), col("dims"), col("var_scaled"), col("distortion"))
+        .orderBy(metaDf("sub"))
+    },
+    Some("WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "cm AS (SELECT vec_id, i AS dd, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS x " +
+      "FROM ev CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+      "vk AS (SELECT dd, COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) AS vk FROM cm GROUP BY dd), " +
+      "pm AS (SELECT dd, vk, CAST((rn-1) % 16 AS BIGINT) AS sub, CAST((rn-1) // 16 AS BIGINT) AS sd " +
+      "FROM (SELECT dd, vk, ROW_NUMBER() OVER (ORDER BY vk DESC, dd) AS rn FROM vk)), " +
+      "comps AS MATERIALIZED (SELECT c.vec_id, p.sub, p.sd, c.x AS xi FROM cm c JOIN pm p USING (dd)), " +
+      "c0 AS (SELECT sub, vec_id AS cell, sd, xi AS ci FROM comps WHERE vec_id < 32), " +
+      "d1 AS (SELECT c.vec_id, c.sub, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+      "FROM comps c JOIN c0 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +
+      "a1 AS (SELECT vec_id, sub, cell FROM (SELECT vec_id, sub, cell, ROW_NUMBER() OVER " +
+      "(PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
+      "c1 AS (SELECT a.sub, a.cell, c.sd, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+      "FROM comps c JOIN a1 a ON a.vec_id = c.vec_id AND a.sub = c.sub GROUP BY 1, 2, 3), " +
+      "d2 AS (SELECT c.vec_id, c.sub, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+      "FROM comps c JOIN c1 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +
+      "amin AS (SELECT vec_id, sub, MIN(dist) AS dist FROM d2 GROUP BY vec_id, sub), " +
+      "dst AS (SELECT sub, CAST(SUM(dist) AS BIGINT) AS distortion FROM amin GROUP BY sub), " +
+      "meta AS (SELECT sub, STRING_AGG(dd, ',' ORDER BY sd) AS dims, " +
+      "CAST(SUM(vk // 1000000) AS BIGINT) AS var_scaled FROM pm GROUP BY sub) " +
+      "SELECT m.sub, m.dims, m.var_scaled, d.distortion FROM meta m " +
+      "JOIN dst d ON d.sub = m.sub ORDER BY m.sub"))
 
   /** q115 margin threshold (ratio × 1e4): pairs must beat their two
     * endpoints' average retrieved-top-4 similarity by ≥ 2%. */
