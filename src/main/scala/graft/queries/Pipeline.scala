@@ -112,6 +112,145 @@ object Pipeline {
       s"|| replace(m.pair, ' ', '') " +
       s"ELSE acc || ' ' || x END), ' ') AS t FROM $t CROSS JOIN $m m), "
 
+  /** Batched vocab-capped BPE training (q117's body). q81b's loop pays
+    * ONE driver round-trip (count → argmax → re-tokenize) PER merge —
+    * at a production vocabulary (32k merges) that is 32k sequential
+    * Spark jobs, and the driver loop, not the cluster, becomes the
+    * bottleneck. The standard fix is batching: per round, select up to
+    * [[BpeBatchSize]] pairs that are mutually SYMBOL-DISJOINT — no two
+    * selected pairs share a left token, right token, or merged form —
+    * and apply them all in one map-only pass. Disjointness makes the
+    * batch exactly equivalent to applying the same pairs serially in
+    * any order: no selected pair's pattern can create, destroy, or
+    * extend another's occurrences (pair2's tokens can't equal pair1's
+    * merged symbol — that case is excluded by including the MERGED form
+    * in the disjointness test). So the driver loop shrinks from
+    * O(vocab) to O(vocab / B) round-trips while each learned merge is
+    * still the greedy frequency argmax within its batch.
+    *
+    * Selection rule, fully deterministic: order round r's pair counts
+    * by (cnt DESC, pair ASC) — a total order — take the top
+    * [[BpeBatchTopC]] (the candidate window; selection never needs to
+    * look deeper at fixture scale, and a FIXED window keeps the oracle
+    * a pure SQL fold), then greedily accept pairs in that order,
+    * skipping any that symbol-conflict with an earlier acceptance in
+    * the SAME round, until min([[BpeBatchSize]], [[BpeVocabCap]] −
+    * merges so far) are taken. [[BpeVocabCap]] is the vocab-size stop:
+    * training halts mid-round when the cap is reached (the "merge
+    * until k" contract q81b's fixed 3 rounds couldn't express).
+    * Scale shape per round is q81b's exactly — vocab²-bounded pair
+    * shuffle with map-side partials, a ≤[[BpeBatchTopC]]-row collect
+    * (the model), and ONE map-only re-tokenization pass whose B
+    * patterns are plan literals. */
+  private[queries] val BpeBatchRounds = 4
+  private[queries] val BpeBatchSize = 4
+  private[queries] val BpeVocabCap = 14
+  private[queries] val BpeBatchTopC = 64
+
+  private val bpeBatchCache =
+    new graft.SessionCache[Seq[(Int, Int, String, String, Long)]](_ => ())
+
+  /** Greedy symbol-disjoint prefix of `tops` (already (cnt DESC, pair)
+    * ordered), at most `limit` pairs. Shared by the trainer and its
+    * spec's independent replay check. */
+  private[queries] def selectDisjointBatch(tops: Seq[(String, Long)],
+      limit: Int): Seq[(String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    for ((pair, cnt) <- tops if sel.size < limit) {
+      val Array(a, b) = pair.split(" ", 2)
+      val m = a + b
+      if (!used(a) && !used(b) && !used(m)) {
+        sel += ((pair, cnt)); used ++= Seq(a, b, m)
+      }
+    }
+    sel.toSeq
+  }
+
+  /** (round, rank-in-round, pair, merged, cnt-at-selection) rows. */
+  private[queries] def bpeBatchedMerges(s: SparkSession, d: String): Seq[(Int, Int, String, String, Long)] =
+    bpeBatchCache.getOrElseUpdate(s, d, {
+      val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var enc = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+        .select(concat(lit("  "), concat_ws("  ", split(col("w"), "")), lit("  ")).as("e"),
+          col("wcnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += enc
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, Long)]
+      for (r <- 1 to BpeBatchRounds) {
+        val limit = math.min(BpeBatchSize, BpeVocabCap - merges.size)
+        if (limit > 0) {
+          val t = split(col("e"), "  ")
+          val toks = slice(t, lit(2), size(t) - 2)
+          val tops = enc
+            .select(col("wcnt"), explode(zip_with(
+              slice(toks, lit(1), size(toks) - 1),
+              slice(toks, lit(2), size(toks) - 1),
+              (a, b) => concat(a, lit(" "), b))).as("pair"))
+            .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
+            .orderBy(col("cnt").desc, col("pair"))
+            .limit(BpeBatchTopC).collect()
+            .map(row => (row.getString(0), row.getLong(1))).toSeq
+          val sel = selectDisjointBatch(tops, limit)
+          sel.zipWithIndex.foreach { case ((pair, cnt), i) =>
+            merges += ((r, i + 1, pair, pair.replace(" ", ""), cnt))
+          }
+          if (r < BpeBatchRounds && sel.nonEmpty) {
+            // one map-only pass: B symbol-disjoint patterns chained as
+            // plan literals (order irrelevant by disjointness)
+            val e2 = sel.foldLeft(col("e")) { case (c, (pair, _)) =>
+              val Array(a, b) = pair.split(" ", 2)
+              replace(c, lit(s" $a  $b "), lit(s" ${a + b} "))
+            }
+            enc = enc.select(e2.as("e"), col("wcnt"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            persisted += enc
+          }
+        }
+      }
+      persisted.foreach(_.unpersist(blocking = false))
+      merges.toSeq
+    })
+
+  /** DuckDB twins of the batched training round (the [[bpeSqlPairs]]
+    * family, batch form). `bpeBatchSqlSel` reproduces the greedy
+    * symbol-disjoint selection as a list_reduce fold over the ordered
+    * top-[[BpeBatchTopC]] list (accumulator = '|'-joined accepted
+    * pairs; a candidate is skipped when the per-round limit is reached
+    * or any of its three symbols — left, right, merged — appears among
+    * an accepted pair's three symbols); `bpeBatchSqlMerge` re-tokenizes
+    * with ALL of a round's accepted pairs in one fold (list_contains
+    * against the accepted set — merging last+x is textually
+    * `acc || x`). `priorExpr` is the SQL expression for merges
+    * accumulated in earlier rounds, so the mid-round vocab-cap stop is
+    * replayed exactly. */
+  private def selCount(sel: String) =
+    s"(SELECT CASE WHEN selected = '' THEN 0 ELSE len(string_split(selected, '|')) END FROM $sel)"
+  private def bpeBatchSqlSel(p: String, sel: String, tops: String, priorExpr: String) =
+    s"$tops AS (SELECT pair, COUNT(*) AS cnt FROM $p GROUP BY pair " +
+      s"ORDER BY cnt DESC, pair LIMIT $BpeBatchTopC), " +
+      s"$sel AS (SELECT list_reduce([''] || ps, (acc, x) -> " +
+      "CASE WHEN (CASE WHEN acc = '' THEN 0 ELSE len(string_split(acc, '|')) END) >= lim " +
+      "OR list_has_any(flatten(list_transform(string_split(acc, '|'), q -> " +
+      "[split_part(q, ' ', 1), split_part(q, ' ', 2), replace(q, ' ', '')])), " +
+      "[split_part(x, ' ', 1), split_part(x, ' ', 2), replace(x, ' ', '')]) " +
+      "THEN acc WHEN acc = '' THEN x ELSE acc || '|' || x END) AS selected " +
+      s"FROM (SELECT LIST(pair ORDER BY cnt DESC, pair) AS ps, " +
+      s"LEAST($BpeBatchSize, $BpeVocabCap - $priorExpr) AS lim FROM $tops)), "
+  private def bpeBatchSqlMerge(t: String, sel: String, t2: String) =
+    s"$t2 AS (SELECT string_split(list_reduce(t, (acc, x) -> " +
+      "CASE WHEN list_contains(m.plist, string_split(acc, ' ')[-1] || ' ' || x) " +
+      s"THEN acc || x ELSE acc || ' ' || x END), ' ') AS t FROM $t CROSS JOIN " +
+      s"(SELECT string_split(selected, '|') AS plist FROM $sel) m), "
+  private def bpeBatchSqlOut(sel: String, tops: String, r: Int) =
+    s"(SELECT $r AS round, z.rank, z.pair, replace(z.pair, ' ', '') AS merged, t.cnt " +
+      "FROM (SELECT CAST(UNNEST(generate_series(1, len(string_split(selected, '|')))) AS INTEGER) AS rank, " +
+      s"UNNEST(string_split(selected, '|')) AS pair FROM $sel WHERE selected <> '') z " +
+      s"JOIN $tops t ON t.pair = z.pair)"
+
   /** q67's fixed keyword query (terms present across fixture sources
     * with moderate document frequency). */
   private[graft] val Bm25Terms = Seq("vector", "merge", "stream", "window", "customer")
@@ -738,6 +877,51 @@ object Pipeline {
           "CAST(SUM(len(t) * wcnt) AS BIGINT) AS tokens_bpe, " +
           "CAST(SUM((length(w) - len(t)) * wcnt) AS BIGINT) AS tokens_saved " +
           "FROM e4 GROUP BY source ORDER BY source"
+      }),
+
+    QueryDef("q117_bpe_vocab_capped",
+      // Batched vocab-capped BPE training — see [[bpeBatchedMerges]].
+      // q81b proves the merge RULE with one driver round-trip per
+      // merge; this entry proves the SCALE form of the same trainer:
+      // per round, the top-[[BpeBatchTopC]] pair counts come back in
+      // ONE collect, a greedy symbol-disjoint batch of up to
+      // [[BpeBatchSize]] pairs is selected driver-side (disjointness
+      // makes the batch order-independent ≡ serial), and ONE map-only
+      // pass applies all of them — so reaching a vocab cap of K merges
+      // costs O(K / B) driver round-trips, not O(K). Training stops at
+      // [[BpeVocabCap]] merges, mid-round if needed (round 4's limit is
+      // 14 − selected-so-far — the "merge until k" contract). Output is
+      // the ranked merge table: (round, rank-in-round, pair, merged,
+      // count at selection). The DuckDB oracle replays selection as an
+      // INDEPENDENT list_reduce fold over the same ordered candidate
+      // window (accumulator of accepted pairs, symbol-set rejection)
+      // and re-tokenizes with a one-fold batch merge — two independent
+      // implementations of the batching rule agreeing end-to-end.
+      (s, d) => {
+        import s.implicits._
+        bpeBatchedMerges(s, d).toDF("round", "rank", "pair", "merged", "cnt")
+          .orderBy(col("round"), col("rank"))
+      },
+      Some {
+        val c1 = selCount("sel1")
+        val c2 = selCount("sel2")
+        val c3 = selCount("sel3")
+        "WITH w0 AS (SELECT UNNEST(string_split(text,' ')) AS w FROM documents), " +
+          "t1 AS (SELECT string_split(w, '') AS t FROM w0 WHERE length(w) >= 2), " +
+          bpeSqlPairs("t1", "p1") + bpeBatchSqlSel("p1", "sel1", "tops1", "0") +
+          bpeBatchSqlMerge("t1", "sel1", "t2") +
+          bpeSqlPairs("t2", "p2") + bpeBatchSqlSel("p2", "sel2", "tops2", c1) +
+          bpeBatchSqlMerge("t2", "sel2", "t3") +
+          bpeSqlPairs("t3", "p3") +
+          bpeBatchSqlSel("p3", "sel3", "tops3", s"($c1 + $c2)") +
+          bpeBatchSqlMerge("t3", "sel3", "t4") +
+          bpeSqlPairs("t4", "p4") +
+          bpeBatchSqlSel("p4", "sel4", "tops4", s"($c1 + $c2 + $c3)")
+            .stripSuffix(", ") +
+          " SELECT round, rank, pair, merged, cnt FROM (" +
+          (1 to 4).map(r => bpeBatchSqlOut(s"sel$r", s"tops$r", r))
+            .mkString(" UNION ALL ") +
+          ") ORDER BY round, rank"
       }),
 
     QueryDef("q97_pmi_pairs",
