@@ -924,6 +924,76 @@ object Pipeline {
           ") ORDER BY round, rank"
       }),
 
+    QueryDef("q118_dsir_selection",
+      // Data selection via importance resampling (Xie et al. 2023,
+      // DSIR — the public target-domain selection recipe): featurize
+      // every document as hashed word n-grams (unigrams + bigrams →
+      // md5 buckets mod 1024), estimate a TARGET feature distribution
+      // from the in-corpus target slice (lang = 'en', standing in for
+      // "looks like the high-quality target domain") and a RAW
+      // distribution from the whole corpus, +1-smoothed; each doc's
+      // importance weight is the sum over its feature INSTANCES of
+      // ln(p_target(b)/p_raw(b)), and the top-40 by weight are
+      // selected. Portability is the q67/q97 doctrine: the ONE
+      // transcendental per bucket evaluates on a single exact-integer
+      // rational — ln(((ct+1)·(tr+F)) / ((cr+1)·(tt+F))) with both
+      // products exact BIGINTs — then quantizes to 1e-6 nats
+      // (DsirSpec margin-guards every fixture bucket), and the per-doc
+      // weight is an exact integer SUM of quantized bucket scores.
+      // Exactness bound: (cr+1)·(tt+F) < 2^63 holds to ~3·10⁹ feature
+      // instances; past that the products move to decimal(38,0) — the
+      // q87 move. Scale shape: ONE corpus scan explodes features; the
+      // bucket stats are an F-bounded shuffle with map-side partials
+      // (F = 1024 keys regardless of corpus size); the 1024-row
+      // log-ratio table and the 1-row totals BROADCAST back onto the
+      // feature stream; the per-doc sum shuffles on doc_id; top-40 is
+      // TakeOrderedAndProject. No join scales with corpus², and the
+      // ranking model itself (the lr table) is cluster-wide tiny — the
+      // production DSIR shape (featurize → weigh → select) exactly.
+      (s, d) => {
+        val F = 1024
+        val toks = docs(s, d).select(col("doc_id"), col("lang"), col("source"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+        val grams = toks.select(col("doc_id"), col("lang"), col("source"),
+          explode(concat(col("t"), zip_with(
+            expr("slice(t, 1, size(t) - 1)"), expr("slice(t, 2, size(t) - 1)"),
+            (a, b) => concat(a, lit(" "), b)))).as("g"))
+        val feats = grams.select(col("doc_id"), col("lang"), col("source"),
+          (conv(substring(md5(concat(lit("dsir:"), col("g"))), 1, 8), 16, 10)
+            .cast("long") % F).as("b"))
+        val stats = feats.groupBy(col("b")).agg(
+          count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        val tot = stats.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+        val lr = stats.crossJoin(broadcast(tot)).select(col("b"),
+          expr(s"CAST(floor(ln(CAST((ct + 1) * (tr + $F) AS DOUBLE) / " +
+            s"CAST((cr + 1) * (tt + $F) AS DOUBLE)) * 1000000 " +
+            "+ CAST(0.5 AS DOUBLE)) AS BIGINT)").as("lr_e6"))
+        feats.join(broadcast(lr), "b")
+          .groupBy(col("doc_id"), col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_feat"), sum(col("lr_e6")).as("dsir_e6"))
+          .orderBy(col("dsir_e6").desc, col("doc_id")).limit(40)
+      },
+      Some("WITH tf AS (SELECT doc_id, lang, source, " +
+        "list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents), " +
+        "uni AS (SELECT doc_id, lang, source, UNNEST(t) AS g FROM tf), " +
+        "bi AS (SELECT doc_id, lang, source, t[i] || ' ' || t[i+1] AS g FROM " +
+        "(SELECT doc_id, lang, source, t, UNNEST(generate_series(1, len(t)-1)) AS i " +
+        "FROM tf WHERE len(t) >= 2) z), " +
+        "g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), " +
+        "f AS (SELECT doc_id, lang, source, " +
+        "CAST(('0x' || substring(md5('dsir:' || g),1,8)) AS BIGINT) % 1024 AS b FROM g), " +
+        "st AS (SELECT b, COUNT(*) AS cr, " +
+        "CAST(SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS ct FROM f GROUP BY b), " +
+        "tt AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt FROM st), " +
+        "lr AS (SELECT b, CAST(floor(ln(CAST((st.ct+1)*(tt.tr+1024) AS DOUBLE) / " +
+        "CAST((st.cr+1)*(tt.tt+1024) AS DOUBLE)) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) " +
+        "AS lr_e6 FROM st CROSS JOIN tt) " +
+        "SELECT f.doc_id, f.lang, f.source, COUNT(*) AS n_feat, " +
+        "CAST(SUM(lr.lr_e6) AS BIGINT) AS dsir_e6 " +
+        "FROM f JOIN lr ON lr.b = f.b GROUP BY 1, 2, 3 " +
+        "ORDER BY dsir_e6 DESC, doc_id LIMIT 40")),
+
     QueryDef("q97_pmi_pairs",
       // Word-association mining: top-20 adjacent-word pairs by
       // pointwise mutual information, PMI(a,b) = ln(P(a,b)/(P(a)P(b)))

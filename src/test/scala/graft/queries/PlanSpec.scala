@@ -84,6 +84,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q118 broadcasts the model and selects via TakeOrderedAndProject") {
+    // the 1024-row log-ratio table must broadcast onto the feature
+    // stream (never shuffle the corpus on bucket), the top-40 must be
+    // a bounded TakeOrderedAndProject, and nothing may plan an
+    // unbounded cartesian (the 1-row totals broadcast is a permitted
+    // single-row BNLJ, the q97 shape)
+    val p = plan("q118_dsir_selection")
+    assert(p.contains("BroadcastHashJoin"), s"lr join not broadcast: ${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"), s"top-40 not bounded: ${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), s"q118 plans a cartesian: ${p.take(1200)}")
+  }
+
   test("q112's shared-gram test plans as ONE gram computation, no join-back") {
     // the round-8 window form: the >=2-distinct-docs judgment must not
     // re-derive the gram relation for a probe side (one Generate from
