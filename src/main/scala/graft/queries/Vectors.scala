@@ -1586,12 +1586,27 @@ object Vectors {
           val expanded = beam
             .union(beam.join(graph, col("node") === col("src"))
               .select(col("query_id"), col("dst").as("node")))
-            .distinct()
-          val w = Window.partitionBy(col("query_id"))
-            .orderBy(col("sim").desc, col("node"))
+          // ONE query-keyed shuffle per hop: dedup + top-Beam fold into
+          // the same aggregation (collect_set dedups (query, node) —
+          // duplicate candidates score identically so their structs
+          // collide; the (0−sim, node) struct sort is (sim DESC, node
+          // ASC), with the subtraction normalizing −0.0 so tie order is
+          // engine-stable). The previous distinct() + window form paid
+          // THREE barriers per hop (distinct shuffle, window shuffle,
+          // checkpoint job) — 5 hops of small-stage scheduling latency
+          // dominated the walk. Per-query state is ≤ Beam·(1+degree)
+          // structs — bounded. The hop's beam is then lazily
+          // lineage-truncated: each hop references its predecessor
+          // TWICE (keep ∪ expand), so an untruncated tree doubles per
+          // hop (2^5 references to the entry relation — the disease the
+          // oracle's MATERIALIZED hint fixes on the DuckDB side, q99's
+          // lesson in loop form).
           beam = scoreBeam(expanded)
-            .withColumn("rn", row_number().over(w)).where(col("rn") <= Beam)
-            .select(col("query_id"), col("node"))
+            .groupBy(col("query_id"))
+            .agg(slice(sort_array(collect_set(
+              struct((lit(0.0) - col("sim")).as("ns"), col("node")))), 1, Beam).as("top"))
+            .select(col("query_id"), explode(col("top.node")).as("node"))
+            .localCheckpoint(false)
         }
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("node"))
