@@ -394,6 +394,13 @@ object Vectors {
     * same scored struct array, dist field instead of cell): the row's
     * exact integer quantization error against its nearest codeword. */
   private def pqSubDist(sub: Int, cents: Seq[KMeansLloyd.Centroid]): Column = {
+    // NOTE (measured, round 8): keep the aggregate/zip_with form. The
+    // "obvious" codegen-friendly rewrite — unrolling the 4-dim L2 as
+    // 16×32×4 getItem/lit arithmetic terms — blows the generated
+    // method past JIT limits and runs 6× SLOWER (13 s vs 2 s at
+    // sf0.1). The higher-order form evaluates interpreted but with a
+    // small bounded tree; its cost is parallelized away by the
+    // repartition(32) before the pvecs checkpoint.
     val sl = expr(s"slice(xi, ${sub * PqSubDim + 1}, $PqSubDim)")
     val scored = array(cents.map { c =>
       val lits = array(c.ci.map(lit(_)): _*)
@@ -452,8 +459,15 @@ object Vectors {
         val perm0: Seq[(Int, Int, Int, Long)] = ranked.zipWithIndex.map {
           case ((dd, vk), i) => (i % PqM, i / PqM, dd, vk) }.toSeq
         val order = perm0.sortBy { case (sub, sd, _, _) => (sub, sd) }
+        // repartition BEFORE the checkpoint: the parquet scan is one
+        // file → one partition, and the distortion pass evaluates
+        // 16×32 higher-order aggregate/zip_with lambdas per row
+        // (interpreted, not codegen) — single-threaded that scan is
+        // ~3 s; spread over the cores it's ~0.2 s. Result is
+        // partition-independent (pure per-row expressions + aggs).
         val pv = vecs.select(col("vec_id"),
           array(order.map { case (_, _, dd, _) => col("xi").getItem(dd) }: _*).as("xi"))
+          .repartition(32)
           .localCheckpoint(true)
         (perm0, pv, trainPqBooks(pv))
       })
