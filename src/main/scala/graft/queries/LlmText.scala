@@ -926,7 +926,62 @@ object LlmText {
           "sp AS (SELECT doc_id, n, iid, MAX(n_tokens) AS n_tokens, MIN(pos) AS s, " +
           "MAX(pos)+n-1 AS e FROM isl GROUP BY 1,2,3) " +
           "SELECT doc_id, n, COUNT(*) AS n_spans, CAST(SUM(e-s+1) AS BIGINT) AS dup_tokens, " +
-          "MAX(n_tokens) AS n_tokens FROM sp GROUP BY doc_id, n ORDER BY doc_id, n")))
+          "MAX(n_tokens) AS n_tokens FROM sp GROUP BY doc_id, n ORDER BY doc_id, n")),
+
+    QueryDef("q119_line_dedup",
+      // Duplicate-LINE removal with document reconstruction — the
+      // C4/RefinedWeb curation step q112 only MEASURES: any line that
+      // occurs more than once corpus-wide is dropped from every doc
+      // except its first occurrence (min (doc_id, position)), and the
+      // surviving lines are reassembled in order into the cleaned text.
+      // The fixture's text has no newline structure, so "line" here is
+      // a fixed 10-token window (pos div 10) — the operator is boundary-
+      // function-agnostic (swap the chunker for split('\n') or a
+      // sentence breaker; everything downstream is unchanged).
+      // Scale shape: (1) chunking is a map-only slice/transform of the
+      // token array — no shuffle, no per-token explode row blowup
+      // (chunk rows = tokens/10); (2) the keep decision is a window
+      // min/max over the chunk text (ONE shuffle; the q112 doctrine —
+      // a filter relation derived from the probe input itself wants a
+      // window, not an agg-then-join-back that re-scans the probe);
+      // (3) reassembly is one per-doc hash agg whose collect_list state
+      // is bounded by doc length. A corpus-hot boilerplate chunk lands
+      // one window partition (no map-side combine) — at 100 TB with
+      // adversarial skew, escape-hatch to the two-level salted agg +
+      // broadcast-join form and pay the re-scan instead.
+      (s, d) => {
+        val ch = docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, CAST(ceil(size(t)/10.0) AS INT) - 1), " +
+              "i -> array_join(slice(t, i*10+1, 10), ' '))")).as(Seq("ck", "chunk")))
+        val wC = Window.partitionBy(col("chunk"))
+        val marked = ch
+          .withColumn("cnt", count(lit(1)).over(wC))
+          .withColumn("first", min(struct(col("doc_id"), col("ck"))).over(wC))
+          .withColumn("keep", col("cnt") === 1 ||
+            (col("doc_id") === col("first.doc_id") && col("ck") === col("first.ck")))
+        marked.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("orig_chunks"),
+            sum(col("keep").cast("long")).as("kept_chunks"),
+            concat_ws(" ", expr(
+              "transform(array_sort(collect_list(CASE WHEN keep THEN struct(ck, chunk) END)), " +
+                "x -> x.chunk)")).as("new_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+        "ix AS (SELECT UNNEST(range(0, (SELECT CAST(ceil(MAX(len(t))/10.0) AS BIGINT) FROM t))) AS i), " +
+        // t[a:b] is 1-based inclusive and truncates past the end —
+        // identical to the Spark side's slice(t, i*10+1, 10)
+        "ch AS (SELECT doc_id, i AS ck, array_to_string(t[i*10+1 : i*10+10], ' ') AS chunk " +
+        "FROM t JOIN ix ON i < ceil(len(t)/10.0)), " +
+        "mk AS (SELECT doc_id, ck, chunk, COUNT(*) OVER (PARTITION BY chunk) AS cnt, " +
+        "ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, ck) AS rn FROM ch), " +
+        "k AS (SELECT doc_id, ck, chunk, (cnt = 1 OR rn = 1) AS keep FROM mk) " +
+        "SELECT doc_id, COUNT(*) AS orig_chunks, " +
+        "CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS kept_chunks, " +
+        "COALESCE(string_agg(chunk, ' ' ORDER BY ck) FILTER (WHERE keep), '') AS new_text " +
+        "FROM k GROUP BY doc_id ORDER BY doc_id")))
 
   /** DuckDB oracle for the q112 span statistic (batch q112 AND its
     * streaming twin q112s — the stream==batch claim held at the hash

@@ -107,6 +107,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"dup set join-back reappeared: ${p.take(1200)}")
   }
 
+  test("q119 dedups lines with one chunker pass and zero joins") {
+    // the keep decision is a window over the chunk text (q112 doctrine:
+    // a filter relation derived from the probe itself must not become
+    // an agg-then-join-back that re-scans the probe) — the plan must
+    // hold exactly one Generate (the chunk posexplode) and no join of
+    // any kind
+    val p = plan("q119_line_dedup")
+    assert("Generate ".r.findAllIn(p).length == 1,
+      s"chunker planned more than once: ${p.take(1200)}")
+    assert(!p.contains("Join"), s"q119 plans a join: ${p.take(1200)}")
+  }
+
   test("q18b computes top-k per group without a window sort") {
     // the point of the bounded-buffer Aggregator: no Window node, and
     // the aggregation must run with a partial (map-side) phase so the
