@@ -274,6 +274,18 @@ object LlmText {
         .localCheckpoint(true)
     })
 
+  /** Session-scoped cache of the dedup-group label relation (doc_id,
+    * rep) over the banded pairs — one CC run serves q57 (group sizes),
+    * q120 (canonical selection) and q121 (cluster-aware splits).
+    * DedupGroups already localCheckpoints every round, so the cached
+    * value is lineage-truncated by construction. */
+  private val compCache = new graft.SessionCache[DataFrame](
+    df => df.unpersist(blocking = false))
+
+  private[graft] def dedupComponents(s: SparkSession, d: String): DataFrame =
+    compCache.getOrElseUpdate(s, d,
+      graft.operators.DedupGroups.components(bandedNearDupPairs(s, d)))
+
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` —
     * mirrors [[bandedNearDupPairs]]. */
   private[queries] val BandedPairsSqlCtes: String =
@@ -648,13 +660,10 @@ object LlmText {
       // same banded pair CTEs. Output: one row per dedup group — the
       // representative (min doc id) and the group size, i.e. n_members-1
       // docs would be dropped.
-      (s, d) => {
-        import graft.operators.DedupGroups
-        DedupGroups.components(bandedNearDupPairs(s, d))
-          .groupBy(col("rep").as("rep_doc"))
-          .agg(count(lit(1)).as("n_members"))
-          .orderBy(col("rep_doc"))
-      },
+      (s, d) => dedupComponents(s, d)
+        .groupBy(col("rep").as("rep_doc"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("rep_doc")),
       Some("WITH RECURSIVE " + BandedPairsSqlCtes + ", " +
         "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
         "UNION SELECT doc_b, doc_a FROM pairs), " +
@@ -981,7 +990,56 @@ object LlmText {
         "SELECT doc_id, COUNT(*) AS orig_chunks, " +
         "CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS kept_chunks, " +
         "COALESCE(string_agg(chunk, ' ' ORDER BY ck) FILTER (WHERE keep), '') AS new_text " +
-        "FROM k GROUP BY doc_id ORDER BY doc_id")))
+        "FROM k GROUP BY doc_id ORDER BY doc_id")),
+
+    QueryDef("q120_canonical_selection",
+      // The dedup DECISION the pair/component machinery exists for:
+      // per near-dup cluster (q57's connected components over the
+      // banded pairs), KEEP the highest-quality member — the
+      // keep-best policy (quality desc, doc_id asc tie), not q57's
+      // min-id convention — and report what gets dropped. Quality is
+      // the shared q50 heuristic, floor-quantized to 1e-4 so the
+      // argmax key is an exact integer on both engines.
+      // Scale shape: the CC label relation is session-cached (one CC
+      // run serves q57/q120/q121); the keep argmax is max(struct(q4,
+      // -doc_id)) — an O(1)-state agg with a map-side partial phase,
+      // so a pathological million-member boilerplate cluster
+      // contributes one struct per task, never a sorted window
+      // partition.
+      (s, d) => {
+        val comp = dedupComponents(s, d)
+        val q4 = qualityScored(s, d).select(col("doc_id"),
+          floor(col("score") * 10000 + lit(0.5)).cast("long").as("q4"))
+        comp.join(q4, Seq("doc_id"))
+          .groupBy(col("rep").as("rep_doc"))
+          .agg(count(lit(1)).as("n_members"),
+            max(struct(col("q4"), (-col("doc_id")).as("nd"))).as("best"))
+          .select(col("rep_doc"), col("n_members"),
+            (-col("best.nd")).as("keep_doc"),
+            (col("best.q4") / 10000.0).as("keep_quality"),
+            (col("n_members") - 1).as("n_dropped"))
+          .orderBy(col("rep_doc"))
+      },
+      Some("WITH RECURSIVE " + BandedPairsSqlCtes + ", " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
+        "reach(doc, r) AS (SELECT doc, doc FROM nodes " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc), " +
+        "rep AS (SELECT doc, MIN(r) AS rep_doc FROM reach GROUP BY doc), " +
+        "ql AS (SELECT doc_id, len(string_split(text,' ')) AS n_tok, " +
+        "len(list_filter(string_split(text,' '), x -> x IN " +
+        "('the','a','of','and','to','in','is','on','for','it'))) AS n_stop, " +
+        "length(replace(text, ' ', '')) AS n_char FROM documents), " +
+        "sc AS (SELECT doc_id, CAST(FLOOR((0.4 * LEAST(n_tok/50.0, 1.0) + " +
+        "0.3 * (CAST(n_stop AS DOUBLE)/n_tok) + " +
+        "0.3 * LEAST((CAST(n_char AS DOUBLE)/n_tok)/5.0, 1.0)) * 10000 + 0.5) AS BIGINT) AS q4 FROM ql), " +
+        "m AS (SELECT r.rep_doc, r.doc, s.q4 FROM rep r JOIN sc s ON s.doc_id = r.doc), " +
+        "k AS (SELECT rep_doc, doc, q4, ROW_NUMBER() OVER " +
+        "(PARTITION BY rep_doc ORDER BY q4 DESC, doc) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY rep_doc) AS n_members FROM m) " +
+        "SELECT rep_doc, n_members, doc AS keep_doc, q4/10000.0 AS keep_quality, " +
+        "n_members - 1 AS n_dropped FROM k WHERE rn = 1 ORDER BY rep_doc")))
 
   /** DuckDB oracle for the q112 span statistic (batch q112 AND its
     * streaming twin q112s — the stream==batch claim held at the hash

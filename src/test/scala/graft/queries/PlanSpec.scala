@@ -119,6 +119,19 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Join"), s"q119 plans a join: ${p.take(1200)}")
   }
 
+  test("q120 selects canonicals with a partial-phase argmax, no window") {
+    // the keep decision must stay an O(1)-state max(struct) agg with a
+    // map-side partial phase (a million-member boilerplate cluster
+    // contributes one struct per task) — never a per-cluster sorted
+    // window, never an n² shape
+    val p = plan("q120_canonical_selection")
+    assert(!p.contains("Window"), s"q120 plans a window: ${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q120 plans an all-pairs join: ${p.take(1200)}")
+    assert("Aggregate".r.findAllIn(p).length >= 2,
+      s"q120 lacks a partial agg phase: ${p.take(1200)}")
+  }
+
   test("q18b computes top-k per group without a window sort") {
     // the point of the bounded-buffer Aggregator: no Window node, and
     // the aggregation must run with a partial (map-side) phase so the
