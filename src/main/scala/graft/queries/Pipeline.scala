@@ -33,6 +33,19 @@ object Pipeline {
   private def bucketSql(salt: String, key: String) =
     s"CAST(('0x' || substring(md5('$salt' || CAST($key AS VARCHAR)),1,8)) AS BIGINT) % 100"
 
+  /** Per-doc cluster-keyed split assignment (q121's body before the
+    * summary agg), exposed so the spec can assert the leakage
+    * guarantee on the ENGINE's per-doc output: (doc_id, n_chars,
+    * cluster_id, split). */
+  private[graft] def clusterSplitAssignment(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), col("n_chars"))
+      .join(LlmText.dedupComponents(s, d), Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("rep"), col("doc_id")))
+      .withColumn("b", bucket("csplit:", col("cluster_id")))
+      .withColumn("split", when(col("b") < 80, "train")
+        .when(col("b") < 90, "valid").otherwise("test"))
+      .select(col("doc_id"), col("n_chars"), col("cluster_id"), col("split"))
+
   /** The BPE training loop (q81b's body), factored out so the encoder
     * (q91) applies the SAME learned merge table — train once, encode
     * everywhere. 3 greedy merge rounds over the word-FREQUENCY table
@@ -350,6 +363,42 @@ object Pipeline {
         "COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars " +
         s"FROM (SELECT n_chars, ${bucketSql("split:", "doc_id")} AS b FROM documents) " +
         "GROUP BY 1 ORDER BY split")),
+
+    QueryDef("q121_cluster_split",
+      // Leakage-proof train/valid/test assignment: q58 hashes the DOC
+      // id, so two near-duplicate documents can straddle the train/test
+      // boundary and leak training text into evaluation — the classic
+      // contamination bug cluster-aware splitting exists to prevent
+      // (and the reason production corpora split AFTER dedup
+      // clustering). Here the salted-md5 bucket is keyed on the near-
+      // dup CLUSTER id (q57's connected-components rep; singletons are
+      // their own cluster), so a whole cluster lands in one split by
+      // construction. Scale shape: the session-cached CC label relation
+      // (typically a small fraction of the corpus — only docs in ≥ 1
+      // verified pair) left-joins onto the doc scan, the bucket is a
+      // per-row pure function, and the only other shuffle is the 3-row
+      // summary agg (countDistinct adds the standard Expand two-phase
+      // plan). Reproducible on any cluster layout, like every md5
+      // assignment here.
+      (s, d) => clusterSplitAssignment(s, d)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("split")),
+      Some("WITH RECURSIVE " + LlmText.BandedPairsSqlCtes + ", " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
+        "reach(doc, r) AS (SELECT doc, doc FROM nodes " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc), " +
+        "rep AS (SELECT doc, MIN(r) AS rep_doc FROM reach GROUP BY doc), " +
+        "c AS (SELECT d.doc_id, d.n_chars, COALESCE(r.rep_doc, d.doc_id) AS cluster_id " +
+        "FROM documents d LEFT JOIN rep r ON r.doc = d.doc_id), " +
+        s"b AS (SELECT n_chars, cluster_id, ${bucketSql("csplit:", "cluster_id")} AS b FROM c) " +
+        "SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split, " +
+        "COUNT(*) AS n_docs, COUNT(DISTINCT cluster_id) AS n_clusters, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM b GROUP BY 1 ORDER BY split")),
 
     QueryDef("q72_shard_manifest",
       // Training-shard assignment + manifest: the last step of a curation

@@ -132,6 +132,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"q120 lacks a partial agg phase: ${p.take(1200)}")
   }
 
+  test("q121 assigns splits with a per-row bucket and equi-joins only") {
+    // the cluster label relation joins the doc scan by key (broadcast
+    // or hash — never nested-loop), the bucket is a pure projection,
+    // and nothing may plan a window over the corpus
+    val p = plan("q121_cluster_split")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q121 plans an all-pairs join: ${p.take(1200)}")
+    assert(!p.contains("Window"), s"q121 plans a window: ${p.take(1200)}")
+  }
+
   test("q18b computes top-k per group without a window sort") {
     // the point of the bounded-buffer Aggregator: no Window node, and
     // the aggregation must run with a partial (map-side) phase so the
