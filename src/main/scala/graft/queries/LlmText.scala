@@ -958,39 +958,31 @@ object LlmText {
       // one window partition (no map-side combine) — at 100 TB with
       // adversarial skew, escape-hatch to the two-level salted agg +
       // broadcast-join form and pay the re-scan instead.
+      (s, d) => lineDedupStats(lineChunks(docs(s, d))).orderBy(col("doc_id")),
+      Some(LineDedupOracleSql)),
+
+    QueryDef("q119s_incremental_line_dedup",
+      // The STREAMING q119 under the batch oracle (the q112s/q66
+      // doctrine): documents arrive in two deterministic waves through
+      // IncrementalLineDedup — each wave only chunks and APPENDS its
+      // own docs; keep-first and reconstruction are one window pass at
+      // emission over the accumulated state — and the result is checked
+      // against the SAME DuckDB oracle as batch q119. The ODD-ids-first
+      // wave order makes the retroactive flip real: even (smaller) doc
+      // ids arrive later and take line ownership away from already-
+      // ingested odd docs, proving emission ranks by (doc_id, ck), not
+      // arrival order.
       (s, d) => {
-        val ch = docs(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .select(col("doc_id"), posexplode(expr(
-            "transform(sequence(0, CAST(ceil(size(t)/10.0) AS INT) - 1), " +
-              "i -> array_join(slice(t, i*10+1, 10), ' '))")).as(Seq("ck", "chunk")))
-        val wC = Window.partitionBy(col("chunk"))
-        val marked = ch
-          .withColumn("cnt", count(lit(1)).over(wC))
-          .withColumn("first", min(struct(col("doc_id"), col("ck"))).over(wC))
-          .withColumn("keep", col("cnt") === 1 ||
-            (col("doc_id") === col("first.doc_id") && col("ck") === col("first.ck")))
-        marked.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("orig_chunks"),
-            sum(col("keep").cast("long")).as("kept_chunks"),
-            concat_ws(" ", expr(
-              "transform(array_sort(collect_list(CASE WHEN keep THEN struct(ck, chunk) END)), " +
-                "x -> x.chunk)")).as("new_text"))
-          .orderBy(col("doc_id"))
+        import graft.streaming.IncrementalLineDedup
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q119s-incremental").toString
+        val inc = new IncrementalLineDedup(statePath)
+        val src = docs(s, d).select(col("doc_id"), col("text"))
+        inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)
+        inc.processBatch(src.where(col("doc_id") % 2 === 0), 1L)
+        inc.lines(s).orderBy(col("doc_id"))
       },
-      Some("WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
-        "ix AS (SELECT UNNEST(range(0, (SELECT CAST(ceil(MAX(len(t))/10.0) AS BIGINT) FROM t))) AS i), " +
-        // t[a:b] is 1-based inclusive and truncates past the end —
-        // identical to the Spark side's slice(t, i*10+1, 10)
-        "ch AS (SELECT doc_id, i AS ck, array_to_string(t[i*10+1 : i*10+10], ' ') AS chunk " +
-        "FROM t JOIN ix ON i < ceil(len(t)/10.0)), " +
-        "mk AS (SELECT doc_id, ck, chunk, COUNT(*) OVER (PARTITION BY chunk) AS cnt, " +
-        "ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, ck) AS rn FROM ch), " +
-        "k AS (SELECT doc_id, ck, chunk, (cnt = 1 OR rn = 1) AS keep FROM mk) " +
-        "SELECT doc_id, COUNT(*) AS orig_chunks, " +
-        "CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS kept_chunks, " +
-        "COALESCE(string_agg(chunk, ' ' ORDER BY ck) FILTER (WHERE keep), '') AS new_text " +
-        "FROM k GROUP BY doc_id ORDER BY doc_id")),
+      Some(LineDedupOracleSql)),
 
     QueryDef("q120_canonical_selection",
       // The dedup DECISION the pair/component machinery exists for:
@@ -1040,6 +1032,52 @@ object LlmText {
         "COUNT(*) OVER (PARTITION BY rep_doc) AS n_members FROM m) " +
         "SELECT rep_doc, n_members, doc AS keep_doc, q4/10000.0 AS keep_quality, " +
         "n_members - 1 AS n_dropped FROM k WHERE rn = 1 ORDER BY rep_doc")))
+
+  /** DuckDB oracle for the q119 line-dedup statistic (batch q119 AND
+    * its streaming twin q119s — same relation, the q112s doctrine).
+    * t[a:b] is 1-based inclusive and truncates past the end —
+    * identical to the Spark side's slice(t, i*10+1, 10). */
+  private val LineDedupOracleSql: String =
+    "WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+      "ix AS (SELECT UNNEST(range(0, (SELECT CAST(ceil(MAX(len(t))/10.0) AS BIGINT) FROM t))) AS i), " +
+      "ch AS (SELECT doc_id, i AS ck, array_to_string(t[i*10+1 : i*10+10], ' ') AS chunk " +
+      "FROM t JOIN ix ON i < ceil(len(t)/10.0)), " +
+      "mk AS (SELECT doc_id, ck, chunk, COUNT(*) OVER (PARTITION BY chunk) AS cnt, " +
+      "ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, ck) AS rn FROM ch), " +
+      "k AS (SELECT doc_id, ck, chunk, (cnt = 1 OR rn = 1) AS keep FROM mk) " +
+      "SELECT doc_id, COUNT(*) AS orig_chunks, " +
+      "CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS kept_chunks, " +
+      "COALESCE(string_agg(chunk, ' ' ORDER BY ck) FILTER (WHERE keep), '') AS new_text " +
+      "FROM k GROUP BY doc_id ORDER BY doc_id"
+
+  /** q119's chunker: one row per 10-token "line" occurrence
+    * (doc_id, ck, chunk) — map-only array slicing, shared by batch
+    * q119 and the streaming twin ([[graft.streaming.IncrementalLineDedup]],
+    * whose per-batch work is exactly this relation for its own docs). */
+  private[graft] def lineChunks(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, CAST(ceil(size(t)/10.0) AS INT) - 1), " +
+          "i -> array_join(slice(t, i*10+1, 10), ' '))")).as(Seq("ck", "chunk")))
+
+  /** q119's keep-first + reassembly stage over a chunk relation —
+    * arrival-order independent (the keep decision reads only the full
+    * accumulated relation), which is what lets the streaming twin share
+    * this stage AND the batch oracle. */
+  private[graft] def lineDedupStats(ch: DataFrame): DataFrame = {
+    val wC = Window.partitionBy(col("chunk"))
+    ch.withColumn("cnt", count(lit(1)).over(wC))
+      .withColumn("first", min(struct(col("doc_id"), col("ck"))).over(wC))
+      .withColumn("keep", col("cnt") === 1 ||
+        (col("doc_id") === col("first.doc_id") && col("ck") === col("first.ck")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("orig_chunks"),
+        sum(col("keep").cast("long")).as("kept_chunks"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN keep THEN struct(ck, chunk) END)), " +
+            "x -> x.chunk)")).as("new_text"))
+  }
 
   /** DuckDB oracle for the q112 span statistic (batch q112 AND its
     * streaming twin q112s — the stream==batch claim held at the hash

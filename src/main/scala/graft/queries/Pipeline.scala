@@ -46,6 +46,40 @@ object Pipeline {
         .when(col("b") < 90, "valid").otherwise("test"))
       .select(col("doc_id"), col("n_chars"), col("cluster_id"), col("split"))
 
+  /** q122's hashed bag-of-words feature relation (doc_id, y, b, x):
+    * token md5-buckets mod F with integer counts plus a bias feature
+    * at bucket F. Exposed (with the two round stages below) so the
+    * plan guard can assert the per-round physical shapes — the
+    * QueryDef's own output is a driver-built trajectory table whose
+    * plan shows nothing. */
+  private[graft] def perceptronFeatures(s: SparkSession, d: String, F: Int): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+      .select(col("doc_id"), col("y"),
+        (conv(substring(md5(concat(lit("ptron:"), col("tok"))), 1, 8), 16, 10)
+          .cast("long") % F).as("b"))
+      .groupBy(col("doc_id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("x"))
+      .unionByName(docs(s, d).select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        lit(F.toLong).as("b"), lit(1L).as("x")))
+
+  /** One perceptron round, scoring half: misclassified doc ids under
+    * the broadcast weight vector (y·score ≤ 0, exact integers). */
+  private[graft] def perceptronMissDocs(feats: DataFrame, wDf: DataFrame): DataFrame =
+    feats.join(broadcast(wDf), "b")
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("x") * col("w")).as("score"))
+      .where(col("y") * col("score") <= 0)
+      .select(col("doc_id"))
+
+  /** One perceptron round, update half: per-bucket weight delta
+    * Σ_miss y·x — an F-bounded agg with map-side partials. */
+  private[graft] def perceptronDelta(feats: DataFrame, missDocs: DataFrame): DataFrame =
+    feats.join(missDocs, "doc_id")
+      .groupBy(col("b")).agg(sum(col("y") * col("x")).as("d"))
+
   /** The BPE training loop (q81b's body), factored out so the encoder
     * (q91) applies the SAME learned merge table — train once, encode
     * everywhere. 3 greedy merge rounds over the word-FREQUENCY table
@@ -1042,6 +1076,74 @@ object Pipeline {
         "CAST(SUM(lr.lr_e6) AS BIGINT) AS dsir_e6 " +
         "FROM f JOIN lr ON lr.b = f.b GROUP BY 1, 2, 3 " +
         "ORDER BY dsir_e6 DESC, doc_id LIMIT 40")),
+
+    QueryDef("q122_perceptron_classifier",
+      // Distributed BATCH-PERCEPTRON training of a domain classifier
+      // (the learned counterpart of q50's heuristic and q118's density
+      // ratio; fastText-shaped: hashed bag-of-words → linear model).
+      // Label: lang = 'en' (+1) vs rest (−1), the same in-corpus
+      // target slice q118 uses. Features: token md5-hash buckets mod
+      // 64 with integer counts, plus a bias feature — so scores,
+      // the y·score ≤ 0 misclassification test, and the weight
+      // updates w += Σ_miss y·x are ALL exact integers: unlike
+      // logistic regression there is no transcendental anywhere, and
+      // the whole 3-round trajectory is oracle-hashable bit-for-bit.
+      // Scale shape per round (the q81b/q117 driver-loop doctrine —
+      // rounds are driver round-trips, each O(F) rows): the feature
+      // relation is built ONCE and lineage-truncated (referenced 2×
+      // per round × 3 rounds); the 65-row weight vector BROADCASTS
+      // onto it (never shuffle the corpus on bucket); misclassified
+      // doc ids join back by doc_id onto the checkpointed features (no
+      // recompute — bare LogicalRDD); the delta agg is an F-bounded
+      // shuffle with map-side partials. Output: the full training
+      // trajectory (round, bucket, weight-after-round, misclassified-
+      // at-round-start).
+      (s, d) => {
+        val F = 64
+        val rounds = 3
+        val feats = perceptronFeatures(s, d, F).localCheckpoint(true)
+        val w = Array.fill(F + 1)(0L)
+        val traj = Seq.newBuilder[(Long, Long, Long, Long)]
+        for (r <- 1 to rounds) {
+          val wDf = s.createDataFrame(
+            w.toIndexedSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) })
+            .toDF("b", "w")
+          val missDocs = perceptronMissDocs(feats, wDf).localCheckpoint(true)
+          val nMiss = missDocs.count()
+          val delta = perceptronDelta(feats, missDocs)
+            .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+          for (b <- 0 to F) w(b) += delta.getOrElse(b.toLong, 0L)
+          for (b <- 0 to F) traj += ((r.toLong, b.toLong, w(b), nMiss))
+        }
+        s.createDataFrame(traj.result())
+          .toDF("round", "bucket", "weight", "n_miss")
+          .orderBy(col("round"), col("bucket"))
+      },
+      Some("WITH f0 AS (SELECT doc_id, CASE WHEN lang='en' THEN 1 ELSE -1 END AS y, " +
+        "UNNEST(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents), " +
+        "f AS (SELECT doc_id, y, CAST(('0x' || substring(md5('ptron:' || tok),1,8)) AS BIGINT) % 64 AS b, " +
+        "COUNT(*) AS x FROM f0 GROUP BY 1,2,3 " +
+        "UNION ALL SELECT doc_id, CASE WHEN lang='en' THEN 1 ELSE -1 END, 64, 1 FROM documents), " +
+        "bk AS (SELECT UNNEST(range(0, 65)) AS b), " +
+        "w0 AS (SELECT b, CAST(0 AS BIGINT) AS w FROM bk), " +
+        // round r: score under w_{r-1}, misclassified set, delta, w_r
+        "s1 AS (SELECT f.doc_id, f.y, SUM(f.x * w0.w) AS sc FROM f JOIN w0 USING (b) GROUP BY 1,2), " +
+        "m1 AS (SELECT doc_id FROM s1 WHERE y * sc <= 0), " +
+        "d1 AS (SELECT f.b, CAST(SUM(f.y * f.x) AS BIGINT) AS d FROM f JOIN m1 USING (doc_id) GROUP BY f.b), " +
+        "w1 AS (SELECT w0.b, w0.w + COALESCE(d1.d, 0) AS w FROM w0 LEFT JOIN d1 USING (b)), " +
+        "s2 AS (SELECT f.doc_id, f.y, SUM(f.x * w1.w) AS sc FROM f JOIN w1 USING (b) GROUP BY 1,2), " +
+        "m2 AS (SELECT doc_id FROM s2 WHERE y * sc <= 0), " +
+        "d2 AS (SELECT f.b, CAST(SUM(f.y * f.x) AS BIGINT) AS d FROM f JOIN m2 USING (doc_id) GROUP BY f.b), " +
+        "w2 AS (SELECT w1.b, w1.w + COALESCE(d2.d, 0) AS w FROM w1 LEFT JOIN d2 USING (b)), " +
+        "s3 AS (SELECT f.doc_id, f.y, SUM(f.x * w2.w) AS sc FROM f JOIN w2 USING (b) GROUP BY 1,2), " +
+        "m3 AS (SELECT doc_id FROM s3 WHERE y * sc <= 0), " +
+        "d3 AS (SELECT f.b, CAST(SUM(f.y * f.x) AS BIGINT) AS d FROM f JOIN m3 USING (doc_id) GROUP BY f.b), " +
+        "w3 AS (SELECT w2.b, w2.w + COALESCE(d3.d, 0) AS w FROM w2 LEFT JOIN d3 USING (b)) " +
+        "SELECT CAST(1 AS BIGINT) AS round, b AS bucket, w AS weight, " +
+        "(SELECT COUNT(*) FROM m1) AS n_miss FROM w1 " +
+        "UNION ALL SELECT 2, b, w, (SELECT COUNT(*) FROM m2) FROM w2 " +
+        "UNION ALL SELECT 3, b, w, (SELECT COUNT(*) FROM m3) FROM w3 " +
+        "ORDER BY round, bucket")),
 
     QueryDef("q97_pmi_pairs",
       // Word-association mining: top-20 adjacent-word pairs by

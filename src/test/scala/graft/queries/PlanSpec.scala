@@ -142,6 +142,28 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Window"), s"q121 plans a window: ${p.take(1200)}")
   }
 
+  test("q122's round stages broadcast the weights and stay equi-join shaped") {
+    // the QueryDef's output is a driver-built trajectory table (its
+    // plan shows nothing), so the guard inspects the two per-round
+    // stages directly: the 65-row weight vector must BROADCAST onto
+    // the checkpointed feature relation (never shuffle the corpus on
+    // bucket), and the misclassified-set join back must stay a hash
+    // equi-join — no window, no n² shape anywhere
+    val feats = Pipeline.perceptronFeatures(spark, dir, 64).localCheckpoint(true)
+    val w0 = spark.createDataFrame((0 to 64).map(b => (b.toLong, 0L))).toDF("b", "w")
+    val miss = Pipeline.perceptronMissDocs(feats, w0)
+    val pm = miss.queryExecution.executedPlan.toString
+    assert(pm.contains("BroadcastHashJoin"), s"weights not broadcast: ${pm.take(1200)}")
+    assert(!pm.contains("Window") && !pm.contains("BroadcastNestedLoopJoin") &&
+      !pm.contains("CartesianProduct"), pm.take(1200))
+    val pd = Pipeline.perceptronDelta(feats, miss.localCheckpoint(true))
+      .queryExecution.executedPlan.toString
+    assert(!pd.contains("BroadcastNestedLoopJoin") && !pd.contains("CartesianProduct"),
+      pd.take(1200))
+    assert("HashAggregate".r.findAllIn(pd).length >= 2,
+      s"delta agg lacks a partial phase: ${pd.take(1200)}")
+  }
+
   test("q18b computes top-k per group without a window sort") {
     // the point of the bounded-buffer Aggregator: no Window node, and
     // the aggregation must run with a partial (map-side) phase so the
