@@ -80,6 +80,66 @@ object Pipeline {
     feats.join(missDocs, "doc_id")
       .groupBy(col("b")).agg(sum(col("y") * col("x")).as("d"))
 
+  /** DuckDB CTE chain replaying the whole q122 training loop —
+    * featurize (f), bucket list (bk), then per unrolled round r:
+    * scores under w_{r-1} (s_r), misclassified set (m_r), integer
+    * delta (d_r), updated weights (w_r). Shared by the q122 trajectory
+    * oracle and the q122b apply oracle. */
+  private[queries] val PerceptronOracleCtes: String =
+    "f0 AS (SELECT doc_id, CASE WHEN lang='en' THEN 1 ELSE -1 END AS y, " +
+      "UNNEST(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents), " +
+      "f AS (SELECT doc_id, y, CAST(('0x' || substring(md5('ptron:' || tok),1,8)) AS BIGINT) % 64 AS b, " +
+      "COUNT(*) AS x FROM f0 GROUP BY 1,2,3 " +
+      "UNION ALL SELECT doc_id, CASE WHEN lang='en' THEN 1 ELSE -1 END, 64, 1 FROM documents), " +
+      "bk AS (SELECT UNNEST(range(0, 65)) AS b), " +
+      "w0 AS (SELECT b, CAST(0 AS BIGINT) AS w FROM bk), " +
+      "s1 AS (SELECT f.doc_id, f.y, SUM(f.x * w0.w) AS sc FROM f JOIN w0 USING (b) GROUP BY 1,2), " +
+      "m1 AS (SELECT doc_id FROM s1 WHERE y * sc <= 0), " +
+      "d1 AS (SELECT f.b, CAST(SUM(f.y * f.x) AS BIGINT) AS d FROM f JOIN m1 USING (doc_id) GROUP BY f.b), " +
+      "w1 AS (SELECT w0.b, w0.w + COALESCE(d1.d, 0) AS w FROM w0 LEFT JOIN d1 USING (b)), " +
+      "s2 AS (SELECT f.doc_id, f.y, SUM(f.x * w1.w) AS sc FROM f JOIN w1 USING (b) GROUP BY 1,2), " +
+      "m2 AS (SELECT doc_id FROM s2 WHERE y * sc <= 0), " +
+      "d2 AS (SELECT f.b, CAST(SUM(f.y * f.x) AS BIGINT) AS d FROM f JOIN m2 USING (doc_id) GROUP BY f.b), " +
+      "w2 AS (SELECT w1.b, w1.w + COALESCE(d2.d, 0) AS w FROM w1 LEFT JOIN d2 USING (b)), " +
+      "s3 AS (SELECT f.doc_id, f.y, SUM(f.x * w2.w) AS sc FROM f JOIN w2 USING (b) GROUP BY 1,2), " +
+      "m3 AS (SELECT doc_id FROM s3 WHERE y * sc <= 0), " +
+      "d3 AS (SELECT f.b, CAST(SUM(f.y * f.x) AS BIGINT) AS d FROM f JOIN m3 USING (doc_id) GROUP BY f.b), " +
+      "w3 AS (SELECT w2.b, w2.w + COALESCE(d3.d, 0) AS w FROM w2 LEFT JOIN d3 USING (b))"
+
+  /** Session-scoped cache of the trained perceptron trajectory —
+    * train ONCE, then q122 reports the trajectory and q122b applies
+    * the final weights (the q81b/q91 train-once-apply-everywhere
+    * pattern). Entries are plain driver-side tuples (3 rounds × 65
+    * buckets); nothing to unpersist. */
+  private val ptronCache = new graft.SessionCache[Seq[(Long, Long, Long, Long)]]()
+
+  private[graft] val PtronF = 64
+  private[graft] val PtronRounds = 3
+
+  /** The full batch-perceptron training loop: per round, ONE broadcast
+    * scoring pass + ONE F-bounded delta agg over the once-built
+    * lineage-truncated feature relation. Returns (round, bucket,
+    * weight-after-round, misclassified-at-round-start) rows. */
+  private[graft] def perceptronTrained(s: SparkSession, d: String): Seq[(Long, Long, Long, Long)] =
+    ptronCache.getOrElseUpdate(s, d, {
+      val F = PtronF
+      val feats = perceptronFeatures(s, d, F).localCheckpoint(true)
+      val w = Array.fill(F + 1)(0L)
+      val traj = Seq.newBuilder[(Long, Long, Long, Long)]
+      for (r <- 1 to PtronRounds) {
+        val wDf = s.createDataFrame(
+          w.toIndexedSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) })
+          .toDF("b", "w")
+        val missDocs = perceptronMissDocs(feats, wDf).localCheckpoint(true)
+        val nMiss = missDocs.count()
+        val delta = perceptronDelta(feats, missDocs)
+          .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+        for (b <- 0 to F) w(b) += delta.getOrElse(b.toLong, 0L)
+        for (b <- 0 to F) traj += ((r.toLong, b.toLong, w(b), nMiss))
+      }
+      traj.result()
+    })
+
   /** The BPE training loop (q81b's body), factored out so the encoder
     * (q91) applies the SAME learned merge table — train once, encode
     * everywhere. 3 greedy merge rounds over the word-FREQUENCY table
@@ -1098,52 +1158,47 @@ object Pipeline {
       // shuffle with map-side partials. Output: the full training
       // trajectory (round, bucket, weight-after-round, misclassified-
       // at-round-start).
-      (s, d) => {
-        val F = 64
-        val rounds = 3
-        val feats = perceptronFeatures(s, d, F).localCheckpoint(true)
-        val w = Array.fill(F + 1)(0L)
-        val traj = Seq.newBuilder[(Long, Long, Long, Long)]
-        for (r <- 1 to rounds) {
-          val wDf = s.createDataFrame(
-            w.toIndexedSeq.zipWithIndex.map { case (v, b) => (b.toLong, v) })
-            .toDF("b", "w")
-          val missDocs = perceptronMissDocs(feats, wDf).localCheckpoint(true)
-          val nMiss = missDocs.count()
-          val delta = perceptronDelta(feats, missDocs)
-            .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
-          for (b <- 0 to F) w(b) += delta.getOrElse(b.toLong, 0L)
-          for (b <- 0 to F) traj += ((r.toLong, b.toLong, w(b), nMiss))
-        }
-        s.createDataFrame(traj.result())
-          .toDF("round", "bucket", "weight", "n_miss")
-          .orderBy(col("round"), col("bucket"))
-      },
-      Some("WITH f0 AS (SELECT doc_id, CASE WHEN lang='en' THEN 1 ELSE -1 END AS y, " +
-        "UNNEST(list_filter(string_split(text,' '), x -> x <> '')) AS tok FROM documents), " +
-        "f AS (SELECT doc_id, y, CAST(('0x' || substring(md5('ptron:' || tok),1,8)) AS BIGINT) % 64 AS b, " +
-        "COUNT(*) AS x FROM f0 GROUP BY 1,2,3 " +
-        "UNION ALL SELECT doc_id, CASE WHEN lang='en' THEN 1 ELSE -1 END, 64, 1 FROM documents), " +
-        "bk AS (SELECT UNNEST(range(0, 65)) AS b), " +
-        "w0 AS (SELECT b, CAST(0 AS BIGINT) AS w FROM bk), " +
-        // round r: score under w_{r-1}, misclassified set, delta, w_r
-        "s1 AS (SELECT f.doc_id, f.y, SUM(f.x * w0.w) AS sc FROM f JOIN w0 USING (b) GROUP BY 1,2), " +
-        "m1 AS (SELECT doc_id FROM s1 WHERE y * sc <= 0), " +
-        "d1 AS (SELECT f.b, CAST(SUM(f.y * f.x) AS BIGINT) AS d FROM f JOIN m1 USING (doc_id) GROUP BY f.b), " +
-        "w1 AS (SELECT w0.b, w0.w + COALESCE(d1.d, 0) AS w FROM w0 LEFT JOIN d1 USING (b)), " +
-        "s2 AS (SELECT f.doc_id, f.y, SUM(f.x * w1.w) AS sc FROM f JOIN w1 USING (b) GROUP BY 1,2), " +
-        "m2 AS (SELECT doc_id FROM s2 WHERE y * sc <= 0), " +
-        "d2 AS (SELECT f.b, CAST(SUM(f.y * f.x) AS BIGINT) AS d FROM f JOIN m2 USING (doc_id) GROUP BY f.b), " +
-        "w2 AS (SELECT w1.b, w1.w + COALESCE(d2.d, 0) AS w FROM w1 LEFT JOIN d2 USING (b)), " +
-        "s3 AS (SELECT f.doc_id, f.y, SUM(f.x * w2.w) AS sc FROM f JOIN w2 USING (b) GROUP BY 1,2), " +
-        "m3 AS (SELECT doc_id FROM s3 WHERE y * sc <= 0), " +
-        "d3 AS (SELECT f.b, CAST(SUM(f.y * f.x) AS BIGINT) AS d FROM f JOIN m3 USING (doc_id) GROUP BY f.b), " +
-        "w3 AS (SELECT w2.b, w2.w + COALESCE(d3.d, 0) AS w FROM w2 LEFT JOIN d3 USING (b)) " +
+      (s, d) => s.createDataFrame(perceptronTrained(s, d))
+        .toDF("round", "bucket", "weight", "n_miss")
+        .orderBy(col("round"), col("bucket")),
+      Some("WITH " + PerceptronOracleCtes + " " +
         "SELECT CAST(1 AS BIGINT) AS round, b AS bucket, w AS weight, " +
         "(SELECT COUNT(*) FROM m1) AS n_miss FROM w1 " +
         "UNION ALL SELECT 2, b, w, (SELECT COUNT(*) FROM m2) FROM w2 " +
         "UNION ALL SELECT 3, b, w, (SELECT COUNT(*) FROM m3) FROM w3 " +
         "ORDER BY round, bucket")),
+
+    QueryDef("q122b_perceptron_apply",
+      // APPLY the trained q122 model (train once, score everywhere —
+      // the q81b/q91 pattern, via the same session-cached trajectory):
+      // every document is scored with the final-round weights and the
+      // output is the label × prediction confusion matrix — the
+      // evaluation a curation pass runs before trusting a learned
+      // filter. Scale shape: one feature scan, the 65-row final weight
+      // vector broadcasts onto it, one per-doc agg, one 4-row summary
+      // agg. Scores are exact integers (the q122 property), so the
+      // sign test is portable by construction.
+      (s, d) => {
+        val F = PtronF
+        val wFinal = perceptronTrained(s, d)
+          .filter(_._1 == PtronRounds.toLong).map(t => (t._2, t._3))
+        val wDf = s.createDataFrame(wFinal).toDF("b", "w")
+        perceptronFeatures(s, d, F)
+          .join(broadcast(wDf), "b")
+          .groupBy(col("doc_id"), col("y"))
+          .agg(sum(col("x") * col("w")).as("score"))
+          .select(col("y").as("label"),
+            when(col("score") > 0, 1L).otherwise(-1L).as("predicted"))
+          .groupBy(col("label"), col("predicted"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("label"), col("predicted"))
+      },
+      Some("WITH " + PerceptronOracleCtes + ", " +
+        "s4 AS (SELECT f.doc_id, f.y, SUM(f.x * w3.w) AS sc " +
+        "FROM f JOIN w3 USING (b) GROUP BY 1,2) " +
+        "SELECT CAST(y AS BIGINT) AS label, " +
+        "CAST(CASE WHEN sc > 0 THEN 1 ELSE -1 END AS BIGINT) AS predicted, " +
+        "COUNT(*) AS cnt FROM s4 GROUP BY 1,2 ORDER BY label, predicted")),
 
     QueryDef("q97_pmi_pairs",
       // Word-association mining: top-20 adjacent-word pairs by

@@ -63,6 +63,23 @@ class PerceptronSpec extends AnyFunSuite with SparkTestSession {
       s"diff=${(got.toSet -- expect.toSet).take(5)} / ${(expect.toSet -- got.toSet).take(5)}")
   }
 
+  test("q122b confusion matrix replays from the trained weights") {
+    val docs = corpus()
+    val trained = replay(docs)
+    val w = Array.tabulate(F + 1)(b => trained((Rounds.toLong, b.toLong))._1)
+    val expect = docs.groupBy { case (_, text, lang) =>
+      val y = if (lang == "en") 1L else -1L
+      val x = Array.fill(F + 1)(0L)
+      text.split(" ", -1).filter(_.nonEmpty).foreach(t => x(bucketOf(t)) += 1)
+      x(F) = 1L
+      val sc = (0 to F).map(b => w(b) * x(b)).sum
+      (y, if (sc > 0) 1L else -1L)
+    }.map { case (k, g) => k -> g.size.toLong }
+    val got = SparkEntry.queries("q122b_perceptron_apply")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expect, s"got=$got expect=$expect")
+  }
+
   test("q122 learns: trained model beats the all-misclassified start") {
     val docs = corpus()
     val trained = replay(docs)

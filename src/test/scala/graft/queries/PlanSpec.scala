@@ -164,6 +164,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"delta agg lacks a partial phase: ${pd.take(1200)}")
   }
 
+  test("q122b scores with broadcast final weights — no window, no n² shape") {
+    // unlike q122, the apply query's output IS an engine relation:
+    // the final 65-row weight vector must broadcast onto the feature
+    // scan and both aggs keep partial phases
+    val p = plan("q122b_perceptron_apply")
+    assert(p.contains("BroadcastHashJoin"), s"weights not broadcast: ${p.take(1200)}")
+    assert(!p.contains("Window") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("q18b computes top-k per group without a window sort") {
     // the point of the bounded-buffer Aggregator: no Window node, and
     // the aggregation must run with a partial (map-side) phase so the
