@@ -28,5 +28,18 @@ object CdcComposed {
         "FROM customer WHERE c_custkey % 5 <> 0) " +
         "SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_cust, " +
         "CAST(SUM(cents) AS BIGINT) AS sum_cents " +
-        "FROM final GROUP BY 1 ORDER BY 1")))
+        "FROM final GROUP BY 1 ORDER BY 1")),
+
+    QueryDef("qc2_cdc_incremental_line_dedup",
+      // End-to-end: every fixture document INSERTed over the wire in
+      // md5-shuffled order (mock server → maxscale-cdc source →
+      // registry → projection) feeding IncrementalLineDedup's
+      // append-only chunk state per micro-batch, then the q119
+      // keep-first emission over the accumulated state. The oracle is
+      // batch q119's, computed straight from `documents` with no CDC
+      // anywhere — ONE hash gate certifies the connector (framing,
+      // decode, JSON string escaping, exactly-once delivery) AND the
+      // dedup state's arrival-order independence together.
+      (s, d) => graft.streaming.CdcAnalytics.incrementalLineDedupOverCdc(s, d),
+      Some(LlmText.LineDedupOracleSql)))
 }

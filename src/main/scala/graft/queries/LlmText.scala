@@ -1037,7 +1037,7 @@ object LlmText {
     * its streaming twin q119s — same relation, the q112s doctrine).
     * t[a:b] is 1-based inclusive and truncates past the end —
     * identical to the Spark side's slice(t, i*10+1, 10). */
-  private val LineDedupOracleSql: String =
+  private[queries] val LineDedupOracleSql: String =
     "WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
       "ix AS (SELECT UNNEST(range(0, (SELECT CAST(ceil(MAX(len(t))/10.0) AS BIGINT) FROM t))) AS i), " +
       "ch AS (SELECT doc_id, i AS ck, array_to_string(t[i*10+1 : i*10+10], ' ') AS chunk " +

@@ -134,6 +134,103 @@ object CdcAnalytics {
     snap
   }
 
+  // ---- qc2: the connector composed with the INCREMENTAL dedup layer ----
+
+  val DocTableName = "documents_feed"
+
+  def docDdlJson: String =
+    s"""{"namespace":"MaxScaleChangeDataSchema.avro","type":"record","name":"ChangeRecord","table":"$DocTableName","database":"$Database","version":1,"gtid":"0-1-1","fields":[{"name":"doc_id","type":"long"},{"name":"text","type":"string"}]}"""
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def docDmlJson(seq: Long, docId: Long, text: String): String =
+    s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,"timestamp":1754956800,"event_type":"insert","doc_id":$docId,"text":"${jsonEscape(text)}"}"""
+
+  /** Scripted binlog for qc2: every fixture document INSERTed in
+    * md5-shuffled order (deterministic, but neither id- nor
+    * file-ordered — so the incremental dedup's (doc_id, ck) keep-first
+    * ranking, not arrival order, must decide line ownership). */
+  def docWorkloadEvents(s: SparkSession, dir: String): Vector[String] = {
+    val rows = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, _) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(s"qc2:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      }
+    val out = Vector.newBuilder[String]
+    out += docDdlJson
+    rows.zipWithIndex.foreach { case ((id, text), i) =>
+      out += docDmlJson(i + 1L, id, text)
+    }
+    out.result()
+  }
+
+  /** qc2's query body: the full wire path (mock server → maxscale-cdc
+    * source → registry → projection) feeding [[IncrementalLineDedup]]'s
+    * append-only chunk state per micro-batch, then the q119 emission
+    * over the accumulated state. The hash gate closes over BOTH layers
+    * at once: a dropped/mangled/duplicated document anywhere in the
+    * connector, or any arrival-order dependence in the dedup state,
+    * breaks the q119 oracle hash (computed independently from the
+    * `documents` fixture, no CDC anywhere). */
+  def incrementalLineDedupOverCdc(s: SparkSession, dir: String): DataFrame = {
+    val events = docWorkloadEvents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc2-cdc").toString
+    val inc = runDocPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
+      events.size.toLong)
+    inc.lines(s).orderBy(col("doc_id"))
+  }
+
+  /** The qc2 wire half, with injectable state/checkpoint paths so the
+    * drills (CdcAnalyticsSpec) can kill it mid-workload and resume:
+    * reusing the same paths resumes — the source replays from its
+    * committed offset and the dedup state's doc-id anti-join absorbs
+    * any replayed batch. */
+  def runDocPipeline(s: SparkSession, events: Seq[String], statePath: String,
+      ckptPath: String, expectRows: Long,
+      sourceOptions: Map[String, String] = Map.empty): IncrementalLineDedup = {
+    val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
+    val inc = new IncrementalLineDedup(statePath)
+    val reg = new SchemaRegistry
+    val consumed = new java.util.concurrent.atomic.AtomicLong
+    val stream = sourceOptions.foldLeft(
+      s.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("user", "u").option("password", "p")
+        .option("database", Database).option("table", DocTableName)) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      .load()
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      CdcProjection.registryFrom(batch, reg)
+      if (reg.latest(Database, DocTableName).isDefined) {
+        val proj = CdcProjection.projectLatest(batch, reg, Database, DocTableName)
+          .where(col("op") === "insert")
+          .select(col("doc_id"), col("text"))
+        inc.processBatch(proj, bid)
+      }
+      consumed.addAndGet(batch.count())
+      ()
+    }.option("checkpointLocation", ckptPath).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (consumed.get() < expectRows && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        if (consumed.get() < expectRows) Thread.sleep(50)
+      }
+      require(consumed.get() == expectRows,
+        s"qc2 pipeline drained ${consumed.get()} of $expectRows rows")
+    } finally q.stop()
+    inc
+  }
+
   /** qc1's query body: run the whole composition for a fixture dir and
     * aggregate the materialized state (fresh temp dirs per call — the
     * entry measures the real pipeline, not a cache hit). */

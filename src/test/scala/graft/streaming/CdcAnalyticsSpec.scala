@@ -70,6 +70,39 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(frag) == rows(ref))
   }
 
+  test("qc2: CDC-fed line-dedup state equals batch q119, across a mid-workload restart") {
+    // the qc2 composition's drill: kill the stream partway through the
+    // md5-shuffled insert binlog, resume against a NEW connection
+    // (schema re-sent at stream head), and require the emitted dedup
+    // stats to equal BOTH the one-shot wire run and the pure batch
+    // q119 over the same fixture — the wire path and the dedup state
+    // must each be outage- and arrival-order-invariant
+    val events = CdcAnalytics.docWorkloadEvents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc2-restart").toString
+
+    def lines(inc: IncrementalLineDedup): Seq[(Long, Long, Long, String)] =
+      inc.lines(spark).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+
+    val oneShot = CdcAnalytics.runDocPipeline(spark, events,
+      s"$tmp/ref_state", s"$tmp/ref_ckpt", events.size.toLong)
+    val expected = lines(oneShot)
+    assert(expected.nonEmpty)
+
+    val batch = graft.SparkEntry.queries("q119_line_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(expected == batch, "wire run diverges from batch q119")
+
+    val cut = events.size / 2
+    val phaseA = events.take(cut)
+    val phaseB = CdcAnalytics.docDdlJson +: events.drop(cut)
+    CdcAnalytics.runDocPipeline(spark, phaseA,
+      s"$tmp/state", s"$tmp/ckpt", phaseA.size.toLong)
+    val resumed = CdcAnalytics.runDocPipeline(spark, phaseB,
+      s"$tmp/state", s"$tmp/ckpt", phaseB.size.toLong)
+    assert(lines(resumed) == expected)
+  }
+
   test("replaying a committed batchId is bit-for-bit idempotent") {
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Files.createTempDirectory("cdc-replay").toString
