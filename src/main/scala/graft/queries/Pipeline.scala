@@ -46,6 +46,29 @@ object Pipeline {
         .when(col("b") < 90, "valid").otherwise("test"))
       .select(col("doc_id"), col("n_chars"), col("cluster_id"), col("split"))
 
+  /** q123's body: write the corpus as 16 md5-assigned training shards
+    * under `out` (one file per shard, id-sorted within), then compute
+    * the manifest FROM THE FILES READ BACK. Exposed so ShardWriteSpec
+    * can inspect the written layout. */
+  private[graft] def shardedWriteManifest(s: SparkSession, d: String, out: String): DataFrame = {
+    val nShards = 16
+    docs(s, d)
+      .withColumn("shard",
+        conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.partitionBy("shard").mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("shard"))
+  }
+
   /** q122's hashed bag-of-words feature relation (doc_id, y, b, x):
     * token md5-buckets mod F with integer counts plus a bias feature
     * at bucket F. Exposed (with the two round stages below) so the
@@ -520,6 +543,31 @@ object Pipeline {
             max(col("doc_id")).as("max_doc_id"),
             countDistinct(col("lang")).as("n_langs"))
           .orderBy(col("shard"))
+      },
+      Some("SELECT CAST(('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 16 AS shard, " +
+        "COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
+        "MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id, " +
+        "COUNT(DISTINCT lang) AS n_langs FROM documents GROUP BY 1 ORDER BY shard")),
+
+    QueryDef("q123_sharded_write",
+      // The WRITE half q72 only plans: physically materialize the
+      // corpus as training shards — the q72 salted-md5 assignment,
+      // `repartition(16, shard).sortWithinPartitions(doc_id)
+      //  .write.partitionBy("shard")` — then derive the manifest from
+      // the FILES READ BACK, not from the input relation. Same oracle
+      // as q72 (manifest is a pure function of the assignment), so the
+      // hash gate certifies the physical round-trip: partition layout,
+      // parquet encode/decode, and that no row was lost, duplicated or
+      // re-sharded on the way to disk. Because the shuffle is keyed
+      // exactly on the shard, every shard lands in ONE task → one file
+      // per shard dir, rows id-sorted within it (ShardWriteSpec
+      // asserts the layout; that is the file shape a training data
+      // loader wants). At 100 TB this is the job's terminal stage;
+      // shard count scales with volume, the manifest agg stays
+      // nShards-bounded.
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("q123-shards").toString
+        shardedWriteManifest(s, d, out)
       },
       Some("SELECT CAST(('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 16 AS shard, " +
         "COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, " +
