@@ -574,6 +574,84 @@ object Pipeline {
         "MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id, " +
         "COUNT(DISTINCT lang) AS n_langs FROM documents GROUP BY 1 ORDER BY shard")),
 
+    QueryDef("q124_curation_pipeline",
+      // The END-TO-END curation DAG — the four decision layers this
+      // engine grew this round, COMPOSED in production order, one
+      // oracle hash over the whole thing:
+      //   1. quality gate (q50's heuristic, floor-quantized; keep
+      //      q4 ≥ 5000 — drops the bottom ~15% of this fixture);
+      //   2. near-dup collapse: among QUALIFIED members of each q57
+      //      cluster keep the best (q120's rule; unqualified docs are
+      //      already gone, singletons pass);
+      //   3. duplicate-line removal over the SURVIVING corpus (q119's
+      //      keep-first — note the dup-line set is computed on the
+      //      survivor corpus, not the raw one: removing a cluster
+      //      removes its lines' duplicate pressure, which is why the
+      //      stage order matters and why this is one composed query,
+      //      not three concatenated results); docs emptied by dedup
+      //      are dropped;
+      //   4. shard manifest of the final corpus (q72's assignment):
+      //      per shard, doc count + surviving line volume.
+      // Scale: every stage is a shape already proven by its standalone
+      // entry (session-cached CC labels, window keep-first, O(1)-state
+      // argmax, 16-key manifest agg); the composition adds joins on
+      // doc_id only.
+      (s, d) => {
+        val T = 5000L
+        val q4 = LlmText.qualityScoredDf(docs(s, d))
+          .select(col("doc_id"), floor(col("score") * 10000 + lit(0.5)).cast("long").as("q4"))
+        val qual = q4.where(col("q4") >= T)
+        val members = LlmText.dedupComponents(s, d).join(qual, Seq("doc_id"))
+        val keepBest = members.groupBy(col("rep"))
+          .agg(max(struct(col("q4"), (-col("doc_id")).as("nd"))).as("best"))
+          .select((-col("best.nd")).as("doc_id"))
+        val survivors = qual.select(col("doc_id"))
+          .join(members.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(keepBest)
+        val corpus = docs(s, d).join(survivors, Seq("doc_id"))
+          .select(col("doc_id"), col("text"))
+        LlmText.lineDedupStats(LlmText.lineChunks(corpus))
+          .where(col("kept_chunks") > 0)
+          .withColumn("shard",
+            conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long") % 16)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("kept_chunks")).cast("long").as("sum_kept_chunks"))
+          .orderBy(col("shard"))
+      },
+      Some("WITH RECURSIVE " + LlmText.BandedPairsSqlCtes + ", " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
+        "reach(doc, r) AS (SELECT doc, doc FROM nodes " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc), " +
+        "rep AS (SELECT doc, MIN(r) AS rep_doc FROM reach GROUP BY doc), " +
+        "ql AS (SELECT doc_id, len(string_split(text,' ')) AS n_tok, " +
+        "len(list_filter(string_split(text,' '), x -> x IN " +
+        "('the','a','of','and','to','in','is','on','for','it'))) AS n_stop, " +
+        "length(replace(text, ' ', '')) AS n_char FROM documents), " +
+        "qsc AS (SELECT doc_id, CAST(FLOOR((0.4 * LEAST(n_tok/50.0, 1.0) + " +
+        "0.3 * (CAST(n_stop AS DOUBLE)/n_tok) + " +
+        "0.3 * LEAST((CAST(n_char AS DOUBLE)/n_tok)/5.0, 1.0)) * 10000 + 0.5) AS BIGINT) AS q4 FROM ql), " +
+        "qual AS (SELECT doc_id, q4 FROM qsc WHERE q4 >= 5000), " +
+        "mem AS (SELECT r.doc, r.rep_doc, q.q4 FROM rep r JOIN qual q ON q.doc_id = r.doc), " +
+        "keepb AS (SELECT doc FROM (SELECT doc, ROW_NUMBER() OVER " +
+        "(PARTITION BY rep_doc ORDER BY q4 DESC, doc) AS rn FROM mem) WHERE rn = 1), " +
+        "surv AS (SELECT d.doc_id, d.text FROM documents d JOIN qual q ON q.doc_id = d.doc_id " +
+        "WHERE d.doc_id NOT IN (SELECT doc FROM mem) OR d.doc_id IN (SELECT doc FROM keepb)), " +
+        "lt AS (SELECT doc_id, string_split(text,' ') AS t FROM surv), " +
+        "lix AS (SELECT UNNEST(range(0, (SELECT CAST(ceil(MAX(len(t))/10.0) AS BIGINT) FROM lt))) AS i), " +
+        "lch AS (SELECT doc_id, i AS ck, array_to_string(t[i*10+1 : i*10+10], ' ') AS chunk " +
+        "FROM lt JOIN lix ON i < ceil(len(t)/10.0)), " +
+        "lmk AS (SELECT doc_id, ck, COUNT(*) OVER (PARTITION BY chunk) AS cnt, " +
+        "ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, ck) AS rn FROM lch), " +
+        "fin AS (SELECT doc_id, CAST(COUNT(*) FILTER (WHERE cnt = 1 OR rn = 1) AS BIGINT) AS kept " +
+        "FROM lmk GROUP BY doc_id HAVING COUNT(*) FILTER (WHERE cnt = 1 OR rn = 1) > 0) " +
+        "SELECT CAST(('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 16 AS shard, " +
+        "COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS sum_kept_chunks " +
+        "FROM fin GROUP BY 1 ORDER BY shard")),
+
     QueryDef("q58b_stratified_sample",
       // Stratified downsampling with per-stratum rates (the corpus-
       // rebalancing move: keep 10% of the dominant language, 50% of the

@@ -174,6 +174,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       !p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("q124's composed DAG stays equi-join shaped end to end") {
+    // four stages composed (quality gate → cluster keep-best → line
+    // dedup → shard manifest): the composition must not introduce any
+    // n² shape — joins are doc_id-keyed, the keep-best argmax is an
+    // agg, the only windows are line dedup's chunk-keyed pass
+    val p = plan("q124_curation_pipeline")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q124 plans an all-pairs join: ${p.take(1200)}")
+  }
+
   test("q18b computes top-k per group without a window sort") {
     // the point of the bounded-buffer Aggregator: no Window node, and
     // the aggregation must run with a partial (map-side) phase so the
