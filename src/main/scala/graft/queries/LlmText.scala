@@ -914,28 +914,35 @@ object LlmText {
         .select(col("doc_id"), col("n"), col("n_spans"),
           col("dup_tokens"), col("n_tokens"))
         .orderBy(col("doc_id"), col("n")),
-      Some(
-        "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents " +
-          "WHERE len(string_split(text,' ')) >= 5), " +
-          "ns AS (SELECT UNNEST([5, 10, 20]) AS n), " +
-          "ix AS (SELECT UNNEST(range(1, (SELECT 1 + MAX(len(t)) FROM toks))) AS i), " +
-          // t[i:i+n-1] is 1-based inclusive slicing = the Spark side's
-          // slice(t, i+1, n) at 0-based pos i-1
-          "g AS (SELECT doc_id, n, len(t) AS n_tokens, i-1 AS pos, " +
-          "CAST(('0x' || substring(md5(array_to_string(t[i:i+n-1],' ')),1,8)) AS BIGINT) AS h " +
-          "FROM toks CROSS JOIN ns JOIN ix ON i <= len(t)-n+1), " +
-          "dup AS (SELECT n, h FROM (SELECT n, h, MIN(doc_id) AS mn, MAX(doc_id) AS mx " +
-          "FROM g GROUP BY n, h) WHERE mn <> mx), " +
-          "hits AS (SELECT doc_id, n, n_tokens, pos FROM g JOIN dup USING (n, h)), " +
-          "fl AS (SELECT doc_id, n, n_tokens, pos, " +
-          "CASE WHEN pos > COALESCE(MAX(pos+n-1) OVER (PARTITION BY doc_id, n ORDER BY pos " +
-          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS nf FROM hits), " +
-          "isl AS (SELECT doc_id, n, n_tokens, pos, " +
-          "SUM(nf) OVER (PARTITION BY doc_id, n ORDER BY pos) AS iid FROM fl), " +
-          "sp AS (SELECT doc_id, n, iid, MAX(n_tokens) AS n_tokens, MIN(pos) AS s, " +
-          "MAX(pos)+n-1 AS e FROM isl GROUP BY 1,2,3) " +
-          "SELECT doc_id, n, COUNT(*) AS n_spans, CAST(SUM(e-s+1) AS BIGINT) AS dup_tokens, " +
-          "MAX(n_tokens) AS n_tokens FROM sp GROUP BY doc_id, n ORDER BY doc_id, n")),
+      Some(MultiscaleDupSpanOracleSql)),
+
+    QueryDef("q112bs_incremental_multiscale_spans",
+      // Multi-RESOLUTION streaming dup spans — the q112b statistic
+      // maintained incrementally (the last open batch/stream symmetry
+      // in the dedup family; STATE.md r8 candidate): one
+      // IncrementalDupSpans state per resolution n ∈ {5, 10, 20}, each
+      // fed the same two deterministic waves (chunk-and-append only),
+      // final emission unioned long-format under the SAME DuckDB
+      // oracle as batch q112b. Per-resolution states are independent
+      // by design: at cluster scale each n is its own state table and
+      // resolutions can be added or dropped without re-gramming the
+      // others.
+      (s, d) => {
+        import graft.streaming.IncrementalDupSpans
+        val base = java.nio.file.Files
+          .createTempDirectory("q112bs-incremental").toString
+        val src = docs(s, d).select(col("doc_id"), col("text"))
+        Seq(5, 10, 20).map { n =>
+          val inc = new IncrementalDupSpans(s"$base/n$n", n)
+          inc.processBatch(src.where(col("doc_id") % 2 === 0), 0L)
+          inc.processBatch(src.where(col("doc_id") % 2 === 1), 1L)
+          inc.spans(s).withColumn("n", lit(n))
+        }.reduce(_ unionByName _)
+          .select(col("doc_id"), col("n"), col("n_spans"),
+            col("dup_tokens"), col("n_tokens"))
+          .orderBy(col("doc_id"), col("n"))
+      },
+      Some(MultiscaleDupSpanOracleSql)),
 
     QueryDef("q119_line_dedup",
       // Duplicate-LINE removal with document reconstruction — the
@@ -1032,6 +1039,31 @@ object LlmText {
         "COUNT(*) OVER (PARTITION BY rep_doc) AS n_members FROM m) " +
         "SELECT rep_doc, n_members, doc AS keep_doc, q4/10000.0 AS keep_quality, " +
         "n_members - 1 AS n_dropped FROM k WHERE rn = 1 ORDER BY rep_doc")))
+
+  /** DuckDB oracle for the multi-resolution span statistic (batch
+    * q112b AND its streaming twin q112bs). t[i:i+n-1] is 1-based
+    * inclusive slicing = the Spark side's slice(t, i+1, n) at 0-based
+    * pos i-1. */
+  private val MultiscaleDupSpanOracleSql: String =
+    "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents " +
+      "WHERE len(string_split(text,' ')) >= 5), " +
+      "ns AS (SELECT UNNEST([5, 10, 20]) AS n), " +
+      "ix AS (SELECT UNNEST(range(1, (SELECT 1 + MAX(len(t)) FROM toks))) AS i), " +
+      "g AS (SELECT doc_id, n, len(t) AS n_tokens, i-1 AS pos, " +
+      "CAST(('0x' || substring(md5(array_to_string(t[i:i+n-1],' ')),1,8)) AS BIGINT) AS h " +
+      "FROM toks CROSS JOIN ns JOIN ix ON i <= len(t)-n+1), " +
+      "dup AS (SELECT n, h FROM (SELECT n, h, MIN(doc_id) AS mn, MAX(doc_id) AS mx " +
+      "FROM g GROUP BY n, h) WHERE mn <> mx), " +
+      "hits AS (SELECT doc_id, n, n_tokens, pos FROM g JOIN dup USING (n, h)), " +
+      "fl AS (SELECT doc_id, n, n_tokens, pos, " +
+      "CASE WHEN pos > COALESCE(MAX(pos+n-1) OVER (PARTITION BY doc_id, n ORDER BY pos " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1 THEN 1 ELSE 0 END AS nf FROM hits), " +
+      "isl AS (SELECT doc_id, n, n_tokens, pos, " +
+      "SUM(nf) OVER (PARTITION BY doc_id, n ORDER BY pos) AS iid FROM fl), " +
+      "sp AS (SELECT doc_id, n, iid, MAX(n_tokens) AS n_tokens, MIN(pos) AS s, " +
+      "MAX(pos)+n-1 AS e FROM isl GROUP BY 1,2,3) " +
+      "SELECT doc_id, n, COUNT(*) AS n_spans, CAST(SUM(e-s+1) AS BIGINT) AS dup_tokens, " +
+      "MAX(n_tokens) AS n_tokens FROM sp GROUP BY doc_id, n ORDER BY doc_id, n"
 
   /** DuckDB oracle for the q119 line-dedup statistic (batch q119 AND
     * its streaming twin q119s — same relation, the q112s doctrine).

@@ -12,8 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class DocsConsistencySpec extends AnyFunSuite {
 
   private val registered = SparkEntry.queries.keySet
-  // qc? covers the composed CDC entries (qc1_...) next to the plain qNN
-  private val qname = "qc?\\d+[a-z]?_[a-z0-9_]+".r
+  // qc? covers the composed CDC entries (qc1_...) next to the plain qNN;
+  // up to two suffix letters (q112b multiscale, q112bs its streaming twin)
+  private val qname = "qc?\\d+[a-z]{0,2}_[a-z0-9_]+".r
   private def mentionedIn(path: String): Set[String] = {
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
