@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Behavioral, CdcComposed, LlmText, Multimodal, Pipeline, Relational, SemiStructured, Vectors, Windowed}
+import graft.queries.{Behavioral, CdcComposed, LlmText, Multimodal, Pipeline, Relational, SemiStructured, SuffixArray, Vectors, Windowed}
 import graft.operators.AsOfJoin
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -13,7 +13,8 @@ object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ SemiStructured.defs ++ Windowed.defs ++
-      AsOfJoin.defs ++ Vectors.defs ++ LlmText.defs ++ Multimodal.defs ++ Pipeline.defs ++
+      AsOfJoin.defs ++ Vectors.defs ++ LlmText.defs ++ SuffixArray.defs ++
+      Multimodal.defs ++ Pipeline.defs ++
       Behavioral.defs ++ CdcComposed.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -491,4 +491,28 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
   }
+
+  test("q125 suffix sort: one scan, one range exchange, zero joins pre-rank") {
+    // the suffix relation is linear×Depth in the corpus; its global
+    // order must come from ONE range repartition of that relation (the
+    // q122b lesson applies: the ranked DF is RDD-backed, so the guard
+    // inspects the pre-rank stage directly)
+    val p = SuffixArray.sortedSuffixesOf(graft.Tables(spark, dir, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), s"q125 lost its range exchange:\n${p.take(1200)}")
+    assert(!p.contains("Join"), s"q125's suffix stage plans a join:\n${p.take(1200)}")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"q125's suffix stage scans more than once:\n${p.take(1200)}")
+  }
+
+  test("q125 adjacency is a rank equi-join — never nested-loop") {
+    // neighbours in suffix order meet on rk = rk+1; a BNLJ here would
+    // be the all-pairs suffix comparison the rank order exists to avoid
+    val p = SuffixArray.adjacentLcpOf(graft.Tables(spark, dir, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"q125's adjacency join is not an equi-join:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q125 plans an all-pairs join:\n${p.take(1200)}")
+  }
 }
