@@ -409,6 +409,19 @@ object Pipeline {
       "(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))) " +
       "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
 
+  /** Reciprocal-rank fusion of two ranked legs `(doc_id, lex_rank)` /
+    * `(doc_id, sem_rank)`: each leg contributes `1e6 div (60 + rank)`
+    * (integer division — exact on any engine), an absent leg
+    * contributes 0, ties break on doc_id. Top-10. q127's body, exposed
+    * for the spec's hand-built leg tables. */
+  private[graft] def rrfFuse(lexTop: DataFrame, semTop: DataFrame): DataFrame =
+    lexTop.as("l").join(semTop.as("r"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(expr("CAST(1000000 AS BIGINT) div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("CAST(1000000 AS BIGINT) div (60 + sem_rank)"), lit(0L)))
+          .as("rrf_e6"))
+      .orderBy(col("rrf_e6").desc, col("doc_id")).limit(10)
+
   /** BM25 scores for [[Bm25Terms]] over a documents relation:
     * (doc_id, score_micro), score_micro = Σ_term contribution in 1e-6
     * units (BIGINT — ranking ties are impossible to mis-order across
@@ -1640,6 +1653,71 @@ object Pipeline {
         "FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats) " +
         "SELECT doc_id, CAST(SUM(c_mu) AS BIGINT) AS score_micro FROM c " +
         "GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 20")),
+
+    QueryDef("q127_hybrid_rrf",
+      // (fusion body factored as rrfFuse so the spec can drive
+      // hand-built leg tables through the exact production logic)
+      // HYBRID retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+      // the production-standard lexical+semantic combiner) of the q67
+      // BM25 leg (fixed keyword query) and the q42 cosine leg (probe =
+      // item 0's embedding; item 0 excluded from both legs as the query
+      // stand-in). Each leg contributes 1e6 div (60 + rank) for its
+      // top-50 — integer division on integer ranks, so the fused score
+      // is exact on any engine; an item missing from a leg contributes
+      // 0 (standard RRF). Scale shape: each leg is its own proven
+      // pipeline ending in a top-k (TakeOrderedAndProject, never a
+      // global sort); the rank windows and the fusion join run on ≤ 50
+      // rows per leg — bounded by k, not by the corpus — so fusion
+      // cost is constant no matter the data size. At sf0.1 the legs
+      // even rank different universes (5000 docs, 2000 vectors); RRF's
+      // absent-leg-contributes-0 rule is exactly what makes that legal.
+      (s, d) => {
+        import graft.functions.VectorFunctions.{dot, l2Norm, vecDouble}
+        val lexTop = bm25Scores(docs(s, d).where(col("doc_id") =!= 0))
+          .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
+          .withColumn("lex_rank", row_number().over(
+            Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("lex_rank"))
+        val v = vecDouble(col("embedding"))
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"), v.as("vv"), l2Norm(v).as("n"))
+          .select(col("vec_id"), transform(col("vv"), x => x / col("n")).as("u"))
+        val qv = broadcast(e.where(col("vec_id") === 0).select(col("u").as("qu")))
+        val semTop = e.where(col("vec_id") =!= 0).crossJoin(qv)
+          .select(col("vec_id").as("doc_id"), round(dot(col("u"), col("qu")), 4).as("sim"))
+          .orderBy(col("sim").desc, col("doc_id")).limit(50)
+          .withColumn("sem_rank", row_number().over(
+            Window.orderBy(col("sim").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("sem_rank"))
+        rrfFuse(lexTop, semTop)
+      },
+      Some("WITH tok AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS tok " +
+        "FROM documents WHERE doc_id <> 0), " +
+        "dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id), " +
+        "stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl), " +
+        "tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok WHERE tok IN " +
+        Bm25Terms.map(t => s"'$t'").mkString("(", ",", ")") + " GROUP BY 1, 2), " +
+        "dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok), " +
+        s"idf AS (SELECT tok, $Bm25IdfMuExpr AS idf_mu FROM dfq CROSS JOIN stats), " +
+        s"c AS (SELECT tf.doc_id, $Bm25ContribExpr AS c_mu " +
+        "FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats), " +
+        "lexs AS (SELECT doc_id, CAST(SUM(c_mu) AS BIGINT) AS score_micro FROM c GROUP BY doc_id), " +
+        "lex AS (SELECT doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (" +
+        "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rn FROM lexs) " +
+        "WHERE rn <= 50), " +
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0), " +
+        "z AS (SELECT e.vec_id, UNNEST(CAST(e.embedding AS DOUBLE[])) AS a, UNNEST(q.qe) AS b " +
+        "FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0), " +
+        "sc AS (SELECT vec_id, SUM(a*b) AS dot, SQRT(SUM(a*a)) AS na, SQRT(SUM(b*b)) AS nb " +
+        "FROM z GROUP BY vec_id), " +
+        "sem AS (SELECT doc_id, CAST(rn AS BIGINT) AS sem_rank FROM (" +
+        "SELECT vec_id AS doc_id, ROW_NUMBER() OVER " +
+        "(ORDER BY ROUND(dot/(na*nb), 4) DESC, vec_id) AS rn FROM sc) WHERE rn <= 50) " +
+        "SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id, l.lex_rank, r.sem_rank, " +
+        "COALESCE(CAST(1000000 // (60 + l.lex_rank) AS BIGINT), 0) + " +
+        "COALESCE(CAST(1000000 // (60 + r.sem_rank) AS BIGINT), 0) AS rrf_e6 " +
+        "FROM lex l FULL OUTER JOIN sem r ON l.doc_id = r.doc_id " +
+        "ORDER BY rrf_e6 DESC, doc_id LIMIT 10")),
 
     QueryDef("q69_lm_surprisal",
       // Unigram-LM quality scoring (the CCNet/KenLM-style filter signal):
