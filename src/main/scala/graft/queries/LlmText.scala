@@ -968,6 +968,31 @@ object LlmText {
       (s, d) => lineDedupStats(lineChunks(docs(s, d))).orderBy(col("doc_id")),
       Some(LineDedupOracleSql)),
 
+    QueryDef("q126_substring_removal",
+      // Exact-SUBSTRING removal with document reconstruction — the
+      // removal step of Lee et al. 2022's ExactSubstr, realized at
+      // sliding word-10-gram granularity: every 10-token window that
+      // already occurred at a (doc_id, pos)-earlier corpus position is
+      // a duplicated span; a doc's tokens covered by any such span are
+      // dropped and the survivors reassembled in order. This closes the
+      // q112→q119 gap: q112 MEASURES sub-document duplication, q119
+      // removes at fixed chunk boundaries (a repeat straddling a chunk
+      // edge escapes it) — the sliding gram sees every alignment.
+      // Keep-first at gram granularity means the FIRST occurrence of a
+      // boilerplate paragraph survives verbatim; later occurrences lose
+      // exactly the covered tokens.
+      // Scale shape: one gram explode (linear×1), ONE (h)-keyed window
+      // ranks occurrences by (doc_id, pos) — the q112/q119 window-not-
+      // join-back doctrine; dup positions fold into a per-doc sorted
+      // array (bounded by doc length), and removal+reassembly is one
+      // map over affected docs (coverage test per token is a bounded
+      // exists() over that array). Unaffected docs never leave the
+      // gram stage. 32-bit gram hashing: both engines hash identically,
+      // so a collision changes both sides the same way (LlmText header
+      // doctrine).
+      (s, d) => substringRemoval(docs(s, d), 10),
+      Some(SubstringRemovalOracleSql)),
+
     QueryDef("q119s_incremental_line_dedup",
       // The STREAMING q119 under the batch oracle (the q112s/q66
       // doctrine): documents arrive in two deterministic waves through
@@ -1086,6 +1111,64 @@ object LlmText {
     * (doc_id, ck, chunk) — map-only array slicing, shared by batch
     * q119 and the streaming twin ([[graft.streaming.IncrementalLineDedup]],
     * whose per-batch work is exactly this relation for its own docs). */
+  /** q126's body over a documents relation (exposed for the spec's
+    * synthetic corpora): sliding n-gram keep-first removal +
+    * reconstruction. Output (doc_id, n_tokens, removed_tokens,
+    * new_text) for AFFECTED docs only, ordered by doc_id. */
+  private[graft] def substringRemoval(docsDf: DataFrame, n: Int): DataFrame = {
+    val toks = docsDf.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val grams = toks.where(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t)-${n - 1}), " +
+          s"i -> struct(i AS pos, concat_ws(' ', slice(t, i, $n)) AS g))")).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), h32(col("e.g")).as("h"))
+    val dupPos = grams
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))
+      .where(col("rn") > 1)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("dups"))
+    toks.join(dupPos, Seq("doc_id"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        expr(s"filter(transform(t, (tok, i) -> " +
+          s"IF(exists(dups, p -> i + 1 >= p AND i + 1 <= p + ${n - 1}), NULL, tok)), " +
+          "x -> x IS NOT NULL)").as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).as("removed_tokens"),
+        concat_ws(" ", col("kept")).as("new_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[substringRemoval]] at n = 10 (coverage via a
+    * position-range join — DuckDB-side only; the engine's per-token
+    * exists() is the distributed shape). */
+  private[queries] val SubstringRemovalOracleSql: String = {
+    val n = 10
+    val parts = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+      "ix AS (SELECT UNNEST(range(1, (SELECT 1 + MAX(len(t)) FROM toks))) AS i), " +
+      "g AS (SELECT doc_id, i AS pos, " +
+      s"CAST(('0x' || substring(md5($parts),1,8)) AS BIGINT) AS h " +
+      s"FROM toks JOIN ix ON i <= len(t)-${n - 1}), " +
+      "dup AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, " +
+      "ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM g) WHERE rn > 1), " +
+      "affected AS (SELECT DISTINCT doc_id FROM dup), " +
+      "tokpos AS (SELECT doc_id, i, t[i] AS tok FROM toks JOIN ix ON i <= len(t) " +
+      "WHERE doc_id IN (SELECT doc_id FROM affected)), " +
+      "cov AS (SELECT DISTINCT tp.doc_id, tp.i FROM tokpos tp " +
+      s"JOIN dup d ON d.doc_id = tp.doc_id AND tp.i BETWEEN d.pos AND d.pos + ${n - 1}), " +
+      "kept AS (SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp " +
+      "LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.i = tp.i WHERE c.i IS NULL), " +
+      "keptagg AS (SELECT doc_id, COUNT(*) AS kept_cnt, " +
+      "string_agg(tok, ' ' ORDER BY i) AS new_text FROM kept GROUP BY doc_id), " +
+      "nn AS (SELECT doc_id, len(t) AS n_tokens FROM toks) " +
+      "SELECT nn.doc_id, CAST(nn.n_tokens AS BIGINT) AS n_tokens, " +
+      "CAST(nn.n_tokens - COALESCE(k.kept_cnt, 0) AS BIGINT) AS removed_tokens, " +
+      "COALESCE(k.new_text, '') AS new_text " +
+      "FROM nn JOIN affected a ON a.doc_id = nn.doc_id " +
+      "LEFT JOIN keptagg k ON k.doc_id = nn.doc_id ORDER BY nn.doc_id"
+  }
+
   private[graft] def lineChunks(docsDf: DataFrame): DataFrame =
     docsDf
       .select(col("doc_id"), split(col("text"), " ").as("t"))
