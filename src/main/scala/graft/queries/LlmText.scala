@@ -993,6 +993,27 @@ object LlmText {
       (s, d) => substringRemoval(docs(s, d), 10),
       Some(SubstringRemovalOracleSql)),
 
+    QueryDef("q126s_incremental_substring_removal",
+      // The STREAMING q126 under the batch oracle (the q119s/q112s
+      // doctrine): documents arrive in two deterministic waves through
+      // IncrementalSubstringRemoval — each wave only grams and APPENDS
+      // its own docs; keep-first, removal and reconstruction are one
+      // window pass at emission over the accumulated grams — checked
+      // against the SAME DuckDB oracle as batch q126. ODD ids first so
+      // the retroactive flip is real: even (smaller) doc ids arrive
+      // later and take gram ownership away from already-ingested odds.
+      (s, d) => {
+        import graft.streaming.IncrementalSubstringRemoval
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q126s-incremental").toString
+        val inc = new IncrementalSubstringRemoval(statePath)
+        val src = docs(s, d).select(col("doc_id"), col("text"))
+        inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)
+        inc.processBatch(src.where(col("doc_id") % 2 === 0), 1L)
+        inc.removals(s).orderBy(col("doc_id"))
+      },
+      Some(SubstringRemovalOracleSql)),
+
     QueryDef("q119s_incremental_line_dedup",
       // The STREAMING q119 under the batch oracle (the q112s/q66
       // doctrine): documents arrive in two deterministic waves through
@@ -1115,13 +1136,27 @@ object LlmText {
     * synthetic corpora): sliding n-gram keep-first removal +
     * reconstruction. Output (doc_id, n_tokens, removed_tokens,
     * new_text) for AFFECTED docs only, ordered by doc_id. */
-  private[graft] def substringRemoval(docsDf: DataFrame, n: Int): DataFrame = {
-    val toks = docsDf.select(col("doc_id"), split(col("text"), " ").as("t"))
-    val grams = toks.where(size(col("t")) >= n)
+  private[graft] def substringRemoval(docsDf: DataFrame, n: Int): DataFrame =
+    substringRemovalStats(removalGrams(docsDf, n), docsDf, n)
+
+  /** q126's gram stage: one row per sliding n-gram occurrence
+    * (doc_id, pos, h) — the append-only state unit of the streaming
+    * twin (IncrementalSubstringRemoval). */
+  private[graft] def removalGrams(docsDf: DataFrame, n: Int): DataFrame =
+    docsDf.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(t)-${n - 1}), " +
           s"i -> struct(i AS pos, concat_ws(' ', slice(t, i, $n)) AS g))")).as("e"))
       .select(col("doc_id"), col("e.pos").as("pos"), h32(col("e.g")).as("h"))
+
+  /** q126's judgment + removal + reconstruction over a gram relation
+    * and the docs it came from — arrival-order independent (keep-first
+    * ranks by (doc_id, pos), never by when a gram was appended), which
+    * is what lets the streaming twin share batch q126's oracle. */
+  private[graft] def substringRemovalStats(
+      grams: DataFrame, docsDf: DataFrame, n: Int): DataFrame = {
+    val toks = docsDf.select(col("doc_id"), split(col("text"), " ").as("t"))
     val dupPos = grams
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))))

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.queries.LlmText
+
+/** Incremental exact-substring removal (the q126 streaming twin, built
+  * exactly like [[IncrementalLineDedup]]): docs arrive in micro-batches
+  * and the sliding-gram occurrence state accumulates; the keep-first
+  * judgment, removal and reconstruction over everything seen so far are
+  * computable at any point without re-gramming old documents.
+  *
+  * State (parquet under `statePath`):
+  *  - `grams/` — one row per sliding 10-gram occurrence (doc_id, pos,
+  *    h), the [[LlmText.removalGrams]] relation, append-only;
+  *  - `docs/` — (doc_id, text), append-only: reconstruction needs the
+  *    token stream of any doc that LATER becomes affected, so the
+  *    corpus rides along (at cluster scale this is the corpus table
+  *    itself — emission reads it, the state dir only exists because the
+  *    fixture has no external corpus store).
+  *
+  * Per-batch work is gram-and-APPEND only — no cross-doc work at all.
+  * The corpus-wide "did this gram occur earlier?" judgment is deferred
+  * to [[removals]], one window pass over the accumulated grams. Because
+  * keep-first ranks by (doc_id, pos) — not arrival order — a LATER
+  * batch delivering a smaller doc id retroactively takes gram ownership
+  * and flips tokens of an already-ingested doc to removed: emission is
+  * arrival-order independent by construction, which is what lets the
+  * twin share batch q126's DuckDB oracle verbatim.
+  *
+  * Replay safety: appends are anti-joined on doc_id against committed
+  * state, so a foreachBatch retry is a no-op.
+  */
+final class IncrementalSubstringRemoval(statePath: String, n: Int = 10) {
+
+  private val gramsDir = s"$statePath/grams"
+  private val docsDir = s"$statePath/docs"
+
+  private def readStateOr(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private def emptyDocs(spark: SparkSession): DataFrame =
+    spark.createDataFrame(Seq.empty[(Long, String)]).toDF("doc_id", "text")
+
+  /** foreachBatch hook: `batch` needs (doc_id, text). */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val docs = batch.select(col("doc_id"), col("text"))
+      .localCheckpoint(true) // micro-batch sources are not re-scannable
+    val oldDocs = readStateOr(spark, docsDir, docs.schema)
+    val fresh = docs
+      .join(oldDocs.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // referenced twice (docs append + gram append)
+    fresh.write.mode("append").parquet(docsDir)
+    LlmText.removalGrams(fresh, n).write.mode("append").parquet(gramsDir)
+  }
+
+  /** Removal + reconstruction over every doc seen so far —
+    * row-identical to batch q126 on the same corpus. */
+  def removals(spark: SparkSession): DataFrame = {
+    val docs = readStateOr(spark, docsDir, emptyDocs(spark).schema)
+    val grams = readStateOr(spark, gramsDir,
+      LlmText.removalGrams(emptyDocs(spark), n).schema)
+    LlmText.substringRemovalStats(grams, docs, n)
+  }
+
+  /** Bound the state-file count (small-file compaction between waves). */
+  def compact(spark: SparkSession, parts: Int): Unit =
+    Seq(gramsDir, docsDir).foreach { dir =>
+      val cur = spark.read.parquet(dir).localCheckpoint(true)
+      cur.repartition(parts).write.mode("overwrite").parquet(dir)
+    }
+}

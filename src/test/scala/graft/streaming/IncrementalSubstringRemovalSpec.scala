@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.{SparkEntry, SparkTestSession, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The incremental substring-removal engine equals batch q126:
+  * documents streamed in shuffled micro-batches through foreachBatch
+  * accumulate a gram-occurrence state whose keep-first removal +
+  * reconstruction is row-identical to the one-shot batch query —
+  * including across a mid-stream engine restart and a replayed
+  * micro-batch. */
+class IncrementalSubstringRemovalSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def collectOut(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, String)] =
+    df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+  test("stream-accumulated removal equals batch q126, across a restart") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("inc-subremoval").toString
+
+    // wave 1 through a real MemoryStream + foreachBatch wire path
+    val inc1 = new IncrementalSubstringRemoval(statePath)
+    val stream = MemoryStream[(Long, String)]
+    val query = stream.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        inc1.processBatch(batch, id))
+      .start()
+    val shuffled = new scala.util.Random(13).shuffle(docs.toVector)
+    try {
+      stream.addData(shuffled.slice(0, 200))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // engine RESTART: wave 2 through a fresh instance on the same
+    // state dir (the state is the contract, not the object)
+    val inc2 = new IncrementalSubstringRemoval(statePath)
+    inc2.processBatch(
+      spark.createDataFrame(shuffled.drop(200)).toDF("doc_id", "text"), 1L)
+
+    val streamed = collectOut(inc2.removals(spark))
+    val batch = collectOut(SparkEntry.queries("q126_substring_removal")(spark, dir))
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only=${(streamed.keySet -- batch.keySet).take(5)} " +
+        s"batch-only=${(batch.keySet -- streamed.keySet).take(5)}")
+
+    // replayed micro-batch (foreachBatch retry semantics) is a no-op
+    val before = spark.read.parquet(s"$statePath/grams").count()
+    inc2.processBatch(
+      spark.createDataFrame(shuffled.drop(200)).toDF("doc_id", "text"), 99L)
+    val after = spark.read.parquet(s"$statePath/grams").count()
+    assert(after == before, s"replay mutated state: $before -> $after")
+
+    // compaction preserves content while bounding file counts
+    inc2.compact(spark, parts = 2)
+    assert(collectOut(inc2.removals(spark)) == batch)
+    val nFiles = new java.io.File(s"$statePath/grams")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles <= 2, s"grams not compacted: $nFiles files")
+  }
+
+  test("a later, smaller doc id retroactively takes gram ownership") {
+    // keep-first ranks by (doc_id, pos), not arrival order: doc 20
+    // owns its span while alone; doc 10 arriving LATER with the same
+    // span takes ownership and doc 20's copy flips to removed.
+    val statePath = java.nio.file.Files
+      .createTempDirectory("inc-subremoval2").toString
+    val inc = new IncrementalSubstringRemoval(statePath)
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    inc.processBatch(
+      spark.createDataFrame(Seq((20L, s"$span z1 z2"))).toDF("doc_id", "text"), 0L)
+    assert(collectOut(inc.removals(spark)) === Map.empty,
+      "a lone doc must have nothing removed")
+    inc.processBatch(
+      spark.createDataFrame(Seq((10L, s"y1 $span"))).toDF("doc_id", "text"), 1L)
+    val got = collectOut(inc.removals(spark))
+    assert(got === Map(20L -> ((12L, 10L, "z1 z2"))), s"got=$got")
+  }
+}
