@@ -30,8 +30,14 @@ import graft.queries.LlmText
   * arrival-order independent by construction, which is what lets the
   * twin share batch q126's DuckDB oracle verbatim.
   *
-  * Replay safety: appends are anti-joined on doc_id against committed
-  * state, so a foreachBatch retry is a no-op.
+  * Replay safety: each directory's append is anti-joined on doc_id
+  * against THAT directory's committed state (the [[IncrementalNearDup]]
+  * rule: per-dir guards, never one guard for two dirs). A failure
+  * between the docs append and the grams append leaves the doc present
+  * in `docs/` but absent from `grams/`; the retry's docs append is a
+  * no-op but its grams append still fires, because the grams guard
+  * reads `grams/` — not `docs/` — so the doc's grams are recovered
+  * rather than permanently lost.
   */
 final class IncrementalSubstringRemoval(statePath: String, n: Int = 10) {
 
@@ -53,12 +59,17 @@ final class IncrementalSubstringRemoval(statePath: String, n: Int = 10) {
     val spark = batch.sparkSession
     val docs = batch.select(col("doc_id"), col("text"))
       .localCheckpoint(true) // micro-batch sources are not re-scannable
+    // Independent per-directory replay guards: each append reads only
+    // its own committed state, so a retry after a partial failure
+    // re-runs exactly the append(s) that did not commit.
     val oldDocs = readStateOr(spark, docsDir, docs.schema)
-    val fresh = docs
-      .join(oldDocs.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-      .localCheckpoint(true) // referenced twice (docs append + gram append)
-    fresh.write.mode("append").parquet(docsDir)
-    LlmText.removalGrams(fresh, n).write.mode("append").parquet(gramsDir)
+    docs.join(oldDocs.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(docsDir)
+    val gramSchema = LlmText.removalGrams(emptyDocs(spark), n).schema
+    val oldGramDocs = readStateOr(spark, gramsDir, gramSchema)
+      .select("doc_id").distinct()
+    val freshForGrams = docs.join(oldGramDocs, Seq("doc_id"), "left_anti")
+    LlmText.removalGrams(freshForGrams, n).write.mode("append").parquet(gramsDir)
   }
 
   /** Removal + reconstruction over every doc seen so far —

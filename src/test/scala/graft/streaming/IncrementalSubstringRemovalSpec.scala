@@ -70,6 +70,34 @@ class IncrementalSubstringRemovalSpec extends AnyFunSuite with SparkTestSession 
     assert(nFiles <= 2, s"grams not compacted: $nFiles files")
   }
 
+  test("retry after a crash between the docs and grams appends recovers the grams") {
+    // Simulate the partial-failure window: the docs/ append committed
+    // but the process died before the grams/ append. The foreachBatch
+    // retry must regram the doc — the grams guard reads grams/ state,
+    // not docs/ state, so the doc is not anti-joined away.
+    val statePath = java.nio.file.Files
+      .createTempDirectory("inc-subremoval3").toString
+    val inc = new IncrementalSubstringRemoval(statePath)
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    inc.processBatch(
+      spark.createDataFrame(Seq((10L, s"$span tail"))).toDF("doc_id", "text"), 0L)
+
+    // crash window: doc 20 lands in docs/ only (no grams)
+    spark.createDataFrame(Seq((20L, s"$span other"))).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$statePath/docs")
+    // pre-fix behavior: the retry was a complete no-op, permanently
+    // losing doc 20's grams → doc 20 never flagged as affected
+    inc.processBatch(
+      spark.createDataFrame(Seq((20L, s"$span other"))).toDF("doc_id", "text"), 1L)
+
+    val got = collectOut(inc.removals(spark))
+    assert(got === Map(20L -> ((11L, 10L, "other"))), s"got=$got")
+    // and the retry did not duplicate doc 20 in docs/ either
+    val docRows = spark.read.parquet(s"$statePath/docs")
+      .where(col("doc_id") === 20L).count()
+    assert(docRows == 1L, s"docs/ has $docRows rows for doc 20")
+  }
+
   test("a later, smaller doc id retroactively takes gram ownership") {
     // keep-first ranks by (doc_id, pos), not arrival order: doc 20
     // owns its span while alone; doc 10 arriving LATER with the same
