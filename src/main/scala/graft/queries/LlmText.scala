@@ -163,8 +163,16 @@ object LlmText {
     * 8×2 bands); q44 uses (3, 8) for its 3-gram 8×1 design. */
   private[graft] def nearDupState(docsDf: DataFrame, n: Int = 2, nHashes: Int = 16): DataFrame = {
     val raw = shinglesRawDf(docsDf, n)
+    // h60 (the exact-verify set element) is Spark-INTERNAL — no oracle
+    // ever sees it (DuckDB verifies by joining raw shingle strings), it
+    // only needs to be collision-free and consistently comparable — so
+    // it uses codegen'd xxhash64 rather than a third md5 per shingle
+    // (r9 audit: the md5 trio was ~55% of q44's state-build cost; this
+    // cut the measured state stage by ~25% with hashes unchanged). The
+    // minhash components MUST stay md5: their exact byte recipe is
+    // mirrored in the DuckDB oracle (minhashSigSql).
     val hashed = raw.select(col("doc_id") +:
-      conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h60") +:
+      xxhash64(col("sh")).as("h60") +:
       (0 until nHashes).map { i =>
         val salt = s"${('a' + i / 4).toChar}:"
         val m = md5(concat(lit(salt), col("sh")))
