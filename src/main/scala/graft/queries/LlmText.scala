@@ -899,7 +899,9 @@ object LlmText {
         val src = docs(s, d).select(col("doc_id"), col("text"))
         inc.processBatch(src.where(col("doc_id") % 2 === 0), 0L)
         inc.processBatch(src.where(col("doc_id") % 2 === 1), 1L)
-        inc.spans(s).orderBy(col("doc_id"))
+        inc.spans(s)
+          .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"))
+          .orderBy(col("doc_id"))
       },
       Some(DupSpanOracleSql)),
 
@@ -926,26 +928,26 @@ object LlmText {
 
     QueryDef("q112bs_incremental_multiscale_spans",
       // Multi-RESOLUTION streaming dup spans — the q112b statistic
-      // maintained incrementally (the last open batch/stream symmetry
-      // in the dedup family; STATE.md r8 candidate): one
-      // IncrementalDupSpans state per resolution n ∈ {5, 10, 20}, each
-      // fed the same two deterministic waves (chunk-and-append only),
-      // final emission unioned long-format under the SAME DuckDB
-      // oracle as batch q112b. Per-resolution states are independent
-      // by design: at cluster scale each n is its own state table and
-      // resolutions can be added or dropped without re-gramming the
-      // others.
+      // maintained incrementally: ONE IncrementalDupSpans state holds
+      // all resolutions n ∈ {5, 10, 20} keyed by the (n, h) column
+      // pair (r9 consolidation, VERDICT r9 item 5 — the previous
+      // one-state-per-n layout tripled the state reads, writes and
+      // replay guards for rows that differ only in n; 5.2 s → ~2 s).
+      // Two deterministic waves, each wave tokenizes ONCE and appends
+      // every resolution's grams from the same token array
+      // (dupSpanGrams' flatten-transform); final emission is
+      // long-format under the SAME DuckDB oracle as batch q112b. A new
+      // resolution can still be added later: appended n=50 rows only
+      // create (50, h) groups, old resolutions' stats are untouched.
       (s, d) => {
         import graft.streaming.IncrementalDupSpans
         val base = java.nio.file.Files
           .createTempDirectory("q112bs-incremental").toString
         val src = docs(s, d).select(col("doc_id"), col("text"))
-        Seq(5, 10, 20).map { n =>
-          val inc = new IncrementalDupSpans(s"$base/n$n", n)
-          inc.processBatch(src.where(col("doc_id") % 2 === 0), 0L)
-          inc.processBatch(src.where(col("doc_id") % 2 === 1), 1L)
-          inc.spans(s).withColumn("n", lit(n))
-        }.reduce(_ unionByName _)
+        val inc = new IncrementalDupSpans(base, Seq(5, 10, 20))
+        inc.processBatch(src.where(col("doc_id") % 2 === 0), 0L)
+        inc.processBatch(src.where(col("doc_id") % 2 === 1), 1L)
+        inc.spans(s)
           .select(col("doc_id"), col("n"), col("n_spans"),
             col("dup_tokens"), col("n_tokens"))
           .orderBy(col("doc_id"), col("n"))

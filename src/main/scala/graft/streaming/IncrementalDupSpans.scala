@@ -6,10 +6,10 @@ import org.apache.spark.sql.types.StructType
 
 import graft.queries.LlmText
 
-/** Incremental substring-level dedup (the q112 streaming twin): docs
-  * arrive in micro-batches and the gram-occurrence state accumulates;
-  * duplicate-SPAN statistics over everything seen so far are computable
-  * at any point without re-gramming old documents.
+/** Incremental substring-level dedup (the q112/q112b streaming twin):
+  * docs arrive in micro-batches and the gram-occurrence state
+  * accumulates; duplicate-SPAN statistics over everything seen so far
+  * are computable at any point without re-gramming old documents.
   *
   * State (parquet under `statePath`, the q66/q88 foreachBatch-analog of
   * a state store):
@@ -17,21 +17,32 @@ import graft.queries.LlmText
   *    (doc_id, n, n_tokens, pos, h), the [[LlmText.dupSpanGrams]]
   *    relation, append-only.
   *
+  * Multi-RESOLUTION state: `ns` admits several gram lengths and the
+  * state is ONE (n, h)-keyed table — every resolution's grams come out
+  * of the same tokenization pass and land in the same append (r9
+  * consolidation: the previous one-state-per-n layout cost 3× the
+  * state reads/writes and 3× the anti-join replay guards for identical
+  * rows-modulo-n; `n` is a column, not a directory). Resolutions can
+  * still be added later: a new n appended for new docs only affects
+  * (n, h) groups of its own n, old resolutions' stats are untouched.
+  *
   * Unlike pair-based near-dup ([[IncrementalNearDup]]), there is no
   * candidate generation at all: a batch only TOKENIZES its own docs and
   * appends (linear in batch size, one write). The cross-document "is
   * this gram shared?" decision is deferred to [[spans]], where it is a
-  * single hash agg over the accumulated state keyed on (n, h) — a gram
-  * of an old doc becomes duplicated the moment a later doc repeats it,
-  * with no per-batch old-vs-new join. That ordering is what makes the
-  * final emission arrival-order independent by construction: state is a
-  * pure union of per-doc pure functions of text.
+  * single windowed pass over the accumulated state keyed on (n, h) — a
+  * gram of an old doc becomes duplicated the moment a later doc repeats
+  * it, with no per-batch old-vs-new join. That ordering is what makes
+  * the final emission arrival-order independent by construction: state
+  * is a pure union of per-doc pure functions of text.
   *
   * Replay safety: appends are anti-joined on doc_id against the
   * committed state, so a foreachBatch retry is a no-op (the
   * [[IncrementalNearDup]] idempotence doctrine).
   */
-final class IncrementalDupSpans(statePath: String, n: Int = 5) {
+final class IncrementalDupSpans(statePath: String, ns: Seq[Int]) {
+
+  def this(statePath: String) = this(statePath, Seq(5))
 
   private val gramsDir = s"$statePath/grams"
 
@@ -45,25 +56,32 @@ final class IncrementalDupSpans(statePath: String, n: Int = 5) {
   /** foreachBatch hook: `batch` needs (doc_id, text). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val grams = LlmText.dupSpanGrams(
-      batch.select(col("doc_id"), col("text"))
-        .localCheckpoint(true), // micro-batch sources are not re-scannable
-      n)
-    val old = readStateOr(spark, gramsDir, grams.schema)
-    grams.join(old.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val docs = batch.select(col("doc_id"), col("text"))
+      .localCheckpoint(true) // micro-batch sources are not re-scannable
+    // replay guard BEFORE gramming: state rows are per-doc, so
+    // filtering the doc rows (one per doc) against seen doc_ids is
+    // equivalent to filtering the gram rows (dozens per doc × |ns|) —
+    // and a replayed doc skips tokenization entirely (r9: the
+    // gram-then-anti order shuffled the full gram relation per wave)
+    val gramSchema = LlmText.dupSpanGrams(docs.limit(0), ns: _*).schema
+    val old = readStateOr(spark, gramsDir, gramSchema)
+    val fresh = docs.join(old.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    LlmText.dupSpanGrams(fresh, ns: _*)
       .write.mode("append").parquet(gramsDir)
   }
 
-  /** Duplicate-span stats over every doc seen so far — row-identical to
-    * batch q112 on the same corpus (the stream==batch hash-gate claim:
-    * same [[LlmText.dupSpanStats]] stage, same state rows). */
+  /** Duplicate-span stats over every doc seen so far, one row per
+    * affected (doc, n) — row-identical to batch q112/q112b on the same
+    * corpus (the stream==batch hash-gate claim: same
+    * [[LlmText.dupSpanStats]] stage, same state rows). */
   def spans(spark: SparkSession): DataFrame =
     LlmText.dupSpanStats(
       readStateOr(spark, gramsDir,
         LlmText.dupSpanGrams(
           spark.createDataFrame(Seq.empty[(Long, String)]).toDF("doc_id", "text"),
-          n).schema))
-      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"))
+          ns: _*).schema))
+      .select(col("doc_id"), col("n"), col("n_spans"),
+        col("dup_tokens"), col("n_tokens"))
 
   /** Bound the state-file count (small-file compaction between waves). */
   def compact(spark: SparkSession, parts: Int): Unit = {

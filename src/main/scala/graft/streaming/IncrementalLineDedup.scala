@@ -46,12 +46,14 @@ final class IncrementalLineDedup(statePath: String) {
   /** foreachBatch hook: `batch` needs (doc_id, text). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val chunks = LlmText.lineChunks(
-      batch.select(col("doc_id"), col("text"))
-        .localCheckpoint(true)) // micro-batch sources are not re-scannable
-    val old = readStateOr(spark, chunksDir, chunks.schema)
-    chunks.join(old.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(chunksDir)
+    val docs = batch.select(col("doc_id"), col("text"))
+      .localCheckpoint(true) // micro-batch sources are not re-scannable
+    // replay guard BEFORE chunking: state rows are per-doc, so
+    // filtering doc rows against seen doc_ids equals filtering chunk
+    // rows — and a replayed doc skips chunking entirely
+    val old = readStateOr(spark, chunksDir, emptyChunks(spark).schema)
+    val fresh = docs.join(old.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    LlmText.lineChunks(fresh).write.mode("append").parquet(chunksDir)
   }
 
   /** Line-dedup stats + reconstruction over every doc seen so far —

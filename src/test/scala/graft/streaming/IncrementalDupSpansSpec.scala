@@ -18,6 +18,12 @@ class IncrementalDupSpansSpec extends AnyFunSuite with SparkTestSession {
     SparkEntry.queries("q112_duplicate_spans")(spark, dir)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
 
+  /** Collect spans() in the single-resolution q112 shape (drop `n`). */
+  private def collectSpans(inc: IncrementalDupSpans): Map[Long, (Long, Long, Long)] =
+    inc.spans(spark)
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
   test("stream-accumulated span stats equal batch q112, across a restart") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -50,8 +56,7 @@ class IncrementalDupSpansSpec extends AnyFunSuite with SparkTestSession {
     inc2.processBatch(
       spark.createDataFrame(shuffled.drop(400)).toDF("doc_id", "text"), 2L)
 
-    val streamed = inc2.spans(spark)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val streamed = collectSpans(inc2)
     val batch = batchResult
     assert(batch.nonEmpty)
     assert(streamed == batch,
@@ -67,9 +72,7 @@ class IncrementalDupSpansSpec extends AnyFunSuite with SparkTestSession {
 
     // compaction preserves content while bounding file counts
     inc2.compact(spark, parts = 2)
-    val compacted = inc2.spans(spark)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    assert(compacted == batch)
+    assert(collectSpans(inc2) == batch)
     val nFiles = new java.io.File(s"$statePath/grams")
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(nFiles <= 2, s"grams not compacted: $nFiles files")
@@ -88,8 +91,39 @@ class IncrementalDupSpansSpec extends AnyFunSuite with SparkTestSession {
     assert(inc.spans(spark).collect().isEmpty)
     inc.processBatch(
       spark.createDataFrame(Seq((20L, s"b1 $phrase b2 b3"))).toDF("doc_id", "text"), 1L)
-    val got = inc.spans(spark)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = collectSpans(inc)
     assert(got == Map(10L -> ((1L, 6L, 9L)), 20L -> ((1L, 6L, 9L))), s"got=$got")
+  }
+
+  test("one multi-resolution state equals per-n states, row for row") {
+    // the r9 consolidation claim: a single (n, h)-keyed state over
+    // ns = {5, 10, 20} emits exactly the union of three independent
+    // single-n states over the same waves — and equals batch q112b
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val waves = new scala.util.Random(11).shuffle(docs.toVector)
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getAs[Number](1).longValue) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))
+    val one = new IncrementalDupSpans(
+      java.nio.file.Files.createTempDirectory("inc-multi").toString, Seq(5, 10, 20))
+    one.processBatch(spark.createDataFrame(waves.take(250)).toDF("doc_id", "text"), 0L)
+    one.processBatch(spark.createDataFrame(waves.drop(250)).toDF("doc_id", "text"), 1L)
+    val consolidated = one.spans(spark).collect().map(key).toMap
+
+    val perN = Seq(5, 10, 20).flatMap { n =>
+      val inc = new IncrementalDupSpans(
+        java.nio.file.Files.createTempDirectory(s"inc-n$n").toString, Seq(n))
+      inc.processBatch(spark.createDataFrame(waves.take(250)).toDF("doc_id", "text"), 0L)
+      inc.processBatch(spark.createDataFrame(waves.drop(250)).toDF("doc_id", "text"), 1L)
+      inc.spans(spark).collect().map(key)
+    }.toMap
+    assert(consolidated.nonEmpty && consolidated == perN)
+
+    val batch = SparkEntry.queries("q112b_multiscale_dup_spans")(spark, dir)
+      .collect().map(key).toMap
+    assert(consolidated == batch)
   }
 }
