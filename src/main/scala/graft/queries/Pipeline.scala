@@ -1672,16 +1672,16 @@ object Pipeline {
       // even rank different universes (5000 docs, 2000 vectors); RRF's
       // absent-leg-contributes-0 rule is exactly what makes that legal.
       (s, d) => {
-        import graft.functions.VectorFunctions.{dot, l2Norm, vecDouble}
+        import graft.functions.VectorFunctions.dot
         val lexTop = bm25Scores(docs(s, d).where(col("doc_id") =!= 0))
           .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
           .withColumn("lex_rank", row_number().over(
             Window.orderBy(col("score_micro").desc, col("doc_id"))).cast("long"))
           .select(col("doc_id"), col("lex_rank"))
-        val v = vecDouble(col("embedding"))
-        val e = Tables(s, d, "embeddings")
-          .select(col("vec_id"), v.as("vv"), l2Norm(v).as("n"))
-          .select(col("vec_id"), transform(col("vv"), x => x / col("n")).as("u"))
+        // the sem leg is exactly the q42 arithmetic — same embUnit
+        // normalization, same dot — so engine-side FP evaluation order
+        // is identical to the already-validated q42 path (ADVICE r9)
+        val e = Vectors.embUnit(s, d)
         val qv = broadcast(e.where(col("vec_id") === 0).select(col("u").as("qu")))
         val semTop = e.where(col("vec_id") =!= 0).crossJoin(qv)
           .select(col("vec_id").as("doc_id"), round(dot(col("u"), col("qu")), 4).as("sim"))

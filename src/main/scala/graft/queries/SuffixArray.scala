@@ -146,14 +146,56 @@ object SuffixArray {
       .orderBy(col("doc_id"))
   }
 
-  /** q125b body over a prepared LCP relation. */
-  private[graft] def topRepeats(l: DataFrame, minLen: Int = 10, k: Int = 20): DataFrame =
-    l.where(col("da") =!= col("db") && col("lcp") >= minLen &&
-        (col("va").isNull || col("vb").isNull || col("va") =!= col("vb")))
-      .select(col("lcp").as("dup_tokens"), col("snippet"))
-      .distinct()
+  /** q125b body over a prepared LCP relation: the k longest repeat
+    * CLASSES that are cross-document and left-maximal, judged across
+    * ALL occurrences of each class (ADVICE r9: the per-adjacent-pair
+    * test dropped a genuinely left-maximal repeat when its only
+    * cross-doc rank-adjacent pair happened to share a preceding token
+    * while the distinct-context occurrence was non-adjacent).
+    *
+    * Three stages, all linear in the REPEATED portion of the corpus:
+    *  1. candidates = distinct (lcp, snippet) of pairs with lcp ≥
+    *     minLen. Every right-maximal repeat string w appears here: the
+    *     minimum pair-lcp over w's occurrence interval is exactly |w|
+    *     (two occurrences diverge right after w), and conversely every
+    *     pair snippet is right-maximal (its own pair diverges at
+    *     lcp+1). Non-right-maximal prefixes never become candidates.
+    *  2. occurrences of each candidate length L = both sides of every
+    *     pair with lcp ≥ L, keyed by the L-token prefix of the pair
+    *     snippet (an occurrence in w's interval always appears in some
+    *     interval-internal pair, and any pair yielding prefix w lies
+    *     inside w's interval — so this is EXACTLY w's occurrence set);
+    *     dedup by (L, w, doc, pos). The explosion is bounded by
+    *     (pairs with lcp ≥ minLen) × (distinct candidate lengths ≤
+    *     Depth) — repeats only, never the corpus.
+    *  3. the class test: ≥ 2 distinct docs, and left-maximal iff some
+    *     occurrence sits at a doc start (cannot extend left) or ≥ 2
+    *     distinct preceding tokens exist. Semi-join back to candidates
+    *     keeps only right-maximal strings. */
+  private[graft] def topRepeats(l: DataFrame, minLen: Int = 10, k: Int = 20): DataFrame = {
+    val rep = l.where(col("lcp") >= minLen)
+    val cand = rep.select(col("lcp").as("len"), col("snippet")).distinct()
+    val lens = cand.select(col("len")).distinct() // ≤ Depth rows → broadcast
+    val sides = rep.select(col("lcp"), col("snippet"),
+        col("da").as("doc"), col("pa").as("pos"), col("va").as("prev"))
+      .union(rep.select(col("lcp"), col("snippet"),
+        col("db").as("doc"), col("pb").as("pos"), col("vb").as("prev")))
+    val occ = sides.join(broadcast(lens), col("lcp") >= col("len"))
+      .select(col("len"),
+        array_join(slice(split(col("snippet"), " "), lit(1), col("len").cast("int")), " ").as("w"),
+        col("doc"), col("pos"), col("prev"))
+      .dropDuplicates("len", "w", "doc", "pos")
+    val cls = occ.groupBy(col("len"), col("w"))
+      .agg(countDistinct(col("doc")).as("ndocs"),
+        max(when(col("prev").isNull, 1).otherwise(0)).as("has_start"),
+        countDistinct(col("prev")).as("nprev"))
+      .where(col("ndocs") >= 2 && (col("has_start") === 1 || col("nprev") >= 2))
+    cand.join(cls,
+        cand("len") === cls("len") && cand("snippet") === cls("w"), "left_semi")
+      .select(col("len").as("dup_tokens"), col("snippet"))
       .orderBy(col("dup_tokens").desc, col("snippet"))
       .limit(k)
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -173,17 +215,32 @@ object SuffixArray {
 
     QueryDef("q125b_top_repeated_substrings",
       // The boilerplate report: the 20 longest LEFT-MAXIMAL substrings
-      // shared across documents (≥ 10 tokens). Left-maximality — the
-      // preceding tokens differ, or a side is at doc start — kills the
+      // shared across documents (≥ 10 tokens). Left-maximality — not
+      // every occurrence shares the same preceding token — kills the
       // shifted-suffix cascade (a 90-token repeat would otherwise also
-      // surface as its own 89-, 88-, … token suffixes); right-maximality
-      // holds by construction (the LCP stops where the pair diverges).
-      // A doc-start side (NULL witness) is maximal by definition — it
-      // cannot extend left — so NULL on EITHER side qualifies (two
-      // doc-start suffixes are exactly the whole-doc near-dup case).
+      // surface as its own 89-, 88-, … token suffixes);
+      // right-maximality holds for every candidate by construction
+      // (its generating pair diverges right after the LCP). Both tests
+      // are CLASS-level, over all occurrences of a repeat (see
+      // [[topRepeats]]): a repeat with 3+ occurrences is judged on its
+      // full preceding-token set, not on whichever two occurrences
+      // happen to be rank-adjacent. A doc-start occurrence (NULL
+      // witness) is maximal by definition — it cannot extend left.
       (s, d) => topRepeats(adjacentLcp(s, d)),
-      Some("WITH " + LcpSqlCtes + " " +
-        "SELECT DISTINCT lcp AS dup_tokens, snippet FROM l " +
-        "WHERE da <> db AND lcp >= 10 AND (va IS NULL OR vb IS NULL OR va <> vb) " +
+      Some("WITH " + LcpSqlCtes + ", " +
+        "rep AS (SELECT * FROM l WHERE lcp >= 10), " +
+        "cand AS (SELECT DISTINCT lcp AS len, snippet FROM rep), " +
+        "lens AS (SELECT DISTINCT len FROM cand), " +
+        "sides AS (SELECT lcp, snippet, da AS doc, pa AS pos, va AS prev FROM rep " +
+        "UNION ALL SELECT lcp, snippet, db, pb, vb FROM rep), " +
+        "occ AS (SELECT DISTINCT ln.len, " +
+        "array_to_string(list_slice(string_split(s.snippet, ' '), 1, ln.len), ' ') AS w, " +
+        "s.doc, s.pos, s.prev FROM sides s JOIN lens ln ON s.lcp >= ln.len), " +
+        "cls AS (SELECT len, w, COUNT(DISTINCT doc) AS ndocs, " +
+        "MAX(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS has_start, " +
+        "COUNT(DISTINCT prev) AS nprev FROM occ GROUP BY len, w) " +
+        "SELECT c.len AS dup_tokens, c.snippet FROM cand c " +
+        "JOIN cls x ON x.len = c.len AND x.w = c.snippet " +
+        "WHERE x.ndocs >= 2 AND (x.has_start = 1 OR x.nprev >= 2) " +
         "ORDER BY dup_tokens DESC, snippet LIMIT 20")))
 }

@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
 object Vectors {
 
   /** Embeddings as unit vectors (`u`), elements cast to DOUBLE first
-    * (float32 leakage breaks oracle parity, SURVEY.md §7.3). */
-  private def embUnit(s: SparkSession, d: String): DataFrame = {
+    * (float32 leakage breaks oracle parity, SURVEY.md §7.3). Shared by
+    * every cosine consumer INCLUDING q127's semantic leg (ADVICE r9:
+    * an inline re-implementation risked FP-evaluation-order divergence
+    * vs the already-validated q42 arithmetic). */
+  private[queries] def embUnit(s: SparkSession, d: String): DataFrame = {
     val v = vecDouble(col("embedding"))
     Tables(s, d, "embeddings")
       .select(col("vec_id"), v.as("v"), l2Norm(v).as("n"))

@@ -44,11 +44,24 @@ class SuffixArraySpec extends AnyFunSuite with SparkTestSession {
     }.groupBy(_._1).map { case (id, xs) =>
       id -> (xs.map(_._3).max, xs.head._2)
     }.filter(_._2._1 >= 5)
-    val reps = adj.collect {
-      case (da, va, _, db, vb, _, lcp, sn)
-          if da != db && lcp >= 10 && (va == null || vb == null || va != vb) =>
-        (lcp, sn)
-    }.toSet
+    // class-level repeats, straight from the DEFINITION (independent of
+    // the engine's occurrence-interval argument): candidates are the
+    // pair snippets (every right-maximal repeat string is one);
+    // occurrences of each candidate are found by scanning EVERY corpus
+    // position for a prefix match; a class qualifies iff it spans ≥ 2
+    // docs and not all occurrences share one preceding token.
+    val candSet = adj.collect { case (_, _, _, _, _, _, lcp, sn) if lcp >= 10 => (lcp, sn) }.toSet
+    val reps = candSet.filter { case (_, sn) =>
+      val wt = sn.split(" ", -1)
+      val occ = toks.flatMap { case (id, ts) =>
+        (1 to ts.length - wt.length + 1).collect {
+          case pos if ts.slice(pos - 1, pos - 1 + wt.length).sameElements(wt) =>
+            (id, if (pos == 1) null else ts(pos - 2))
+        }
+      }
+      occ.map(_._1).distinct.size >= 2 &&
+        (occ.exists(_._2 == null) || occ.map(_._2).distinct.size >= 2)
+    }
     (perDoc.toMap, reps)
   }
 
@@ -113,6 +126,24 @@ class SuffixArraySpec extends AnyFunSuite with SparkTestSession {
     assert(got === Seq(
       (12L, "a b c d e f g h i j k l"),
       (10L, "a b c d e f g h i j")))
+  }
+
+  test("synthetic: class-level left-maximality sees non-adjacent context (3 occurrences)") {
+    // The ADVICE r9 trap: w occurs 3×. In rank order the only CROSS-DOC
+    // adjacent pair (doc1@2, doc2@2) shares preceding token 'x'; the
+    // distinct-context occurrence (doc2@14, preceded by 'y') is only
+    // ever adjacent to its own doc. The per-pair test dropped w; the
+    // class-level test sees prevs {x, x, y} across all occurrences.
+    val w = (1 to 10).map(i => s"m$i").mkString(" ")
+    val trap = Seq(
+      1L -> s"x $w",
+      2L -> s"x $w a1 y $w zz")
+    val got = SuffixArray.topRepeats(lcpOf(trap))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // "x w" (11 tokens) is also reported — both its occurrences sit at
+    // doc starts, which is left-maximal by definition; the point of the
+    // trap is that (10, w) is PRESENT (the per-pair test dropped it).
+    assert(got === Seq((11L, s"x $w"), (10L, w)), s"got=$got")
   }
 
   test("synthetic: ranks are contiguous and ordered by (suffix, doc, pos)") {
