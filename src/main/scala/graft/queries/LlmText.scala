@@ -978,6 +978,22 @@ object LlmText {
       (s, d) => lineDedupStats(lineChunks(docs(s, d))).orderBy(col("doc_id")),
       Some(LineDedupOracleSql)),
 
+    QueryDef("q119b_line_dedup_salted",
+      // q119's skew ESCAPE-HATCH as a first-class entry (VERDICT r9
+      // item 7 — previously only an entry comment): identical result
+      // under the identical oracle, but the keep decision is a
+      // two-level salted aggregation + dup-side join-back instead of a
+      // chunk-partitioned window, so a corpus-hot boilerplate chunk
+      // (10^7 occurrences of a cookie banner) spreads across `salts`
+      // reducers with map-side combine instead of landing one window
+      // partition. See [[lineDedupStatsSalted]]; LineDedupSaltedSpec
+      // proves the spread on a synthetic hot chunk and PlanSpec guards
+      // the two-agg shape. Costs one extra scan of the chunk relation
+      // (the join-back) — the documented trade; prefer plain q119
+      // until a skew monitor (q84's family) flags a hot chunk.
+      (s, d) => lineDedupStatsSalted(lineChunks(docs(s, d))).orderBy(col("doc_id")),
+      Some(LineDedupOracleSql)),
+
     QueryDef("q126_substring_removal",
       // Exact-SUBSTRING removal with document reconstruction — the
       // removal step of Lee et al. 2022's ExactSubstr, realized at
@@ -1227,16 +1243,55 @@ object LlmText {
     * this stage AND the batch oracle. */
   private[graft] def lineDedupStats(ch: DataFrame): DataFrame = {
     val wC = Window.partitionBy(col("chunk"))
-    ch.withColumn("cnt", count(lit(1)).over(wC))
-      .withColumn("first", min(struct(col("doc_id"), col("ck"))).over(wC))
-      .withColumn("keep", col("cnt") === 1 ||
-        (col("doc_id") === col("first.doc_id") && col("ck") === col("first.ck")))
-      .groupBy(col("doc_id"))
+    chunkReassembly(
+      ch.withColumn("cnt", count(lit(1)).over(wC))
+        .withColumn("first", min(struct(col("doc_id"), col("ck"))).over(wC))
+        .withColumn("keep", col("cnt") === 1 ||
+          (col("doc_id") === col("first.doc_id") && col("ck") === col("first.ck"))))
+  }
+
+  /** Shared q119 reassembly tail over a keep-flagged chunk relation
+    * (doc_id, ck, chunk, keep): one per-doc hash agg, collect_list
+    * state bounded by doc length. */
+  private def chunkReassembly(flagged: DataFrame): DataFrame =
+    flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("orig_chunks"),
         sum(col("keep").cast("long")).as("kept_chunks"),
         concat_ws(" ", expr(
           "transform(array_sort(collect_list(CASE WHEN keep THEN struct(ck, chunk) END)), " +
             "x -> x.chunk)")).as("new_text"))
+
+  /** Level-1 partials of the salted q119 form, exposed so the spec can
+    * prove a hot chunk's rows really spread across salts: one row per
+    * (chunk, salt) with its occurrence count and first (doc_id, ck). */
+  private[graft] def saltedChunkPartials(ch: DataFrame, salts: Int): DataFrame =
+    ch.withColumn("salt", pmod(hash(col("doc_id"), col("ck")), lit(salts)))
+      .groupBy(col("chunk"), col("salt"))
+      .agg(count(lit(1)).as("c1"), min(struct(col("doc_id"), col("ck"))).as("f1"))
+
+  /** The q119 escape-hatch for corpus-hot chunks (q119b): same result,
+    * skew-immune shape. [[lineDedupStats]]'s window partitions by the
+    * chunk text — a boilerplate chunk occurring 10^7 times lands ONE
+    * window partition with no map-side combine. Here the keep decision
+    * is a two-level salted agg instead: level 1 groups by (chunk,
+    * salt(doc_id, ck)) — a hot chunk's rows spread across `salts`
+    * reducers, and partial aggregation combines map-side — level 2
+    * folds the ≤ `salts` partials per chunk into the global count and
+    * first owner. Only chunks with cnt ≥ 2 survive into the dup
+    * relation (at 100 TB: dup chunks ≪ all chunks), which joins back
+    * to the probe — the documented "pay the re-scan" trade: one extra
+    * scan of the chunk relation buys a hot-key-free shuffle profile.
+    * The q103 salting pattern, applied to an agg instead of a join. */
+  private[graft] def lineDedupStatsSalted(ch: DataFrame, salts: Int = 8): DataFrame = {
+    val dup = saltedChunkPartials(ch, salts)
+      .groupBy(col("chunk"))
+      .agg(sum(col("c1")).as("cnt"), min(col("f1")).as("first"))
+      .where(col("cnt") > 1)
+      .select(col("chunk"), col("first"))
+    chunkReassembly(
+      ch.join(dup, Seq("chunk"), "left_outer")
+        .withColumn("keep", col("first").isNull ||
+          (col("doc_id") === col("first.doc_id") && col("ck") === col("first.ck"))))
   }
 
   /** DuckDB oracle for the q112 span statistic (batch q112 AND its
