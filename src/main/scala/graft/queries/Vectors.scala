@@ -1664,7 +1664,176 @@ object Vectors {
           "SELECT query_id, node, sim, ROW_NUMBER() OVER (PARTITION BY query_id " +
           "ORDER BY sim DESC, node) AS rnk FROM fin) WHERE rnk <= 3 " +
           "ORDER BY query_id, rnk"
+      }),
+
+    QueryDef("q128_hnsw_layered_search",
+      // The LAYERED half of the HNSW story (Malkov & Yashunin 2016) —
+      // q113 builds the navigable substrate, q114 walks it flat from
+      // md5-random entries; this adds the hierarchy that makes entry
+      // points GOOD: md5-assigned geometric levels (P(level ≥ l) =
+      // 4^-l: L1 = ids with h32('lvl#'id) ≡ 0 mod 4, L2 ≡ 0 mod 16 —
+      // nested by construction), an NN-Descent-built kNN graph PER
+      // upper layer (the established distributed construction; layer
+      // sizes shrink geometrically so Σ build cost stays O(n·K²)),
+      // greedy 1-best descent through L2 then L1 (two hops each, the
+      // HNSW ef=1 upper-layer walk), and the q114 beam-8/5-hop search
+      // at layer 0 seeded from the descended entry instead of an
+      // md5-random node. Every stage is an equi-join (member index,
+      // hop expansion, scoring); entries stay per-query expressions so
+      // no hop constant-folds into a BNLJ (the q114 lesson, PlanSpec-
+      // guarded). Recall vs brute is pinned ≥ the q114 floor in
+      // HnswLayeredSpec. At 100 TB: upper layers are n/4 and n/16 —
+      // the "express lanes" that fit hot storage; the base graph
+      // shuffles once by src and every hop of every query batch
+      // reuses that layout.
+      (s, d) => {
+        val Beam = 8
+        val e = embUnit(s, d).localCheckpoint(true)
+        val qv = broadcast(e.where(col("vec_id").between(1, 5))
+          .select(col("vec_id").as("query_id"), col("u").as("qu")))
+        val g0 = nnDescentGraphShared(s, d).select(col("src"), col("dst"))
+        val g1 = hnswLayerGraphShared(s, d, 4, "L1").select(col("src"), col("dst"))
+        val g2 = hnswLayerGraphShared(s, d, 16, "L2").select(col("src"), col("dst"))
+        // entry: md5-derived L2 member via the dense member index
+        val lvl = conv(substring(md5(concat(lit("lvl#"), col("vec_id"))), 1, 8), 16, 10)
+          .cast("long")
+        val idx2 = memberIndex(e.where(pmod(lvl, lit(16)) === 0))
+        val n2 = idx2.count()
+        def scoreNodes(bm: DataFrame): DataFrame =
+          bm.join(e, col("node") === col("vec_id"))
+            .join(qv, Seq("query_id"))
+            .select(col("query_id"), col("node"),
+              round(dot(col("u"), col("qu")), 4).as("sim"))
+        // greedy ef=1 upper-layer hop: current ∪ out-neighbors, keep
+        // the 1 best (sim DESC, node ASC; the 0.0−sim subtraction
+        // normalizes −0.0 so tie order is engine-stable)
+        def greedyHop(cur: DataFrame, g: DataFrame): DataFrame =
+          scoreNodes(cur.union(
+              cur.join(g, col("node") === col("src"))
+                .select(col("query_id"), col("dst").as("node"))))
+            .groupBy(col("query_id"))
+            .agg(min(struct((lit(0.0) - col("sim")).as("ns"), col("node"))).as("b"))
+            .select(col("query_id"), col("b.node").as("node"))
+            .localCheckpoint(false)
+        var cur = qv.select(col("query_id"),
+          pmod(conv(substring(md5(concat(lit("entry2#"), col("query_id"))), 1, 8), 16, 10)
+            .cast("long"), lit(n2)).as("m_idx"))
+          .join(idx2, Seq("m_idx"))
+          .select(col("query_id"), col("vec_id").as("node"))
+        cur = greedyHop(cur, g2); cur = greedyHop(cur, g2)
+        cur = greedyHop(cur, g1); cur = greedyHop(cur, g1)
+        // layer 0: the q114 beam, seeded from the descended entry
+        var beam = cur
+        for (_ <- 1 to 5) {
+          val expanded = beam
+            .union(beam.join(g0, col("node") === col("src"))
+              .select(col("query_id"), col("dst").as("node")))
+          beam = scoreNodes(expanded)
+            .groupBy(col("query_id"))
+            .agg(slice(sort_array(collect_set(
+              struct((lit(0.0) - col("sim")).as("ns"), col("node")))), 1, Beam).as("top"))
+            .select(col("query_id"), explode(col("top.node")).as("node"))
+            .localCheckpoint(false)
+        }
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("node"))
+        scoreNodes(beam).where(col("node") =!= col("query_id"))
+          .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+          .select(col("query_id"), col("rnk"), col("node").as("neighbor_id"), col("sim"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some {
+        def hop(prev: String, next: String): String =
+          s"x$next AS (SELECT DISTINCT query_id, node FROM (" +
+            s"SELECT query_id, node FROM $prev " +
+            s"UNION ALL SELECT b.query_id, g.dst AS node FROM $prev b " +
+            "JOIN graph g ON g.src = b.node)), " +
+            s"s$next AS (SELECT x.query_id, x.node, " +
+            "ROUND(list_cosine_similarity(ev.v, q.qv), 4) AS sim " +
+            s"FROM x$next x JOIN e ev ON ev.vec_id = x.node " +
+            "JOIN qv q ON q.query_id = x.query_id), " +
+            s"$next AS MATERIALIZED (SELECT query_id, node FROM (SELECT query_id, node, " +
+            "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rn " +
+            s"FROM s$next) WHERE rn <= 8)"
+        def ghop(prev: String, next: String, graph: String): String =
+          s"gx$next AS (SELECT DISTINCT query_id, node FROM (" +
+            s"SELECT query_id, node FROM $prev " +
+            s"UNION ALL SELECT b.query_id, g.dst AS node FROM $prev b " +
+            s"JOIN $graph g ON g.src = b.node)), " +
+            s"$next AS MATERIALIZED (SELECT query_id, node FROM (SELECT x.query_id, x.node, " +
+            "ROW_NUMBER() OVER (PARTITION BY x.query_id ORDER BY " +
+            "ROUND(list_cosine_similarity(ev.v, q.qv), 4) DESC, x.node) AS rn " +
+            s"FROM gx$next x JOIN e ev ON ev.vec_id = x.node " +
+            "JOIN qv q ON q.query_id = x.query_id) WHERE rn = 1)"
+        "WITH " + NnGraphSqlCtes + ", " +
+          "graph AS MATERIALIZED (SELECT src, dst FROM g3 WHERE rnk <= 16), " +
+          hnswLayerSqlCtes("L1", 4) + ", " +
+          hnswLayerSqlCtes("L2", 16) + ", " +
+          "qv AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id BETWEEN 1 AND 5), " +
+          "ent AS (SELECT q.query_id, dd.vec_id AS node FROM qv q CROSS JOIN mnL2 nn " +
+          "JOIN mL2 dd ON dd.midx = CAST(('0x' || substring(md5('entry2#' || q.query_id),1,8)) AS BIGINT) % nn.n), " +
+          ghop("ent", "h1", "glyrL2") + ", " + ghop("h1", "h2", "glyrL2") + ", " +
+          ghop("h2", "h3", "glyrL1") + ", " + ghop("h3", "h4", "glyrL1") + ", " +
+          hop("h4", "b1") + ", " + hop("b1", "b2") + ", " + hop("b2", "b3") + ", " +
+          hop("b3", "b4") + ", " + hop("b4", "b5") + ", " +
+          "fin AS (SELECT b.query_id, b.node, ROUND(list_cosine_similarity(ev.v, q.qv), 4) AS sim " +
+          "FROM b5 b JOIN e ev ON ev.vec_id = b.node JOIN qv q ON q.query_id = b.query_id " +
+          "WHERE b.node <> b.query_id) " +
+          "SELECT query_id, rnk, node AS neighbor_id, sim FROM (" +
+          "SELECT query_id, node, sim, ROW_NUMBER() OVER (PARTITION BY query_id " +
+          "ORDER BY sim DESC, node) AS rnk FROM fin) WHERE rnk <= 3 " +
+          "ORDER BY query_id, rnk"
       }))
+
+  /** Session cache of the upper-HNSW-layer NN-Descent graphs (q128):
+    * one per (dir, layer tag); build-once/search-many like the base
+    * graph cache. */
+  private val hnswLayerCache = new graft.SessionCache[DataFrame](_ => ())
+  private[graft] def hnswLayerGraphShared(s: SparkSession, d: String,
+      modulus: Int, tag: String): DataFrame =
+    hnswLayerCache.getOrElseUpdate(s, s"$d#$tag", {
+      val lvl = conv(substring(md5(concat(lit("lvl#"), col("vec_id"))), 1, 8), 16, 10)
+        .cast("long")
+      val memb = embUnit(s, d).where(pmod(lvl, lit(modulus)) === 0)
+      nnDescentOver(memb, rounds = 2, searchK = 8, seedTag = s"$tag#")
+    })
+
+  /** DuckDB replay of one upper-layer NN-Descent build (2 rounds,
+    * K = 8, 8 seeds), ending in `glyr<p>(src, dst)` plus the member
+    * index `m<p>(vec_id, midx)` / count `mn<p>(n)` — mirrors
+    * [[nnDescentOver]] + [[memberIndex]] exactly (same seed tag, same
+    * per-round md5 cap key as the base build). */
+  private def hnswLayerSqlCtes(p: String, modulus: Int): String = {
+    val K = 8
+    def rnd(r: Int, prev: String, next: String): String =
+      s"u$next AS (SELECT src, dst FROM $prev UNION SELECT dst, src FROM $prev), " +
+        s"c$next AS (SELECT src, dst FROM (SELECT src, dst, ROW_NUMBER() OVER " +
+        s"(PARTITION BY src ORDER BY md5($r || '#' || src || '#' || dst), dst) AS rn " +
+        s"FROM u$next) WHERE rn <= ${2 * K}), " +
+        s"n$next AS (SELECT e1.dst AS src, e2.dst AS dst FROM c$next e1 " +
+        s"JOIN c$next e2 ON e1.src = e2.src AND e1.dst <> e2.dst " +
+        s"UNION SELECT src, dst FROM $prev), " +
+        s"s$next AS (SELECT pp.src, pp.dst, ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim " +
+        s"FROM n$next pp JOIN e a ON a.vec_id = pp.src JOIN e b ON b.vec_id = pp.dst), " +
+        s"$next AS (SELECT src, dst, sim, ROW_NUMBER() OVER (PARTITION BY src " +
+        s"ORDER BY sim DESC, dst) AS rnk FROM s$next)"
+    s"m$p AS MATERIALIZED (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS midx FROM e " +
+      s"WHERE CAST(('0x' || substring(md5('lvl#' || vec_id),1,8)) AS BIGINT) % $modulus = 0), " +
+      s"mn$p AS (SELECT COUNT(*) AS n FROM m$p), " +
+      s"init$p AS (SELECT DISTINCT s.vec_id AS src, dd.vec_id AS dst FROM m$p s " +
+      "CROSS JOIN (SELECT UNNEST(range(0,8)) AS t) tt " +
+      s"CROSS JOIN mn$p nn " +
+      s"JOIN m$p dd ON dd.midx = CAST(('0x' || substring(md5('$p#' || s.vec_id || '#' || tt.t),1,8)) AS BIGINT) % nn.n " +
+      "WHERE dd.vec_id <> s.vec_id), " +
+      s"s0$p AS (SELECT pp.src, pp.dst, ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim " +
+      s"FROM init$p pp JOIN e a ON a.vec_id = pp.src JOIN e b ON b.vec_id = pp.dst), " +
+      s"g0$p AS (SELECT src, dst, sim, ROW_NUMBER() OVER (PARTITION BY src " +
+      s"ORDER BY sim DESC, dst) AS rnk FROM s0$p), " +
+      s"e0$p AS (SELECT src, dst, sim FROM g0$p WHERE rnk <= $K), " +
+      rnd(1, s"e0$p", s"g1$p") + s", e1$p AS (SELECT src, dst, sim FROM g1$p WHERE rnk <= $K), " +
+      rnd(2, s"e1$p", s"g2$p") +
+      s", glyr$p AS MATERIALIZED (SELECT src, dst FROM g2$p WHERE rnk <= $K)"
+  }
 
   /** NN-Descent refinement loop (q113), rounds-parameterized so
     * NnDescentSpec can pin recall MONOTONICITY: each co-neighbor round
@@ -1685,35 +1854,44 @@ object Vectors {
     val K = searchK
     val e = embUnit(s, d).localCheckpoint(true)
     val n = e.count()
-    def score(pairs: DataFrame): DataFrame =
-      pairs.join(e.as("ea"), col("src") === col("ea.vec_id"))
-        .join(e.as("eb"), col("dst") === col("eb.vec_id"))
-        .select(col("src"), col("dst"),
-          round(dot(col("ea.u"), col("eb.u")), 4).as("sim"))
-    // windowless bounded top-K (TopKRows consumer #7 — the q48b form):
-    // each task folds scores into a <= K-entry buffer per node, so the
-    // shuffle carries K*nodes*tasks tuples and the 2M-pair scored
-    // stream is never sorted; tie order (sim DESC, dst ASC) matches
-    // the oracle's window exactly (the q48/q48b hash-identity claim)
-    def topK(scored: DataFrame): DataFrame = {
-      val topk = udaf(new graft.functions.TopKRows(K),
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaDouble,
-          org.apache.spark.sql.Encoders.scalaLong,
-          org.apache.spark.sql.Encoders.scalaLong))
-      scored.groupBy(col("src"))
-        .agg(topk(col("sim"), col("dst"), lit(0L)).as("top"))
-        .select(col("src"), posexplode(col("top")).as(Seq("pos", "e")))
-        .select(col("src"), col("e._2").as("dst"), col("e._1").as("sim"),
-          (col("pos") + 1).as("rnk"))
-    }
     val init = e.select(col("vec_id").as("src"),
         explode(sequence(lit(0), lit(7))).as("t"))
       .select(col("src"),
         pmod(conv(substring(md5(concat(col("src"), lit("#"), col("t"))), 1, 8), 16, 10)
           .cast("long"), lit(n)).as("dst"))
       .where(col("dst") =!= col("src")).distinct()
-    var edges = topK(score(init)).localCheckpoint(true)
+    nnRefine(e, nnTopK(K)(nnScore(e)(init)).localCheckpoint(true), rounds, K)
+  }
+
+  private def nnScore(e: DataFrame)(pairs: DataFrame): DataFrame =
+    pairs.join(e.as("ea"), col("src") === col("ea.vec_id"))
+      .join(e.as("eb"), col("dst") === col("eb.vec_id"))
+      .select(col("src"), col("dst"),
+        round(dot(col("ea.u"), col("eb.u")), 4).as("sim"))
+
+  // windowless bounded top-K (TopKRows consumer #7 — the q48b form):
+  // each task folds scores into a <= K-entry buffer per node, so the
+  // shuffle carries K*nodes*tasks tuples and the scored pair stream is
+  // never sorted; tie order (sim DESC, dst ASC) matches the oracle's
+  // window exactly (the q48/q48b hash-identity claim)
+  private def nnTopK(K: Int)(scored: DataFrame): DataFrame = {
+    val topk = udaf(new graft.functions.TopKRows(K),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    scored.groupBy(col("src"))
+      .agg(topk(col("sim"), col("dst"), lit(0L)).as("top"))
+      .select(col("src"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("src"), col("e._2").as("dst"), col("e._1").as("sim"),
+        (col("pos") + 1).as("rnk"))
+  }
+
+  /** The NN-Descent co-neighbor refinement loop, shared by the base
+    * (q113) and upper-HNSW-layer (q128) builds — member set enters only
+    * through `e` and the initial edges, the loop is set-agnostic. */
+  private def nnRefine(e: DataFrame, edges0: DataFrame, rounds: Int, K: Int): DataFrame = {
+    var edges = edges0
     for (r <- 1 to rounds) {
       val und = edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -1731,9 +1909,48 @@ object Vectors {
           col("e1.src") === col("e2.src") && col("e1.dst") =!= col("e2.dst"))
         .select(col("e1.dst").as("src"), col("e2.dst").as("dst"))
       val pool = coN.union(edges.select(col("src"), col("dst"))).distinct()
-      edges = topK(score(pool)).localCheckpoint(true)
+      edges = nnTopK(K)(nnScore(e)(pool)).localCheckpoint(true)
     }
     edges
+  }
+
+  /** NN-Descent over an arbitrary MEMBER subset — the upper-HNSW-layer
+    * build (q128). Member ids are not contiguous, so md5 seeding goes
+    * through a dense member index (range partition + zipWithIndex —
+    * the SuffixArray global-index pattern, per-partition counts +
+    * driver prefix-sum, never a single-partition window). Layer sizes
+    * shrink geometrically, so Σ layer build cost is O(n·K²) like the
+    * base build. Returns (src, dst, sim, rnk) with rnk ≤ K. */
+  private[graft] def nnDescentOver(members: DataFrame, rounds: Int, searchK: Int,
+      seedTag: String, seeds: Int = 8): DataFrame = {
+    val K = searchK
+    val e = members.localCheckpoint(true) // (vec_id, u)
+    val idx = memberIndex(e)
+    val nl = idx.count()
+    val init = e.select(col("vec_id").as("src"),
+        explode(sequence(lit(0), lit(seeds - 1))).as("t"))
+      .select(col("src"),
+        pmod(conv(substring(md5(concat(lit(seedTag), col("src"), lit("#"), col("t"))), 1, 8), 16, 10)
+          .cast("long"), lit(nl)).as("m_idx"))
+      .join(idx, Seq("m_idx"))
+      .select(col("src"), col("vec_id").as("dst"))
+      .where(col("dst") =!= col("src")).distinct()
+    nnRefine(e, nnTopK(K)(nnScore(e)(init)).localCheckpoint(true), rounds, K)
+  }
+
+  /** Dense 0-based index over a member relation, ordered by vec_id —
+    * (m_idx, vec_id), checkpointed. */
+  private[graft] def memberIndex(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val parts = e.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = e.select(col("vec_id"))
+      .repartitionByRange(parts, col("vec_id")).sortWithinPartitions(col("vec_id"))
+    val schema = new StructType().add("m_idx", LongType, nullable = false)
+      .add("vec_id", LongType, nullable = false)
+    e.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i, r.getLong(0)) }, schema)
+      .localCheckpoint(true)
   }
 
   private lazy val Q113Def: QueryDef = QueryDef("q113_nndescent_knn_graph",

@@ -84,6 +84,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q128 layered search plans no all-pairs join") {
+    // layer builds are node-keyed self-joins, descent hops are beam-
+    // edge equi-joins, the L2 entry is an equi-join on the member
+    // index (a shared literal entry would constant-fold a hop into a
+    // BNLJ — the q114 lesson)
+    val p = plan("q128_hnsw_layered_search")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q128 plans a BNLJ")
+    assert(!p.contains("CartesianProduct"), "q128 plans a cartesian product")
+  }
+
   test("q118 broadcasts the model and selects via TakeOrderedAndProject") {
     // the 1024-row log-ratio table must broadcast onto the feature
     // stream (never shuffle the corpus on bucket), the top-40 must be
