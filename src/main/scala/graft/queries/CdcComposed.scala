@@ -41,5 +41,20 @@ object CdcComposed {
       // decode, JSON string escaping, exactly-once delivery) AND the
       // dedup state's arrival-order independence together.
       (s, d) => graft.streaming.CdcAnalytics.incrementalLineDedupOverCdc(s, d),
-      Some(LlmText.LineDedupOracleSql)))
+      Some(LlmText.LineDedupOracleSql)),
+
+    QueryDef("qc3_cdc_incremental_ivf",
+      // End-to-end: the connector feeding the ANN layer. The base 80%
+      // trains the deterministic Lloyd's index from the warehouse
+      // (training is not a CDC concern); the arrival 20% is INSERTed
+      // over the wire in md5-shuffled order — embeddings as exact
+      // Float round-trip strings — into IncrementalIvf's map-only
+      // assignment + idempotent append state, then the q88 composed-
+      // index summary (per-cell base/new counts + retrain-due drift
+      // flag) is emitted under q88's OWN oracle (computed from
+      // `embeddings` with no CDC anywhere). One hash gate certifies
+      // framing, decode, float round-tripping, exactly-once delivery
+      // AND the index state's arrival-order independence together.
+      (s, d) => graft.streaming.CdcAnalytics.incrementalIvfOverCdc(s, d),
+      Some(Vectors.IncrementalIvfOracleSql)))
 }

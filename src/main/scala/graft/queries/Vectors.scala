@@ -1130,41 +1130,14 @@ object Vectors {
           .select(col("vec_id"), col("embedding"))
         inc.processBatch(arrivals.where(col("vec_id") % 2 === 0), 0L)
         inc.processBatch(arrivals.where(col("vec_id") % 2 === 1), 1L)
-        baseAssigned.select(col("vec_id"), col("cell"), lit(0L).as("is_new"))
-          .unionByName(inc.members(s)
-            .select(col("vec_id"), col("cell"), lit(1L).as("is_new")))
-          .groupBy(col("cell").cast("long").as("cell"))
-          .agg(sum(lit(1L) - col("is_new")).as("n_base"),
-            sum(col("is_new")).as("n_new"))
-          .withColumn("retrain_due",
-            when(col("n_new") * 4 > col("n_base") + col("n_new"), 1L).otherwise(0L))
-          .orderBy(col("cell"))
+        ivfCompositionSummary(baseAssigned, inc.members(s))
       },
       // the oracle trains on the base 80% (c0..c1) and scores EVERY
       // vector against the serving centroids c1 in one pass — base
       // rows reproduce the Lloyd's final assignment, arrival rows
       // reproduce the incremental map-only assignment, because both
       // are the same pure integer argmin
-      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
-        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
-        "b AS (SELECT * FROM comps WHERE vec_id % 5 <> 4), " +
-        "c0 AS (SELECT vec_id AS cell, d, xi AS ci FROM b WHERE vec_id < 4), " +
-        "d1 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
-        "FROM b c JOIN c0 k USING (d) GROUP BY 1, 2), " +
-        "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
-        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
-        "c1 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
-        "FROM b c JOIN a1 a USING (vec_id) GROUP BY 1, 2), " +
-        "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
-        "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
-        "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
-        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
-        "u AS (SELECT vec_id, cell, CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END AS is_new FROM a2) " +
-        "SELECT cell, CAST(SUM(1 - is_new) AS BIGINT) AS n_base, " +
-        "CAST(SUM(is_new) AS BIGINT) AS n_new, " +
-        "CAST(CASE WHEN SUM(is_new) * 4 > COUNT(*) THEN 1 ELSE 0 END AS BIGINT) AS retrain_due " +
-        "FROM u GROUP BY cell ORDER BY cell")),
+      Some(IncrementalIvfOracleSql)),
 
     QueryDef("q89_pq_adc",
       // Product quantization with asymmetric distance computation
@@ -1834,6 +1807,50 @@ object Vectors {
       rnd(2, s"e1$p", s"g2$p") +
       s", glyr$p AS MATERIALIZED (SELECT src, dst FROM g2$p WHERE rnk <= $K)"
   }
+
+  /** The q88/qc3 composed-index summary: base members ∪ streamed
+    * members → per-cell counts + the retrain-due drift flag. Shared so
+    * the CDC-fed composition (qc3) is column-for-column the q88 shape
+    * under the same oracle. */
+  private[graft] def ivfCompositionSummary(baseAssigned: DataFrame,
+      newMembers: DataFrame): DataFrame =
+    baseAssigned.select(col("vec_id"), col("cell"), lit(0L).as("is_new"))
+      .unionByName(newMembers
+        .select(col("vec_id"), col("cell"), lit(1L).as("is_new")))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(sum(lit(1L) - col("is_new")).as("n_base"),
+        sum(col("is_new")).as("n_new"))
+      .withColumn("retrain_due",
+        when(col("n_new") * 4 > col("n_base") + col("n_new"), 1L).otherwise(0L))
+      .orderBy(col("cell"))
+
+  /** DuckDB oracle shared by q88 and qc3 (the CDC-fed twin): train on
+    * the base 80%, score EVERY vector against the serving centroids in
+    * one pass — the arrival rows reproduce the incremental map-only
+    * assignment because both are the same pure integer argmin, and the
+    * wire hop (qc3) cannot perturb it because embeddings travel as
+    * exact Float round-trip strings. */
+  private[queries] val IncrementalIvfOracleSql: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
+      "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+      "b AS (SELECT * FROM comps WHERE vec_id % 5 <> 4), " +
+      "c0 AS (SELECT vec_id AS cell, d, xi AS ci FROM b WHERE vec_id < 4), " +
+      "d1 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+      "FROM b c JOIN c0 k USING (d) GROUP BY 1, 2), " +
+      "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+      "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
+      "c1 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+      "FROM b c JOIN a1 a USING (vec_id) GROUP BY 1, 2), " +
+      "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+      "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
+      "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+      "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
+      "u AS (SELECT vec_id, cell, CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END AS is_new FROM a2) " +
+      "SELECT cell, CAST(SUM(1 - is_new) AS BIGINT) AS n_base, " +
+      "CAST(SUM(is_new) AS BIGINT) AS n_new, " +
+      "CAST(CASE WHEN SUM(is_new) * 4 > COUNT(*) THEN 1 ELSE 0 END AS BIGINT) AS retrain_due " +
+      "FROM u GROUP BY cell ORDER BY cell"
 
   /** NN-Descent refinement loop (q113), rounds-parameterized so
     * NnDescentSpec can pin recall MONOTONICITY: each co-neighbor round

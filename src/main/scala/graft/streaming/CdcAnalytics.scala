@@ -231,6 +231,105 @@ object CdcAnalytics {
     inc
   }
 
+  // ---- qc3: CDC-fed incremental IVF (the connector feeding the ANN
+  // layer — q88's maintenance loop with the wire path as the arrival
+  // source instead of explicit batches) --------------------------------
+
+  val VecTableName = "vectors"
+
+  def vecDdlJson: String =
+    s"""{"namespace":"MaxScaleChangeDataSchema.avro","type":"record","name":"ChangeRecord","table":"$VecTableName","database":"$Database","version":1,"gtid":"0-1-1","fields":[{"name":"vec_id","type":"long"},{"name":"emb","type":"string"}]}"""
+
+  def vecDmlJson(seq: Long, vecId: Long, emb: String): String =
+    s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,"timestamp":1754956800,"event_type":"insert","vec_id":$vecId,"emb":"$emb"}"""
+
+  /** Scripted binlog for qc3: the ARRIVAL embeddings (vec_id % 5 = 4,
+    * the q88 base/arrival split) INSERTed in md5-shuffled order.
+    * Embeddings travel as comma-joined `Float.toString` components —
+    * Java's shortest round-trip repr, `parseFloat(toString(f)) == f`
+    * bit-for-bit — so the wire hop cannot perturb the downstream
+    * integer quantization (the q88 oracle stays exact). */
+  def vecWorkloadEvents(s: SparkSession, dir: String): Vector[String] = {
+    val rows = Tables(s, dir, "embeddings")
+      .where(col("vec_id") % 5 === 4)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toString).mkString(",")))
+      .sortBy { case (id, _) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(s"qc3:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      }
+    val out = Vector.newBuilder[String]
+    out += vecDdlJson
+    rows.zipWithIndex.foreach { case ((id, emb), i) =>
+      out += vecDmlJson(i + 1L, id, emb)
+    }
+    out.result()
+  }
+
+  /** The qc3 wire half (injectable paths for the kill/resume drill):
+    * mock server → maxscale-cdc source → registry → projection → parse
+    * the comma-joined floats back to array<float> →
+    * [[IncrementalIvf.processBatch]] (map-only assignment against the
+    * serving centroids, idempotent append). */
+  def runVecPipeline(s: SparkSession, events: Seq[String], statePath: String,
+      ckptPath: String, expectRows: Long,
+      cents: Seq[graft.operators.KMeansLloyd.Centroid],
+      sourceOptions: Map[String, String] = Map.empty): IncrementalIvf = {
+    val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
+    val inc = new IncrementalIvf(statePath, cents)
+    val reg = new SchemaRegistry
+    val consumed = new java.util.concurrent.atomic.AtomicLong
+    val stream = sourceOptions.foldLeft(
+      s.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("user", "u").option("password", "p")
+        .option("database", Database).option("table", VecTableName)) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      .load()
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      CdcProjection.registryFrom(batch, reg)
+      if (reg.latest(Database, VecTableName).isDefined) {
+        val proj = CdcProjection.projectLatest(batch, reg, Database, VecTableName)
+          .where(col("op") === "insert")
+          .select(col("vec_id"),
+            expr("transform(split(emb, ','), x -> CAST(x AS FLOAT))").as("embedding"))
+        inc.processBatch(proj, bid)
+      }
+      consumed.addAndGet(batch.count())
+      ()
+    }.option("checkpointLocation", ckptPath).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (consumed.get() < expectRows && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        if (consumed.get() < expectRows) Thread.sleep(50)
+      }
+      require(consumed.get() == expectRows,
+        s"qc3 pipeline drained ${consumed.get()} of $expectRows rows")
+    } finally q.stop()
+    inc
+  }
+
+  /** qc3's query body: train the base index from the warehouse (index
+    * TRAINING is not a CDC concern — production trains from the stored
+    * corpus), stream the arrivals over the real wire path, and emit
+    * the q88 composed-index summary — under q88's own oracle, which
+    * computes everything from `embeddings` with no CDC anywhere. */
+  def incrementalIvfOverCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KMeansLloyd
+    val vecs = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+    val (baseAssigned, servingCents, _) = KMeansLloyd.runTracked(
+      vecs.where(col("vec_id") % 5 =!= 4), "vec_id", k = 4, iters = 2)
+    val events = vecWorkloadEvents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc3-cdc").toString
+    val inc = runVecPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
+      events.size.toLong, servingCents)
+    graft.queries.Vectors.ivfCompositionSummary(baseAssigned, inc.members(s))
+  }
+
   /** qc1's query body: run the whole composition for a fixture dir and
     * aggregate the materialized state (fresh temp dirs per call — the
     * entry measures the real pipeline, not a cache hit). */

@@ -103,6 +103,45 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(lines(resumed) == expected)
   }
 
+  test("qc3: CDC-fed incremental IVF equals batch q88, across a mid-workload restart") {
+    // the qc3 drill (the qc2 pattern on the ANN layer): kill the
+    // arrival stream partway through the md5-shuffled insert binlog,
+    // resume against a NEW connection, and require the composed-index
+    // summary to equal BOTH the one-shot wire run and pure batch q88 —
+    // the wire path and the map-only assignment state must each be
+    // outage- and arrival-order-invariant
+    import graft.operators.KMeansLloyd
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+    val (baseAssigned, servingCents, _) = KMeansLloyd.runTracked(
+      vecs.where(col("vec_id") % 5 =!= 4), "vec_id", k = 4, iters = 2)
+    val events = CdcAnalytics.vecWorkloadEvents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc3-restart").toString
+
+    def summary(inc: IncrementalIvf): Seq[(Long, Long, Long, Long)] =
+      graft.queries.Vectors.ivfCompositionSummary(baseAssigned, inc.members(spark))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    val oneShot = CdcAnalytics.runVecPipeline(spark, events,
+      s"$tmp/ref_state", s"$tmp/ref_ckpt", events.size.toLong, servingCents)
+    val expected = summary(oneShot)
+    assert(expected.nonEmpty)
+
+    val batch = graft.SparkEntry.queries("q88_incremental_ivf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(expected == batch, "wire run diverges from batch q88")
+
+    val cut = events.size / 2
+    val phaseA = events.take(cut)
+    val phaseB = CdcAnalytics.vecDdlJson +: events.drop(cut)
+    CdcAnalytics.runVecPipeline(spark, phaseA,
+      s"$tmp/state", s"$tmp/ckpt", phaseA.size.toLong, servingCents)
+    val resumed = CdcAnalytics.runVecPipeline(spark, phaseB,
+      s"$tmp/state", s"$tmp/ckpt", phaseB.size.toLong, servingCents)
+    assert(summary(resumed) == expected)
+  }
+
   test("replaying a committed batchId is bit-for-bit idempotent") {
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Files.createTempDirectory("cdc-replay").toString
