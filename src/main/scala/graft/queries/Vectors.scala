@@ -1536,6 +1536,8 @@ object Vectors {
 
     Q113Def,
 
+    Q129Def,
+
     QueryDef("q114_graph_ann_search",
       // Navigable search OVER the q113 graph — the query half of the
       // HNSW story (q113 builds the navigable substrate, this walks
@@ -1757,6 +1759,181 @@ object Vectors {
           "ORDER BY sim DESC, node) AS rnk FROM fin) WHERE rnk <= 3 " +
           "ORDER BY query_id, rnk"
       }))
+
+  private lazy val Q129Def: QueryDef = QueryDef("q129_ann_operating_sweep",
+      // The ABLATION REPORT a 100 TB deployment reads before picking
+      // ANN operating points: one oracle-hashed table sweeping the two
+      // production knobs — IVF nProbe ∈ {1,2,3,4} (of 4 cells) and
+      // graph-beam width ∈ {2,4,8} (5 hops over the shared q113
+      // graph) — each row reporting its COST (distance computations:
+      // distinct candidates scored) and QUALITY (hits against the
+      // exact brute top-3, 15 possible). The cost/recall frontier is
+      // the artifact: nProbe=4 is brute-force-via-cells (recall 15 by
+      // construction), beam=2 shows the recall floor a too-narrow walk
+      // pays. Every leg reuses the proven shared stages (lloydShared
+      // index, probeCells ranking, nnDescentGraphShared) so the sweep
+      // measures the REAL operators, not reimplementations. The final
+      // 7-row report is assembled driver-side from distributed
+      // aggregates (bounded: 7 rows × 2 counts — the manifest
+      // pattern, not a data-plane collect).
+      (s, d) => {
+        import graft.operators.KMeansLloyd
+        val e = embUnit(s, d).localCheckpoint(true)
+        val n = e.count()
+        val qv = broadcast(e.where(col("vec_id").between(1, 5))
+          .select(col("vec_id").as("query_id"), col("u").as("qu")))
+        def scoreNodes(bm: DataFrame): DataFrame =
+          bm.join(e, col("node") === col("vec_id"))
+            .join(qv, Seq("query_id"))
+            .select(col("query_id"), col("node"),
+              round(dot(col("u"), col("qu")), 4).as("sim"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("node"))
+        def top3(scored: DataFrame): DataFrame =
+          scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+            .select(col("query_id"), col("node"))
+        // exact ground truth (the q48 brute shape)
+        val truth3 = top3(
+          e.join(qv, col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("node"),
+              round(dot(col("u"), col("qu")), 4).as("sim")))
+          .localCheckpoint(true)
+        def hits(t3: DataFrame): Long =
+          t3.join(truth3, Seq("query_id", "node")).count()
+
+        // IVF leg: candidates from the nProbe nearest cells
+        val (assigned, probeCents, _) = lloydShared(s, d)
+        val member = assigned.select(col("vec_id"), col("cell")).join(e, "vec_id")
+        val vecsQ = Tables(s, d, "embeddings")
+          .where(col("vec_id").between(1, 5))
+          .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+        // the 7 operating points are INDEPENDENT — run them as
+        // concurrent Spark jobs (the IncrementalNearDup parallel-append
+        // precedent; all shared inputs are checkpointed above, so the
+        // threads only submit actions). Sequential, the sweep was
+        // latency-bound on ~50 small hop/count jobs (8.2 s at sf0.1);
+        // concurrent it is bound by the widest single walk.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val ivfF = (1 to 4).map { p => Future {
+          val probes = KMeansLloyd.probeCells(vecsQ, probeCents, nProbe = p)
+            .select(col("vec_id").as("query_id"), col("cell"))
+          val q = broadcast(probes.join(
+            qv.select(col("query_id"), col("qu")), Seq("query_id")))
+          val cand = member.join(q,
+              member("cell") === q("cell") && col("vec_id") =!= col("query_id"))
+            .select(col("query_id"), col("vec_id").as("node"),
+              round(dot(col("u"), col("qu")), 4).as("sim"))
+            .localCheckpoint(true)
+          ("ivf", p.toLong, cand.count(), hits(top3(cand)))
+        } }
+
+        // beam leg: the q114 walk at widths 2/4/8, cost = Σ distinct
+        // candidates scored per hop
+        val g0 = nnDescentGraphShared(s, d).select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        val ent = qv.select(col("query_id"),
+          pmod(conv(substring(md5(concat(lit("entry#"), col("query_id"))), 1, 8), 16, 10)
+            .cast("long"), lit(n)).as("node"))
+        val beamF = Seq(2, 4, 8).map { b => Future {
+          var beam = ent
+          var scoredCount = 0L
+          for (_ <- 1 to 5) {
+            val expanded = beam
+              .union(beam.join(g0, col("node") === col("src"))
+                .select(col("query_id"), col("dst").as("node")))
+              .distinct().localCheckpoint(false)
+            scoredCount += expanded.count()
+            beam = scoreNodes(expanded)
+              .groupBy(col("query_id"))
+              .agg(slice(sort_array(collect_set(
+                struct((lit(0.0) - col("sim")).as("ns"), col("node")))), 1, b).as("top"))
+              .select(col("query_id"), explode(col("top.node")).as("node"))
+              .localCheckpoint(false)
+          }
+          val fin = top3(scoreNodes(beam).where(col("node") =!= col("query_id")))
+          ("beam", b.toLong, scoredCount, hits(fin))
+        } }
+
+        val rows = Await.result(Future.sequence(ivfF ++ beamF), Duration.Inf)
+        val spark = s
+        import spark.implicits._
+        rows.toDF("method", "param", "scored", "hits")
+          .orderBy(col("method"), col("param"))
+      },
+      Some {
+        def bhop(b: Int, prev: String, next: String): String =
+          s"x$next AS MATERIALIZED (SELECT DISTINCT query_id, node FROM (" +
+            s"SELECT query_id, node FROM $prev " +
+            s"UNION ALL SELECT bb.query_id, g.dst AS node FROM $prev bb " +
+            "JOIN graph g ON g.src = bb.node)), " +
+            s"$next AS MATERIALIZED (SELECT query_id, node FROM (SELECT x.query_id, x.node, " +
+            "ROW_NUMBER() OVER (PARTITION BY x.query_id ORDER BY " +
+            "ROUND(list_cosine_similarity(ev.v, q.qv), 4) DESC, x.node) AS rn " +
+            s"FROM x$next x JOIN e ev ON ev.vec_id = x.node " +
+            s"JOIN qv q ON q.query_id = x.query_id) WHERE rn <= $b)"
+        def beamChain(b: Int): String =
+          (1 to 5).map(i => bhop(b,
+            if (i == 1) "ent" else s"w${b}h${i - 1}", s"w${b}h$i")).mkString(", ")
+        def beamRow(b: Int): String =
+          s"rb$b AS (SELECT 'beam' AS method, CAST($b AS BIGINT) AS param, " +
+            "CAST((" + (1 to 5).map(i => s"(SELECT COUNT(*) FROM xw${b}h$i)").mkString(" + ") +
+            ") AS BIGINT) AS scored, " +
+            s"CAST((SELECT COUNT(*) FROM (SELECT query_id, node FROM (SELECT bb.query_id, bb.node, " +
+            "ROW_NUMBER() OVER (PARTITION BY bb.query_id ORDER BY " +
+            "ROUND(list_cosine_similarity(ev.v, q.qv), 4) DESC, bb.node) AS rnk " +
+            s"FROM w${b}h5 bb JOIN e ev ON ev.vec_id = bb.node " +
+            "JOIN qv q ON q.query_id = bb.query_id WHERE bb.node <> bb.query_id) " +
+            "WHERE rnk <= 3) t JOIN truth3 u ON u.query_id = t.query_id AND u.node = t.node) " +
+            "AS BIGINT) AS hits)"
+        def ivfRow(p: Int): String =
+          s"candp$p AS (SELECT pr.query_id, m.vec_id AS node FROM pr JOIN a2 m ON m.cell = pr.cell " +
+            s"WHERE pr.prnk <= $p AND m.vec_id <> pr.query_id), " +
+            s"t3p$p AS (SELECT query_id, node FROM (SELECT c.query_id, c.node, " +
+            "ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY " +
+            "ROUND(list_cosine_similarity(ev.v, q.qv), 4) DESC, c.node) AS rnk " +
+            s"FROM candp$p c JOIN e ev ON ev.vec_id = c.node " +
+            "JOIN qv q ON q.query_id = c.query_id) WHERE rnk <= 3), " +
+            s"riv$p AS (SELECT 'ivf' AS method, CAST($p AS BIGINT) AS param, " +
+            s"CAST((SELECT COUNT(*) FROM candp$p) AS BIGINT) AS scored, " +
+            s"CAST((SELECT COUNT(*) FROM t3p$p t JOIN truth3 u " +
+            "ON u.query_id = t.query_id AND u.node = t.node) AS BIGINT) AS hits)"
+        "WITH " + NnGraphSqlCtes + ", " +
+          "graph AS MATERIALIZED (SELECT src, dst FROM g3 WHERE rnk <= 16), " +
+          "qv AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id BETWEEN 1 AND 5), " +
+          "truth3 AS MATERIALIZED (SELECT query_id, node FROM (SELECT q.query_id, x.vec_id AS node, " +
+          "ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY " +
+          "ROUND(list_cosine_similarity(x.v, q.qv), 4) DESC, x.vec_id) AS rnk " +
+          "FROM e x JOIN qv q ON x.vec_id <> q.query_id) WHERE rnk <= 3), " +
+          // the q73 deterministic Lloyd's chain: comps → c0 → a1 → c1 →
+          // d2 → a2 (assignment) + pr (per-query cell probe ranking)
+          "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
+          "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+          "c0 AS (SELECT vec_id AS cell, d, xi AS ci FROM comps WHERE vec_id < 4), " +
+          "d1 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+          "FROM comps c JOIN c0 k USING (d) GROUP BY 1, 2), " +
+          "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+          "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
+          "c1 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+          "FROM comps c JOIN a1 a USING (vec_id) GROUP BY 1, 2), " +
+          "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+          "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
+          "a2 AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+          "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
+          "pr AS MATERIALIZED (SELECT vec_id AS query_id, cell, ROW_NUMBER() OVER " +
+          "(PARTITION BY vec_id ORDER BY dist, cell) AS prnk FROM d2 WHERE vec_id BETWEEN 1 AND 5), " +
+          (1 to 4).map(ivfRow).mkString(", ") + ", " +
+          "ent AS (SELECT query_id, CAST(('0x' || substring(md5('entry#' || query_id),1,8)) AS BIGINT) % nn.n AS node " +
+          "FROM qv CROSS JOIN nn), " +
+          Seq(2, 4, 8).map(beamChain).mkString(", ") + ", " +
+          Seq(2, 4, 8).map(beamRow).mkString(", ") +
+          " SELECT method, param, scored, hits FROM (" +
+          (1 to 4).map(p => s"SELECT * FROM riv$p").mkString(" UNION ALL ") +
+          " UNION ALL " +
+          Seq(2, 4, 8).map(b => s"SELECT * FROM rb$b").mkString(" UNION ALL ") +
+          ") ORDER BY method, param"
+      })
 
   /** Session cache of the upper-HNSW-layer NN-Descent graphs (q128):
     * one per (dir, layer tag); build-once/search-many like the base
