@@ -1666,9 +1666,19 @@ object Vectors {
         val e = embUnit(s, d).localCheckpoint(true)
         val qv = broadcast(e.where(col("vec_id").between(1, 5))
           .select(col("vec_id").as("query_id"), col("u").as("qu")))
-        val g0 = nnDescentGraphShared(s, d).select(col("src"), col("dst"))
-        val g1 = hnswLayerGraphShared(s, d, 4, "L1").select(col("src"), col("dst"))
-        val g2 = hnswLayerGraphShared(s, d, 16, "L2").select(col("src"), col("dst"))
+        // the three graph builds are independent — submit them as
+        // concurrent Spark jobs (distinct SessionCache keys, shared
+        // inputs checkpointed; the q129 concurrency precedent). The
+        // descent itself stays sequential — each hop reads the last.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val (g0, g1, g2) = Await.result(
+          Future.sequence(Seq(
+            Future(nnDescentGraphShared(s, d).select(col("src"), col("dst"))),
+            Future(hnswLayerGraphShared(s, d, 4, "L1").select(col("src"), col("dst"))),
+            Future(hnswLayerGraphShared(s, d, 16, "L2").select(col("src"), col("dst"))))),
+          Duration.Inf) match { case Seq(a, b, c) => (a, b, c) }
         // entry: md5-derived L2 member via the dense member index
         val lvl = conv(substring(md5(concat(lit("lvl#"), col("vec_id"))), 1, 8), 16, 10)
           .cast("long")
