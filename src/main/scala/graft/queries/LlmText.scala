@@ -658,6 +658,62 @@ object LlmText {
       Some("WITH " + BandedPairsSqlCtes + " " +
         "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b")),
 
+    QueryDef("q130_dedup_threshold_sweep",
+      // The DEDUP-POLICY ablation (q129's twin for the dedup layer):
+      // how aggressive should near-dup collapse be? One oracle-hashed
+      // report row per Jaccard threshold t ∈ {0.35, 0.5, 0.7} —
+      // pair count, cluster count, docs in clusters, and docs a
+      // keep-one-per-cluster policy would drop. All three thresholds
+      // sit AT or ABOVE the banding design floor (0.35, the 8×2 LSH
+      // threshold), so they are lossless FILTERS over the one shared
+      // verified pair relation (bandedNearDupPairs — cached,
+      // checkpointed): no re-banding, no re-verification, just three
+      // connected-components runs on shrinking graphs, submitted
+      // concurrently (the q129 precedent). The threshold literal
+      // compares against the rounded-4 jaccard identically on both
+      // engines (the q54 parity argument). Report assembled
+      // driver-side from bounded aggregates (3 rows × 3 counts).
+      (s, d) => {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val pairs = bandedNearDupPairs(s, d)
+        val rows = Await.result(Future.sequence(Seq(35, 50, 70).map { t => Future {
+          val p = pairs.where(col("jaccard") >= t / 100.0).localCheckpoint(true)
+          val comp = graft.operators.DedupGroups.components(p)
+          val agg = comp.groupBy(col("rep")).agg(count(lit(1)).as("m"))
+            .agg(count(lit(1)).as("ncl"), coalesce(sum(col("m")), lit(0L)).as("nmem"))
+            .collect().head
+          val (ncl, nmem) = (agg.getLong(0), agg.getLong(1))
+          (t.toLong, p.count(), ncl, nmem, nmem - ncl)
+        } }), Duration.Inf)
+        val spark = s
+        import spark.implicits._
+        rows.toDF("threshold_e2", "n_pairs", "n_clusters", "n_members", "n_dropped")
+          .orderBy(col("threshold_e2"))
+      },
+      Some {
+        def leg(t: Int): String = {
+          val lit = s"0.$t"
+          s"p$t AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $lit), " +
+            s"edges$t AS (SELECT doc_a AS src, doc_b AS dst FROM p$t " +
+            s"UNION SELECT doc_b, doc_a FROM p$t), " +
+            s"nodes$t AS (SELECT DISTINCT src AS doc FROM edges$t), " +
+            s"reach$t(doc, r) AS (SELECT doc, doc FROM nodes$t " +
+            s"UNION SELECT e.dst, reach$t.r FROM reach$t JOIN edges$t e ON e.src = reach$t.doc), " +
+            s"rep$t AS (SELECT doc, MIN(r) AS rep_doc FROM reach$t GROUP BY doc), " +
+            s"row$t AS (SELECT CAST($t AS BIGINT) AS threshold_e2, " +
+            s"CAST((SELECT COUNT(*) FROM p$t) AS BIGINT) AS n_pairs, " +
+            s"CAST((SELECT COUNT(DISTINCT rep_doc) FROM rep$t) AS BIGINT) AS n_clusters, " +
+            s"CAST((SELECT COUNT(*) FROM rep$t) AS BIGINT) AS n_members, " +
+            s"CAST((SELECT COUNT(*) FROM rep$t) - (SELECT COUNT(DISTINCT rep_doc) FROM rep$t) AS BIGINT) AS n_dropped)"
+        }
+        "WITH RECURSIVE " + BandedPairsSqlCtes + ", " +
+          Seq(35, 50, 70).map(leg).mkString(", ") +
+          " SELECT * FROM (SELECT * FROM row35 UNION ALL SELECT * FROM row50 " +
+          "UNION ALL SELECT * FROM row70) ORDER BY threshold_e2"
+      }),
+
     QueryDef("q57_dedup_groups",
       // The step after pair verification in a corpus dedup: near-dup
       // pairs chain (A≈B≈C), so whole CONNECTED COMPONENTS must
