@@ -982,6 +982,65 @@ object Pipeline {
         "CAST(SUM(straddles) AS BIGINT) AS n_straddle " +
         "FROM p GROUP BY shard, pack ORDER BY shard, pack")),
 
+    QueryDef("q131_packing_length_sweep",
+      // The CONTEXT-LENGTH ablation for q74's packer (q129/q130's
+      // sibling for the physical-output layer): what does S buy?
+      // One oracle-hashed row per context length S ∈ {128, 512, 2048}
+      // over the SAME per-shard token cumsum — n_packs (compute
+      // units), n_straddle (docs cut across a pack boundary — the
+      // attention-mask quality cost), and tail_waste (tokens of
+      // padding in each shard's final partial pack — the only waste
+      // concat-split packing has). The boundary sets NEST (2048 =
+      // 4·512 = 16·128), so n_packs and n_straddle are provably
+      // non-increasing in S and tail_waste non-decreasing — the spec
+      // pins all three. ONE window pass computes the S-independent
+      // cumsum; each leg is then a per-shard agg + a 1-row fold, and
+      // the report is a 3-row union — all DataFrame-side, no driver
+      // assembly. All integer arithmetic — fully portable.
+      (s, d) => {
+        val nShards = 8
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val base = docs(s, d)
+          .select(col("doc_id"),
+            conv(substring(md5(concat(lit("pack:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long").%(nShards).as("shard"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .withColumn("before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .localCheckpoint(true) // three S-legs share the one cumsum
+        Seq(128, 512, 2048).map { sl =>
+          base
+            .withColumn("straddle",
+              (expr(s"(before + n_tok - 1) div $sl") > expr(s"before div $sl")).cast("long"))
+            .groupBy(col("shard"))
+            .agg(sum(col("n_tok")).as("tok"), sum(col("straddle")).as("st"))
+            .agg(
+              sum(expr(s"(tok + $sl - 1) div $sl")).cast("long").as("n_packs"),
+              sum(col("st")).cast("long").as("n_straddle"),
+              sum(expr(s"$sl * ((tok + $sl - 1) div $sl) - tok")).cast("long").as("tail_waste"))
+            .select(lit(sl.toLong).as("context_len"), col("n_packs"),
+              col("n_straddle"), col("tail_waste"))
+        }.reduce(_ unionByName _).orderBy(col("context_len"))
+      },
+      Some {
+        def leg(sl: Int): String =
+          s"leg$sl AS (SELECT CAST($sl AS BIGINT) AS context_len, " +
+            s"CAST(SUM(CAST((tok + $sl - 1) // $sl AS BIGINT)) AS BIGINT) AS n_packs, " +
+            "CAST(SUM(st) AS BIGINT) AS n_straddle, " +
+            s"CAST(SUM($sl * CAST((tok + $sl - 1) // $sl AS BIGINT) - tok) AS BIGINT) AS tail_waste " +
+            "FROM (SELECT shard, SUM(n_tok) AS tok, " +
+            s"SUM(CASE WHEN (before + n_tok - 1) // $sl > before // $sl THEN 1 ELSE 0 END) AS st " +
+            "FROM c GROUP BY shard))"
+        "WITH t AS (SELECT doc_id, " +
+          "CAST(('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 8 AS shard, " +
+          "CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok FROM documents), " +
+          "c AS (SELECT doc_id, shard, n_tok, COALESCE(SUM(n_tok) OVER " +
+          "(PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM t), " +
+          Seq(128, 512, 2048).map(leg).mkString(", ") +
+          " SELECT * FROM (SELECT * FROM leg128 UNION ALL SELECT * FROM leg512 " +
+          "UNION ALL SELECT * FROM leg2048) ORDER BY context_len"
+      }),
+
     QueryDef("q79_chunk_docs",
       // RAG/context-window chunking: each doc is cut into overlapping
       // C = 64-token chunks on a 48-token stride (chunks start at
