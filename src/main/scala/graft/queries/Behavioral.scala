@@ -267,6 +267,32 @@ object Behavioral {
       greatest(lit(0L), least(floor(col("value") / 50).cast("long"), lit(9L))).as("bin"),
       when(col("ts") < lit("2024-01-16").cast("timestamp"), 1L).otherwise(0L).as("h1"))
 
+  /** q107's full PSI table from a binned relation (event_type, bin,
+    * h1). The type spine derives from the binned relation itself —
+    * identical to deriving from raw events, since binning drops no
+    * rows. Shared with qc4 (the CDC-fed twin computes the same stage
+    * over wire-accumulated state). */
+  private[graft] def psiFromBinned(binned: DataFrame): DataFrame = {
+    val cells = binned.groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("h1")).as("n1"), sum(lit(1L) - col("h1")).as("n2"))
+    val spine = binned.select(col("event_type")).distinct()
+      .select(col("event_type"), explode(expr("sequence(0L, 9L)")).as("bin"))
+    val grid = spine.join(cells, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("n1"), lit(0L)).as("n1"), coalesce(col("n2"), lit(0L)).as("n2"))
+    val tot = grid.groupBy(col("event_type"))
+      .agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    grid.join(tot, "event_type")
+      .select(col("event_type"),
+        expr("((n1 + 1) * 1000000L) div (t1 + 10)").as("p_e6"),
+        expr("((n2 + 1) * 1000000L) div (t2 + 10)").as("q_e6"))
+      .select(col("event_type"), ((col("p_e6") - col("q_e6")) *
+        expr("CAST(floor(ln(CAST(p_e6 AS DOUBLE) / CAST(q_e6 AS DOUBLE)) * 10000 " +
+          "+ CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("contrib"))
+      .groupBy(col("event_type")).agg(sum(col("contrib")).as("psi_e10"))
+      .orderBy(col("event_type"))
+  }
+
   /** q107's PSI fold from smoothed per-bin counts, shared with the
     * streaming twin so both sides quantize identically: e-6 integer
     * proportions, ln on the exact integer ratio quantized to 1e-4
@@ -304,6 +330,29 @@ object Behavioral {
     (q(50), q(95), q(99))
   }
 
+  /** DuckDB oracle shared by q107 and qc4 (the CDC-fed twin): the
+    * whole PSI computation from the raw `events` table — no CDC
+    * anywhere, so the qc4 hash gate closes over the full wire path. */
+  private[graft] val DriftPsiOracleSql: String =
+    "WITH binned AS (SELECT event_type, " +
+      "GREATEST(0, LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9)) AS bin, " +
+      "CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS h1 FROM events), " +
+      "cells AS (SELECT event_type, bin, SUM(h1) AS n1, SUM(1 - h1) AS n2 " +
+      "FROM binned GROUP BY 1, 2), " +
+      "spine AS (SELECT event_type, b.bin FROM (SELECT DISTINCT event_type FROM events) ty " +
+      "CROSS JOIN (SELECT UNNEST(range(0, 10)) AS bin) b), " +
+      "grid AS (SELECT s.event_type, s.bin, COALESCE(c.n1, 0) AS n1, COALESCE(c.n2, 0) AS n2 " +
+      "FROM spine s LEFT JOIN cells c ON c.event_type = s.event_type AND c.bin = s.bin), " +
+      "tot AS (SELECT event_type, SUM(n1) AS t1, SUM(n2) AS t2 FROM grid GROUP BY 1), " +
+      "pq AS (SELECT g.event_type, " +
+      "CAST(((g.n1 + 1) * 1000000) // (t.t1 + 10) AS BIGINT) AS p_e6, " +
+      "CAST(((g.n2 + 1) * 1000000) // (t.t2 + 10) AS BIGINT) AS q_e6 " +
+      "FROM grid g JOIN tot t USING (event_type)) " +
+      "SELECT event_type, CAST(SUM((p_e6 - q_e6) * " +
+      "CAST(FLOOR(LN(CAST(p_e6 AS DOUBLE) / CAST(q_e6 AS DOUBLE)) * 10000 " +
+      "+ CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS psi_e10 " +
+      "FROM pq GROUP BY 1 ORDER BY 1"
+
   /** q107 in its own val: distribution-drift monitoring. */
   private def drift: Seq[QueryDef] = Seq(
     QueryDef("q107_distribution_drift",
@@ -326,45 +375,8 @@ object Behavioral {
       // per-type totals are broadcast-sized. At 100 TB this runs per
       // feature column as a map-side-combined agg over the feature
       // scan; nothing grows with row count.
-      (s, d) => {
-        val binned = binnedDrift(events(s, d))
-        val cells = binned.groupBy(col("event_type"), col("bin"))
-          .agg(sum(col("h1")).as("n1"), sum(lit(1L) - col("h1")).as("n2"))
-        val spine = events(s, d).select(col("event_type")).distinct()
-          .select(col("event_type"), explode(expr("sequence(0L, 9L)")).as("bin"))
-        val grid = spine.join(cells, Seq("event_type", "bin"), "left")
-          .select(col("event_type"), col("bin"),
-            coalesce(col("n1"), lit(0L)).as("n1"), coalesce(col("n2"), lit(0L)).as("n2"))
-        val tot = grid.groupBy(col("event_type"))
-          .agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
-        grid.join(tot, "event_type")
-          .select(col("event_type"),
-            expr("((n1 + 1) * 1000000L) div (t1 + 10)").as("p_e6"),
-            expr("((n2 + 1) * 1000000L) div (t2 + 10)").as("q_e6"))
-          .select(col("event_type"), ((col("p_e6") - col("q_e6")) *
-            expr("CAST(floor(ln(CAST(p_e6 AS DOUBLE) / CAST(q_e6 AS DOUBLE)) * 10000 " +
-              "+ CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("contrib"))
-          .groupBy(col("event_type")).agg(sum(col("contrib")).as("psi_e10"))
-          .orderBy(col("event_type"))
-      },
-      Some("WITH binned AS (SELECT event_type, " +
-        "GREATEST(0, LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9)) AS bin, " +
-        "CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS h1 FROM events), " +
-        "cells AS (SELECT event_type, bin, SUM(h1) AS n1, SUM(1 - h1) AS n2 " +
-        "FROM binned GROUP BY 1, 2), " +
-        "spine AS (SELECT event_type, b.bin FROM (SELECT DISTINCT event_type FROM events) ty " +
-        "CROSS JOIN (SELECT UNNEST(range(0, 10)) AS bin) b), " +
-        "grid AS (SELECT s.event_type, s.bin, COALESCE(c.n1, 0) AS n1, COALESCE(c.n2, 0) AS n2 " +
-        "FROM spine s LEFT JOIN cells c ON c.event_type = s.event_type AND c.bin = s.bin), " +
-        "tot AS (SELECT event_type, SUM(n1) AS t1, SUM(n2) AS t2 FROM grid GROUP BY 1), " +
-        "pq AS (SELECT g.event_type, " +
-        "CAST(((g.n1 + 1) * 1000000) // (t.t1 + 10) AS BIGINT) AS p_e6, " +
-        "CAST(((g.n2 + 1) * 1000000) // (t.t2 + 10) AS BIGINT) AS q_e6 " +
-        "FROM grid g JOIN tot t USING (event_type)) " +
-        "SELECT event_type, CAST(SUM((p_e6 - q_e6) * " +
-        "CAST(FLOOR(LN(CAST(p_e6 AS DOUBLE) / CAST(q_e6 AS DOUBLE)) * 10000 " +
-        "+ CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS psi_e10 " +
-        "FROM pq GROUP BY 1 ORDER BY 1")),
+      (s, d) => psiFromBinned(binnedDrift(events(s, d))),
+      Some(DriftPsiOracleSql)),
 
     QueryDef("q108_histogram_quantiles",
       // Mergeable fixed-bin histogram quantiles per event type — the

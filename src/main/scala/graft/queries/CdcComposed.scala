@@ -56,5 +56,20 @@ object CdcComposed {
       // framing, decode, float round-tripping, exactly-once delivery
       // AND the index state's arrival-order independence together.
       (s, d) => graft.streaming.CdcAnalytics.incrementalIvfOverCdc(s, d),
-      Some(Vectors.IncrementalIvfOracleSql)))
+      Some(Vectors.IncrementalIvfOracleSql)),
+
+    QueryDef("qc4_cdc_drift_monitor",
+      // End-to-end: the connector feeding the MONITORING layer. Every
+      // fixture event INSERTed over the wire in md5-shuffled order —
+      // doubles as exact round-trip strings, timestamps as epoch-µs
+      // longs, and the payload's type column renamed `etype` because
+      // the CDC envelope itself uses `event_type` for the operation
+      // (the real-MaxScale column-collision hazard, handled at the
+      // feed boundary) — accumulated in a replay-guarded feed state,
+      // then the UNCHANGED q107 PSI stage over the accumulated state,
+      // under q107's OWN oracle (computed from `events` with no CDC
+      // anywhere). Completes the qc-family: aggregation (qc1), dedup
+      // (qc2), ANN (qc3), monitoring (qc4).
+      (s, d) => graft.streaming.CdcAnalytics.driftOverCdc(s, d),
+      Some(Behavioral.DriftPsiOracleSql)))
 }

@@ -330,6 +330,113 @@ object CdcAnalytics {
     graft.queries.Vectors.ivfCompositionSummary(baseAssigned, inc.members(s))
   }
 
+  // ---- qc4: CDC-fed drift monitoring (the connector feeding the
+  // monitoring layer — q107's PSI over wire-accumulated event state) --
+
+  val EventTableName = "events_feed"
+
+  /** The payload column is named `etype`, NOT `event_type`: the CDC
+    * envelope already uses `event_type` for the operation (insert /
+    * update / delete) in the same flat DML JSON — a real MaxScale
+    * stream has the identical collision hazard for a table with such a
+    * column, and renaming at the feed boundary is the standard fix. */
+  def eventDdlJson: String =
+    s"""{"namespace":"MaxScaleChangeDataSchema.avro","type":"record","name":"ChangeRecord","table":"$EventTableName","database":"$Database","version":1,"gtid":"0-1-1","fields":[{"name":"event_id","type":"long"},{"name":"etype","type":"string"},{"name":"value","type":"double"},{"name":"ts_us","type":"long"}]}"""
+
+  def eventDmlJson(seq: Long, id: Long, etype: String, value: Double, tsUs: Long): String =
+    s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,"timestamp":1754956800,"event_type":"insert","event_id":$id,"etype":"${jsonEscape(etype)}","value":$value,"ts_us":$tsUs}"""
+
+  /** Scripted binlog for qc4: every fixture event INSERTed in
+    * md5-shuffled order. Values travel as `Double.toString` (exact
+    * round-trip) and timestamps as epoch MICROS longs — the µs
+    * precision the engine's event reads already normalize to — so the
+    * wire hop cannot perturb the binning or the half-month split. */
+  def eventWorkloadEvents(s: SparkSession, dir: String): Vector[String] = {
+    val rows = Tables(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts)").as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .sortBy { case (id, _, _, _) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(s"qc4:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      }
+    val out = Vector.newBuilder[String]
+    out += eventDdlJson
+    rows.zipWithIndex.foreach { case ((id, ty, v, ts), i) =>
+      out += eventDmlJson(i + 1L, id, ty, v, ts)
+    }
+    out.result()
+  }
+
+  /** The qc4 wire half (injectable paths for the kill/resume drill):
+    * per micro-batch, projected event rows are appended to a parquet
+    * event-feed state, replay-guarded by an event_id anti-join (the
+    * IncrementalLineDedup doctrine — per-batch work is decode-and-
+    * append only; the drift judgment reads the accumulated state). */
+  def runEventPipeline(s: SparkSession, events: Seq[String], statePath: String,
+      ckptPath: String, expectRows: Long,
+      sourceOptions: Map[String, String] = Map.empty): String = {
+    val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
+    val reg = new SchemaRegistry
+    val consumed = new java.util.concurrent.atomic.AtomicLong
+    val feedDir = s"$statePath/feed"
+    val stream = sourceOptions.foldLeft(
+      s.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("user", "u").option("password", "p")
+        .option("database", Database).option("table", EventTableName)) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      .load()
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      CdcProjection.registryFrom(batch, reg)
+      if (reg.latest(Database, EventTableName).isDefined) {
+        val proj = CdcProjection.projectLatest(batch, reg, Database, EventTableName)
+          .where(col("op") === "insert")
+          .select(col("event_id"), col("etype"), col("value"), col("ts_us"))
+          .localCheckpoint(true)
+        val p = new org.apache.hadoop.fs.Path(feedDir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val fresh =
+          if (!fs.exists(p)) proj
+          else proj.join(
+            s.read.schema(proj.schema).parquet(feedDir)
+              .select("event_id").distinct(),
+            Seq("event_id"), "left_anti")
+        fresh.write.mode("append").parquet(feedDir)
+      }
+      consumed.addAndGet(batch.count())
+      ()
+    }.option("checkpointLocation", ckptPath).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (consumed.get() < expectRows && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        if (consumed.get() < expectRows) Thread.sleep(50)
+      }
+      require(consumed.get() == expectRows,
+        s"qc4 pipeline drained ${consumed.get()} of $expectRows rows")
+    } finally q.stop()
+    feedDir
+  }
+
+  /** qc4's query body: stream every event over the real wire path into
+    * the feed state, then run the UNCHANGED q107 PSI stage over the
+    * accumulated state — under q107's own oracle (computed from
+    * `events` with no CDC anywhere). Arrival order cannot matter: the
+    * state is a pure set union and PSI is computed from counts. */
+  def driftOverCdc(s: SparkSession, dir: String): DataFrame = {
+    val events = eventWorkloadEvents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc4-cdc").toString
+    val feedDir = runEventPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
+      events.size.toLong)
+    val ev = s.read.parquet(feedDir)
+      .select(col("etype").as("event_type"), col("value"),
+        expr("timestamp_micros(ts_us)").as("ts"))
+    graft.queries.Behavioral.psiFromBinned(
+      graft.queries.Behavioral.binnedDrift(ev))
+  }
+
   /** qc1's query body: run the whole composition for a fixture dir and
     * aggregate the materialized state (fresh temp dirs per call — the
     * entry measures the real pipeline, not a cache hit). */

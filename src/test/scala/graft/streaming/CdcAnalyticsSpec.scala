@@ -142,6 +142,43 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(summary(resumed) == expected)
   }
 
+  test("qc4: CDC-fed drift monitor equals batch q107, across a mid-workload restart") {
+    // the qc4 drill: kill the event stream partway through the
+    // md5-shuffled insert binlog, resume against a NEW connection, and
+    // require the PSI table to equal BOTH the one-shot wire run and
+    // pure batch q107 — doubles and µs timestamps must round-trip the
+    // wire exactly, and the feed state must be arrival-order- and
+    // outage-invariant
+    import org.apache.spark.sql.functions.{col, expr}
+    val events = CdcAnalytics.eventWorkloadEvents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc4-restart").toString
+
+    def psiOf(feedDir: String): Seq[(String, Long)] =
+      graft.queries.Behavioral.psiFromBinned(graft.queries.Behavioral.binnedDrift(
+          spark.read.parquet(feedDir)
+            .select(col("etype").as("event_type"), col("value"),
+              expr("timestamp_micros(ts_us)").as("ts"))))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    val refDir = CdcAnalytics.runEventPipeline(spark, events,
+      s"$tmp/ref_state", s"$tmp/ref_ckpt", events.size.toLong)
+    val expected = psiOf(refDir)
+    assert(expected.nonEmpty)
+
+    val batch = graft.SparkEntry.queries("q107_distribution_drift")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(expected == batch, "wire run diverges from batch q107")
+
+    val cut = events.size / 2
+    val phaseA = events.take(cut)
+    val phaseB = CdcAnalytics.eventDdlJson +: events.drop(cut)
+    CdcAnalytics.runEventPipeline(spark, phaseA,
+      s"$tmp/state", s"$tmp/ckpt", phaseA.size.toLong)
+    val resumedDir = CdcAnalytics.runEventPipeline(spark, phaseB,
+      s"$tmp/state", s"$tmp/ckpt", phaseB.size.toLong)
+    assert(psiOf(resumedDir) == expected)
+  }
+
   test("replaying a committed batchId is bit-for-bit idempotent") {
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Files.createTempDirectory("cdc-replay").toString
