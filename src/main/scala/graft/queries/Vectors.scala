@@ -550,10 +550,14 @@ object Vectors {
       val dirr = scored.select(col("vec_a").as("node"), col("vec_b").as("other"), col("sim_e4"))
         .union(scored.select(col("vec_b").as("node"), col("vec_a").as("other"), col("sim_e4")))
       val byNode = Window.partitionBy(col("node")).orderBy(col("sim_e4").desc, col("other"))
+      // stats and best are each referenced TWICE below (the a-side and
+      // b-side of their joins) — materialize once or their windows run
+      // twice (r9 audit: q115 was latency-bound on the doubled stages)
       val stats = dirr.withColumn("rn", row_number().over(byNode))
         .where(col("rn") <= 4)
         .groupBy(col("node"))
         .agg(sum(col("sim_e4")).as("sumk"), count(lit(1)).as("cntk"))
+        .localCheckpoint(true)
       val marg = dirr
         .join(stats.select(col("node"), col("sumk").as("suma"), col("cntk").as("cnta")), Seq("node"))
         .join(stats.select(col("node").as("other"), col("sumk").as("sumb"), col("cntk").as("cntb")), Seq("other"))
@@ -563,6 +567,7 @@ object Vectors {
             "(suma * cntb + sumb * cnta) + 0.5) AS BIGINT)").as("margin_e4"))
       val byMargin = Window.partitionBy(col("node")).orderBy(col("margin_e4").desc, col("other"))
       val best = marg.withColumn("rn", row_number().over(byMargin)).where(col("rn") === 1)
+        .localCheckpoint(true)
       best.as("a").join(best.as("b"),
           col("b.node") === col("a.other") && col("b.other") === col("a.node"))
         .where(col("a.node") < col("a.other") &&
