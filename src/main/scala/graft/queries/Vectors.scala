@@ -1543,6 +1543,8 @@ object Vectors {
 
     Q129Def,
 
+    Q132Def,
+
     QueryDef("q114_graph_ann_search",
       // Navigable search OVER the q113 graph — the query half of the
       // HNSW story (q113 builds the navigable substrate, this walks
@@ -1948,6 +1950,94 @@ object Vectors {
           " UNION ALL " +
           Seq(2, 4, 8).map(b => s"SELECT * FROM rb$b").mkString(" UNION ALL ") +
           ") ORDER BY method, param"
+      })
+
+  private lazy val Q132Def: QueryDef = QueryDef("q132_jl_projection_audit",
+      // Johnson–Lindenstrauss random projection, 64 → 16 dims, with
+      // the distortion audit a deployment runs before swapping the
+      // projected vectors into a pipeline (the missing DIMENSIONALITY-
+      // REDUCTION member of the vector family: SQ8/PQ compress codes,
+      // JL compresses the geometry itself — the standard preprocessing
+      // for trillion-scale similarity search and clustering). The
+      // projection matrix is ±1 signs from md5('jl#i#j') parity —
+      // deterministic, engine-portable, materialization-free: the 1024
+      // signs fold into the plan as literals (the centroids-as-
+      // literals doctrine), so projecting is ONE map-only pass, no
+      // join, no shuffle — embarrassingly parallel at 100 TB. Inputs
+      // quantize to e6 integers first (KMeansLloyd.quantize), so
+      // projections and squared distances are EXACT integers on both
+      // engines; the one division (the distance-ratio) happens in
+      // IEEE double on exact integer operands with an identical
+      // expression tree (the q22 floor doctrine). Audit: for every
+      // consecutive-id pair, ratio = ||Pa − Pb||² / (k · ||a − b||²)
+      // (±1 signs give E[||Pa−Pb||²] = k·||a−b||², so /k is the
+      // unbiased normalizer) quantized to e4, histogrammed in
+      // 0.2-wide buckets with the tail clamped at 4.0 — the JL
+      // concentration-around-1 evidence, plus the exact pair count
+      // per bucket. Output is bucket rows — bounded, hash-exact.
+      (s, d) => {
+        import graft.operators.KMeansLloyd
+        val k = 16
+        val dims = 64
+        def sign(i: Int, j: Int): Long = {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(s"jl#$i#$j".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1L else -1L
+        }
+        val q = Tables(s, d, "embeddings")
+          .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+        val projected = q.select(col("vec_id") +: col("xi") +:
+          (0 until k).map { j =>
+            val signs = (0 until dims).map(i => sign(i, j)).mkString(", ")
+            expr(s"aggregate(zip_with(xi, array($signs), (x, s) -> x * s), 0L, (acc, v) -> acc + v)")
+              .as(s"p$j")
+          }: _*)
+        val b = projected.select(
+          (col("vec_id") - 1).as("vec_id") +: col("xi").as("xb") +:
+            (0 until k).map(j => col(s"p$j").as(s"q$j")): _*)
+        val dproj = (0 until k).map(j =>
+          (col(s"p$j") - col(s"q$j")) * (col(s"p$j") - col(s"q$j"))).reduce(_ + _)
+        projected.join(b, Seq("vec_id"))
+          .select(col("vec_id"),
+            expr("aggregate(zip_with(xi, xb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+              .as("dorig"),
+            dproj.as("dproj"))
+          .where(col("dorig") > 0)
+          .select(expr(s"CAST(floor(CAST(dproj AS DOUBLE) / $k " +
+            "/ CAST(dorig AS DOUBLE) * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("ratio_e4"))
+          // tail-clamped at ratio 4.0: a near-identical pair's tiny
+          // denominator amplifies its ratio arbitrarily — the report
+          // wants the concentration shape, not one row per outlier
+          .groupBy(least(expr("ratio_e4 div 2000"), lit(20L)).as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("ratio_e4")).as("min_ratio_e4"),
+            max(col("ratio_e4")).as("max_ratio_e4"))
+          .orderBy(col("bucket"))
+      },
+      Some {
+        val k = 16
+        val dims = 64
+        // the identical sign recipe, generated as SQL literals would
+        // be 1024 CASE arms — instead mirror the md5 parity inline
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+          "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
+          s"FROM e CROSS JOIN (SELECT UNNEST(range(0,$dims)) AS i) ix), " +
+          "sgn AS (SELECT i.i AS d, j.j, CASE WHEN CAST(('0x' || substring(md5('jl#' || i.i || '#' || j.j),1,1)) AS INT) % 2 = 0 " +
+          s"THEN 1 ELSE -1 END AS s FROM (SELECT UNNEST(range(0,$dims)) AS i) i " +
+          s"CROSS JOIN (SELECT UNNEST(range(0,$k)) AS j) j), " +
+          "proj AS (SELECT c.vec_id, g.j, SUM(c.xi * g.s) AS p FROM comps c " +
+          "JOIN sgn g ON g.d = c.d GROUP BY 1, 2), " +
+          "dp AS (SELECT a.vec_id, SUM((a.p - b.p)*(a.p - b.p)) AS dproj FROM proj a " +
+          "JOIN proj b ON b.vec_id = a.vec_id + 1 AND b.j = a.j GROUP BY 1), " +
+          "dor AS (SELECT a.vec_id, SUM((a.xi - b.xi)*(a.xi - b.xi)) AS dorig FROM comps a " +
+          "JOIN comps b ON b.vec_id = a.vec_id + 1 AND b.d = a.d GROUP BY 1), " +
+          "r AS (SELECT CAST(floor(CAST(dp.dproj AS DOUBLE) / " + k + " " +
+          "/ CAST(dor.dorig AS DOUBLE) * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ratio_e4 " +
+          "FROM dp JOIN dor USING (vec_id) WHERE dor.dorig > 0) " +
+          "SELECT LEAST(CAST(ratio_e4 // 2000 AS BIGINT), 20) AS bucket, COUNT(*) AS n_pairs, " +
+          "MIN(ratio_e4) AS min_ratio_e4, MAX(ratio_e4) AS max_ratio_e4 " +
+          "FROM r GROUP BY 1 ORDER BY 1"
       })
 
   /** Session cache of the upper-HNSW-layer NN-Descent graphs (q128):
