@@ -788,6 +788,48 @@ object LlmText {
         "SELECT source, COUNT(*) AS cnt, ROUND(AVG(score), 4) AS avg_quality " +
         "FROM s GROUP BY source ORDER BY source")),
 
+    QueryDef("q133_corpus_report_card",
+      // The corpus REPORT CARD — the one-page (source × lang) table a
+      // data owner reads before training: docs, token volume, mean
+      // heuristic quality (the q50 formula, shared map-only stage) and
+      // exact-duplicate pressure (docs whose full text recurs
+      // corpus-wide, the q41 statistic attributed back to its rows).
+      // Composition, not new math: the point is that every per-corpus
+      // number the pipeline computes separately lands in ONE
+      // oracle-hashed crosstab keyed the way curation decisions are
+      // made (per source per language). Scale shape: the quality scan
+      // is map-only; the dup flag is one text-keyed window (min≠max
+      // over doc_id — the q112 window-not-join-back doctrine; a
+      // text-equality GROUP + join-back would rescan the corpus);
+      // final agg is sources×langs rows.
+      (s, d) => {
+        val wT = Window.partitionBy(col("text"))
+        qualityScoredDf(docs(s, d))
+          .withColumn("isdup",
+            (min(col("doc_id")).over(wT) =!= max(col("doc_id")).over(wT)).cast("long"))
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("sum_tokens"),
+            round(avg(col("score")), 4).as("avg_quality"),
+            sum(col("isdup")).as("n_dup_docs"))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some("WITH q AS (SELECT doc_id, source, lang, text, " +
+        "len(string_split(text,' ')) AS n_tok, " +
+        "len(list_filter(string_split(text,' '), x -> x IN " +
+        "('the','a','of','and','to','in','is','on','for','it'))) AS n_stop, " +
+        "length(replace(text, ' ', '')) AS n_char FROM documents), " +
+        "s AS (SELECT doc_id, source, lang, text, n_tok, " +
+        "0.4 * LEAST(n_tok/50.0, 1.0) + " +
+        "0.3 * (CAST(n_stop AS DOUBLE)/n_tok) + " +
+        "0.3 * LEAST((CAST(n_char AS DOUBLE)/n_tok)/5.0, 1.0) AS score FROM q), " +
+        "f AS (SELECT source, lang, n_tok, score, " +
+        "CASE WHEN MIN(doc_id) OVER (PARTITION BY text) <> MAX(doc_id) OVER (PARTITION BY text) " +
+        "THEN 1 ELSE 0 END AS isdup FROM s) " +
+        "SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens, " +
+        "ROUND(AVG(score), 4) AS avg_quality, CAST(SUM(isdup) AS BIGINT) AS n_dup_docs " +
+        "FROM f GROUP BY 1, 2 ORDER BY 1, 2")),
+
     QueryDef("q51_token_regex",
       (s, d) => docs(s, d)
         .select(col("lang"), expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))").as("n"))
