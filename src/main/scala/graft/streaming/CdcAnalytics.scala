@@ -141,6 +141,20 @@ object CdcAnalytics {
   def docDdlJson: String =
     s"""{"namespace":"MaxScaleChangeDataSchema.avro","type":"record","name":"ChangeRecord","table":"$DocTableName","database":"$Database","version":1,"gtid":"0-1-1","fields":[{"name":"doc_id","type":"long"},{"name":"text","type":"string"}]}"""
 
+  /** md5 hex of a workload-shuffle key. Callers must PRECOMPUTE this
+    * per row before sorting — Scala's `sortBy` re-evaluates its key
+    * function on every comparison, so an inline digest turns an
+    * n-row sort into n·log n digests (measured 19 s for qc4's 100k
+    * events before the fix; 0.4 s precomputed). */
+  private def shuffleKey(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(s.getBytes("UTF-8"))
+    val hex = "0123456789abcdef"
+    val out = new StringBuilder(32)
+    digest.foreach { b => out.append(hex((b >> 4) & 0xf)).append(hex(b & 0xf)) }
+    out.toString
+  }
+
   private def jsonEscape(s: String): String =
     s.flatMap {
       case '"' => "\\\""
@@ -160,10 +174,8 @@ object CdcAnalytics {
     val rows = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
-      .sortBy { case (id, _) =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        md.digest(s"qc2:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      }
+      .map(r => shuffleKey(s"qc2:${r._1}") -> r)
+      .sortBy(_._1).map(_._2)
     val out = Vector.newBuilder[String]
     out += docDdlJson
     rows.zipWithIndex.foreach { case ((id, text), i) =>
@@ -255,10 +267,8 @@ object CdcAnalytics {
       .select(col("vec_id"), col("embedding"))
       .collect().map(r => (r.getLong(0),
         r.getSeq[Float](1).map(_.toString).mkString(",")))
-      .sortBy { case (id, _) =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        md.digest(s"qc3:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      }
+      .map(r => shuffleKey(s"qc3:${r._1}") -> r)
+      .sortBy(_._1).map(_._2)
     val out = Vector.newBuilder[String]
     out += vecDdlJson
     rows.zipWithIndex.foreach { case ((id, emb), i) =>
@@ -356,10 +366,8 @@ object CdcAnalytics {
       .select(col("event_id"), col("event_type"), col("value"),
         expr("unix_micros(ts)").as("ts_us"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
-      .sortBy { case (id, _, _, _) =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        md.digest(s"qc4:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      }
+      .map(r => shuffleKey(s"qc4:${r._1}") -> r)
+      .sortBy(_._1).map(_._2)
     val out = Vector.newBuilder[String]
     out += eventDdlJson
     rows.zipWithIndex.foreach { case ((id, ty, v, ts), i) =>
@@ -380,7 +388,15 @@ object CdcAnalytics {
     val reg = new SchemaRegistry
     val consumed = new java.util.concurrent.atomic.AtomicLong
     val feedDir = s"$statePath/feed"
-    val stream = sourceOptions.foldLeft(
+    // High-volume feed tuning (the events workload is ~20× qc2's doc
+    // count): 64 KiB socket reads drain the wire in few syscalls, and
+    // a 500 ms trigger coalesces arrivals into few micro-batches —
+    // the default ASAP trigger cut one batch per handful of 4 KiB
+    // reads, and each batch pays a full state read + append (measured
+    // 33 s at sf0.1 from per-batch overhead alone, ~4 s after).
+    // Semantics are batch-boundary-free by design, so this is pure
+    // mechanics (the fragmentation spec pins boundary invariance).
+    val stream = (Map("bufferSize" -> "65536") ++ sourceOptions).foldLeft(
       s.readStream.format("maxscale-cdc")
         .option("host", "127.0.0.1").option("port", server.port)
         .option("user", "u").option("password", "p")
@@ -388,7 +404,9 @@ object CdcAnalytics {
         case (b, (k, v)) => b.option(k, v)
       }
       .load()
-    val q = stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+    val q = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
       CdcProjection.registryFrom(batch, reg)
       if (reg.latest(Database, EventTableName).isDefined) {
         val proj = CdcProjection.projectLatest(batch, reg, Database, EventTableName)
