@@ -349,6 +349,41 @@ object LlmText {
           lit(0.3) * (col("n_stop").cast("double") / col("n_tok")) +
           lit(0.3) * least((col("n_char").cast("double") / col("n_tok")) / 5.0, lit(1.0)))
 
+  /** DuckDB oracle shared by q133 and its streaming twin q133s. */
+  private[queries] val ReportCardOracleSql: String =
+    "WITH q AS (SELECT doc_id, source, lang, text, " +
+      "len(string_split(text,' ')) AS n_tok, " +
+      "len(list_filter(string_split(text,' '), x -> x IN " +
+      "('the','a','of','and','to','in','is','on','for','it'))) AS n_stop, " +
+      "length(replace(text, ' ', '')) AS n_char FROM documents), " +
+      "s AS (SELECT doc_id, source, lang, text, n_tok, " +
+      "0.4 * LEAST(n_tok/50.0, 1.0) + " +
+      "0.3 * (CAST(n_stop AS DOUBLE)/n_tok) + " +
+      "0.3 * LEAST((CAST(n_char AS DOUBLE)/n_tok)/5.0, 1.0) AS score FROM q), " +
+      "f AS (SELECT source, lang, n_tok, score, " +
+      "CASE WHEN MIN(doc_id) OVER (PARTITION BY text) <> MAX(doc_id) OVER (PARTITION BY text) " +
+      "THEN 1 ELSE 0 END AS isdup FROM s) " +
+      "SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens, " +
+      "ROUND(AVG(score), 4) AS avg_quality, CAST(SUM(isdup) AS BIGINT) AS n_dup_docs " +
+      "FROM f GROUP BY 1, 2 ORDER BY 1, 2"
+
+  /** q133's full report-card stage over a documents relation
+    * (doc_id, text, source, lang) — DataFrame-in so the streaming twin
+    * (q133s) computes the identical crosstab over its accumulated doc
+    * state under the same oracle. */
+  private[graft] def reportCardOf(docsDf: DataFrame): DataFrame = {
+    val wT = Window.partitionBy(col("text"))
+    qualityScoredDf(docsDf)
+      .withColumn("isdup",
+        (min(col("doc_id")).over(wT) =!= max(col("doc_id")).over(wT)).cast("long"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("sum_tokens"),
+        round(avg(col("score")), 4).as("avg_quality"),
+        sum(col("isdup")).as("n_dup_docs"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Distinct (doc_id, 60-bit bigram hash) tokens — q46b's prefix-index
     * input, derived by EXPLODING the cached state's sorted hash sets
     * (hs IS the distinct h60 set, so this is row-identical to the old
@@ -802,33 +837,31 @@ object LlmText {
       // over doc_id — the q112 window-not-join-back doctrine; a
       // text-equality GROUP + join-back would rescan the corpus);
       // final agg is sources×langs rows.
+      (s, d) => reportCardOf(docs(s, d)),
+      Some(ReportCardOracleSql)),
+
+    QueryDef("q133s_incremental_report_card",
+      // The STREAMING q133 under the batch oracle (the q112s/q119s
+      // doctrine, extended to the REPORT family): documents arrive in
+      // two deterministic waves through IncrementalReportCard — each
+      // wave only appends its own doc rows (no cross-doc work per
+      // batch; dup pressure, quality means and totals are one
+      // reportCardOf pass at emission over the accumulated state) —
+      // and the crosstab is checked against the SAME DuckDB oracle as
+      // batch q133. ODD ids first so retroactive dup-flagging is real:
+      // an even (smaller) doc id arriving later flips an already-
+      // ingested odd doc's isdup without re-processing it.
       (s, d) => {
-        val wT = Window.partitionBy(col("text"))
-        qualityScoredDf(docs(s, d))
-          .withColumn("isdup",
-            (min(col("doc_id")).over(wT) =!= max(col("doc_id")).over(wT)).cast("long"))
-          .groupBy(col("source"), col("lang"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_tok")).cast("long").as("sum_tokens"),
-            round(avg(col("score")), 4).as("avg_quality"),
-            sum(col("isdup")).as("n_dup_docs"))
-          .orderBy(col("source"), col("lang"))
+        import graft.streaming.IncrementalReportCard
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q133s-incremental").toString
+        val inc = new IncrementalReportCard(statePath)
+        val src = docs(s, d).select(col("doc_id"), col("text"), col("source"), col("lang"))
+        inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)
+        inc.processBatch(src.where(col("doc_id") % 2 === 0), 1L)
+        inc.reportCard(s)
       },
-      Some("WITH q AS (SELECT doc_id, source, lang, text, " +
-        "len(string_split(text,' ')) AS n_tok, " +
-        "len(list_filter(string_split(text,' '), x -> x IN " +
-        "('the','a','of','and','to','in','is','on','for','it'))) AS n_stop, " +
-        "length(replace(text, ' ', '')) AS n_char FROM documents), " +
-        "s AS (SELECT doc_id, source, lang, text, n_tok, " +
-        "0.4 * LEAST(n_tok/50.0, 1.0) + " +
-        "0.3 * (CAST(n_stop AS DOUBLE)/n_tok) + " +
-        "0.3 * LEAST((CAST(n_char AS DOUBLE)/n_tok)/5.0, 1.0) AS score FROM q), " +
-        "f AS (SELECT source, lang, n_tok, score, " +
-        "CASE WHEN MIN(doc_id) OVER (PARTITION BY text) <> MAX(doc_id) OVER (PARTITION BY text) " +
-        "THEN 1 ELSE 0 END AS isdup FROM s) " +
-        "SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens, " +
-        "ROUND(AVG(score), 4) AS avg_quality, CAST(SUM(isdup) AS BIGINT) AS n_dup_docs " +
-        "FROM f GROUP BY 1, 2 ORDER BY 1, 2")),
+      Some(ReportCardOracleSql)),
 
     QueryDef("q51_token_regex",
       (s, d) => docs(s, d)

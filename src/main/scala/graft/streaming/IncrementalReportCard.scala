@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.queries.LlmText
+
+/** Incremental corpus report card (the q133 streaming twin, built
+  * exactly like [[IncrementalLineDedup]]): docs arrive in micro-batches
+  * and the doc-state accumulates; the (source × lang) crosstab — docs,
+  * tokens, mean quality, exact-duplicate pressure — over everything
+  * seen so far is computable at any point.
+  *
+  * State (parquet under `statePath`): `docs/` — one row per document
+  * (doc_id, text, source, lang), append-only. The dup-pressure column
+  * is why the raw text rides along: a doc becomes a duplicate
+  * RETROACTIVELY the moment a later doc repeats its text, so the
+  * corpus-wide text window must see every doc — per-batch work is
+  * decode-and-append only, and the crosstab is one
+  * [[LlmText.reportCardOf]] pass at emission (at cluster scale this
+  * state is the corpus table itself; the dir exists because the
+  * fixture has no external store).
+  *
+  * Replay safety: the append is anti-joined on doc_id against the
+  * committed state, so a foreachBatch retry is a no-op (the
+  * [[IncrementalNearDup]] idempotence doctrine). Emission is
+  * arrival-order independent by construction: state is a pure set
+  * union and every reported statistic is computed from the full set.
+  */
+final class IncrementalReportCard(statePath: String) {
+
+  private val docsDir = s"$statePath/docs"
+
+  private def emptyDocs(spark: SparkSession): DataFrame =
+    spark.createDataFrame(Seq.empty[(Long, String, String, String)])
+      .toDF("doc_id", "text", "source", "lang")
+
+  private def readStateOr(spark: SparkSession, schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(docsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(docsDir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** foreachBatch hook: `batch` needs (doc_id, text, source, lang). */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val docs = batch.select(col("doc_id"), col("text"), col("source"), col("lang"))
+      .localCheckpoint(true) // micro-batch sources are not re-scannable
+    val old = readStateOr(spark, docs.schema)
+    docs.join(old.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(docsDir)
+  }
+
+  /** The (source × lang) crosstab over every doc seen so far —
+    * row-identical to batch q133 on the same corpus. */
+  def reportCard(spark: SparkSession): DataFrame =
+    LlmText.reportCardOf(readStateOr(spark, emptyDocs(spark).schema))
+
+  /** Bound the state-file count (small-file compaction between waves). */
+  def compact(spark: SparkSession, parts: Int): Unit = {
+    val cur = spark.read.parquet(docsDir).localCheckpoint(true)
+    cur.repartition(parts).write.mode("overwrite").parquet(docsDir)
+  }
+}
