@@ -71,5 +71,19 @@ object CdcComposed {
       // anywhere). Completes the qc-family: aggregation (qc1), dedup
       // (qc2), ANN (qc3), monitoring (qc4).
       (s, d) => graft.streaming.CdcAnalytics.driftOverCdc(s, d),
-      Some(Behavioral.DriftPsiOracleSql)))
+      Some(Behavioral.DriftPsiOracleSql)),
+
+    QueryDef("qc5_cdc_report_card",
+      // End-to-end: the connector feeding the REPORT layer. Every
+      // fixture document INSERTed with its full metadata row over the
+      // wire in md5-shuffled order into IncrementalReportCard's
+      // append-only doc state, then the UNCHANGED q133 crosstab over
+      // the accumulated state, under q133's OWN oracle (computed from
+      // `documents` with no CDC anywhere). The retroactive dup-flip
+      // (a later duplicate changes an already-ingested doc's flag) is
+      // exactly what makes the shuffled wire order a real test. The
+      // qc-family now covers agg (qc1), dedup (qc2), ANN (qc3),
+      // monitoring (qc4), and reporting (qc5).
+      (s, d) => graft.streaming.CdcAnalytics.reportCardOverCdc(s, d),
+      Some(LlmText.ReportCardOracleSql)))
 }

@@ -455,6 +455,84 @@ object CdcAnalytics {
       graft.queries.Behavioral.binnedDrift(ev))
   }
 
+  // ---- qc5: CDC-fed corpus report card (the connector feeding the
+  // REPORT layer — q133's crosstab over wire-accumulated doc state) ---
+
+  val CorpusTableName = "corpus_feed"
+
+  def corpusDdlJson: String =
+    s"""{"namespace":"MaxScaleChangeDataSchema.avro","type":"record","name":"ChangeRecord","table":"$CorpusTableName","database":"$Database","version":1,"gtid":"0-1-1","fields":[{"name":"doc_id","type":"long"},{"name":"text","type":"string"},{"name":"source","type":"string"},{"name":"lang","type":"string"}]}"""
+
+  def corpusDmlJson(seq: Long, docId: Long, text: String, source: String, lang: String): String =
+    s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,"timestamp":1754956800,"event_type":"insert","doc_id":$docId,"text":"${jsonEscape(text)}","source":"${jsonEscape(source)}","lang":"${jsonEscape(lang)}"}"""
+
+  /** Scripted binlog for qc5: every fixture document INSERTed with its
+    * full metadata row in md5-shuffled order. */
+  def corpusWorkloadEvents(s: SparkSession, dir: String): Vector[String] = {
+    val rows = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .map(r => shuffleKey(s"qc5:${r._1}") -> r)
+      .sortBy(_._1).map(_._2)
+    val out = Vector.newBuilder[String]
+    out += corpusDdlJson
+    rows.zipWithIndex.foreach { case ((id, text, src, lang), i) =>
+      out += corpusDmlJson(i + 1L, id, text, src, lang)
+    }
+    out.result()
+  }
+
+  /** The qc5 wire half (injectable paths for the kill/resume drill):
+    * wire → projection → [[IncrementalReportCard.processBatch]]. */
+  def runCorpusPipeline(s: SparkSession, events: Seq[String], statePath: String,
+      ckptPath: String, expectRows: Long,
+      sourceOptions: Map[String, String] = Map.empty): IncrementalReportCard = {
+    val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
+    val inc = new IncrementalReportCard(statePath)
+    val reg = new SchemaRegistry
+    val consumed = new java.util.concurrent.atomic.AtomicLong
+    val stream = sourceOptions.foldLeft(
+      s.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("user", "u").option("password", "p")
+        .option("database", Database).option("table", CorpusTableName)) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      .load()
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      CdcProjection.registryFrom(batch, reg)
+      if (reg.latest(Database, CorpusTableName).isDefined) {
+        val proj = CdcProjection.projectLatest(batch, reg, Database, CorpusTableName)
+          .where(col("op") === "insert")
+          .select(col("doc_id"), col("text"), col("source"), col("lang"))
+        inc.processBatch(proj, bid)
+      }
+      consumed.addAndGet(batch.count())
+      ()
+    }.option("checkpointLocation", ckptPath).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (consumed.get() < expectRows && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        if (consumed.get() < expectRows) Thread.sleep(50)
+      }
+      require(consumed.get() == expectRows,
+        s"qc5 pipeline drained ${consumed.get()} of $expectRows rows")
+    } finally q.stop()
+    inc
+  }
+
+  /** qc5's query body: stream the corpus over the real wire path into
+    * the report-card state, then the UNCHANGED q133 crosstab over the
+    * accumulated docs — under q133's own oracle (no CDC anywhere). */
+  def reportCardOverCdc(s: SparkSession, dir: String): DataFrame = {
+    val events = corpusWorkloadEvents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc5-cdc").toString
+    val inc = runCorpusPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
+      events.size.toLong)
+    inc.reportCard(s)
+  }
+
   /** qc1's query body: run the whole composition for a fixture dir and
     * aggregate the materialized state (fresh temp dirs per call — the
     * entry measures the real pipeline, not a cache hit). */

@@ -179,6 +179,40 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(psiOf(resumedDir) == expected)
   }
 
+  test("qc5: CDC-fed report card equals batch q133, across a mid-workload restart") {
+    // the qc5 drill: kill the corpus stream partway through the
+    // md5-shuffled insert binlog, resume on a NEW connection, and
+    // require the crosstab to equal BOTH the one-shot wire run and
+    // pure batch q133 — including the retroactive dup flags whose
+    // duplicate partner may arrive in the other phase
+    val events = CdcAnalytics.corpusWorkloadEvents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc5-restart").toString
+
+    def card(inc: IncrementalReportCard): Seq[(String, String, Long, Long, Double, Long)] =
+      inc.reportCard(spark).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getLong(5))).toSeq
+
+    val oneShot = CdcAnalytics.runCorpusPipeline(spark, events,
+      s"$tmp/ref_state", s"$tmp/ref_ckpt", events.size.toLong)
+    val expected = card(oneShot)
+    assert(expected.nonEmpty)
+
+    val batch = graft.SparkEntry.queries("q133_corpus_report_card")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(expected == batch, "wire run diverges from batch q133")
+
+    val cut = events.size / 2
+    val phaseA = events.take(cut)
+    val phaseB = CdcAnalytics.corpusDdlJson +: events.drop(cut)
+    CdcAnalytics.runCorpusPipeline(spark, phaseA,
+      s"$tmp/state", s"$tmp/ckpt", phaseA.size.toLong)
+    val resumed = CdcAnalytics.runCorpusPipeline(spark, phaseB,
+      s"$tmp/state", s"$tmp/ckpt", phaseB.size.toLong)
+    assert(card(resumed) == expected)
+  }
+
   test("replaying a committed batchId is bit-for-bit idempotent") {
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Files.createTempDirectory("cdc-replay").toString
