@@ -86,6 +86,14 @@ object LlmText {
     * guarded by `BandedNearDupSpec`), so oracle hashes are unaffected. */
   private[graft] val HotBucketCap = 500
 
+  /** q46b's exact-Jaccard threshold as the integer rational tn/td
+    * (t = 0.7 — prefix filtering is a HIGH-threshold technique; see the
+    * q46b entry comment for the measured 0.35-degeneration note).
+    * SURVEY.md/COVERAGE.md's stated q46b threshold is pinned to these
+    * by DocsConsistencySpec — change here and there together. */
+  private[graft] val PrefixJoinTn = 7
+  private[graft] val PrefixJoinTd = 10
+
   /** One row per (doc, band) with the band's key = a struct of `bandR`
     * consecutive minhashes. Candidate pairs are docs sharing any
     * (band, key) bucket: a hash-equi-join, never an n² pass. `bandR`
@@ -463,6 +471,13 @@ object LlmText {
     * a prefix and silently drop a pair. See q46b's entry comment for
     * the proof sketch and citations. */
   private[graft] def jaccardPrefixCandidates(tok: DataFrame, tn: Int, td: Int): DataFrame = {
+    // INVARIANT (pinned per ADVICE r9): `tok.h` and the `hs` set
+    // elements it must stay consistent with are the h60 = xxhash64
+    // shingle hashes — Spark-INTERNAL values. No oracle may ever
+    // reconstruct h60 (DuckDB verifies via raw shingle-string joins);
+    // that freedom is exactly what allowed the r9 md5→xxhash64 swap.
+    // If a future oracle starts mirroring these hashes, the swap
+    // becomes a silent cross-engine contract and must be revisited.
     val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy(col("doc_id"))
     val ordered = tok.join(dfreq, Seq("h"))
@@ -669,11 +684,12 @@ object LlmText {
         val tok = bigramTokens(s, d)
         val sets = bigramStateCached(s, d)
           .select(col("doc_id"), col("hs"), col("nbg"))
-        verifyPairs(jaccardPrefixCandidates(tok, 7, 10), sets,
-          exactThreshold = Some((7, 10)))
+        verifyPairs(jaccardPrefixCandidates(tok, PrefixJoinTn, PrefixJoinTd), sets,
+          exactThreshold = Some((PrefixJoinTn, PrefixJoinTd)))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some(ngramJaccardSql("10 * ninter >= 7 * nunion"))),
+      Some(ngramJaccardSql(
+        s"$PrefixJoinTd * ninter >= $PrefixJoinTn * nunion"))),
 
     QueryDef("q54_banded_neardup",
       // The composed 100 TB near-dup pipeline (VERDICT round-1 item 1):
@@ -709,11 +725,9 @@ object LlmText {
       // engines (the q54 parity argument). Report assembled
       // driver-side from bounded aggregates (3 rows × 3 counts).
       (s, d) => {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
         val pairs = bandedNearDupPairs(s, d)
-        val rows = Await.result(Future.sequence(Seq(35, 50, 70).map { t => Future {
+        val rows = graft.util.Jobs.awaitAll("q130 threshold legs")(
+          Seq(35, 50, 70).map { t => () => {
           val p = pairs.where(col("jaccard") >= t / 100.0).localCheckpoint(true)
           val comp = graft.operators.DedupGroups.components(p)
           val agg = comp.groupBy(col("rep")).agg(count(lit(1)).as("m"))
@@ -721,7 +735,7 @@ object LlmText {
             .collect().head
           val (ncl, nmem) = (agg.getLong(0), agg.getLong(1))
           (t.toLong, p.count(), ncl, nmem, nmem - ncl)
-        } }), Duration.Inf)
+        } })
         val spark = s
         import spark.implicits._
         rows.toDF("threshold_e2", "n_pairs", "n_clusters", "n_members", "n_dropped")

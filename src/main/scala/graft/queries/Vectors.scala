@@ -1677,15 +1677,11 @@ object Vectors {
         // concurrent Spark jobs (distinct SessionCache keys, shared
         // inputs checkpointed; the q129 concurrency precedent). The
         // descent itself stays sequential — each hop reads the last.
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        val (g0, g1, g2) = Await.result(
-          Future.sequence(Seq(
-            Future(nnDescentGraphShared(s, d).select(col("src"), col("dst"))),
-            Future(hnswLayerGraphShared(s, d, 4, "L1").select(col("src"), col("dst"))),
-            Future(hnswLayerGraphShared(s, d, 16, "L2").select(col("src"), col("dst"))))),
-          Duration.Inf) match { case Seq(a, b, c) => (a, b, c) }
+        val (g0, g1, g2) = graft.util.Jobs.awaitAll("q128 graph builds")(Seq(
+          () => nnDescentGraphShared(s, d).select(col("src"), col("dst")),
+          () => hnswLayerGraphShared(s, d, 4, "L1").select(col("src"), col("dst")),
+          () => hnswLayerGraphShared(s, d, 16, "L2").select(col("src"), col("dst"))))
+          match { case Seq(a, b, c) => (a, b, c) }
         // entry: md5-derived L2 member via the dense member index
         val lvl = conv(substring(md5(concat(lit("lvl#"), col("vec_id"))), 1, 8), 16, 10)
           .cast("long")
@@ -1830,10 +1826,7 @@ object Vectors {
         // threads only submit actions). Sequential, the sweep was
         // latency-bound on ~50 small hop/count jobs (8.2 s at sf0.1);
         // concurrent it is bound by the widest single walk.
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        val ivfF = (1 to 4).map { p => Future {
+        val ivfF = (1 to 4).map { p => () => {
           val probes = KMeansLloyd.probeCells(vecsQ, probeCents, nProbe = p)
             .select(col("vec_id").as("query_id"), col("cell"))
           val q = broadcast(probes.join(
@@ -1853,7 +1846,7 @@ object Vectors {
         val ent = qv.select(col("query_id"),
           pmod(conv(substring(md5(concat(lit("entry#"), col("query_id"))), 1, 8), 16, 10)
             .cast("long"), lit(n)).as("node"))
-        val beamF = Seq(2, 4, 8).map { b => Future {
+        val beamF = Seq(2, 4, 8).map { b => () => {
           var beam = ent
           var scoredCount = 0L
           for (_ <- 1 to 5) {
@@ -1873,7 +1866,7 @@ object Vectors {
           ("beam", b.toLong, scoredCount, hits(fin))
         } }
 
-        val rows = Await.result(Future.sequence(ivfF ++ beamF), Duration.Inf)
+        val rows = graft.util.Jobs.awaitAll("q129 sweep legs")(ivfF ++ beamF)
         val spark = s
         import spark.implicits._
         rows.toDF("method", "param", "scored", "hits")

@@ -412,6 +412,11 @@ object CdcAnalytics {
         val proj = CdcProjection.projectLatest(batch, reg, Database, EventTableName)
           .where(col("op") === "insert")
           .select(col("event_id"), col("etype"), col("value"), col("ts_us"))
+          // intra-batch replay dedup (ADVICE r9): a resumed connection
+          // can re-deliver an already-seen event in the SAME micro-batch
+          // as new ones — the committed-state anti-join below only
+          // guards against rows that landed in EARLIER batches
+          .dropDuplicates(Seq("event_id"))
           .localCheckpoint(true)
         val p = new org.apache.hadoop.fs.Path(feedDir)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

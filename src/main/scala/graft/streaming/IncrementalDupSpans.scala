@@ -22,9 +22,13 @@ import graft.queries.LlmText
   * of the same tokenization pass and land in the same append (r9
   * consolidation: the previous one-state-per-n layout cost 3× the
   * state reads/writes and 3× the anti-join replay guards for identical
-  * rows-modulo-n; `n` is a column, not a directory). Resolutions can
-  * still be added later: a new n appended for new docs only affects
-  * (n, h) groups of its own n, old resolutions' stats are untouched.
+  * rows-modulo-n; `n` is a column, not a directory). The resolution
+  * set is FIXED for the life of a state directory: the replay guard is
+  * per doc_id (every committed doc has grams at every n by
+  * construction), so CHANGING `ns` over existing state would silently
+  * skip the new resolution for already-seen docs — [[processBatch]]
+  * fails loudly instead (ADVICE r9); adding or removing a resolution
+  * requires a state rebuild from the corpus.
   *
   * Unlike pair-based near-dup ([[IncrementalNearDup]]), there is no
   * candidate generation at all: a batch only TOKENIZES its own docs and
@@ -57,6 +61,11 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int]) {
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val docs = batch.select(col("doc_id"), col("text"))
+      // intra-batch replay dedup (ADVICE r9): a resumed connection can
+      // re-deliver an already-seen event in the SAME micro-batch as new
+      // ones — the committed-state anti-join below only guards against
+      // rows that landed in EARLIER batches
+      .dropDuplicates(Seq("doc_id"))
       .localCheckpoint(true) // micro-batch sources are not re-scannable
     // replay guard BEFORE gramming: state rows are per-doc, so
     // filtering the doc rows (one per doc) against seen doc_ids is
@@ -65,6 +74,17 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int]) {
     // gram-then-anti order shuffled the full gram relation per wave)
     val gramSchema = LlmText.dupSpanGrams(docs.limit(0), ns: _*).schema
     val old = readStateOr(spark, gramsDir, gramSchema)
+    // the per-doc_id guard is only sound while the resolution set is
+    // the one the state was built with — an enlarged `ns` would skip
+    // already-seen docs entirely and the new n's grams would silently
+    // cover only later docs. Fail loudly instead: a resolution change
+    // is a state REBUILD, not an append. (One tiny distinct over the
+    // state's n column per batch — parquet reads just that column.)
+    val stateNs = old.select(col("n")).distinct().collect().map(_.getInt(0)).toSet
+    require(stateNs.isEmpty || stateNs == ns.toSet,
+      s"state at $gramsDir was built for resolutions $stateNs but this " +
+        s"instance runs ${ns.toSet}: changing the resolution set over " +
+        "existing state requires a rebuild from the corpus")
     val fresh = docs.join(old.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     LlmText.dupSpanGrams(fresh, ns: _*)
       .write.mode("append").parquet(gramsDir)

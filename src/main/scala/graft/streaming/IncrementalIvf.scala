@@ -57,6 +57,11 @@ final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid]) 
     val spark = batch.sparkSession
     val vecs = batch
       .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+      // intra-batch replay dedup (ADVICE r9): a resumed connection can
+      // re-deliver an already-seen event in the SAME micro-batch as new
+      // ones — the committed-state anti-join below only guards against
+      // rows that landed in EARLIER batches
+      .dropDuplicates(Seq("vec_id"))
       .localCheckpoint(true) // micro-batch sources are not re-scannable
     val assigned = KMeansLloyd.assign(vecs, cents)
       .select(col("vec_id"), col("cell"))

@@ -47,6 +47,11 @@ final class IncrementalLineDedup(statePath: String) {
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val docs = batch.select(col("doc_id"), col("text"))
+      // intra-batch replay dedup (ADVICE r9): a resumed connection can
+      // re-deliver an already-seen event in the SAME micro-batch as new
+      // ones — the committed-state anti-join below only guards against
+      // rows that landed in EARLIER batches
+      .dropDuplicates(Seq("doc_id"))
       .localCheckpoint(true) // micro-batch sources are not re-scannable
     // replay guard BEFORE chunking: state rows are per-doc, so
     // filtering doc rows against seen doc_ids equals filtering chunk

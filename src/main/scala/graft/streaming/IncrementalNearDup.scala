@@ -49,6 +49,11 @@ final class IncrementalNearDup(statePath: String) {
   /** foreachBatch hook: `batch` needs (doc_id, text). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val docs = batch.select(col("doc_id"), col("text"))
+      // intra-batch replay dedup (ADVICE r9): a resumed connection can
+      // re-deliver an already-seen event in the SAME micro-batch as new
+      // ones — the committed-state anti-joins below only guard against
+      // rows that landed in EARLIER batches
+      .dropDuplicates(Seq("doc_id"))
       .localCheckpoint(true) // micro-batch sources are not re-scannable
 
     // one scan + one shuffle yields both the signature arrays and the
@@ -116,13 +121,11 @@ final class IncrementalNearDup(statePath: String) {
     // concurrently: per-wave latency is the slowest chain (the verify
     // behind `fresh`), not the sum — the driver-side analog of AQE's
     // parallel stages, worth ~1 s/wave of pure scheduling serialization
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(Seq(
-      Future(fresh.write.mode("append").parquet(s"$statePath/pairs")),
-      Future(freshBands.write.mode("append").parquet(s"$statePath/bands")),
-      Future(freshSets.write.mode("append").parquet(s"$statePath/sets")))),
-      scala.concurrent.duration.Duration.Inf)
+    graft.util.Jobs.awaitAll(s"IncrementalNearDup batch $batchId appends")(Seq(
+      () => fresh.write.mode("append").parquet(s"$statePath/pairs"),
+      () => freshBands.write.mode("append").parquet(s"$statePath/bands"),
+      () => freshSets.write.mode("append").parquet(s"$statePath/sets")))
+    ()
   }
 
   /** Compact a state directory tree: per-batch appends accumulate one

@@ -47,6 +47,11 @@ final class IncrementalReportCard(statePath: String) {
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val docs = batch.select(col("doc_id"), col("text"), col("source"), col("lang"))
+      // intra-batch replay dedup (ADVICE r9): a resumed connection can
+      // re-deliver an already-seen event in the SAME micro-batch as new
+      // ones — the committed-state anti-join below only guards against
+      // rows that landed in EARLIER batches
+      .dropDuplicates(Seq("doc_id"))
       .localCheckpoint(true) // micro-batch sources are not re-scannable
     val old = readStateOr(spark, docs.schema)
     docs.join(old.select("doc_id").distinct(), Seq("doc_id"), "left_anti")

@@ -58,6 +58,11 @@ final class IncrementalSubstringRemoval(statePath: String, n: Int = 10) {
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val docs = batch.select(col("doc_id"), col("text"))
+      // intra-batch replay dedup (ADVICE r9): a resumed connection can
+      // re-deliver an already-seen event in the SAME micro-batch as new
+      // ones — the per-dir committed-state anti-joins below only guard
+      // against rows that landed in EARLIER batches
+      .dropDuplicates(Seq("doc_id"))
       .localCheckpoint(true) // micro-batch sources are not re-scannable
     // Independent per-directory replay guards: each append reads only
     // its own committed state, so a retry after a partial failure

@@ -31,6 +31,35 @@ class DocsConsistencySpec extends AnyFunSuite {
     assert(stale.isEmpty, s"documented but not registered: $stale")
   }
 
+  test("doc-stated numeric claims match the code constants") {
+    // VERDICT r9 item 3: the q46b rows in SURVEY.md/COVERAGE.md said
+    // t=0.35 while the code ran t=0.7 — prose drifted from parameters.
+    // Pin every doc-stated constant of this class to its code value so
+    // the drift class fails mechanically, like the inventory class.
+    import graft.queries.LlmText
+    import graft.operators.KMeansLloyd
+    val docs = Seq("SURVEY.md", "COVERAGE.md").map { p =>
+      p -> new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val tStated = f"t=0.${LlmText.PrefixJoinTn * 10 / LlmText.PrefixJoinTd}%d"
+    for ((path, text) <- docs) {
+      val q46bLines = text.linesIterator.filter(_.toLowerCase.contains("q46b")).toList
+      assert(q46bLines.exists(_.contains(tStated)),
+        s"$path: no q46b line states the code threshold $tStated")
+      val tClaim = "t\\s?=\\s?(0\\.\\d+)".r
+      for (l <- q46bLines; m <- tClaim.findAllMatchIn(l))
+        assert(m.group(1) == tStated.stripPrefix("t="),
+          s"$path q46b line claims t=${m.group(1)}; code is $tStated: $l")
+      // named caps: any digits adjacent to the cap name must equal it
+      for ((name, value) <- Seq("HotBucketCap" -> LlmText.HotBucketCap,
+          "CellCap" -> KMeansLloyd.CellCap);
+          m <- s"$name\\s*[=≈:]?\\s*(\\d+)".r.findAllMatchIn(text))
+        assert(m.group(1).toInt == value,
+          s"$path states $name=${m.group(1)}; code is $value")
+    }
+  }
+
   test("COVERAGE.md's header entry count matches the registry") {
     // VERDICT r8 item 3 / r9 item 4: the header prose went stale three
     // waves running while the tables stayed correct — pin the one
