@@ -85,5 +85,21 @@ object CdcComposed {
       // qc-family now covers agg (qc1), dedup (qc2), ANN (qc3),
       // monitoring (qc4), and reporting (qc5).
       (s, d) => graft.streaming.CdcAnalytics.reportCardOverCdc(s, d),
-      Some(LlmText.ReportCardOracleSql)))
+      Some(LlmText.ReportCardOracleSql)),
+
+    QueryDef("qc6_cdc_dedup_retraction",
+      // End-to-end DELETE retraction (VERDICT r9 item 1): qc2's insert
+      // workload followed by deletes of doc_id % 7 == 0 over the wire,
+      // routed into IncrementalLineDedup as chunk appends + tombstone
+      // appends, then the q119 emission over the tombstone-filtered
+      // state. The oracle is batch q119 RESTRICTED TO THE SURVIVORS
+      // (computed from `documents` with no CDC anywhere): it matches
+      // only if a deleted owner's lines are re-owned by the earliest
+      // surviving claimant — keep-first rank over survivors — so the
+      // hash gate certifies the connector's delete path AND the
+      // state's retraction semantics at once. The kill/resume drill
+      // (CdcAnalyticsSpec) cuts the binlog inside the delete section.
+      (s, d) => graft.streaming.CdcAnalytics.lineDedupRetractionOverCdc(s, d),
+      Some(LlmText.lineDedupOracleSqlOver(
+        s" WHERE doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0"))))
 }

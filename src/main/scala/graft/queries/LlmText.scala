@@ -1286,8 +1286,13 @@ object LlmText {
     * its streaming twin q119s — same relation, the q112s doctrine).
     * t[a:b] is 1-based inclusive and truncates past the end —
     * identical to the Spark side's slice(t, i*10+1, 10). */
-  private[queries] val LineDedupOracleSql: String =
-    "WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+  private[queries] val LineDedupOracleSql: String = lineDedupOracleSqlOver("")
+
+  /** The q119 oracle parameterized by a docs restriction (SQL suffix
+    * like " WHERE doc_id % 7 <> 0") — qc6 holds the delete-retracted
+    * incremental state to batch q119 over the SURVIVING docs. */
+  private[graft] def lineDedupOracleSqlOver(docsWhere: String): String =
+    s"WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents$docsWhere), " +
       "ix AS (SELECT UNNEST(range(0, (SELECT CAST(ceil(MAX(len(t))/10.0) AS BIGINT) FROM t))) AS i), " +
       "ch AS (SELECT doc_id, i AS ck, array_to_string(t[i*10+1 : i*10+10], ' ') AS chunk " +
       "FROM t JOIN ix ON i < ceil(len(t)/10.0)), " +

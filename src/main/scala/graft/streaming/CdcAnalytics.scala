@@ -164,7 +164,14 @@ object CdcAnalytics {
     }
 
   def docDmlJson(seq: Long, docId: Long, text: String): String =
-    s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,"timestamp":1754956800,"event_type":"insert","doc_id":$docId,"text":"${jsonEscape(text)}"}"""
+    docOpDmlJson(seq, "insert", docId, text)
+
+  /** A documents-table DML event with an explicit operation — DELETEs
+    * carry the full row image (`text` included), the MaxScale wire
+    * shape for a delete (reference `types.go:177`: the delete event is
+    * the deleted row's data with event_type "delete"). */
+  def docOpDmlJson(seq: Long, op: String, docId: Long, text: String): String =
+    s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,"timestamp":1754956800,"event_type":"$op","doc_id":$docId,"text":"${jsonEscape(text)}"}"""
 
   /** Scripted binlog for qc2: every fixture document INSERTed in
     * md5-shuffled order (deterministic, but neither id- nor
@@ -241,6 +248,110 @@ object CdcAnalytics {
         s"qc2 pipeline drained ${consumed.get()} of $expectRows rows")
     } finally q.stop()
     inc
+  }
+
+  // ---- qc6: CDC DELETE retraction into the incremental dedup state
+  // (VERDICT r9 item 1 — the tombstone composition: snapshots already
+  // applied deletes, but the dedup states were append-only, so a
+  // CDC-fed curation pipeline went stale on deletes) ------------------
+
+  /** Which docs the qc6 workload DELETEs: doc_id % RetractMod == 0.
+    * Mirrored in qc6's oracle SQL (q119 over `doc_id % 7 <> 0`). */
+  val RetractMod = 7L
+
+  /** Scripted binlog for qc6: every fixture document INSERTed in
+    * md5-shuffled order (the qc2 workload), then every doc with
+    * doc_id % [[RetractMod]] == 0 DELETEd in an independently
+    * md5-shuffled order — the delete section follows the inserts, the
+    * qc1 workload shape (a binlog can only delete what it inserted).
+    * ~1/7 of docs disappear, which on this fixture includes line
+    * OWNERS: the q119-on-survivors oracle only matches if the state
+    * re-owns their lines to the earliest surviving claimant, so the
+    * hash gate proves real retraction, not just row filtering. */
+  def docRetractWorkloadEvents(s: SparkSession, dir: String): Vector[String] = {
+    val rows = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val inserts = rows
+      .map(r => shuffleKey(s"qc6i:${r._1}") -> r).sortBy(_._1).map(_._2)
+    val deletes = rows.filter(_._1 % RetractMod == 0)
+      .map(r => shuffleKey(s"qc6d:${r._1}") -> r).sortBy(_._1).map(_._2)
+    val out = Vector.newBuilder[String]
+    out += docDdlJson
+    var seq = 0L
+    inserts.foreach { case (id, text) =>
+      seq += 1; out += docOpDmlJson(seq, "insert", id, text)
+    }
+    deletes.foreach { case (id, text) =>
+      seq += 1; out += docOpDmlJson(seq, "delete", id, text)
+    }
+    out.result()
+  }
+
+  /** The qc6 wire half (injectable paths for the kill/resume drill):
+    * mock server → maxscale-cdc source → registry → projection, with
+    * the op column ROUTING each row — inserts into
+    * [[IncrementalLineDedup.processBatch]] (chunk-and-append),
+    * deletes into [[IncrementalLineDedup.retractBatch]] (tombstone
+    * append). Both paths are idempotent under replay, so resuming on
+    * the same paths absorbs re-delivered events of either kind. */
+  def runDocRetractPipeline(s: SparkSession, events: Seq[String], statePath: String,
+      ckptPath: String, expectRows: Long,
+      sourceOptions: Map[String, String] = Map.empty): IncrementalLineDedup = {
+    val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
+    val inc = new IncrementalLineDedup(statePath)
+    val reg = new SchemaRegistry
+    val consumed = new java.util.concurrent.atomic.AtomicLong
+    val stream = sourceOptions.foldLeft(
+      s.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("user", "u").option("password", "p")
+        .option("database", Database).option("table", DocTableName)) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      .load()
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      CdcProjection.registryFrom(batch, reg)
+      if (reg.latest(Database, DocTableName).isDefined) {
+        val proj = CdcProjection.projectLatest(batch, reg, Database, DocTableName)
+          .select(col("op"), col("doc_id"), col("text"))
+          .localCheckpoint(true) // split below reads it twice
+        // binlog order guarantees a doc's insert precedes its delete,
+        // so processing the batch's inserts before its deletes
+        // preserves semantics even when both land in one micro-batch
+        inc.processBatch(proj.where(col("op") === "insert")
+          .select(col("doc_id"), col("text")), bid)
+        inc.retractBatch(proj.where(col("op") === "delete")
+          .select(col("doc_id")), bid)
+      }
+      consumed.addAndGet(batch.count())
+      ()
+    }.option("checkpointLocation", ckptPath).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (consumed.get() < expectRows && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        if (consumed.get() < expectRows) Thread.sleep(50)
+      }
+      require(consumed.get() == expectRows,
+        s"qc6 pipeline drained ${consumed.get()} of $expectRows rows")
+    } finally q.stop()
+    inc
+  }
+
+  /** qc6's query body: stream the insert+delete workload over the real
+    * wire path, then emit the line-dedup stats over the SURVIVING
+    * corpus — under batch q119's oracle restricted to the survivors
+    * (`doc_id % 7 <> 0`, no CDC anywhere in it). The gate certifies
+    * retraction end-to-end: a deleted doc leaking into the output, a
+    * line still owned by a deleted doc, or a surviving claimant not
+    * promoted to owner all break the hash. */
+  def lineDedupRetractionOverCdc(s: SparkSession, dir: String): DataFrame = {
+    val events = docRetractWorkloadEvents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc6-cdc").toString
+    val inc = runDocRetractPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
+      events.size.toLong)
+    inc.lines(s).orderBy(col("doc_id"))
   }
 
   // ---- qc3: CDC-fed incremental IVF (the connector feeding the ANN

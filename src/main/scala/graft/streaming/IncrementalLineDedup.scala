@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.queries.LlmText
 
@@ -12,9 +12,12 @@ import graft.queries.LlmText
   * and document reconstruction over everything seen so far are
   * computable at any point without re-chunking old documents.
   *
-  * State (parquet under `statePath`): `chunks/` — one row per 10-token
-  * line occurrence (doc_id, ck, chunk), the [[LlmText.lineChunks]]
-  * relation, append-only.
+  * State (parquet under `statePath`):
+  *  - `chunks/` — one row per 10-token line occurrence
+  *    (doc_id, ck, chunk), the [[LlmText.lineChunks]] relation,
+  *    append-only;
+  *  - `tombstones/` — one row per RETRACTED doc_id (CDC DELETE
+  *    semantics, VERDICT r9 item 1), append-only.
   *
   * Per-batch work is chunk-and-APPEND only — no cross-doc work at all.
   * The corpus-wide "is this line a repeat?" judgment is deferred to
@@ -25,12 +28,37 @@ import graft.queries.LlmText
   * arrival-order independent by construction, which is what lets the
   * twin share batch q119's DuckDB oracle verbatim.
   *
-  * Replay safety: appends are anti-joined on doc_id against committed
-  * state, so a foreachBatch retry is a no-op.
+  * RETRACTION ([[retractBatch]]) follows the same deferred-judgment
+  * doctrine: a DELETE appends a tombstone row and does NO other work.
+  * [[lines]] anti-joins the chunk state against the tombstones before
+  * the keep-first window, so a deleted doc's lines are re-owned by the
+  * surviving earliest (doc_id, ck) claimant AUTOMATICALLY — exactly
+  * what batch q119 over the surviving docs computes. The alternative
+  * (eagerly re-assigning ownership at delete time) would need a
+  * per-delete join against the full chunk state; deferring makes a
+  * delete O(1) and keeps emission arrival-order independent: the
+  * emitted relation is a pure function of (inserted docs) − (deleted
+  * doc ids), whatever order the events arrived in.
+  *
+  * Tombstones WIN and are permanent: a doc_id, once retracted, never
+  * re-enters the corpus — the insert replay guard checks tombstones
+  * too, so a replayed (or late re-delivered) insert of a deleted doc
+  * appends nothing. A genuine re-insertion is a NEW document and gets
+  * a new doc_id (a CDC UPDATE on a documents table is modeled as
+  * delete(old id)+insert(new version id) upstream; in-place versioned
+  * re-use of doc ids would need per-event sequence numbers in the
+  * state and is out of scope — documented, not hidden).
+  *
+  * Replay safety: chunk appends are anti-joined on doc_id against
+  * committed chunks ∪ tombstones, tombstone appends against committed
+  * tombstones — a foreachBatch retry is a no-op for both.
   */
 final class IncrementalLineDedup(statePath: String) {
 
   private val chunksDir = s"$statePath/chunks"
+  private val tombstonesDir = s"$statePath/tombstones"
+
+  private val tombSchema = StructType(Seq(StructField("doc_id", LongType)))
 
   private def readStateOr(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -42,6 +70,9 @@ final class IncrementalLineDedup(statePath: String) {
   private def emptyChunks(spark: SparkSession): DataFrame =
     LlmText.lineChunks(
       spark.createDataFrame(Seq.empty[(Long, String)]).toDF("doc_id", "text"))
+
+  private def tombstones(spark: SparkSession): DataFrame =
+    readStateOr(spark, tombstonesDir, tombSchema)
 
   /** foreachBatch hook: `batch` needs (doc_id, text). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
@@ -55,22 +86,54 @@ final class IncrementalLineDedup(statePath: String) {
       .localCheckpoint(true) // micro-batch sources are not re-scannable
     // replay guard BEFORE chunking: state rows are per-doc, so
     // filtering doc rows against seen doc_ids equals filtering chunk
-    // rows — and a replayed doc skips chunking entirely
+    // rows — and a replayed doc skips chunking entirely. Tombstoned
+    // ids are guarded too (tombstones win): a replayed insert of a
+    // deleted doc must not resurrect its chunks.
     val old = readStateOr(spark, chunksDir, emptyChunks(spark).schema)
-    val fresh = docs.join(old.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    val seen = old.select("doc_id").union(tombstones(spark)).distinct()
+    val fresh = docs.join(seen, Seq("doc_id"), "left_anti")
     LlmText.lineChunks(fresh).write.mode("append").parquet(chunksDir)
   }
 
-  /** Line-dedup stats + reconstruction over every doc seen so far —
-    * row-identical to batch q119 on the same corpus. */
-  def lines(spark: SparkSession): DataFrame =
-    LlmText.lineDedupStats(
-      readStateOr(spark, chunksDir, emptyChunks(spark).schema))
-      .select(col("doc_id"), col("orig_chunks"), col("kept_chunks"), col("new_text"))
+  /** foreachBatch hook for CDC DELETEs: `deletes` needs doc_id. O(1)
+    * per delete — appends a tombstone; all re-ownership is deferred to
+    * [[lines]]. Idempotent under replay (anti-join on committed
+    * tombstones). */
+  def retractBatch(deletes: DataFrame, batchId: Long): Unit = {
+    val spark = deletes.sparkSession
+    val ids = deletes.select(col("doc_id").cast("long").as("doc_id"))
+      .dropDuplicates(Seq("doc_id")) // intra-batch replay dedup
+      .localCheckpoint(true) // micro-batch sources are not re-scannable
+    val fresh = ids.join(tombstones(spark), Seq("doc_id"), "left_anti")
+    fresh.write.mode("append").parquet(tombstonesDir)
+  }
 
-  /** Bound the state-file count (small-file compaction between waves). */
+  /** Line-dedup stats + reconstruction over every doc seen so far,
+    * MINUS retracted docs — row-identical to batch q119 on the
+    * surviving corpus: the keep-first window runs on the tombstone-
+    * filtered chunk relation, so a deleted owner's line is re-owned by
+    * the earliest surviving claimant. */
+  def lines(spark: SparkSession): DataFrame = {
+    val ch = readStateOr(spark, chunksDir, emptyChunks(spark).schema)
+    LlmText.lineDedupStats(
+      ch.join(tombstones(spark), Seq("doc_id"), "left_anti"))
+      .select(col("doc_id"), col("orig_chunks"), col("kept_chunks"), col("new_text"))
+  }
+
+  /** Bound the state-file count (small-file compaction between waves).
+    * Compaction is also where retraction becomes PHYSICAL: tombstoned
+    * docs' chunk rows are dropped from the rewritten state (the
+    * GDPR-style hard-delete point). Tombstones themselves are RETAINED
+    * so a later replay of the deleted doc's insert events still
+    * appends nothing. */
   def compact(spark: SparkSession, parts: Int): Unit = {
-    val cur = spark.read.parquet(chunksDir).localCheckpoint(true)
+    val tombs = tombstones(spark).localCheckpoint(true)
+    val cur = spark.read.parquet(chunksDir)
+      .join(tombs, Seq("doc_id"), "left_anti").localCheckpoint(true)
     cur.repartition(parts).write.mode("overwrite").parquet(chunksDir)
+    val p = new org.apache.hadoop.fs.Path(tombstonesDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      tombs.repartition(1).write.mode("overwrite").parquet(tombstonesDir)
   }
 }

@@ -213,6 +213,68 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(card(resumed) == expected)
   }
 
+  test("qc6: CDC delete retraction equals batch q119 on survivors, across a restart in the delete section") {
+    // the qc6 drill: the insert+delete binlog, killed INSIDE the
+    // delete section (some tombstones land before the outage, some
+    // after), resumed on a NEW connection — the emitted dedup stats
+    // must equal BOTH the one-shot wire run and a pure batch q119 over
+    // the SURVIVING docs. Also pins that retraction is load-bearing:
+    // the survivors' result differs from naively filtering the
+    // full-corpus q119 output to surviving ids (a deleted owner's line
+    // must be RE-OWNED, not orphaned).
+    import org.apache.spark.sql.functions.col
+    val events = CdcAnalytics.docRetractWorkloadEvents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc6-restart").toString
+
+    def lines(inc: IncrementalLineDedup): Seq[(Long, Long, Long, String)] =
+      inc.lines(spark).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+
+    val oneShot = CdcAnalytics.runDocRetractPipeline(spark, events,
+      s"$tmp/ref_state", s"$tmp/ref_ckpt", events.size.toLong)
+    val expected = lines(oneShot)
+    assert(expected.nonEmpty)
+    assert(expected.forall(_._1 % CdcAnalytics.RetractMod != 0),
+      "a deleted doc leaked into the emitted relation")
+
+    // independent batch twin: q119's stages straight over the
+    // surviving fixture docs, no CDC anywhere
+    import graft.queries.LlmText
+    val survivors = graft.Tables(spark, dir, "documents")
+      .where(col("doc_id") % CdcAnalytics.RetractMod =!= 0)
+      .select(col("doc_id"), col("text"))
+    val batch = LlmText.lineDedupStats(LlmText.lineChunks(survivors))
+      .select(col("doc_id"), col("orig_chunks"), col("kept_chunks"), col("new_text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(expected == batch, "wire run diverges from batch q119-on-survivors")
+
+    // retraction is load-bearing on this fixture: naively filtering
+    // the FULL-corpus q119 output to surviving ids is NOT the same
+    // relation (some line's deleted owner must be re-owned)
+    val naive = graft.SparkEntry.queries("q119_line_dedup")(spark, dir)
+      .where(col("doc_id") % CdcAnalytics.RetractMod =!= 0)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(naive != expected,
+      "fixture drift: no deleted doc owned a shared line — retraction untested")
+
+    // kill/resume: cut INSIDE the delete section
+    val nDel = events.count(_.contains("\"event_type\":\"delete\""))
+    assert(nDel > 2, s"fixture drift: only $nDel deletes")
+    val cut = events.size - nDel / 2
+    assert(events(cut - 1).contains("\"event_type\":\"delete\"") &&
+      events(cut).contains("\"event_type\":\"delete\""),
+      "the cut no longer lands inside the delete section")
+    val phaseA = events.take(cut)
+    val phaseB = CdcAnalytics.docDdlJson +: events.drop(cut)
+    CdcAnalytics.runDocRetractPipeline(spark, phaseA,
+      s"$tmp/state", s"$tmp/ckpt", phaseA.size.toLong)
+    val resumed = CdcAnalytics.runDocRetractPipeline(spark, phaseB,
+      s"$tmp/state", s"$tmp/ckpt", phaseB.size.toLong)
+    assert(lines(resumed) == expected)
+  }
+
   test("replaying a committed batchId is bit-for-bit idempotent") {
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Files.createTempDirectory("cdc-replay").toString

@@ -69,6 +69,54 @@ class IncrementalLineDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(nFiles <= 2, s"chunks not compacted: $nFiles files")
   }
 
+  test("retraction: a deleted owner's line is re-owned by the earliest surviving claimant") {
+    // docs 10/20/30 share line L; 10 owns it (keep-first). DELETE 10:
+    // ownership must pass to 20 (earliest SURVIVOR), 30's copy stays
+    // dropped, and 10 vanishes from the output — exactly batch q119
+    // over the surviving corpus. A naive filter of the full-corpus
+    // q119 output would leave L owned by nobody (20's copy dropped).
+    val statePath = java.nio.file.Files
+      .createTempDirectory("inc-linededup3").toString
+    val inc = new IncrementalLineDedup(statePath)
+    val line = (1 to 10).map(i => s"s$i").mkString(" ")
+    inc.processBatch(spark.createDataFrame(Seq(
+      (10L, s"$line y1"), (20L, s"$line z1 z2"), (30L, s"$line w1")))
+      .toDF("doc_id", "text"), 0L)
+    assert(collectOut(inc.lines(spark)) == Map(
+      10L -> ((2L, 2L, s"$line y1")),
+      20L -> ((2L, 1L, "z1 z2")),
+      30L -> ((2L, 1L, "w1"))))
+
+    inc.retractBatch(
+      spark.createDataFrame(Seq(Tuple1(10L))).toDF("doc_id"), 1L)
+    val after = collectOut(inc.lines(spark))
+    assert(after == Map(
+      20L -> ((2L, 2L, s"$line z1 z2")), // re-owned, NOT just filtered
+      30L -> ((2L, 1L, "w1"))), s"got=$after")
+
+    // retraction replay (foreachBatch retry) is a no-op
+    inc.retractBatch(
+      spark.createDataFrame(Seq(Tuple1(10L))).toDF("doc_id"), 99L)
+    assert(spark.read.parquet(s"$statePath/tombstones").count() == 1)
+    assert(collectOut(inc.lines(spark)) == after)
+
+    // tombstones win: a replayed/late insert of the deleted doc
+    // appends nothing and does not resurrect it
+    val chunksBefore = spark.read.parquet(s"$statePath/chunks").count()
+    inc.processBatch(
+      spark.createDataFrame(Seq((10L, s"$line y1"))).toDF("doc_id", "text"), 100L)
+    assert(spark.read.parquet(s"$statePath/chunks").count() == chunksBefore)
+    assert(collectOut(inc.lines(spark)) == after)
+
+    // compaction makes the delete physical (no doc-10 chunk rows
+    // survive) while keeping the tombstone and the emitted relation
+    inc.compact(spark, parts = 1)
+    assert(spark.read.parquet(s"$statePath/chunks")
+      .where(col("doc_id") === 10L).count() == 0)
+    assert(spark.read.parquet(s"$statePath/tombstones").count() == 1)
+    assert(collectOut(inc.lines(spark)) == after)
+  }
+
   test("a later, smaller doc id retroactively takes line ownership") {
     // keep-first ranks by (doc_id, ck), not arrival order: doc 20 owns
     // its line while alone; doc 10 arriving LATER with the same line
