@@ -45,10 +45,16 @@ object LlmText {
 
   /** DuckDB CTE mirroring [[shingles]] (bounded index join in place of a
     * lateral sequence; fixture docs are < 200 tokens). */
-  private[queries] def shinglesSql(n: Int): String = {
+  private[queries] def shinglesSql(n: Int): String = shinglesSqlOver(n, "")
+
+  /** [[shinglesSql]] restricted to a docs predicate (ANDed into the
+    * toks CTE) — q66b holds the delete-retracted near-dup state to the
+    * batch pipeline over the SURVIVING docs. */
+  private[queries] def shinglesSqlOver(n: Int, docsPred: String): String = {
+    val extra = if (docsPred.isEmpty) "" else s"($docsPred) AND "
     val parts = (0 until n).map(k => s"t[i+${k + 1}]").mkString(" || ' ' || ")
     s"toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents " +
-      s"WHERE len(string_split(text,' ')) >= $n), " +
+      s"WHERE ${extra}len(string_split(text,' ')) >= $n), " +
       s"shraw AS (SELECT doc_id, $parts AS sh FROM toks " +
       s"JOIN (SELECT UNNEST(range(0,200)) AS i) ix ON ix.i <= len(t)-$n), " +
       s"sh AS (SELECT DISTINCT doc_id, sh FROM shraw)"
@@ -304,8 +310,13 @@ object LlmText {
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` —
     * mirrors [[bandedNearDupPairs]]. */
-  private[queries] val BandedPairsSqlCtes: String =
-    shinglesSql(2) + ", " + minhashSigSql(8, 2) + ", " +
+  private[queries] val BandedPairsSqlCtes: String = bandedPairsSqlCtesOver("")
+
+  /** [[BandedPairsSqlCtes]] restricted to a docs predicate — the whole
+    * shingle→minhash→band→verify chain over only the matching docs
+    * (q66b's survivors-only oracle). */
+  private[queries] def bandedPairsSqlCtesOver(docsPred: String): String =
+    shinglesSqlOver(2, docsPred) + ", " + minhashSigSql(8, 2) + ", " +
       "sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM sh GROUP BY doc_id), " +
       "inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter FROM cand c " +
       "JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh " +

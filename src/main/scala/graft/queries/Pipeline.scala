@@ -846,6 +846,48 @@ object Pipeline {
         "SELECT rep_doc, COUNT(*) AS n_members FROM rep " +
         "GROUP BY rep_doc ORDER BY rep_doc")),
 
+    QueryDef("q66b_incremental_dedup_retract",
+      // q66 with CDC DELETE retraction (VERDICT r9 item 4 — the qc6
+      // tombstone doctrine on the NEAR-DUP state): both insert waves,
+      // then docs with doc_id % 7 == 0 retracted. A tombstoned doc's
+      // edges vanish from the pair relation on BOTH sides, so the
+      // connected components re-form exactly as the batch pipeline
+      // over the SURVIVING docs computes them — a deleted group
+      // representative's group re-elects its min surviving member, a
+      // deleted bridge doc splits its component. The oracle is q66's
+      // recursive-CTE component run with the whole
+      // shingle→minhash→band→verify chain restricted to the survivors
+      // (no retraction machinery anywhere in it): it matches only if
+      // retraction is semantically a re-run over the survivors, not a
+      // row filter of the old output. IncrementalNearDupSpec drills
+      // interleaved delete waves, rep re-election, component splits,
+      // tombstone-wins re-inserts, and physical compaction.
+      (s, d) => {
+        import graft.streaming.IncrementalNearDup
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q66b-incremental").toString
+        val inc = new IncrementalNearDup(statePath)
+        val st = LlmText.bigramStateCached(s, d)
+        inc.processState(st.where(col("doc_id") % 2 === 0), 0L)
+        inc.processState(st.where(col("doc_id") % 2 === 1), 1L)
+        inc.retractBatch(
+          st.where(col("doc_id") % 7 === 0).select(col("doc_id")), 2L)
+        inc.groups(s)
+          .groupBy(col("rep").as("rep_doc"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("rep_doc"))
+      },
+      Some("WITH RECURSIVE " +
+        LlmText.bandedPairsSqlCtesOver("doc_id % 7 <> 0") + ", " +
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+        "UNION SELECT doc_b, doc_a FROM pairs), " +
+        "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
+        "reach(doc, r) AS (SELECT doc, doc FROM nodes " +
+        "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc), " +
+        "rep AS (SELECT doc, MIN(r) AS rep_doc FROM reach GROUP BY doc) " +
+        "SELECT rep_doc, COUNT(*) AS n_members FROM rep " +
+        "GROUP BY rep_doc ORDER BY rep_doc")),
+
     QueryDef("q63_tfidf_top_terms",
       // Per-document top-3 TF-IDF terms (keyword extraction). The IDF is
       // the rational N/df — no transcendental log, so Spark and DuckDB

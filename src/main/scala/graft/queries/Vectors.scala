@@ -1144,6 +1144,40 @@ object Vectors {
       // are the same pure integer argmin
       Some(IncrementalIvfOracleSql)),
 
+    QueryDef("q88b_incremental_ivf_retract",
+      // q88 with CDC DELETE retraction (VERDICT r9 item 4 — the qc6
+      // tombstone doctrine on the IVF state): both arrival waves, then
+      // streamed vectors with vec_id % 3 == 0 retracted. The deleted
+      // codes leave the probe view immediately (members() anti-joins
+      // the tombstones; compaction removes the bytes at the next
+      // boundary) and the per-cell retrain flags re-level on survivor
+      // counts. The oracle is q88's one-pass assignment with the
+      // composed-index view restricted to surviving rows — training is
+      // untouched (centroids come from the base corpus), so it matches
+      // only if retraction removed exactly the deleted codes and
+      // nothing else. Base-vector deletion is the REBUILD case and
+      // stays out of the per-batch path (documented on the class).
+      (s, d) => {
+        import graft.operators.KMeansLloyd
+        import graft.streaming.IncrementalIvf
+        val all = Tables(s, d, "embeddings")
+        val vecs = all.select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+        val (baseAssigned, servingCents, _) = KMeansLloyd.runTracked(
+          vecs.where(col("vec_id") % 5 =!= 4), "vec_id", k = 4, iters = 2)
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q88b-incremental-ivf").toString
+        val inc = new IncrementalIvf(statePath, servingCents)
+        val arrivals = all.where(col("vec_id") % 5 === 4)
+          .select(col("vec_id"), col("embedding"))
+        inc.processBatch(arrivals.where(col("vec_id") % 2 === 0), 0L)
+        inc.processBatch(arrivals.where(col("vec_id") % 2 === 1), 1L)
+        inc.retractBatch(
+          arrivals.where(col("vec_id") % 3 === 0).select(col("vec_id")), 2L)
+        ivfCompositionSummary(baseAssigned, inc.members(s))
+      },
+      Some(incrementalIvfOracleSqlOver(
+        "NOT (vec_id % 5 = 4 AND vec_id % 3 = 0)"))),
+
     QueryDef("q89_pq_adc",
       // Product quantization with asymmetric distance computation
       // (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
@@ -2106,6 +2140,13 @@ object Vectors {
     * wire hop (qc3) cannot perturb it because embeddings travel as
     * exact Float round-trip strings. */
   private[queries] val IncrementalIvfOracleSql: String =
+    incrementalIvfOracleSqlOver("TRUE")
+
+  /** [[IncrementalIvfOracleSql]] with the composed-index view
+    * restricted to `keepPred` (training is untouched — the centroids
+    * come from the base rows either way): q88b's survivors-only oracle
+    * for streamed-vector retraction. */
+  private[queries] def incrementalIvfOracleSqlOver(keepPred: String): String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
       "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
@@ -2121,7 +2162,8 @@ object Vectors {
       "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
       "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
       "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
-      "u AS (SELECT vec_id, cell, CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END AS is_new FROM a2) " +
+      "u AS (SELECT vec_id, cell, CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END AS is_new " +
+      s"FROM a2 WHERE $keepPred) " +
       "SELECT cell, CAST(SUM(1 - is_new) AS BIGINT) AS n_base, " +
       "CAST(SUM(is_new) AS BIGINT) AS n_new, " +
       "CAST(CASE WHEN SUM(is_new) * 4 > COUNT(*) THEN 1 ELSE 0 END AS BIGINT) AS retrain_due " +

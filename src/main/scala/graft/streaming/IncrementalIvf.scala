@@ -42,8 +42,39 @@ import graft.operators.KMeansLloyd
   * check is pure integer arithmetic on two counts; acting on it (train,
   * swap, re-assign) is the index build the consumer already owns —
   * deliberately OUT of the per-batch path, a boundary event.
+  *
+  * RETRACTION ([[retractBatch]], VERDICT r9 item 4 — the
+  * [[IncrementalLineDedup]] tombstone doctrine): a CDC DELETE of a
+  * streamed vector appends one tombstone row; [[members]] anti-joins
+  * the tombstones, so a probe never visits a deleted vector's code and
+  * [[retrainDue]] counts only survivors. Tombstones win permanently (a
+  * replayed insert of a deleted vec_id appends nothing); [[compact]]
+  * drops the codes physically, retaining the tombstones — the "remove
+  * its codes at the next boundary" rule, with logical removal
+  * immediate. Deleting BASE vectors is the index REBUILD case (the
+  * centroids were trained on them) and stays the consumer's retrain
+  * concern, exactly like base-side inserts.
   */
 final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid]) {
+
+  private val tombSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType)))
+
+  private def tombstones(spark: SparkSession): DataFrame =
+    readStateOr(spark, s"$statePath/tombstones", tombSchema)
+
+  /** foreachBatch hook for CDC DELETEs: `deletes` needs vec_id. O(1)
+    * per delete — appends a tombstone; removal from the probe view is
+    * [[members]]'s anti-join. Idempotent under replay. */
+  def retractBatch(deletes: DataFrame, batchId: Long): Unit = {
+    val spark = deletes.sparkSession
+    val ids = deletes.select(col("vec_id").cast("long").as("vec_id"))
+      .dropDuplicates(Seq("vec_id")) // intra-batch replay dedup
+      .localCheckpoint(true) // micro-batch sources are not re-scannable
+    val fresh = ids.join(tombstones(spark), Seq("vec_id"), "left_anti")
+    fresh.write.mode("append").parquet(s"$statePath/tombstones")
+  }
 
   private def readStateOr(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -68,12 +99,16 @@ final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid]) 
     val old = readStateOr(spark, s"$statePath/members", assigned.schema)
     // replayed micro-batch (foreachBatch retries after failure) is a
     // no-op instead of doubling rows — same idempotent-append contract
-    // as IncrementalNearDup
-    val fresh = assigned.join(old.select("vec_id"), Seq("vec_id"), "left_anti")
+    // as IncrementalNearDup. Tombstones are guarded too (tombstones
+    // win): a replayed insert of a deleted vector appends nothing.
+    val seen = old.select("vec_id").union(
+      tombstones(spark).select("vec_id")).distinct()
+    val fresh = assigned.join(seen, Seq("vec_id"), "left_anti")
     fresh.write.mode("append").parquet(s"$statePath/members")
   }
 
-  /** Accumulated streamed index members (vec_id, cell). */
+  /** Accumulated streamed index members (vec_id, cell), minus
+    * retracted vectors — the probe view a search reads. */
   def members(spark: SparkSession): DataFrame = {
     val schema = StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
@@ -81,6 +116,7 @@ final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid]) 
       org.apache.spark.sql.types.StructField("cell",
         org.apache.spark.sql.types.IntegerType)))
     readStateOr(spark, s"$statePath/members", schema)
+      .join(tombstones(spark), Seq("vec_id"), "left_anti")
   }
 
   /** Retrain boundary: true once the streamed membership exceeds
@@ -98,9 +134,16 @@ final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid]) 
     val dir = s"$statePath/members"
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombs = tombstones(spark).localCheckpoint(true)
     if (fs.exists(p)) {
-      val snap = spark.read.parquet(dir).localCheckpoint(true)
+      // physical removal of retracted codes (tombstones retained so a
+      // replayed insert of a deleted vector still appends nothing)
+      val snap = spark.read.parquet(dir)
+        .join(tombs, Seq("vec_id"), "left_anti").localCheckpoint(true)
       snap.coalesce(parts).write.mode("overwrite").parquet(dir)
     }
+    val tp = new org.apache.hadoop.fs.Path(s"$statePath/tombstones")
+    if (tp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tp))
+      tombs.repartition(1).write.mode("overwrite").parquet(s"$statePath/tombstones")
   }
 }

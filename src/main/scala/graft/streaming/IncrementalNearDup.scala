@@ -36,8 +36,44 @@ import graft.queries.LlmText
   * batch, so a bucket that goes hot stops emitting NEW candidates
   * (pairs found while it was small are retained — the standard
   * streaming-LSH tradeoff, noted here rather than hidden).
+  *
+  * RETRACTION ([[retractBatch]], VERDICT r9 item 4 — the
+  * [[IncrementalLineDedup]] tombstone doctrine): a CDC DELETE appends
+  * one tombstone row under `tombstones/` and does no other work.
+  * Tombstoned docs are (a) excluded from [[pairs]] (either side), so
+  * their edges vanish and [[groups]]'s connected components re-form
+  * exactly as a batch run over the survivors would — a deleted
+  * representative's group re-elects its min surviving member, a
+  * deleted bridge doc SPLITS its component; (b) excluded from the
+  * band-index/signature state a NEW batch probes, so no verify work is
+  * spent on pairs that emission would drop (and bucket sizes shrink
+  * back under the hot cap exactly as the survivors-only batch run
+  * sees them); (c) permanently guarded — a replayed insert of a
+  * deleted doc appends nothing (tombstones win; re-insertion is a new
+  * doc_id, see IncrementalLineDedup's contract). [[compact]] makes
+  * deletes physical, retaining the tombstones.
   */
 final class IncrementalNearDup(statePath: String) {
+
+  private val tombSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType)))
+
+  private def tombstones(spark: SparkSession): DataFrame =
+    readStateOr(spark, s"$statePath/tombstones", tombSchema)
+
+  /** foreachBatch hook for CDC DELETEs: `deletes` needs doc_id. O(1)
+    * per delete — appends a tombstone; edge removal and component
+    * re-formation are deferred to [[pairs]]/[[groups]]. Idempotent
+    * under replay. */
+  def retractBatch(deletes: DataFrame, batchId: Long): Unit = {
+    val spark = deletes.sparkSession
+    val ids = deletes.select(col("doc_id").cast("long").as("doc_id"))
+      .dropDuplicates(Seq("doc_id")) // intra-batch replay dedup
+      .localCheckpoint(true) // micro-batch sources are not re-scannable
+    val fresh = ids.join(tombstones(spark), Seq("doc_id"), "left_anti")
+    fresh.write.mode("append").parquet(s"$statePath/tombstones")
+  }
 
   private def readStateOr(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -73,10 +109,23 @@ final class IncrementalNearDup(statePath: String) {
     * recomputing per wave. */
   def processState(state: DataFrame, batchId: Long): Unit = {
     val spark = state.sparkSession
-    val newSets = state.select("doc_id", "hs", "nbg")
-    val newBands = LlmText.bandKeys(state, 8, 2)
+    val tombs = tombstones(spark).localCheckpoint(true)
+    // tombstones win: a replayed insert of a deleted doc is dropped
+    // here, so it can never re-enter the band index or the pair set
+    val live = state.join(tombs, Seq("doc_id"), "left_anti")
+    val newSets = live.select("doc_id", "hs", "nbg")
+    val newBands = LlmText.bandKeys(live, 8, 2)
 
-    val oldBands = readStateOr(spark, s"$statePath/bands", newBands.schema)
+    // candidate generation and verify read the SURVIVORS-ONLY view of
+    // the committed state: probing deleted docs would spend verify
+    // work on pairs emission drops anyway, and bucket sizes must
+    // shrink back as deletes land (hot-cap parity with a batch run
+    // over the survivors). The replay guards below deliberately use
+    // the UNFILTERED dirs — a deleted doc's rows are still committed
+    // bytes, and re-appending them on replay would resurrect them at
+    // the next compaction.
+    val oldBandsAll = readStateOr(spark, s"$statePath/bands", newBands.schema)
+    val oldBands = oldBandsAll.join(tombs, Seq("doc_id"), "left_anti")
     // ONE shuffle for count + cap + candidate generation (VERDICT r6
     // item 4 — previously a count agg, two semi-joins, and a two-sided
     // self equi-join over the same band rows): tag each band row with
@@ -103,7 +152,8 @@ final class IncrementalNearDup(statePath: String) {
         greatest(col("xd"), col("y.doc_id")).as("doc_b"))
       .distinct()
 
-    val oldSets = readStateOr(spark, s"$statePath/sets", newSets.schema)
+    val oldSetsAll = readStateOr(spark, s"$statePath/sets", newSets.schema)
+    val oldSets = oldSetsAll.join(tombs, Seq("doc_id"), "left_anti")
     val verified = LlmText.verifyPairs(cand, oldSets.unionByName(newSets))
     val oldPairs = readStateOr(spark, s"$statePath/pairs", verified.schema)
     val fresh = verified.join(oldPairs.select("doc_a", "doc_b"),
@@ -113,8 +163,8 @@ final class IncrementalNearDup(statePath: String) {
     // micro-batch (foreachBatch retries after failure) is a no-op
     // instead of doubling rows — idempotent-by-construction restart
     // semantics without a transactional table format
-    val freshSets = newSets.join(oldSets.select("doc_id"), Seq("doc_id"), "left_anti")
-    val freshBands = newBands.join(oldBands.select("doc_id").distinct(),
+    val freshSets = newSets.join(oldSetsAll.select("doc_id"), Seq("doc_id"), "left_anti")
+    val freshBands = newBands.join(oldBandsAll.select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
     // the three appends are INDEPENDENT jobs (each reads only committed
     // state dirs, none reads a dir being written), so they run
@@ -133,20 +183,42 @@ final class IncrementalNearDup(statePath: String) {
     * degrades every subsequent state read — standard streaming-state
     * hygiene is periodic compaction (e.g. every N batches from the
     * foreachBatch hook). Rewrites each table to `parts` files. */
-  def compact(spark: SparkSession, parts: Int = 8): Unit =
+  def compact(spark: SparkSession, parts: Int = 8): Unit = {
+    // compaction is where retraction becomes PHYSICAL: tombstoned
+    // docs' rows are dropped from every rewritten table (pairs on
+    // either side); the tombstones themselves are retained so a later
+    // replay of the deleted doc's insert events still appends nothing
+    val tombs = tombstones(spark).localCheckpoint(true)
     Seq("pairs", "bands", "sets").foreach { t =>
       val dir = s"$statePath/$t"
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) {
-        val snap = spark.read.parquet(dir).localCheckpoint(true)
+        val cur = spark.read.parquet(dir)
+        val snap = (if (t == "pairs") dropTombstonedPairs(cur, tombs)
+          else cur.join(tombs, Seq("doc_id"), "left_anti"))
+          .localCheckpoint(true)
         snap.coalesce(parts).write.mode("overwrite").parquet(dir)
       }
     }
+    val tp = new org.apache.hadoop.fs.Path(s"$statePath/tombstones")
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tfs.exists(tp))
+      tombs.repartition(1).write.mode("overwrite").parquet(s"$statePath/tombstones")
+  }
 
-  /** Accumulated verified near-dup pairs (doc_a, doc_b, jaccard). */
+  private def dropTombstonedPairs(p: DataFrame, tombs: DataFrame): DataFrame =
+    p.join(tombs.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+      .join(tombs.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+      .select(p.columns.map(col).toSeq: _*)
+
+  /** Accumulated verified near-dup pairs (doc_a, doc_b, jaccard) among
+    * the SURVIVING docs — a tombstoned doc's edges vanish from both
+    * sides, so downstream components re-form as a batch run over the
+    * survivors would. */
   def pairs(spark: SparkSession): DataFrame =
-    spark.read.parquet(s"$statePath/pairs")
+    dropTombstonedPairs(spark.read.parquet(s"$statePath/pairs"),
+      tombstones(spark))
 
   /** Dedup groups over everything ingested so far — same contract as
     * the batch q57 (doc_id → component-min rep). */

@@ -88,4 +88,62 @@ class IncrementalIvfSpec extends AnyFunSuite with SparkTestSession {
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(nFiles <= 2, s"members not compacted: $nFiles files")
   }
+
+  test("retraction: the probe view equals a one-shot assignment of the survivors") {
+    // the q88b drill, with the delete wave INTERLEAVED between insert
+    // waves: tombstones for vec_id % 3 == 0 land after wave 1 —
+    // already-streamed deleted vectors leave the probe view, and a
+    // not-yet-streamed deleted vector's later insert appends nothing
+    // (tombstones win). retrainDue must count survivors only;
+    // compaction must remove the codes physically.
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+    val (_, servingCents, _) = KMeansLloyd.runTracked(
+      vecs.where(col("vec_id") % 5 =!= 4), "vec_id", k = 4, iters = 2)
+    val arrivals = Tables(spark, dir, "embeddings")
+      .where(col("vec_id") % 5 === 4)
+      .select(col("vec_id"), col("embedding"))
+
+    val statePath = java.nio.file.Files
+      .createTempDirectory("inc-ivf-retract").toString
+    val inc = new IncrementalIvf(statePath, servingCents)
+    inc.processBatch(arrivals.where(col("vec_id") % 2 === 0), 0L)
+    inc.retractBatch(
+      arrivals.where(col("vec_id") % 3 === 0).select("vec_id"), 1L)
+    inc.processBatch(arrivals.where(col("vec_id") % 2 === 1), 2L)
+
+    def memb(i: IncrementalIvf): Map[Long, Int] =
+      i.members(spark).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = memb(inc)
+    assert(got.keySet.forall(_ % 3 != 0), "tombstoned vector still probed")
+    assert(got.nonEmpty)
+
+    val oneShot = KMeansLloyd.assign(
+        vecs.where(col("vec_id") % 5 === 4 && col("vec_id") % 3 =!= 0),
+        servingCents)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == oneShot,
+      "retracted state diverges from one-shot assignment of the survivors")
+
+    // retrainDue counts survivors, not appended bytes
+    val n = got.size.toLong
+    assert(inc.retrainDue(spark, baseCount = n * 4 - 1))
+    assert(!inc.retrainDue(spark, baseCount = n * 4))
+
+    // retraction replay is a no-op; tombstone-wins on a replayed insert
+    inc.retractBatch(
+      arrivals.where(col("vec_id") % 3 === 0).select("vec_id"), 99L)
+    val membersBefore = spark.read.parquet(s"$statePath/members").count()
+    inc.processBatch(arrivals.where(col("vec_id") % 3 === 0), 100L)
+    assert(spark.read.parquet(s"$statePath/members").count() == membersBefore,
+      "a replayed insert of a deleted vector re-entered the state")
+    assert(memb(inc) == got)
+
+    // compaction removes the deleted codes physically
+    inc.compact(spark, parts = 1)
+    assert(spark.read.parquet(s"$statePath/members")
+      .where(col("vec_id") % 3 === 0).count() == 0, "codes not pruned")
+    assert(memb(inc) == got)
+  }
 }
