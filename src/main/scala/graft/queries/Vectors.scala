@@ -1711,10 +1711,24 @@ object Vectors {
         // concurrent Spark jobs (distinct SessionCache keys, shared
         // inputs checkpointed; the q129 concurrency precedent). The
         // descent itself stays sequential — each hop reads the last.
+        // Upper-layer graphs are built as their 2-STEP edge closures
+        // (edges to every node within ≤2 hops): one greedy hop over
+        // the closure replaces the former TWO chained ef=1 hops per
+        // layer (VERDICT r9 item 6) — halving the data-dependent
+        // barrier chain — and is the STRONGER search (argmin over the
+        // full 2-hop neighborhood ⊇ the chained-greedy candidate set,
+        // which was confined to the first hop winner's neighborhood).
+        // Closure size is bounded: ≤ K + K² edges per node, built
+        // inside the concurrent batch (then session-cached with the
+        // graphs — the closure is index, not query), never on the
+        // sequential path. Mirrored exactly in the oracle's
+        // cloL1/cloL2 CTEs.
         val (g0, g1, g2) = graft.util.Jobs.awaitAll("q128 graph builds")(Seq(
           () => nnDescentGraphShared(s, d).select(col("src"), col("dst")),
-          () => hnswLayerGraphShared(s, d, 4, "L1").select(col("src"), col("dst")),
-          () => hnswLayerGraphShared(s, d, 16, "L2").select(col("src"), col("dst"))))
+          () => closureShared(s, d, "L1",
+            hnswLayerGraphShared(s, d, 4, "L1").select(col("src"), col("dst"))),
+          () => closureShared(s, d, "L2",
+            hnswLayerGraphShared(s, d, 16, "L2").select(col("src"), col("dst")))))
           match { case Seq(a, b, c) => (a, b, c) }
         // entry: md5-derived L2 member via the dense member index
         val lvl = conv(substring(md5(concat(lit("lvl#"), col("vec_id"))), 1, 8), 16, 10)
@@ -1742,13 +1756,29 @@ object Vectors {
             .cast("long"), lit(n2)).as("m_idx"))
           .join(idx2, Seq("m_idx"))
           .select(col("query_id"), col("vec_id").as("node"))
-        cur = greedyHop(cur, g2); cur = greedyHop(cur, g2)
-        cur = greedyHop(cur, g1); cur = greedyHop(cur, g1)
-        // layer 0: the q114 beam, seeded from the descended entry
+        // one 2-hop-closure greedy step per upper layer (was two
+        // chained ef=1 hops — see the twoStep comment above)
+        cur = greedyHop(cur, g2)
+        cur = greedyHop(cur, g1)
+        // layer 0: the q114 beam, seeded from the descended entry.
+        // Search reach stays EXACTLY radius 5 (the q114 design), but
+        // the barrier chain is 3 steps instead of 5: two steps over
+        // the base graph's 2-step closure (radius 2 each) + one over
+        // the raw graph (radius 1). Pruning to the beam width happens
+        // at 3 points instead of 5 — strictly fewer prune gates over
+        // the same reach, so per-step candidate sets only widen
+        // (bounded by Beam·(1+K+K²) per query per step). Mirrored in
+        // the oracle's clo0 CTE + 3-step bhop chain. Scale note: the
+        // closure is ≤K²+K edges/node — a 17× edge blow-up the upper
+        // layers absorb trivially; for layer 0 it trades one-off
+        // closure-build shuffle for 2 fewer data-dependent barriers
+        // PER QUERY BATCH — the right trade whenever queries outnumber
+        // index rebuilds.
+        val g0clo = closureShared(s, d, "L0", g0)
         var beam = cur
-        for (_ <- 1 to 5) {
+        for (g <- Seq(g0clo, g0clo, g0)) {
           val expanded = beam
-            .union(beam.join(g0, col("node") === col("src"))
+            .union(beam.join(g, col("node") === col("src"))
               .select(col("query_id"), col("dst").as("node")))
           beam = scoreNodes(expanded)
             .groupBy(col("query_id"))
@@ -1765,11 +1795,11 @@ object Vectors {
           .orderBy(col("query_id"), col("rnk"))
       },
       Some {
-        def hop(prev: String, next: String): String =
+        def hop(prev: String, next: String, graph: String = "graph"): String =
           s"x$next AS (SELECT DISTINCT query_id, node FROM (" +
             s"SELECT query_id, node FROM $prev " +
             s"UNION ALL SELECT b.query_id, g.dst AS node FROM $prev b " +
-            "JOIN graph g ON g.src = b.node)), " +
+            s"JOIN $graph g ON g.src = b.node)), " +
             s"s$next AS (SELECT x.query_id, x.node, " +
             "ROUND(list_cosine_similarity(ev.v, q.qv), 4) AS sim " +
             s"FROM x$next x JOIN e ev ON ev.vec_id = x.node " +
@@ -1794,12 +1824,24 @@ object Vectors {
           "qv AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id BETWEEN 1 AND 5), " +
           "ent AS (SELECT q.query_id, dd.vec_id AS node FROM qv q CROSS JOIN mnL2 nn " +
           "JOIN mL2 dd ON dd.midx = CAST(('0x' || substring(md5('entry2#' || q.query_id),1,8)) AS BIGINT) % nn.n), " +
-          ghop("ent", "h1", "glyrL2") + ", " + ghop("h1", "h2", "glyrL2") + ", " +
-          ghop("h2", "h3", "glyrL1") + ", " + ghop("h3", "h4", "glyrL1") + ", " +
-          hop("h4", "b1") + ", " + hop("b1", "b2") + ", " + hop("b2", "b3") + ", " +
-          hop("b3", "b4") + ", " + hop("b4", "b5") + ", " +
+          // 2-step edge closures — one greedy hop per layer over the
+          // closure mirrors the engine's merged descent exactly
+          "cloL2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (" +
+          "SELECT src, dst FROM glyrL2 UNION ALL " +
+          "SELECT a.src, b.dst FROM glyrL2 a JOIN glyrL2 b ON b.src = a.dst)), " +
+          "cloL1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (" +
+          "SELECT src, dst FROM glyrL1 UNION ALL " +
+          "SELECT a.src, b.dst FROM glyrL1 a JOIN glyrL1 b ON b.src = a.dst)), " +
+          ghop("ent", "h2", "cloL2") + ", " +
+          ghop("h2", "h4", "cloL1") + ", " +
+          // layer-0 closure + 3-step beam (radius 2+2+1 = the old 5)
+          "clo0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (" +
+          "SELECT src, dst FROM graph UNION ALL " +
+          "SELECT a.src, b.dst FROM graph a JOIN graph b ON b.src = a.dst)), " +
+          hop("h4", "b1", "clo0") + ", " + hop("b1", "b2", "clo0") + ", " +
+          hop("b2", "b3") + ", " +
           "fin AS (SELECT b.query_id, b.node, ROUND(list_cosine_similarity(ev.v, q.qv), 4) AS sim " +
-          "FROM b5 b JOIN e ev ON ev.vec_id = b.node JOIN qv q ON q.query_id = b.query_id " +
+          "FROM b3 b JOIN e ev ON ev.vec_id = b.node JOIN qv q ON q.query_id = b.query_id " +
           "WHERE b.node <> b.query_id) " +
           "SELECT query_id, rnk, node AS neighbor_id, sim FROM (" +
           "SELECT query_id, node, sim, ROW_NUMBER() OVER (PARTITION BY query_id " +
@@ -2182,6 +2224,25 @@ object Vectors {
   private val nnGraphCache = new graft.SessionCache[DataFrame](_ => ())
   private[graft] def nnDescentGraphShared(s: SparkSession, d: String): DataFrame =
     nnGraphCache.getOrElseUpdate(s, d, nnDescentGraph(s, d, rounds = 3, searchK = 16))
+
+  /** 2-step edge closure of a (src, dst) graph: edges to every node
+    * within ≤2 hops. One hop over the closure = the best node in the
+    * full 2-hop neighborhood (q128's merged descent/beam steps).
+    * ≤ K + K² edges per node. */
+  private def twoStep(g: DataFrame): DataFrame =
+    g.union(g.as("a").join(g.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst")))
+      .distinct()
+
+  /** Session-cached, checkpointed closure per (dir, layer tag) — the
+    * closure is part of the INDEX (built once per index generation),
+    * not of the query: every query batch reuses it, the same
+    * build-once/search-many split as the graphs themselves. */
+  private val hnswClosureCache = new graft.SessionCache[DataFrame](_ => ())
+  private def closureShared(s: SparkSession, d: String, tag: String,
+      g: => DataFrame): DataFrame =
+    hnswClosureCache.getOrElseUpdate(s, s"$d#clo#$tag",
+      twoStep(g).localCheckpoint(true))
 
   private[graft] def nnDescentGraph(s: SparkSession, d: String, rounds: Int,
       searchK: Int = 6): DataFrame = {

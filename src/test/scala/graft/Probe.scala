@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -21,35 +21,30 @@ object Probe {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val vecs = Tables(spark, d, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
-      .sortBy(_._1)
-    val unit = vecs.map { case (id, v) =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      id -> v.map(_ / n)
-    }
-    val K = 6
-    val truth: Map[Long, Set[Long]] = unit.map { case (i, u) =>
-      val scored = unit.filter(_._1 != i).map { case (j, w) =>
-        val dotp = u.zip(w).map { case (a, b) => a * b }.sum
-        (math.floor(dotp * 10000 + 0.5) / 10000, j)
-      }
-      i -> scored.sortBy { case (s, j) => (-s, j) }.take(K).map(_._2).toSet
-    }.toMap
-    for (r <- 0 to 5) {
+    def time[T](tag: String)(f: => T): T = {
       val t0 = System.nanoTime()
-      val got = graft.queries.Vectors.nnDescentGraph(spark, d, r, searchK = 16)
-        .where(col("rnk") <= K)
-        .select(col("src"), col("dst")).collect()
-        .map(x => (x.getLong(0), x.getLong(1)))
-        .groupBy(_._1).map { case (s, a) => s -> a.map(_._2).toSet }
-      val hits = truth.toSeq.map { case (i, t) =>
-        (t intersect got.getOrElse(i, Set.empty)).size
-      }.sum
-      val rec = hits.toDouble / (truth.size * K)
-      println(f"PROBE rounds=$r recall=$rec%.3f t=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val r = f
+      println(f"PROBE $tag%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val q = SparkEntry.queries("q128_hnsw_layered_search")
+    for (i <- 1 to 4) time(s"q128 run$i") { q(spark, d).collect() }
+    // job-level breakdown of a warm run
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]
+    val starts = new java.util.concurrent.ConcurrentHashMap[Integer, (Long, String)]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(e.jobId, (System.nanoTime(),
+          Option(e.properties.getProperty("spark.job.description")).getOrElse("?").take(60)))
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val st = starts.remove(e.jobId)
+        if (st != null) jobs.add((e.jobId, System.nanoTime() - st._1, st._2))
+      }
+    })
+    time("q128 traced") { q(spark, d).collect() }
+    Thread.sleep(500)
+    jobs.forEach { case (id, ns, desc) =>
+      println(f"PROBE job $id%3d ${ns / 1e9}%.2f s  $desc")
     }
     spark.stop()
   }
