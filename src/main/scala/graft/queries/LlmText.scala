@@ -737,6 +737,16 @@ object LlmText {
       // driver-side from bounded aggregates (3 rows × 3 counts).
       (s, d) => {
         val pairs = bandedNearDupPairs(s, d)
+        // cost-model inputs (VERDICT r9 item 7 — the cluster-sizing
+        // numbers q129 already carries): scan_rows is the shared
+        // verified pair relation every filter leg reads (selectivity =
+        // n_pairs/scan_rows); edge_rows = 2·n_pairs is the directed
+        // edge relation a CC round joins; round_shuffle_rows =
+        // edge_rows + n_members is the contrib union one min-label
+        // round shuffles — total CC traffic ≈ rounds(≈ component
+        // diameter) × round_shuffle_rows. All exact integers, mirrored
+        // in the oracle from the same CTEs.
+        val scanRows = pairs.count()
         val rows = graft.util.Jobs.awaitAll("q130 threshold legs")(
           Seq(35, 50, 70).map { t => () => {
           val p = pairs.where(col("jaccard") >= t / 100.0).localCheckpoint(true)
@@ -745,11 +755,14 @@ object LlmText {
             .agg(count(lit(1)).as("ncl"), coalesce(sum(col("m")), lit(0L)).as("nmem"))
             .collect().head
           val (ncl, nmem) = (agg.getLong(0), agg.getLong(1))
-          (t.toLong, p.count(), ncl, nmem, nmem - ncl)
+          val np = p.count()
+          (t.toLong, np, ncl, nmem, nmem - ncl,
+            scanRows, 2 * np, 2 * np + nmem)
         } })
         val spark = s
         import spark.implicits._
-        rows.toDF("threshold_e2", "n_pairs", "n_clusters", "n_members", "n_dropped")
+        rows.toDF("threshold_e2", "n_pairs", "n_clusters", "n_members",
+            "n_dropped", "scan_rows", "edge_rows", "round_shuffle_rows")
           .orderBy(col("threshold_e2"))
       },
       Some {
@@ -766,7 +779,10 @@ object LlmText {
             s"CAST((SELECT COUNT(*) FROM p$t) AS BIGINT) AS n_pairs, " +
             s"CAST((SELECT COUNT(DISTINCT rep_doc) FROM rep$t) AS BIGINT) AS n_clusters, " +
             s"CAST((SELECT COUNT(*) FROM rep$t) AS BIGINT) AS n_members, " +
-            s"CAST((SELECT COUNT(*) FROM rep$t) - (SELECT COUNT(DISTINCT rep_doc) FROM rep$t) AS BIGINT) AS n_dropped)"
+            s"CAST((SELECT COUNT(*) FROM rep$t) - (SELECT COUNT(DISTINCT rep_doc) FROM rep$t) AS BIGINT) AS n_dropped, " +
+            "CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS scan_rows, " +
+            s"CAST(2 * (SELECT COUNT(*) FROM p$t) AS BIGINT) AS edge_rows, " +
+            s"CAST(2 * (SELECT COUNT(*) FROM p$t) + (SELECT COUNT(*) FROM rep$t) AS BIGINT) AS round_shuffle_rows)"
         }
         "WITH RECURSIVE " + BandedPairsSqlCtes + ", " +
           Seq(35, 50, 70).map(leg).mkString(", ") +

@@ -1050,6 +1050,12 @@ object Pipeline {
             size(split(col("text"), " ")).cast("long").as("n_tok"))
           .withColumn("before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
           .localCheckpoint(true) // three S-legs share the one cumsum
+        // cost-model emissions (VERDICT r9 item 7): sum_tokens is the
+        // corpus token volume every leg scans (the shared cumsum
+        // relation — the cluster-sizing scan input), util_e6 the
+        // packed-slot utilization sum_tokens/(S·n_packs) in integer
+        // millionths — the efficiency number "what does S buy" is
+        // actually about. Both exact integers, mirrored in the oracle.
         Seq(128, 512, 2048).map { sl =>
           base
             .withColumn("straddle",
@@ -1059,9 +1065,11 @@ object Pipeline {
             .agg(
               sum(expr(s"(tok + $sl - 1) div $sl")).cast("long").as("n_packs"),
               sum(col("st")).cast("long").as("n_straddle"),
-              sum(expr(s"$sl * ((tok + $sl - 1) div $sl) - tok")).cast("long").as("tail_waste"))
+              sum(expr(s"$sl * ((tok + $sl - 1) div $sl) - tok")).cast("long").as("tail_waste"),
+              sum(col("tok")).cast("long").as("sum_tokens"))
             .select(lit(sl.toLong).as("context_len"), col("n_packs"),
-              col("n_straddle"), col("tail_waste"))
+              col("n_straddle"), col("tail_waste"), col("sum_tokens"),
+              expr(s"(1000000 * sum_tokens) div ($sl * n_packs)").as("util_e6"))
         }.reduce(_ unionByName _).orderBy(col("context_len"))
       },
       Some {
@@ -1069,7 +1077,9 @@ object Pipeline {
           s"leg$sl AS (SELECT CAST($sl AS BIGINT) AS context_len, " +
             s"CAST(SUM(CAST((tok + $sl - 1) // $sl AS BIGINT)) AS BIGINT) AS n_packs, " +
             "CAST(SUM(st) AS BIGINT) AS n_straddle, " +
-            s"CAST(SUM($sl * CAST((tok + $sl - 1) // $sl AS BIGINT) - tok) AS BIGINT) AS tail_waste " +
+            s"CAST(SUM($sl * CAST((tok + $sl - 1) // $sl AS BIGINT) - tok) AS BIGINT) AS tail_waste, " +
+            "CAST(SUM(tok) AS BIGINT) AS sum_tokens, " +
+            s"CAST((1000000 * SUM(tok)) // ($sl * SUM(CAST((tok + $sl - 1) // $sl AS BIGINT))) AS BIGINT) AS util_e6 " +
             "FROM (SELECT shard, SUM(n_tok) AS tok, " +
             s"SUM(CASE WHEN (before + n_tok - 1) // $sl > before // $sl THEN 1 ELSE 0 END) AS st " +
             "FROM c GROUP BY shard))"
