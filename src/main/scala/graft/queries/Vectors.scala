@@ -309,7 +309,7 @@ object Vectors {
         "SELECT c.vec_a, c.vec_b, ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim " +
         "FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b) " +
         "WHERE sim >= 0.4 ORDER BY vec_a, vec_b")),
-    Q115Def, Q116Def)
+    Q115Def, Q116Def, Q116bDef)
 
   /** Deterministic hyperplane-LSH candidate pairs (the q55 generation
     * stage), memoized per (session, dir) and lineage-truncated — shared
@@ -494,6 +494,141 @@ object Vectors {
       "pm AS (SELECT dd, vk, CAST((rn-1) % 16 AS BIGINT) AS sub, CAST((rn-1) // 16 AS BIGINT) AS sd " +
       "FROM (SELECT dd, vk, ROW_NUMBER() OVER (ORDER BY vk DESC, dd) AS rn FROM vk)), " +
       "comps AS MATERIALIZED (SELECT c.vec_id, p.sub, p.sd, c.x AS xi FROM cm c JOIN pm p USING (dd)), " +
+      "c0 AS (SELECT sub, vec_id AS cell, sd, xi AS ci FROM comps WHERE vec_id < 32), " +
+      "d1 AS (SELECT c.vec_id, c.sub, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+      "FROM comps c JOIN c0 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +
+      "a1 AS (SELECT vec_id, sub, cell FROM (SELECT vec_id, sub, cell, ROW_NUMBER() OVER " +
+      "(PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
+      "c1 AS (SELECT a.sub, a.cell, c.sd, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+      "FROM comps c JOIN a1 a ON a.vec_id = c.vec_id AND a.sub = c.sub GROUP BY 1, 2, 3), " +
+      "d2 AS (SELECT c.vec_id, c.sub, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+      "FROM comps c JOIN c1 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +
+      "amin AS (SELECT vec_id, sub, MIN(dist) AS dist FROM d2 GROUP BY vec_id, sub), " +
+      "dst AS (SELECT sub, CAST(SUM(dist) AS BIGINT) AS distortion FROM amin GROUP BY sub), " +
+      "meta AS (SELECT sub, STRING_AGG(dd, ',' ORDER BY sd) AS dims, " +
+      "CAST(SUM(vk // 1000000) AS BIGINT) AS var_scaled FROM pm GROUP BY sub) " +
+      "SELECT m.sub, m.dims, m.var_scaled, d.distortion FROM meta m " +
+      "JOIN dst d ON d.sub = m.sub ORDER BY m.sub"))
+
+  /** The 45° Givens constant, as the one shared literal both engines
+    * multiply by (cos = sin = 1/√2). Written once so the Spark exprs
+    * and the DuckDB oracle cannot drift by a digit. */
+  private val GivensC = "0.7071067811865476"
+
+  /** q116b's rotation stage, exposed for the spec's driver-side
+    * replay: per-dim integer variance keys rank the dims, rank i pairs
+    * with rank 63−i (highest with lowest), and each pair gets one
+    * fixed-angle 45° Givens rotation — x'hi = (xhi − xlo)·c,
+    * x'lo = (xhi + xlo)·c — re-quantized to integer micro-units with
+    * the floor(v + 0.5) recipe. Determinism argument: pair selection
+    * is exact integer arithmetic; the rotation is ONE IEEE multiply of
+    * an exactly-representable integer difference/sum by one shared
+    * literal plus the standard half-up floor — the same
+    * finite-op-then-quantize doctrine as q109's ln/÷ (both engines
+    * compute bit-identical doubles for identical expression shapes).
+    * Returns (pairs as (hiDim, loDim), rotated (vec_id, xi)). */
+  private[graft] def opqRotationStage(s: SparkSession, d: String)
+      : (Seq[(Int, Int)], DataFrame) = {
+    val vecs = Tables(s, d, "embeddings")
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+    val varRows = vecs
+      .select(posexplode(col("xi")).as(Seq("dd", "x")))
+      .groupBy(col("dd"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("dd"), (col("n") * col("sxx") - col("sx") * col("sx")).as("vk"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val ranked = varRows.sortBy { case (dd, vk) => (-vk, dd) }
+    val pairs = (0 until 32).map(i => (ranked(i)._1, ranked(63 - i)._1))
+    val role: Map[Int, (Int, Int, Boolean)] = pairs.flatMap { case (h, l) =>
+      Seq(h -> (h, l, true), l -> (h, l, false)) }.toMap
+    val rotCols = (0 until 64).map { dd =>
+      val (h, l, isHi) = role(dd)
+      val inner = if (isHi) s"(CAST(xi[$h] AS DOUBLE) - CAST(xi[$l] AS DOUBLE))"
+        else s"(CAST(xi[$h] AS DOUBLE) + CAST(xi[$l] AS DOUBLE))"
+      expr(s"CAST(floor($inner * $GivensC + 0.5) AS BIGINT)")
+    }
+    (pairs, vecs.select(col("vec_id"), array(rotCols: _*).as("xi")))
+  }
+
+  private val opqRotCache = new graft.SessionCache[
+    (Seq[(Int, Int, Int, Long)], DataFrame, Seq[Seq[KMeansLloyd.Centroid]])](_ => ())
+
+  private lazy val Q116bDef: QueryDef = QueryDef("q116b_opq_rotation",
+    // OPQ, deterministic ROTATION form (the r9 stretch item — the one
+    // FAISS preprocessing step q116's permutation form left open). The
+    // full OPQ alternation solves a Procrustes SVD, whose iterative
+    // numerics no cross-engine hash can pin; this is the
+    // deterministic-by-construction middle point: a variance-BALANCING
+    // fixed-angle Givens pass. Rank dims by exact integer variance,
+    // pair rank i with rank 63−i, rotate each pair 45° (the angle that
+    // equalizes the pair's variances when their covariance is small —
+    // energy actually MIXES across dims, which a permutation can never
+    // do), re-quantize to micro-units, then run the UNCHANGED q116
+    // pipeline on the rotated vectors: re-rank, round-robin deal,
+    // trainPqBooks, per-subspace exact integer distortion. Output
+    // shape = q116's (sub, dims, var_scaled, distortion) — `dims` are
+    // POST-rotation dim positions, so the two entries' allocations and
+    // distortions are directly comparable. Integer-overflow bound for
+    // the n·Σx²−(Σx)² variance keys (q116 shares it): worst case
+    // |x'| ≤ √2·10⁶ gives n·Σx² ≤ n²·2·10¹², int64-safe for
+    // n ≤ ~2100 rows — exactly covers the driver tiers (200/2000
+    // vectors); for a larger corpus, scale the key to (x div 100)²
+    // on BOTH engines (ranking semantics unchanged up to ties, which
+    // dd breaks). Everything replays in DuckDB (rk/pr/rx CTEs) — a
+    // learned rotation that is still oracle-HASHED.
+    (s, d) => {
+      val (perm, pvecs, books) = opqRotCache.getOrElseUpdate(s, d, {
+        val (_, rvecs0) = opqRotationStage(s, d)
+        val rvecs = rvecs0.repartition(32).localCheckpoint(true)
+        val varRows2 = rvecs
+          .select(posexplode(col("xi")).as(Seq("dd", "x")))
+          .groupBy(col("dd"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("dd"), (col("n") * col("sxx") - col("sx") * col("sx")).as("vk"))
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        val ranked2 = varRows2.sortBy { case (dd, vk) => (-vk, dd) }
+        val perm0: Seq[(Int, Int, Int, Long)] = ranked2.zipWithIndex.map {
+          case ((dd, vk), i) => (i % PqM, i / PqM, dd, vk) }.toSeq
+        val order = perm0.sortBy { case (sub, sd, _, _) => (sub, sd) }
+        val pv = rvecs.select(col("vec_id"),
+          array(order.map { case (_, _, dd, _) => col("xi").getItem(dd) }: _*).as("xi"))
+          .repartition(32)
+          .localCheckpoint(true)
+        (perm0, pv, trainPqBooks(pv))
+      })
+      val dists = pvecs.select(
+          posexplode(array((0 until PqM).map(sub =>
+            pqSubDist(sub, books(sub))): _*)).as(Seq("sub", "dist")))
+        .groupBy(col("sub")).agg(sum(col("dist")).as("distortion"))
+      val meta = perm.groupBy(_._1).toSeq.map { case (sub, rows) =>
+        val bySlot = rows.sortBy(_._2)
+        (sub.toLong, bySlot.map(_._3).mkString(","), bySlot.map(_._4 / 1000000L).sum)
+      }
+      val metaDf = s.createDataFrame(meta).toDF("sub", "dims", "var_scaled")
+      metaDf.join(dists, metaDf("sub") === dists("sub"))
+        .select(metaDf("sub"), col("dims"), col("var_scaled"), col("distortion"))
+        .orderBy(metaDf("sub"))
+    },
+    Some("WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "cm AS (SELECT vec_id, i AS dd, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS x " +
+      "FROM ev CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+      "vk0 AS (SELECT dd, COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) AS vk FROM cm GROUP BY dd), " +
+      "rk AS (SELECT dd, ROW_NUMBER() OVER (ORDER BY vk DESC, dd) - 1 AS r FROM vk0), " +
+      "pr AS (SELECT a.dd AS hd, b.dd AS ld FROM rk a JOIN rk b ON b.r = 63 - a.r WHERE a.r <= 31), " +
+      "rx AS MATERIALIZED (" +
+      "SELECT ch.vec_id, p.hd AS dd, " +
+      s"CAST(floor((CAST(ch.x AS DOUBLE) - CAST(cl.x AS DOUBLE)) * $GivensC + 0.5) AS BIGINT) AS x " +
+      "FROM pr p JOIN cm ch ON ch.dd = p.hd JOIN cm cl ON cl.dd = p.ld AND cl.vec_id = ch.vec_id " +
+      "UNION ALL " +
+      "SELECT ch.vec_id, p.ld AS dd, " +
+      s"CAST(floor((CAST(ch.x AS DOUBLE) + CAST(cl.x AS DOUBLE)) * $GivensC + 0.5) AS BIGINT) AS x " +
+      "FROM pr p JOIN cm ch ON ch.dd = p.hd JOIN cm cl ON cl.dd = p.ld AND cl.vec_id = ch.vec_id), " +
+      "vk AS (SELECT dd, COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) AS vk FROM rx GROUP BY dd), " +
+      "pm AS (SELECT dd, vk, CAST((rn-1) % 16 AS BIGINT) AS sub, CAST((rn-1) // 16 AS BIGINT) AS sd " +
+      "FROM (SELECT dd, vk, ROW_NUMBER() OVER (ORDER BY vk DESC, dd) AS rn FROM vk)), " +
+      "comps AS MATERIALIZED (SELECT c.vec_id, p.sub, p.sd, c.x AS xi FROM rx c JOIN pm p USING (dd)), " +
       "c0 AS (SELECT sub, vec_id AS cell, sd, xi AS ci FROM comps WHERE vec_id < 32), " +
       "d1 AS (SELECT c.vec_id, c.sub, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
       "FROM comps c JOIN c0 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.KMeansLloyd
+import graft.queries.LlmText
+
+/** Cap-utilization probe at the derived sf1 tier (test scope, VERDICT
+  * r9 item 5): measures the actual maxima the skew guards cap against,
+  * at 10× the fixture data, so the headroom arguments are MEASURED
+  * rather than extrapolated. Two corpus models for the band index:
+  * the derived sf1 documents (cross-copy shingle-disjoint — the
+  * independent-corpora model) and an adversarial in-memory 10-way
+  * IDENTICAL-copy corpus (every doc has 9 exact dups — the
+  * dup-family model a crawl-heavy corpus shows).
+  *
+  * Usage: sbt "Test/runMain graft.ScaleProbe [sf1Dir]".
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/repo/tmp/sf1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def bandMax(docs: org.apache.spark.sql.DataFrame): Long =
+      LlmText.bandKeys(LlmText.nearDupState(docs), 8, 2)
+        .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+
+    val docs = Tables(spark, d, "documents").select(col("doc_id"), col("text"))
+    println(s"PROBE n_docs=${docs.count()}")
+    println(s"PROBE band_bucket_max_sf1_independent=${bandMax(docs)} (HotBucketCap=${LlmText.HotBucketCap})")
+
+    // adversarial: 10 identical copies of the sf0.1 corpus
+    val base01 = Tables(spark, "/root/testdata/sf0.1", "documents")
+      .select(col("doc_id"), col("text"))
+    val identical = (0 until 10).map(c =>
+        base01.withColumn("doc_id", col("doc_id") + lit(c * GenScale.KeyShift)))
+      .reduce(_ unionByName _)
+    println(s"PROBE band_bucket_max_sf1_identical_copies=${bandMax(identical)}")
+
+    // k-means cells at 10x (the q70 recipe: k=4, 2 Lloyd iters)
+    val vecs = Tables(spark, d, "embeddings")
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+    val (assigned, _, _) = KMeansLloyd.runTracked(vecs, "vec_id", k = 4, iters = 2)
+    val cellMax = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    println(s"PROBE cell_max_sf1=$cellMax (CellCap=${KMeansLloyd.CellCap})")
+    val sub = KMeansLloyd.subSplitCells(
+      assigned.select(col("vec_id"), col("cell")), "vec_id", KMeansLloyd.CellCap)
+    val subMax = sub.groupBy(col("cell"), col("subcell")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    println(s"PROBE subcell_max_sf1=$subMax (guard bound = 2*CellCap)")
+
+    // hottest 10-token line (q119's window/salt skew input)
+    val chunkMax = LlmText.lineChunks(docs)
+      .groupBy(col("chunk")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    println(s"PROBE line_chunk_max_sf1=$chunkMax")
+
+    // hottest bigram document frequency (q46b's prefix-index worst input)
+    val dfMax = LlmText.nearDupState(docs)
+      .select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    println(s"PROBE bigram_df_max_sf1=$dfMax")
+
+    spark.stop()
+  }
+}
