@@ -63,7 +63,10 @@ object Bench {
     // BEST (max events/s ≡ min time) reported and all three recorded.
     try ingestEventsPerSec() catch { case _: Throwable => () } // JIT warmup (full-size)
     val ingestRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val passes = (1 to 3).map { _ =>
+    // pass-count knob for local scale runs (e.g. the one-pass sf1
+    // validation sweep); the driver sets nothing → the min-of-3 contract
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val passes = (1 to nPasses).map { _ =>
       val m = defs.map { q =>
         q.name -> (try once(q) catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1.0 })

@@ -824,14 +824,19 @@ object Relational {
           .groupBy(col("v").as("l_partkey")).agg(count(lit(1)).as("deg"))
           .orderBy(col("l_partkey")),
       Some {
+        // every round CTE is referenced 2-3× downstream; MATERIALIZED
+        // stops DuckDB inlining them per reference (found by the r10
+        // sf1 sweep: the un-hinted form re-evaluated the lineitem
+        // self-join multiplicatively per round and spilled >75 GB of
+        // temp at 6M lineitems — the oracle must scale with its query)
         def round(prev: String, kc: String, next: String) =
-          s"$kc AS (SELECT v FROM $prev GROUP BY v HAVING COUNT(*) >= 90), " +
-            s"$next AS (SELECT s.v, s.u FROM $prev s JOIN $kc a ON s.v = a.v " +
+          s"$kc AS MATERIALIZED (SELECT v FROM $prev GROUP BY v HAVING COUNT(*) >= 90), " +
+            s"$next AS MATERIALIZED (SELECT s.v, s.u FROM $prev s JOIN $kc a ON s.v = a.v " +
             s"JOIN $kc b ON s.u = b.v), "
-        "WITH e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb " +
+        "WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb " +
           "FROM lineitem a JOIN lineitem b " +
           "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
-          "s0 AS (SELECT pa AS v, pb AS u FROM e UNION ALL SELECT pb, pa FROM e), " +
+          "s0 AS MATERIALIZED (SELECT pa AS v, pb AS u FROM e UNION ALL SELECT pb, pa FROM e), " +
           round("s0", "k1", "s1") + round("s1", "k2", "s2") +
           round("s2", "k3", "s3").stripSuffix(", ") +
           " SELECT v AS l_partkey, COUNT(*) AS deg FROM s3 GROUP BY 1 ORDER BY 1"

@@ -97,8 +97,21 @@ object Vectors {
       "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
       "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
       "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
-      "dups AS (SELECT y.vec_id, MIN(x.vec_id) AS dup_of FROM a2 x " +
-      "JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id " +
+      // the CellCap sub-split, mirrored exactly from
+      // KMeansLloyd.subSplitCells (the r10 sf1 sweep caught that this
+      // oracle silently modeled the UNSPLIT join: at fixture scale
+      // every cell is under the cap so subcell = 0 everywhere and the
+      // two forms coincide, but at 10x the cells blow past the cap,
+      // the engine's pair join keys on (cell, subcell), and an
+      // unsplit oracle disagrees — the oracle must model the guard,
+      // not just the happy path)
+      "csz AS (SELECT cell, COUNT(*) AS csz FROM a2 GROUP BY cell), " +
+      s"a2s AS (SELECT a.vec_id, a.cell, CASE WHEN z.csz > ${KMeansLloyd.CellCap} THEN " +
+      "CAST(('0x' || substring(md5('subcell:' || CAST(a.vec_id AS VARCHAR)),1,8)) AS BIGINT) " +
+      s"% CAST(ceil(CAST(z.csz AS DOUBLE) / ${KMeansLloyd.CellCap}) AS BIGINT) " +
+      "ELSE 0 END AS subcell FROM a2 a JOIN csz z USING (cell)), " +
+      "dups AS (SELECT y.vec_id, MIN(x.vec_id) AS dup_of FROM a2s x " +
+      "JOIN a2s y ON x.cell = y.cell AND x.subcell = y.subcell AND x.vec_id < y.vec_id " +
       "JOIN e ea ON ea.vec_id = x.vec_id JOIN e eb ON eb.vec_id = y.vec_id " +
       "WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= 0.4 GROUP BY y.vec_id)"
 
