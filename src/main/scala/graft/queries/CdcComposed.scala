@@ -101,5 +101,22 @@ object CdcComposed {
       // (CdcAnalyticsSpec) cuts the binlog inside the delete section.
       (s, d) => graft.streaming.CdcAnalytics.lineDedupRetractionOverCdc(s, d),
       Some(LlmText.lineDedupOracleSqlOver(
-        s" WHERE doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0"))))
+        s" WHERE doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0"))),
+
+    QueryDef("qc7_cdc_neardup_retraction",
+      // qc6's sibling for the NEAR-DUP layer: the same insert+delete
+      // binlog over the wire, routed into IncrementalNearDup (inserts
+      // = full banded accumulation per micro-batch, deletes = O(1)
+      // tombstone appends), then the q57-shape dedup groups over the
+      // survivors. Oracle = q66b's (banded chain + recursive-CTE
+      // components over documents WHERE doc_id % 7 <> 0 — no CDC, no
+      // retraction machinery): it matches only if a deleted doc's
+      // edges vanished from BOTH pair sides and every component
+      // re-formed (rep re-election, splits) exactly as a batch run
+      // over the survivors. With qc6 this closes tombstone semantics
+      // across the qc-family's two dedup layers; the kill/resume drill
+      // (CdcAnalyticsSpec) cuts the binlog inside the delete section.
+      (s, d) => graft.streaming.CdcAnalytics.nearDupRetractionOverCdc(s, d),
+      Some(LlmText.dedupGroupsOracleSqlOver(
+        s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0"))))
 }

@@ -312,6 +312,22 @@ object LlmText {
     * mirrors [[bandedNearDupPairs]]. */
   private[queries] val BandedPairsSqlCtes: String = bandedPairsSqlCtesOver("")
 
+  /** The dedup-groups oracle (q57's connected components as one
+    * recursive CTE over the banded pair chain), restricted to a docs
+    * predicate — shared verbatim by q66 (no predicate), q66b and the
+    * qc7 wire composition (survivors only). Output (rep_doc,
+    * n_members) ordered by rep. */
+  private[graft] def dedupGroupsOracleSqlOver(docsPred: String): String =
+    "WITH RECURSIVE " + bandedPairsSqlCtesOver(docsPred) + ", " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+      "UNION SELECT doc_b, doc_a FROM pairs), " +
+      "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
+      "reach(doc, r) AS (SELECT doc, doc FROM nodes " +
+      "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc), " +
+      "rep AS (SELECT doc, MIN(r) AS rep_doc FROM reach GROUP BY doc) " +
+      "SELECT rep_doc, COUNT(*) AS n_members FROM rep " +
+      "GROUP BY rep_doc ORDER BY rep_doc"
+
   /** [[BandedPairsSqlCtes]] restricted to a docs predicate — the whole
     * shingle→minhash→band→verify chain over only the matching docs
     * (q66b's survivors-only oracle). */

@@ -836,15 +836,7 @@ object Pipeline {
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("rep_doc"))
       },
-      Some("WITH RECURSIVE " + LlmText.BandedPairsSqlCtes + ", " +
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
-        "UNION SELECT doc_b, doc_a FROM pairs), " +
-        "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
-        "reach(doc, r) AS (SELECT doc, doc FROM nodes " +
-        "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc), " +
-        "rep AS (SELECT doc, MIN(r) AS rep_doc FROM reach GROUP BY doc) " +
-        "SELECT rep_doc, COUNT(*) AS n_members FROM rep " +
-        "GROUP BY rep_doc ORDER BY rep_doc")),
+      Some(LlmText.dedupGroupsOracleSqlOver(""))),
 
     QueryDef("q66b_incremental_dedup_retract",
       // q66 with CDC DELETE retraction (VERDICT r9 item 4 — the qc6
@@ -877,16 +869,7 @@ object Pipeline {
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("rep_doc"))
       },
-      Some("WITH RECURSIVE " +
-        LlmText.bandedPairsSqlCtesOver("doc_id % 7 <> 0") + ", " +
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
-        "UNION SELECT doc_b, doc_a FROM pairs), " +
-        "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
-        "reach(doc, r) AS (SELECT doc, doc FROM nodes " +
-        "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc), " +
-        "rep AS (SELECT doc, MIN(r) AS rep_doc FROM reach GROUP BY doc) " +
-        "SELECT rep_doc, COUNT(*) AS n_members FROM rep " +
-        "GROUP BY rep_doc ORDER BY rep_doc")),
+      Some(LlmText.dedupGroupsOracleSqlOver("doc_id % 7 <> 0"))),
 
     QueryDef("q63_tfidf_top_terms",
       // Per-document top-3 TF-IDF terms (keyword extraction). The IDF is

@@ -354,6 +354,87 @@ object CdcAnalytics {
     inc.lines(s).orderBy(col("doc_id"))
   }
 
+  // ---- qc7: CDC DELETE retraction into the NEAR-DUP state (qc6's
+  // sibling for the second dedup layer — the qc-family now carries
+  // tombstone semantics end-to-end for line dedup AND near-dup) ------
+
+  /** The qc7 wire half: qc6's insert+delete binlog routed into
+    * [[IncrementalNearDup]] — inserts through the full
+    * shingle→minhash→band→verify accumulation per micro-batch, deletes
+    * as O(1) tombstone appends. COST NOTE (measured at sf0.1): ~7.9 s
+    * vs qc2's 1.55 s on the same workload — the delta is the per-batch
+    * BANDED INDEX work (state reads, candidate join, verify, three
+    * appends) that line-dedup's chunk-and-append twin doesn't do, plus
+    * the fact that batch q66 amortizes its signature computation
+    * through the session-cached corpus state while a wire twin must
+    * compute signatures from decoded text per batch — the honest price
+    * of the realism, the q112bs/qc4 precedent. Trigger choice is
+    * immaterial here: the drain loop's processAllAvailable() runs
+    * batches as data arrives regardless (measured identical at 500 and
+    * 1500 ms); 64 KiB reads still keep the batch COUNT low. */
+  def runNearDupRetractPipeline(s: SparkSession, events: Seq[String], statePath: String,
+      ckptPath: String, expectRows: Long,
+      sourceOptions: Map[String, String] = Map.empty): IncrementalNearDup = {
+    val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
+    val inc = new IncrementalNearDup(statePath)
+    val reg = new SchemaRegistry
+    val consumed = new java.util.concurrent.atomic.AtomicLong
+    val stream = (Map("bufferSize" -> "65536") ++ sourceOptions).foldLeft(
+      s.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("user", "u").option("password", "p")
+        .option("database", Database).option("table", DocTableName)) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      .load()
+    val q = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1500 milliseconds"))
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+      CdcProjection.registryFrom(batch, reg)
+      if (reg.latest(Database, DocTableName).isDefined) {
+        val proj = CdcProjection.projectLatest(batch, reg, Database, DocTableName)
+          .select(col("op"), col("doc_id"), col("text"))
+          .localCheckpoint(true) // split below reads it twice
+        // binlog order guarantees a doc's insert precedes its delete
+        inc.processBatch(proj.where(col("op") === "insert")
+          .select(col("doc_id"), col("text")), bid)
+        inc.retractBatch(proj.where(col("op") === "delete")
+          .select(col("doc_id")), bid)
+      }
+      consumed.addAndGet(batch.count())
+      ()
+    }.option("checkpointLocation", ckptPath).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (consumed.get() < expectRows && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        if (consumed.get() < expectRows) Thread.sleep(50)
+      }
+      require(consumed.get() == expectRows,
+        s"qc7 pipeline drained ${consumed.get()} of $expectRows rows")
+    } finally q.stop()
+    inc
+  }
+
+  /** qc7's query body: the qc6 workload (inserts then deletes of
+    * doc_id % 7 == 0) over the real wire path into the near-dup state,
+    * then the q57-shape dedup groups over the SURVIVORS — under q66b's
+    * oracle (the full banded chain + recursive-CTE components computed
+    * from `documents WHERE doc_id % 7 <> 0`, no CDC and no retraction
+    * machinery anywhere in it). The gate certifies the connector's
+    * delete path AND component re-formation (rep re-election,
+    * splits) at once. */
+  def nearDupRetractionOverCdc(s: SparkSession, dir: String): DataFrame = {
+    val events = docRetractWorkloadEvents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc7-cdc").toString
+    val inc = runNearDupRetractPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
+      events.size.toLong)
+    inc.groups(s)
+      .groupBy(col("rep").as("rep_doc"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("rep_doc"))
+  }
+
   // ---- qc3: CDC-fed incremental IVF (the connector feeding the ANN
   // layer — q88's maintenance loop with the wire path as the arrival
   // source instead of explicit batches) --------------------------------

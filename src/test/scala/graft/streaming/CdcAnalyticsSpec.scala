@@ -275,6 +275,45 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(lines(resumed) == expected)
   }
 
+  test("qc7: CDC near-dup retraction equals batch q66b, across a restart in the delete section") {
+    // qc6's drill on the near-dup layer: kill inside the delete
+    // section (some tombstones land before the outage, some after),
+    // resume on a NEW connection, and require the dedup groups to
+    // equal BOTH the one-shot wire run and the batch q66b entry (which
+    // is itself oracle-held to the survivors-only recursive CTE).
+    val events = CdcAnalytics.docRetractWorkloadEvents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc7-restart").toString
+
+    def groups(inc: IncrementalNearDup): Seq[(Long, Long)] =
+      inc.groups(spark)
+        .groupBy(org.apache.spark.sql.functions.col("rep"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .orderBy("rep").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val oneShot = CdcAnalytics.runNearDupRetractPipeline(spark, events,
+      s"$tmp/ref_state", s"$tmp/ref_ckpt", events.size.toLong)
+    val expected = groups(oneShot)
+    assert(expected.nonEmpty)
+    assert(expected.forall(_._1 % CdcAnalytics.RetractMod != 0),
+      "a deleted doc survived as a group representative")
+
+    val batch = graft.SparkEntry.queries("q66b_incremental_dedup_retract")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(expected == batch, "wire run diverges from batch q66b")
+
+    val nDel = events.count(_.contains("\"event_type\":\"delete\""))
+    val cut = events.size - nDel / 2
+    val phaseA = events.take(cut)
+    val phaseB = CdcAnalytics.docDdlJson +: events.drop(cut)
+    CdcAnalytics.runNearDupRetractPipeline(spark, phaseA,
+      s"$tmp/state", s"$tmp/ckpt", phaseA.size.toLong)
+    val resumed = CdcAnalytics.runNearDupRetractPipeline(spark, phaseB,
+      s"$tmp/state", s"$tmp/ckpt", phaseB.size.toLong)
+    assert(groups(resumed) == expected)
+  }
+
   test("replaying a committed batchId is bit-for-bit idempotent") {
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Files.createTempDirectory("cdc-replay").toString
