@@ -1334,9 +1334,14 @@ object Pipeline {
           explode(concat(col("t"), zip_with(
             expr("slice(t, 1, size(t) - 1)"), expr("slice(t, 2, size(t) - 1)"),
             (a, b) => concat(a, lit(" "), b)))).as("g"))
+        // materialize the feature stream ONCE: it feeds both the bucket
+        // stats and the final weigh join, and unmaterialized the
+        // explode+md5 pass ran twice (the q112 agg-then-join-back
+        // lesson; r10 audit: 3.34 → 1.37 s at sf0.1, hash unchanged)
         val feats = grams.select(col("doc_id"), col("lang"), col("source"),
           (conv(substring(md5(concat(lit("dsir:"), col("g"))), 1, 8), 16, 10)
             .cast("long") % F).as("b"))
+          .localCheckpoint(true)
         val stats = feats.groupBy(col("b")).agg(
           count(lit(1)).as("cr"),
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
