@@ -386,11 +386,17 @@ object LlmText {
 
   /** DuckDB oracle shared by q133 and its streaming twin q133s. */
   private[queries] val ReportCardOracleSql: String =
+    reportCardOracleSqlOver("")
+
+  /** The q133 oracle restricted to a docs filter suffix (q133r's
+    * survivors-only form — the dup-pressure window then re-computes
+    * over survivors, so deleted partners reverse the dup flag). */
+  private[graft] def reportCardOracleSqlOver(docsWhere: String): String =
     "WITH q AS (SELECT doc_id, source, lang, text, " +
       "len(string_split(text,' ')) AS n_tok, " +
       "len(list_filter(string_split(text,' '), x -> x IN " +
       "('the','a','of','and','to','in','is','on','for','it'))) AS n_stop, " +
-      "length(replace(text, ' ', '')) AS n_char FROM documents), " +
+      "length(replace(text, ' ', '')) AS n_char FROM documents" + docsWhere + "), " +
       "s AS (SELECT doc_id, source, lang, text, n_tok, " +
       "0.4 * LEAST(n_tok/50.0, 1.0) + " +
       "0.3 * (CAST(n_stop AS DOUBLE)/n_tok) + " +
@@ -920,6 +926,28 @@ object LlmText {
       },
       Some(ReportCardOracleSql)),
 
+    QueryDef("q133r_report_card_retract",
+      // q133s with CDC DELETE retraction: both waves, then docs with
+      // doc_id % 7 == 0 retracted. The interesting reversal: the
+      // report's dup-pressure column is a corpus-wide text window, so
+      // deleting a doc whose ONLY duplicate partner survives flips the
+      // survivor's isdup back to 0 — the retroactive dup flag runs
+      // BACKWARDS, which naive row filtering of the old crosstab can
+      // never produce. Oracle = batch q133 over the survivors.
+      (s, d) => {
+        import graft.streaming.IncrementalReportCard
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q133r-retract").toString
+        val inc = new IncrementalReportCard(statePath)
+        val src = docs(s, d).select(col("doc_id"), col("text"), col("source"), col("lang"))
+        inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)
+        inc.processBatch(src.where(col("doc_id") % 2 === 0), 1L)
+        inc.retractBatch(
+          src.where(col("doc_id") % 7 === 0).select(col("doc_id")), 2L)
+        inc.reportCard(s)
+      },
+      Some(reportCardOracleSqlOver(" WHERE doc_id % 7 <> 0"))),
+
     QueryDef("q51_token_regex",
       (s, d) => docs(s, d)
         .select(col("lang"), expr("size(regexp_extract_all(text, '[A-Za-z0-9]+', 0))").as("n"))
@@ -1093,6 +1121,33 @@ object LlmText {
       },
       Some(DupSpanOracleSql)),
 
+    QueryDef("q112r_dup_spans_retract",
+      // q112s with CDC DELETE retraction (the qc6 tombstone doctrine
+      // on the SPAN state — with this, q119s/q66/q88/q112s/q126s/q133s
+      // ALL carry tombstone semantics): both waves, then docs with
+      // doc_id % 7 == 0 retracted. Retraction here is SECOND-ORDER:
+      // dropping a doc doesn't just remove its rows — a span that was
+      // duplicated ONLY against the deleted doc flips back to unique
+      // on every surviving doc, because the shared-gram judgment runs
+      // over the tombstone-filtered gram state at emission. The oracle
+      // is batch q112 over the survivors (no retraction machinery in
+      // it): it matches only if exactly those flips happened.
+      (s, d) => {
+        import graft.streaming.IncrementalDupSpans
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q112r-retract").toString
+        val inc = new IncrementalDupSpans(statePath)
+        val src = docs(s, d).select(col("doc_id"), col("text"))
+        inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)
+        inc.processBatch(src.where(col("doc_id") % 2 === 0), 1L)
+        inc.retractBatch(
+          src.where(col("doc_id") % 7 === 0).select(col("doc_id")), 2L)
+        inc.spans(s)
+          .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"))
+          .orderBy(col("doc_id"))
+      },
+      Some(dupSpanOracleSqlOver("doc_id % 7 <> 0"))),
+
     QueryDef("q112b_multiscale_dup_spans",
       // Multi-RESOLUTION duplicate spans: the q112 statistic at n ∈
       // {5, 10, 20} side by side, long format (doc_id, n, …). Lee et
@@ -1227,6 +1282,29 @@ object LlmText {
         inc.removals(s).orderBy(col("doc_id"))
       },
       Some(SubstringRemovalOracleSql)),
+
+    QueryDef("q126r_substring_removal_retract",
+      // q126s with CDC DELETE retraction: both waves, then docs with
+      // doc_id % 7 == 0 retracted. Second-order semantics again: a
+      // sliding gram whose ONLY earlier occurrence lived in a deleted
+      // doc stops removing tokens from surviving docs, and a deleted
+      // doc that OWNED a gram passes keep-first ownership to the
+      // earliest surviving occurrence — both re-judged in one window
+      // pass over the tombstone-filtered gram state. Oracle = batch
+      // q126 over the survivors.
+      (s, d) => {
+        import graft.streaming.IncrementalSubstringRemoval
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q126r-retract").toString
+        val inc = new IncrementalSubstringRemoval(statePath)
+        val src = docs(s, d).select(col("doc_id"), col("text"))
+        inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)
+        inc.processBatch(src.where(col("doc_id") % 2 === 0), 1L)
+        inc.retractBatch(
+          src.where(col("doc_id") % 7 === 0).select(col("doc_id")), 2L)
+        inc.removals(s).orderBy(col("doc_id"))
+      },
+      Some(substringRemovalOracleSqlOver(" WHERE doc_id % 7 <> 0"))),
 
     QueryDef("q119s_incremental_line_dedup",
       // The STREAMING q119 under the batch oracle (the q112s/q66
@@ -1396,10 +1474,15 @@ object LlmText {
   /** DuckDB replay of [[substringRemoval]] at n = 10 (coverage via a
     * position-range join — DuckDB-side only; the engine's per-token
     * exists() is the distributed shape). */
-  private[queries] val SubstringRemovalOracleSql: String = {
+  private[queries] val SubstringRemovalOracleSql: String =
+    substringRemovalOracleSqlOver("")
+
+  /** The q126 oracle restricted to a docs filter suffix (q126r's
+    * survivors-only form). */
+  private[queries] def substringRemovalOracleSqlOver(docsWhere: String): String = {
     val n = 10
     val parts = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
-    "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents), " +
+    s"WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents$docsWhere), " +
       "ix AS (SELECT UNNEST(range(1, (SELECT 1 + MAX(len(t)) FROM toks))) AS i), " +
       "g AS (SELECT doc_id, i AS pos, " +
       s"CAST(('0x' || substring(md5($parts),1,8)) AS BIGINT) AS h " +
@@ -1490,7 +1573,12 @@ object LlmText {
   /** DuckDB oracle for the q112 span statistic (batch q112 AND its
     * streaming twin q112s — the stream==batch claim held at the hash
     * gate, the q66 precedent). */
-  private val DupSpanOracleSql: String = {
+  private val DupSpanOracleSql: String = dupSpanOracleSqlOver("")
+
+  /** The q112 oracle restricted to a docs predicate (q112r holds the
+    * delete-retracted span state to batch q112 over the SURVIVORS). */
+  private[queries] def dupSpanOracleSqlOver(docsPred: String): String = {
+    val extra = if (docsPred.isEmpty) "" else s"($docsPred) AND "
     val n = 5
     // i is 1-based (DuckDB list indexing): gram at pos = i-1 covers
     // tokens i..i+n-1, matching the Spark side's t[pos..pos+n-1].
@@ -1499,7 +1587,7 @@ object LlmText {
     // gram enumeration (was a fixed range(1,200)).
     val parts = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
     "WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents " +
-      s"WHERE len(string_split(text,' ')) >= $n), " +
+      s"WHERE ${extra}len(string_split(text,' ')) >= $n), " +
       "ix AS (SELECT UNNEST(range(1, (SELECT 1 + MAX(len(t)) FROM toks))) AS i), " +
       "g AS (SELECT doc_id, len(t) AS n_tokens, i-1 AS pos, " +
       s"CAST(('0x' || substring(md5($parts),1,8)) AS BIGINT) AS h " +

@@ -43,12 +43,42 @@ import graft.queries.LlmText
   * Replay safety: appends are anti-joined on doc_id against the
   * committed state, so a foreachBatch retry is a no-op (the
   * [[IncrementalNearDup]] idempotence doctrine).
+  *
+  * RETRACTION ([[retractBatch]] — the [[IncrementalLineDedup]]
+  * tombstone doctrine): a CDC DELETE appends one tombstone row and
+  * does no other work; [[spans]] anti-joins the gram state against the
+  * tombstones BEFORE the shared-gram judgment, so a span that was
+  * duplicated only because of the deleted doc flips back to unique on
+  * every surviving doc — exactly what batch q112/q112b over the
+  * survivors computes. Tombstones win permanently (the insert guard
+  * checks them); [[compact]] prunes the deleted grams physically,
+  * retaining tombstones.
   */
 final class IncrementalDupSpans(statePath: String, ns: Seq[Int]) {
 
   def this(statePath: String) = this(statePath, Seq(5))
 
   private val gramsDir = s"$statePath/grams"
+  private val tombstonesDir = s"$statePath/tombstones"
+
+  private val tombSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType)))
+
+  private def tombstones(spark: SparkSession): DataFrame =
+    readStateOr(spark, tombstonesDir, tombSchema)
+
+  /** foreachBatch hook for CDC DELETEs: `deletes` needs doc_id. O(1)
+    * per delete; span re-judgment is deferred to [[spans]]. Idempotent
+    * under replay. */
+  def retractBatch(deletes: DataFrame, batchId: Long): Unit = {
+    val spark = deletes.sparkSession
+    val ids = deletes.select(col("doc_id").cast("long").as("doc_id"))
+      .dropDuplicates(Seq("doc_id")) // intra-batch replay dedup
+      .localCheckpoint(true) // micro-batch sources are not re-scannable
+    val fresh = ids.join(tombstones(spark), Seq("doc_id"), "left_anti")
+    fresh.write.mode("append").parquet(tombstonesDir)
+  }
 
   private def readStateOr(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -85,7 +115,10 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int]) {
       s"state at $gramsDir was built for resolutions $stateNs but this " +
         s"instance runs ${ns.toSet}: changing the resolution set over " +
         "existing state requires a rebuild from the corpus")
-    val fresh = docs.join(old.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    // tombstones win: a replayed insert of a deleted doc appends
+    // nothing (see IncrementalLineDedup's re-insertion contract)
+    val seen = old.select("doc_id").union(tombstones(spark)).distinct()
+    val fresh = docs.join(seen, Seq("doc_id"), "left_anti")
     LlmText.dupSpanGrams(fresh, ns: _*)
       .write.mode("append").parquet(gramsDir)
   }
@@ -99,13 +132,24 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int]) {
       readStateOr(spark, gramsDir,
         LlmText.dupSpanGrams(
           spark.createDataFrame(Seq.empty[(Long, String)]).toDF("doc_id", "text"),
-          ns: _*).schema))
+          ns: _*).schema)
+        // retraction: the shared-gram judgment runs over SURVIVORS
+        // only, so a deleted doc's grams stop making other docs' spans
+        // duplicated
+        .join(tombstones(spark), Seq("doc_id"), "left_anti"))
       .select(col("doc_id"), col("n"), col("n_spans"),
         col("dup_tokens"), col("n_tokens"))
 
-  /** Bound the state-file count (small-file compaction between waves). */
+  /** Bound the state-file count (small-file compaction between waves);
+    * also the physical-delete point — tombstoned grams are dropped,
+    * tombstones retained (the IncrementalLineDedup contract). */
   def compact(spark: SparkSession, parts: Int): Unit = {
-    val cur = spark.read.parquet(gramsDir).localCheckpoint(true)
+    val tombs = tombstones(spark).localCheckpoint(true)
+    val cur = spark.read.parquet(gramsDir)
+      .join(tombs, Seq("doc_id"), "left_anti").localCheckpoint(true)
     cur.repartition(parts).write.mode("overwrite").parquet(gramsDir)
+    val tp = new org.apache.hadoop.fs.Path(tombstonesDir)
+    if (tp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tp))
+      tombs.repartition(1).write.mode("overwrite").parquet(tombstonesDir)
   }
 }

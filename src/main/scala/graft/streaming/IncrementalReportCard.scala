@@ -31,6 +31,36 @@ import graft.queries.LlmText
 final class IncrementalReportCard(statePath: String) {
 
   private val docsDir = s"$statePath/docs"
+  private val tombstonesDir = s"$statePath/tombstones"
+
+  private val tombSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType)))
+
+  private def readDirOr(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  private def tombstones(spark: SparkSession): DataFrame =
+    readDirOr(spark, tombstonesDir, tombSchema)
+
+  /** foreachBatch hook for CDC DELETEs (the IncrementalLineDedup
+    * tombstone doctrine): O(1) tombstone append; the crosstab at
+    * emission re-computes over survivors, so a doc whose only
+    * duplicate partner is deleted flips back to non-dup — the
+    * retroactive dup flag REVERSES. Idempotent under replay;
+    * tombstones win on later inserts. */
+  def retractBatch(deletes: DataFrame, batchId: Long): Unit = {
+    val spark = deletes.sparkSession
+    val ids = deletes.select(col("doc_id").cast("long").as("doc_id"))
+      .dropDuplicates(Seq("doc_id")) // intra-batch replay dedup
+      .localCheckpoint(true) // micro-batch sources are not re-scannable
+    val fresh = ids.join(tombstones(spark), Seq("doc_id"), "left_anti")
+    fresh.write.mode("append").parquet(tombstonesDir)
+  }
 
   private def emptyDocs(spark: SparkSession): DataFrame =
     spark.createDataFrame(Seq.empty[(Long, String, String, String)])
@@ -54,18 +84,29 @@ final class IncrementalReportCard(statePath: String) {
       .dropDuplicates(Seq("doc_id"))
       .localCheckpoint(true) // micro-batch sources are not re-scannable
     val old = readStateOr(spark, docs.schema)
-    docs.join(old.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    // tombstones win: a replayed insert of a deleted doc appends nothing
+    docs.join(old.select("doc_id").union(tombstones(spark)).distinct(),
+        Seq("doc_id"), "left_anti")
       .write.mode("append").parquet(docsDir)
   }
 
   /** The (source × lang) crosstab over every doc seen so far —
     * row-identical to batch q133 on the same corpus. */
   def reportCard(spark: SparkSession): DataFrame =
-    LlmText.reportCardOf(readStateOr(spark, emptyDocs(spark).schema))
+    LlmText.reportCardOf(readStateOr(spark, emptyDocs(spark).schema)
+      // retraction: every statistic (incl. the dup-pressure window)
+      // re-computes over the surviving docs only
+      .join(tombstones(spark), Seq("doc_id"), "left_anti"))
 
-  /** Bound the state-file count (small-file compaction between waves). */
+  /** Bound the state-file count (small-file compaction between waves);
+    * also the physical-delete point (tombstones retained). */
   def compact(spark: SparkSession, parts: Int): Unit = {
-    val cur = spark.read.parquet(docsDir).localCheckpoint(true)
+    val tombs = tombstones(spark).localCheckpoint(true)
+    val cur = spark.read.parquet(docsDir)
+      .join(tombs, Seq("doc_id"), "left_anti").localCheckpoint(true)
     cur.repartition(parts).write.mode("overwrite").parquet(docsDir)
+    val tp = new org.apache.hadoop.fs.Path(tombstonesDir)
+    if (tp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tp))
+      tombs.repartition(1).write.mode("overwrite").parquet(tombstonesDir)
   }
 }

@@ -43,6 +43,28 @@ final class IncrementalSubstringRemoval(statePath: String, n: Int = 10) {
 
   private val gramsDir = s"$statePath/grams"
   private val docsDir = s"$statePath/docs"
+  private val tombstonesDir = s"$statePath/tombstones"
+
+  private val tombSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType)))
+
+  private def tombstones(spark: SparkSession): DataFrame =
+    readStateOr(spark, tombstonesDir, tombSchema)
+
+  /** foreachBatch hook for CDC DELETEs (the IncrementalLineDedup
+    * tombstone doctrine): O(1) tombstone append; the keep-first
+    * re-judgment over survivors is deferred to [[removals]] — a gram
+    * owned only by the deleted doc stops removing other docs' tokens.
+    * Idempotent under replay; tombstones win on later inserts. */
+  def retractBatch(deletes: DataFrame, batchId: Long): Unit = {
+    val spark = deletes.sparkSession
+    val ids = deletes.select(col("doc_id").cast("long").as("doc_id"))
+      .dropDuplicates(Seq("doc_id")) // intra-batch replay dedup
+      .localCheckpoint(true) // micro-batch sources are not re-scannable
+    val fresh = ids.join(tombstones(spark), Seq("doc_id"), "left_anti")
+    fresh.write.mode("append").parquet(tombstonesDir)
+  }
 
   private def readStateOr(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -67,12 +89,16 @@ final class IncrementalSubstringRemoval(statePath: String, n: Int = 10) {
     // Independent per-directory replay guards: each append reads only
     // its own committed state, so a retry after a partial failure
     // re-runs exactly the append(s) that did not commit.
+    // tombstones win on both dirs: a replayed insert of a deleted doc
+    // appends nothing anywhere
+    val tombs = tombstones(spark).localCheckpoint(true)
     val oldDocs = readStateOr(spark, docsDir, docs.schema)
-    docs.join(oldDocs.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    docs.join(oldDocs.select("doc_id").union(tombs).distinct(),
+        Seq("doc_id"), "left_anti")
       .write.mode("append").parquet(docsDir)
     val gramSchema = LlmText.removalGrams(emptyDocs(spark), n).schema
     val oldGramDocs = readStateOr(spark, gramsDir, gramSchema)
-      .select("doc_id").distinct()
+      .select("doc_id").union(tombs).distinct()
     val freshForGrams = docs.join(oldGramDocs, Seq("doc_id"), "left_anti")
     LlmText.removalGrams(freshForGrams, n).write.mode("append").parquet(gramsDir)
   }
@@ -80,16 +106,30 @@ final class IncrementalSubstringRemoval(statePath: String, n: Int = 10) {
   /** Removal + reconstruction over every doc seen so far —
     * row-identical to batch q126 on the same corpus. */
   def removals(spark: SparkSession): DataFrame = {
+    // retraction: both relations restricted to survivors BEFORE the
+    // keep-first judgment — a deleted doc neither appears in the
+    // output nor keeps removing tokens from surviving docs
+    val tombs = tombstones(spark)
     val docs = readStateOr(spark, docsDir, emptyDocs(spark).schema)
+      .join(tombs, Seq("doc_id"), "left_anti")
     val grams = readStateOr(spark, gramsDir,
       LlmText.removalGrams(emptyDocs(spark), n).schema)
+      .join(tombs, Seq("doc_id"), "left_anti")
     LlmText.substringRemovalStats(grams, docs, n)
   }
 
-  /** Bound the state-file count (small-file compaction between waves). */
-  def compact(spark: SparkSession, parts: Int): Unit =
+  /** Bound the state-file count (small-file compaction between waves);
+    * also the physical-delete point — tombstoned rows are dropped from
+    * both dirs, tombstones retained. */
+  def compact(spark: SparkSession, parts: Int): Unit = {
+    val tombs = tombstones(spark).localCheckpoint(true)
     Seq(gramsDir, docsDir).foreach { dir =>
-      val cur = spark.read.parquet(dir).localCheckpoint(true)
+      val cur = spark.read.parquet(dir)
+        .join(tombs, Seq("doc_id"), "left_anti").localCheckpoint(true)
       cur.repartition(parts).write.mode("overwrite").parquet(dir)
     }
+    val tp = new org.apache.hadoop.fs.Path(tombstonesDir)
+    if (tp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tp))
+      tombs.repartition(1).write.mode("overwrite").parquet(tombstonesDir)
+  }
 }

@@ -95,6 +95,45 @@ class IncrementalDupSpansSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Map(10L -> ((1L, 6L, 9L)), 20L -> ((1L, 6L, 9L))), s"got=$got")
   }
 
+  test("retraction: a span duplicated only against a deleted doc flips back to unique") {
+    // second-order retraction: docs 10/20 share a phrase, so both
+    // carry a dup span; retracting 10 must not just drop 10's row —
+    // 20's span was duplicated ONLY against 10, so it flips back to
+    // unique and the emitted relation becomes EMPTY (what batch q112
+    // over the survivors computes; naive row filtering would leave
+    // 20's stale span row behind).
+    val statePath = java.nio.file.Files
+      .createTempDirectory("inc-dupspans-retract").toString
+    val inc = new IncrementalDupSpans(statePath)
+    val phrase = (1 to 6).map(i => s"p$i").mkString(" ")
+    inc.processBatch(spark.createDataFrame(Seq(
+      (10L, s"a1 a2 $phrase a3"), (20L, s"b1 $phrase b2 b3")))
+      .toDF("doc_id", "text"), 0L)
+    assert(collectSpans(inc).keySet == Set(10L, 20L))
+
+    inc.retractBatch(
+      spark.createDataFrame(Seq(Tuple1(10L))).toDF("doc_id"), 1L)
+    assert(collectSpans(inc) == Map.empty,
+      "survivor's span did not flip back to unique")
+
+    // tombstones win: a replayed insert of the deleted doc appends no
+    // grams and does not resurrect the span
+    val gramsBefore = spark.read.parquet(s"$statePath/grams").count()
+    inc.processBatch(spark.createDataFrame(Seq(
+      (10L, s"a1 a2 $phrase a3"))).toDF("doc_id", "text"), 2L)
+    assert(spark.read.parquet(s"$statePath/grams").count() == gramsBefore)
+    assert(collectSpans(inc) == Map.empty)
+
+    // retraction replay no-op; compaction prunes physically
+    inc.retractBatch(
+      spark.createDataFrame(Seq(Tuple1(10L))).toDF("doc_id"), 99L)
+    assert(spark.read.parquet(s"$statePath/tombstones").count() == 1)
+    inc.compact(spark, parts = 1)
+    assert(spark.read.parquet(s"$statePath/grams")
+      .where(org.apache.spark.sql.functions.col("doc_id") === 10L).count() == 0)
+    assert(collectSpans(inc) == Map.empty)
+  }
+
   test("one multi-resolution state equals per-n states, row for row") {
     // the r9 consolidation claim: a single (n, h)-keyed state over
     // ns = {5, 10, 20} emits exactly the union of three independent

@@ -76,5 +76,23 @@ class IncrementalReportCardSpec extends AnyFunSuite with SparkTestSession {
     // BOTH cells now report dup pressure — doc 10 flipped without
     // being re-processed
     assert(card == Map(("web", "en") -> 1L, ("books", "en") -> 1L))
+
+    // RETRACTION runs the flip BACKWARDS: delete doc 10 (doc 20's only
+    // duplicate partner) and the surviving cell's dup pressure must
+    // return to 0 — naive row filtering of the old crosstab could
+    // never produce this
+    inc.retractBatch(
+      spark.createDataFrame(Seq(Tuple1(10L))).toDF("doc_id"), 2L)
+    assert(card == Map(("books", "en") -> 0L),
+      "deleting the only duplicate partner did not reverse the dup flag")
+
+    // tombstones win on a replayed insert; compaction prunes physically
+    inc.processBatch(spark.createDataFrame(
+      Seq((10L, "alpha beta gamma", "web", "en"))).toDF("doc_id", "text", "source", "lang"), 3L)
+    assert(card == Map(("books", "en") -> 0L))
+    inc.compact(spark, parts = 1)
+    assert(spark.read.parquet(s"$statePath/docs")
+      .where(org.apache.spark.sql.functions.col("doc_id") === 10L).count() == 0)
+    assert(card == Map(("books", "en") -> 0L))
   }
 }

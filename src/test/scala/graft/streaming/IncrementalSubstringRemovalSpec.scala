@@ -115,4 +115,47 @@ class IncrementalSubstringRemovalSpec extends AnyFunSuite with SparkTestSession 
     val got = collectOut(inc.removals(spark))
     assert(got === Map(20L -> ((12L, 10L, "z1 z2"))), s"got=$got")
   }
+
+  test("retraction: deleting the gram owner restores the survivor's tokens or re-elects ownership") {
+    // scenario 1 — sole partner deleted: 10 owns the span, 20's copy
+    // is removed; retract 10 → 20 is ALONE, nothing may be removed
+    // (the affected-docs relation becomes empty). Naive filtering
+    // would keep 20's stale removal row.
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    val p1 = java.nio.file.Files
+      .createTempDirectory("inc-subrem-retract1").toString
+    val inc1 = new IncrementalSubstringRemoval(p1)
+    inc1.processBatch(spark.createDataFrame(Seq(
+      (10L, s"y1 $span"), (20L, s"$span z1 z2"))).toDF("doc_id", "text"), 0L)
+    assert(collectOut(inc1.removals(spark)).keySet == Set(20L))
+    inc1.retractBatch(
+      spark.createDataFrame(Seq(Tuple1(10L))).toDF("doc_id"), 1L)
+    assert(collectOut(inc1.removals(spark)) === Map.empty,
+      "survivor still shows a removal after its only partner was deleted")
+
+    // scenario 2 — owner deleted among three: 10 owns, 20 and 30 are
+    // removed; retract 10 → ownership re-elects to 20 (earliest
+    // surviving (doc_id, pos)), 30 stays removed
+    val p2 = java.nio.file.Files
+      .createTempDirectory("inc-subrem-retract2").toString
+    val inc2 = new IncrementalSubstringRemoval(p2)
+    inc2.processBatch(spark.createDataFrame(Seq(
+      (10L, s"y1 $span"), (20L, s"$span z1 z2"), (30L, s"w1 $span w2")))
+      .toDF("doc_id", "text"), 0L)
+    assert(collectOut(inc2.removals(spark)).keySet == Set(20L, 30L))
+    inc2.retractBatch(
+      spark.createDataFrame(Seq(Tuple1(10L))).toDF("doc_id"), 1L)
+    val got2 = collectOut(inc2.removals(spark))
+    assert(got2 === Map(30L -> ((12L, 10L, "w1 w2"))), s"got=$got2")
+
+    // tombstones win + physical compaction
+    val docsBefore = spark.read.parquet(s"$p2/docs").count()
+    inc2.processBatch(spark.createDataFrame(Seq(
+      (10L, s"y1 $span"))).toDF("doc_id", "text"), 2L)
+    assert(spark.read.parquet(s"$p2/docs").count() == docsBefore)
+    inc2.compact(spark, parts = 1)
+    assert(spark.read.parquet(s"$p2/grams")
+      .where(org.apache.spark.sql.functions.col("doc_id") === 10L).count() == 0)
+    assert(collectOut(inc2.removals(spark)) === got2)
+  }
 }
