@@ -937,6 +937,44 @@ object Pipeline {
         s"${bucketSql("split:", "doc_id")} >= 90) " +
         "SELECT tst.n_test, cont.n_contaminated FROM tst CROSS JOIN cont")),
 
+    QueryDef("q64b_contamination_fraction",
+      // FRACTIONAL decontamination (the WMT/GPT-3-appendix refinement
+      // over q64's binary any-overlap): per held-out doc, WHAT SHARE of
+      // its distinct 8-grams appears anywhere in the training split —
+      // the triage artifact that separates a quoted sentence (a few %)
+      // from a verbatim leak (approaching 100%), which a binary flag
+      // collapses. Top-20 by (share desc, doc_id) — a deterministic
+      // total order. The share is the exact integer rational
+      // (10000·n_hit) div n_grams: no FP anywhere. Scale shape = q64's
+      // plus two doc-keyed hash aggs: distinct train grams (hash agg)
+      // LEFT SEMI probed from the test side (inverted-index equi-join,
+      // linear in shingle volume), never a doc×doc comparison; the
+      // per-doc totals ride the same scan.
+      (s, d) => {
+        val sh8 = LlmText.shingles(s, d, 8)
+          .withColumn("b", bucket("split:", col("doc_id")))
+        val trainSh = sh8.where(col("b") < 80).select(col("sh")).distinct()
+        val test = sh8.where(col("b") >= 90)
+        val hits = test.join(trainSh, Seq("sh"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        test.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+          .join(hits, Seq("doc_id"), "left")
+          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+          .withColumn("frac_e4", expr("(10000 * n_hit) div n_grams"))
+          .orderBy(col("frac_e4").desc, col("doc_id")).limit(20)
+      },
+      Some("WITH " + LlmText.shinglesSql(8) + ", " +
+        s"sb AS (SELECT doc_id, sh, ${bucketSql("split:", "doc_id")} AS b FROM sh), " +
+        "train AS (SELECT DISTINCT sh FROM sb WHERE b < 80), " +
+        "tst AS (SELECT doc_id, COUNT(*) AS n_grams FROM sb WHERE b >= 90 GROUP BY doc_id), " +
+        "hits AS (SELECT s.doc_id, COUNT(*) AS n_hit FROM sb s " +
+        "JOIN train t ON t.sh = s.sh WHERE s.b >= 90 GROUP BY s.doc_id) " +
+        "SELECT doc_id, n_grams, n_hit, frac_e4 FROM (" +
+        "SELECT tst.doc_id, tst.n_grams, COALESCE(h.n_hit, 0) AS n_hit, " +
+        "CAST((10000 * COALESCE(h.n_hit, 0)) // tst.n_grams AS BIGINT) AS frac_e4 " +
+        "FROM tst LEFT JOIN hits h ON h.doc_id = tst.doc_id) " +
+        "ORDER BY frac_e4 DESC, doc_id LIMIT 20")),
+
     QueryDef("q65_repetition",
       // Gopher-style repetition filter signal: per doc, the share of
       // bigram occurrences taken by its single most repeated bigram;

@@ -278,4 +278,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(got.values.map(_._4).sum > 0, "merges never applied — nothing saved")
   }
+
+  test("q64b fractional contamination is consistent with q64's binary flag") {
+    // every q64b row is a valid fraction; the exact-verbatim case
+    // reads 10000; and restricting the top-20 to frac > 0 can never
+    // exceed q64's corpus-wide contaminated count (the binary flag is
+    // the fraction's support)
+    val fr = graft.SparkEntry.queries("q64b_contamination_fraction")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fr.nonEmpty)
+    for ((id, ng, nh, f) <- fr) {
+      assert(nh >= 0 && nh <= ng, s"doc $id: hits $nh outside [0, $ng]")
+      assert(f == 10000 * nh / ng, s"doc $id: frac_e4 $f not the exact rational")
+    }
+    assert(fr.map(_._4).toSeq == fr.map(_._4).toSeq.sorted(Ordering[Long].reverse),
+      "top-20 not sorted by fraction")
+    val binary = graft.SparkEntry.queries("q64_contamination")(spark, dir)
+      .collect().head.getLong(1)
+    assert(fr.count(_._4 > 0) <= binary,
+      "more fractionally-contaminated docs than q64's binary count")
+    assert(fr.exists(_._4 > 0), "fixture drift: no contaminated test doc")
+  }
 }
