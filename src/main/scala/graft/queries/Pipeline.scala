@@ -975,6 +975,53 @@ object Pipeline {
         "FROM tst LEFT JOIN hits h ON h.doc_id = tst.doc_id) " +
         "ORDER BY frac_e4 DESC, doc_id LIMIT 20")),
 
+    QueryDef("q64c_fuzzy_contamination",
+      // FUZZY decontamination (the Llama/GPT-corpus practice layered
+      // over q64/q64b's exact n-gram forms): a held-out doc is
+      // contaminated if it is a NEAR-DUPLICATE of any training doc —
+      // verbatim-with-edits leaks that exact 8-gram matching can miss
+      // once whitespace or a few tokens change. Reuses the ONE cached
+      // verified pair relation (bandedNearDupPairs — the same
+      // lossless-filter doctrine as q130: the 0.5 bar sits above the
+      // 8×2 banding design floor 0.35, so this is a filter, never a
+      // re-band) restricted to pairs crossing the train/test split
+      // boundary, with each contaminated test doc attributed to its
+      // WORST train partner (jaccard desc, ties to the smaller train
+      // id — a total order). Zero new shuffles over the corpus: the
+      // pair relation is fixture-cached and the split assignment is
+      // the pure per-row md5 bucket q58/q64 already use.
+      (s, d) => {
+        val pairs = LlmText.bandedNearDupPairs(s, d)
+          .where(col("jaccard") >= 0.5)
+        val marked = pairs
+          .withColumn("ba", bucket("split:", col("doc_a")))
+          .withColumn("bb", bucket("split:", col("doc_b")))
+        val oriented = marked
+          .where(col("ba") < 80 && col("bb") >= 90)
+          .select(col("doc_a").as("tr"), col("doc_b").as("te"), col("jaccard"))
+          .unionByName(marked
+            .where(col("bb") < 80 && col("ba") >= 90)
+            .select(col("doc_b").as("tr"), col("doc_a").as("te"), col("jaccard")))
+        oriented.groupBy(col("te").as("test_doc"))
+          .agg(min(struct((lit(0.0) - col("jaccard")).as("nj"), col("tr"))).as("b"))
+          .select(col("test_doc"), col("b.tr").as("train_doc"),
+            (lit(0.0) - col("b.nj")).as("jaccard"))
+          .orderBy(col("test_doc"))
+      },
+      Some("WITH " + LlmText.BandedPairsSqlCtes + ", " +
+        "marked AS (SELECT doc_a, doc_b, jaccard, " +
+        s"${bucketSql("split:", "doc_a")} AS ba, " +
+        s"${bucketSql("split:", "doc_b")} AS bb " +
+        "FROM pairs WHERE jaccard >= 0.5), " +
+        "ori AS (SELECT doc_a AS tr, doc_b AS te, jaccard FROM marked " +
+        "WHERE ba < 80 AND bb >= 90 " +
+        "UNION ALL SELECT doc_b, doc_a, jaccard FROM marked " +
+        "WHERE bb < 80 AND ba >= 90) " +
+        "SELECT test_doc, train_doc, jaccard FROM (" +
+        "SELECT te AS test_doc, tr AS train_doc, jaccard, " +
+        "ROW_NUMBER() OVER (PARTITION BY te ORDER BY jaccard DESC, tr) AS rn FROM ori) " +
+        "WHERE rn = 1 ORDER BY test_doc")),
+
     QueryDef("q65_repetition",
       // Gopher-style repetition filter signal: per doc, the share of
       // bigram occurrences taken by its single most repeated bigram;

@@ -299,4 +299,37 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
       "more fractionally-contaminated docs than q64's binary count")
     assert(fr.exists(_._4 > 0), "fixture drift: no contaminated test doc")
   }
+
+  test("q64c fuzzy contamination crosses the split boundary and attributes the worst partner") {
+    // run at sf0.01: the cross-split near-dup pair space at sf0.001 is
+    // too small to be meaningful (expected pairs < 1)
+    val d01 = "/root/testdata/sf0.01"
+    def b(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split:$id".getBytes("UTF-8"))
+        .take(4).map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val rows = graft.SparkEntry.queries("q64c_fuzzy_contamination")(spark, d01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "fixture drift: no fuzzy-contaminated test doc at sf0.01")
+    for ((te, tr, j) <- rows) {
+      assert(b(te) >= 90, s"test doc $te not in the test split")
+      assert(b(tr) < 80, s"train partner $tr not in the train split")
+      assert(j >= 0.5, s"pair ($te, $tr) below the fuzzy bar: $j")
+    }
+    // attribution replay: for each contaminated doc, the reported
+    // partner is the (jaccard desc, id asc) argmax over ALL its
+    // cross-split pairs in the shared verified relation
+    val pairs = graft.queries.LlmText.bandedNearDupPairs(spark, d01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = pairs.filter(_._3 >= 0.5).flatMap { case (a, bb, j) =>
+      Seq((a, bb, j), (bb, a, j)) }
+      .filter { case (tr, te, _) => b(tr) < 80 && b(te) >= 90 }
+      .groupBy(_._2).map { case (te, ps) =>
+        val best = ps.minBy { case (tr, _, j) => (-j, tr) }
+        (te, best._1, best._3)
+      }.toSet
+    assert(rows.toSet == expect, "attribution diverges from the pair-relation replay")
+  }
 }
