@@ -449,7 +449,20 @@ object Pipeline {
   /** The q69 body over a documents relation (exposed for the
     * partitioning-invariance spec): per-source unigram-LM surprisal
     * stats — see the q69 QueryDef comment for the full doctrine. */
-  private[graft] def lmSurprisal(docsDf: DataFrame): DataFrame = {
+  private[graft] def lmSurprisal(docsDf: DataFrame): DataFrame =
+    lmSurprisalPerDoc(docsDf).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ssum") > lit(35000L) * col("n_tok"), 1L).otherwise(0L))
+          .cast("long").as("n_flagged"),
+        expr("CAST(floor(CAST(SUM(ssum) AS DOUBLE) / SUM(n_tok) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+          .as("avg_surprisal_e4"))
+      .orderBy(col("source"))
+
+  /** The q69 per-doc stage (doc_id, source, ssum, n_tok) — the
+    * unigram-LM surprisal sums q69 summarizes and q134's curriculum
+    * phases band. See the q69 QueryDef comment for the quantization
+    * doctrine. */
+  private[graft] def lmSurprisalPerDoc(docsDf: DataFrame): DataFrame = {
     val tok = docsDf.select(col("doc_id"), col("source"),
       explode(split(col("text"), " ")).as("tok"))
     val tot = tok.agg(count(lit(1)).as("t_total"))
@@ -457,16 +470,9 @@ object Pipeline {
       .crossJoin(broadcast(tot))
       .select(col("tok"), expr(
         "CAST(floor(ln(CAST(t_total AS DOUBLE) / freq) * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("s_mu"))
-    val perDoc = tok.join(lm, Seq("tok"))
+    tok.join(lm, Seq("tok"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("s_mu")).as("ssum"), count(lit(1)).as("n_tok"))
-    perDoc.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("ssum") > lit(35000L) * col("n_tok"), 1L).otherwise(0L))
-          .cast("long").as("n_flagged"),
-        expr("CAST(floor(CAST(SUM(ssum) AS DOUBLE) / SUM(n_tok) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
-          .as("avg_surprisal_e4"))
-      .orderBy(col("source"))
   }
 
   /** Per-doc train/valid/test assignment (the q58 core), exposed so the
@@ -1021,6 +1027,54 @@ object Pipeline {
         "SELECT te AS test_doc, tr AS train_doc, jaccard, " +
         "ROW_NUMBER() OVER (PARTITION BY te ORDER BY jaccard DESC, tr) AS rn FROM ori) " +
         "WHERE rn = 1 ORDER BY test_doc")),
+
+    QueryDef("q134_curriculum_phases",
+      // CURRICULUM data ordering (Bengio et al. 2009, in data-pipeline
+      // form — the easy→hard schedule a staged pretraining run
+      // consumes): band every doc into a curriculum phase by its mean
+      // unigram-LM surprisal (q69's per-doc stage reused verbatim —
+      // low surprisal = common-token, "easy" text; high = rare-token,
+      // "hard" tail) and emit the per-(phase, source) manifest — docs,
+      // tokens, exact mean — that a trainer reads phase by phase (the
+      // physical per-phase ordering/write is q123's shard writer).
+      // Bands are FIXED integer thresholds (3.4/3.41 nats as e4
+      // integers, calibrated ONCE to this corpus era's surprisal
+      // distribution — the q107 fixed-bin doctrine: data-DERIVED
+      // quantile boundaries drift with the very corpus being scheduled
+      // and need a global sort/quantile pass; calibrated constants are
+      // a map-only assignment and a (phases×sources)-bounded hash agg
+      // at ANY corpus size, re-calibrated only when the corpus era
+      // changes, like q107's bins). The per-doc mean is the exact
+      // integer rational ssum div n_tok — no FP anywhere past q69's
+      // once-quantized ln.
+      (s, d) => {
+        val perDoc = lmSurprisalPerDoc(docs(s, d))
+          .withColumn("mean_e4", expr("ssum div n_tok"))
+          .withColumn("phase",
+            when(col("mean_e4") < 34000L, "1_easy")
+              .when(col("mean_e4") < 34100L, "2_medium")
+              .otherwise("3_hard"))
+        perDoc.groupBy(col("phase"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("sum_tokens"),
+            expr("CAST(floor(CAST(SUM(ssum) AS DOUBLE) / SUM(n_tok) + CAST(0.5 AS DOUBLE)) AS BIGINT)")
+              .as("avg_surprisal_e4"))
+          .orderBy(col("phase"), col("source"))
+      },
+      Some("WITH tok AS (SELECT doc_id, source, UNNEST(string_split(text,' ')) AS tok FROM documents), " +
+        "tot AS (SELECT COUNT(*) AS t_total FROM tok), " +
+        "lm AS (SELECT tok, CAST(floor(ln(CAST(t_total AS DOUBLE) / COUNT(*)) * 10000 " +
+        "+ CAST(0.5 AS DOUBLE)) AS BIGINT) AS s_mu FROM tok CROSS JOIN tot GROUP BY tok, t_total), " +
+        "perdoc AS (SELECT doc_id, source, SUM(s_mu) AS ssum, COUNT(*) AS n_tok " +
+        "FROM tok JOIN lm USING (tok) GROUP BY 1, 2), " +
+        "ph AS (SELECT source, ssum, n_tok, " +
+        "CASE WHEN CAST(ssum // n_tok AS BIGINT) < 34000 THEN '1_easy' " +
+        "WHEN CAST(ssum // n_tok AS BIGINT) < 34100 THEN '2_medium' " +
+        "ELSE '3_hard' END AS phase FROM perdoc) " +
+        "SELECT phase, source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(n_tok) AS BIGINT) AS sum_tokens, " +
+        "CAST(floor(CAST(SUM(ssum) AS DOUBLE) / SUM(n_tok) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS avg_surprisal_e4 " +
+        "FROM ph GROUP BY phase, source ORDER BY phase, source")),
 
     QueryDef("q65_repetition",
       // Gopher-style repetition filter signal: per doc, the share of

@@ -332,4 +332,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
       }.toSet
     assert(rows.toSet == expect, "attribution diverges from the pair-relation replay")
   }
+
+  test("q134 curriculum phases partition the corpus and order by difficulty") {
+    val rows = SparkEntry.queries("q134_curriculum_phases")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = Tables(spark, dir, "documents").count()
+    assert(rows.map(_._3).sum == total,
+      "every doc must land in exactly one curriculum phase")
+    val phases = rows.map(_._1).distinct.sorted
+    assert(phases.length >= 2, s"degenerate banding on fixture: $phases")
+    // the schedule is real: per-phase token-weighted mean surprisal is
+    // strictly increasing easy -> hard
+    def phaseMean(p: String): Double = {
+      val ps = rows.filter(_._1 == p)
+      ps.map(r => r._5.toDouble * r._4).sum / ps.map(_._4).sum
+    }
+    val means = phases.toSeq.map(phaseMean)
+    assert(means == means.sorted && means.distinct.length == means.length,
+      s"phase means not strictly increasing: ${phases.toSeq.zip(means)}")
+  }
 }
