@@ -153,8 +153,19 @@ object LlmText {
         s"SELECT doc_id, $j AS band, $ks FROM sig"
       }.mkString(" UNION ALL ") +
       "), " +
-      "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x " +
-      "JOIN bands y ON x.band = y.band AND " +
+      // the HotBucketCap guard, mirrored from bandedCandidates (the
+      // r10 q70 lesson: the oracle must model the GUARD, not just the
+      // unguarded semantics — at fixture scale every bucket is under
+      // the cap so this is a no-op and hashes are unchanged, but at a
+      // scale where a bucket goes hot the engine drops it and an
+      // uncapped oracle would silently diverge)
+      "bsz AS (SELECT band, " + keyCols.mkString(", ") +
+      ", COUNT(*) AS bsz FROM bands GROUP BY band, " + keyCols.mkString(", ") + "), " +
+      "bandsc AS (SELECT b.* FROM bands b JOIN bsz z ON z.band = b.band AND " +
+      keyCols.map(k => s"z.$k = b.$k").mkString(" AND ") +
+      s" WHERE z.bsz <= $HotBucketCap), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bandsc x " +
+      "JOIN bandsc y ON x.band = y.band AND " +
       keyCols.map(k => s"x.$k = y.$k").mkString(" AND ") +
       " AND x.doc_id < y.doc_id)"
   }
