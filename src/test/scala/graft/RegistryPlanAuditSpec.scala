@@ -48,7 +48,10 @@ class RegistryPlanAuditSpec extends AnyFunSuite with SparkTestSession {
     "q63_tfidf_top_terms", "q64_contamination", "q67_bm25_retrieval",
     "q69_lm_surprisal", "q77_mixture_weights", "q94_mixture_sample",
     "q97_pmi_pairs", "q118_dsir_selection", "q125b_top_repeated_substrings",
-    "q127_hybrid_rrf")
+    "q127_hybrid_rrf",
+    // r10: q134 shares q69's allowlisted shape exactly — the 1-row
+    // corpus-total crossJoin(broadcast(...)) feeding the LM table
+    "q134_curriculum_phases")
 
   test("no registered entry plans a cartesian product or an unlisted BNLJ") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
