@@ -147,7 +147,10 @@ object LlmText {
         s"MIN(CAST(('0x' || substring(md5('$salt' || sh),${1 + 8 * (i % 4)},8)) AS BIGINT)) AS h$i"
       }.mkString(", ") +
       " FROM shraw GROUP BY doc_id), " +
-      "bands AS (" +
+      // MATERIALIZED: bands feeds bsz, bandsc and (via bandsc) both
+      // cand sides — un-hinted, DuckDB re-inlines the md5-heavy sig
+      // chain per reference (the q104 multiplicative-CTE lesson)
+      "bands AS MATERIALIZED (" +
       (0 until nBands).map { j =>
         val ks = (0 until bandR).map(k => s"h${bandR * j + k} AS k$k").mkString(", ")
         s"SELECT doc_id, $j AS band, $ks FROM sig"
@@ -161,7 +164,7 @@ object LlmText {
       // uncapped oracle would silently diverge)
       "bsz AS (SELECT band, " + keyCols.mkString(", ") +
       ", COUNT(*) AS bsz FROM bands GROUP BY band, " + keyCols.mkString(", ") + "), " +
-      "bandsc AS (SELECT b.* FROM bands b JOIN bsz z ON z.band = b.band AND " +
+      "bandsc AS MATERIALIZED (SELECT b.* FROM bands b JOIN bsz z ON z.band = b.band AND " +
       keyCols.map(k => s"z.$k = b.$k").mkString(" AND ") +
       s" WHERE z.bsz <= $HotBucketCap), " +
       "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bandsc x " +
