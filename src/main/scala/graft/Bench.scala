@@ -81,7 +81,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val eps = if (ingestRuns.exists(_ < 0)) -1.0 else ingestRuns.max
+    // headline from the SUCCESSFUL runs only (ADVICE r10): one failed
+    // interleaved run shouldn't poison the other two, and with
+    // SPARK_GRAFT_BENCH_PASSES=0 the buffer is empty — both cases fall
+    // back to the -1.0 sentinel rather than throwing
+    val okRuns = ingestRuns.filter(_ >= 0)
+    val eps = if (okRuns.isEmpty) -1.0 else okRuns.max
     val epsRuns = ingestRuns.mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_eps":$eps,"ingest_eps_runs":$epsRuns,"sf":"$sfDir"}"""
     println(line)

@@ -36,16 +36,32 @@ object Jobs {
       }
     }))
 
+  private val groupSeq = new AtomicInteger
+
   /** Run `thunks` as concurrent Spark jobs and await all, failing with
     * `what` in the message if the batch exceeds `timeout` (a wedged
-    * executor should fail the query with a diagnosis, not hang it). */
+    * executor should fail the query with a diagnosis, not hang it).
+    *
+    * Each thunk runs under a per-call job group (set on the pool thread
+    * — job groups are thread-local) so that on timeout the in-flight
+    * Spark actions are CANCELLED, not abandoned: a wedged batch must not
+    * keep contending with whatever the caller runs next (ADVICE r10). */
   def awaitAll[T](what: String, timeout: Duration = 10.minutes)(
-      thunks: Seq[() => T]): Seq[T] =
-    try Await.result(Future.sequence(thunks.map(t => Future(t())(ec)))(
-      implicitly, ec), timeout)
+      thunks: Seq[() => T]): Seq[T] = {
+    val scOpt = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext)
+    val group = s"graft-jobs-${groupSeq.incrementAndGet()}"
+    val fs = thunks.map(t => Future {
+      scOpt.foreach(_.setJobGroup(group, what, interruptOnCancel = true))
+      try t() finally scOpt.foreach(_.clearJobGroup())
+    }(ec))
+    try Await.result(Future.sequence(fs)(implicitly, ec), timeout)
     catch {
       case e: java.util.concurrent.TimeoutException =>
+        scOpt.foreach(_.cancelJobGroup(group))
         throw new RuntimeException(
           s"concurrent jobs for $what did not complete within $timeout", e)
     }
+  }
 }

@@ -42,7 +42,10 @@ class DocsConsistencySpec extends AnyFunSuite {
       p -> new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
     }
-    val tStated = f"t=0.${LlmText.PrefixJoinTn * 10 / LlmText.PrefixJoinTd}%d"
+    // exact rational render (ADVICE r10: the old `tn*10/td` integer form
+    // silently truncated for denominators other than 10, e.g. 3/4 → 0.7)
+    val tStated = "t=" + (BigDecimal(LlmText.PrefixJoinTn) /
+      BigDecimal(LlmText.PrefixJoinTd)).underlying.stripTrailingZeros.toPlainString
     for ((path, text) <- docs) {
       val q46bLines = text.linesIterator.filter(_.toLowerCase.contains("q46b")).toList
       assert(q46bLines.exists(_.contains(tStated)),

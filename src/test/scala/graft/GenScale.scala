@@ -47,16 +47,21 @@ object GenScale {
     // single part file per table, flattened to <out>/<name>.parquet as a
     // PLAIN FILE (both graft.Tables and tools/check.py's read_parquet
     // take that path shape; Spark still splits one file by row group)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
     def flatten(name: String): Unit = {
       val dir = new java.io.File(s"$out/.tmp_$name")
       val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
       val dest = new java.io.File(s"$out/$name.parquet")
-      if (dest.exists()) { def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(dest) }
+      if (dest.exists()) rm(dest)
       java.nio.file.Files.move(part.toPath, dest.toPath)
-      def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
       rm(dir)
     }
-    def copyUnion(name: String, parts: Int)(one: (DataFrame, Int) => DataFrame): Unit = {
+    // single-part by contract: flatten() moves exactly one part file to
+    // the plain-file path shape Tables/check.py expect (ADVICE r10: the
+    // old per-table `parts` argument was dead — coalesce(1) always won)
+    def copyUnion(name: String)(one: (DataFrame, Int) => DataFrame): Unit = {
       val base = Tables(spark, src, name)
       (0 until copies).map(c => one(base, c)).reduce(_ unionByName _)
         .coalesce(1)
@@ -72,35 +77,35 @@ object GenScale {
       flatten(name)
       println(s"[genscale] wrote $name x1")
     }
-    copyUnion("customer", 4) { (df, c) =>
+    copyUnion("customer") { (df, c) =>
       df.withColumn("c_custkey", shift(c)(col("c_custkey")))
     }
-    copyUnion("supplier", 2) { (df, c) =>
+    copyUnion("supplier") { (df, c) =>
       df.withColumn("s_suppkey", shift(c)(col("s_suppkey")))
     }
-    copyUnion("part", 4) { (df, c) =>
+    copyUnion("part") { (df, c) =>
       df.withColumn("p_partkey", shift(c)(col("p_partkey")))
     }
-    copyUnion("orders", 8) { (df, c) =>
+    copyUnion("orders") { (df, c) =>
       df.withColumn("o_orderkey", shift(c)(col("o_orderkey")))
         .withColumn("o_custkey", shift(c)(col("o_custkey")))
     }
-    copyUnion("lineitem", 16) { (df, c) =>
+    copyUnion("lineitem") { (df, c) =>
       df.withColumn("l_orderkey", shift(c)(col("l_orderkey")))
         .withColumn("l_partkey", shift(c)(col("l_partkey")))
         .withColumn("l_suppkey", shift(c)(col("l_suppkey")))
     }
-    copyUnion("events", 8) { (df, c) =>
+    copyUnion("events") { (df, c) =>
       df.withColumn("event_id", shift(c)(col("event_id")))
         .withColumn("user_id", shift(c)(col("user_id")))
     }
-    copyUnion("documents", 8) { (df, c) =>
+    copyUnion("documents") { (df, c) =>
       val texted = if (c == 0) df else df.withColumn("text",
         expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_c$c')), ' ')"))
       texted.withColumn("doc_id", shift(c)(col("doc_id")))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
-    copyUnion("embeddings", 4) { (df, c) =>
+    copyUnion("embeddings") { (df, c) =>
       val rotated = if (c == 0) df else df.withColumn("embedding",
         expr(s"concat(slice(embedding, ${c + 1}, ${64 - c}), slice(embedding, 1, $c))"))
       rotated.withColumn("vec_id", shift(c)(col("vec_id")))
