@@ -610,15 +610,14 @@ object CdcAnalytics {
           // guards against rows that landed in EARLIER batches
           .dropDuplicates(Seq("event_id"))
           .localCheckpoint(true)
-        val p = new org.apache.hadoop.fs.Path(feedDir)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val fresh =
-          if (!fs.exists(p)) proj
-          else proj.join(
-            s.read.schema(proj.schema).parquet(feedDir)
-              .select("event_id").distinct(),
-            Seq("event_id"), "left_anti")
-        fresh.write.mode("append").parquet(feedDir)
+        // replay-guard read PRUNED to the batch's event_id buckets
+        // (VERDICT r10 item 2 — the feed is bucket-partitioned on
+        // event_id via StateLayout, like every incremental state)
+        val fresh = proj.join(
+          StateLayout.readPruned(s, feedDir, proj.schema,
+            proj, Seq("event_id")).select("event_id").distinct(),
+          Seq("event_id"), "left_anti")
+        StateLayout.append(fresh, feedDir, Seq("event_id"))
       }
       consumed.addAndGet(batch.count())
       ()

@@ -103,14 +103,21 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int]) {
     // and a replayed doc skips tokenization entirely (r9: the
     // gram-then-anti order shuffled the full gram relation per wave)
     val gramSchema = LlmText.dupSpanGrams(docs.limit(0), ns: _*).schema
-    val old = readStateOr(spark, gramsDir, gramSchema)
+    // guard read PRUNED to the batch's doc_id buckets (VERDICT r10
+    // item 2 — the state is bucket-partitioned on doc_id)
+    val old = StateLayout.readPruned(spark, gramsDir, gramSchema,
+      docs, Seq("doc_id"))
     // the per-doc_id guard is only sound while the resolution set is
     // the one the state was built with — an enlarged `ns` would skip
     // already-seen docs entirely and the new n's grams would silently
     // cover only later docs. Fail loudly instead: a resolution change
     // is a state REBUILD, not an append. (One tiny distinct over the
-    // state's n column per batch — parquet reads just that column.)
-    val stateNs = old.select(col("n")).distinct().collect().map(_.getInt(0)).toSet
+    // state's n column per batch — parquet reads just that column. The
+    // check deliberately reads the FULL state, not the pruned view: a
+    // batch whose buckets happen to hold no committed rows must still
+    // refuse to append mismatched resolutions.)
+    val stateNs = StateLayout.read(spark, gramsDir, gramSchema)
+      .select(col("n")).distinct().collect().map(_.getInt(0)).toSet
     require(stateNs.isEmpty || stateNs == ns.toSet,
       s"state at $gramsDir was built for resolutions $stateNs but this " +
         s"instance runs ${ns.toSet}: changing the resolution set over " +
@@ -119,8 +126,8 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int]) {
     // nothing (see IncrementalLineDedup's re-insertion contract)
     val seen = old.select("doc_id").union(tombstones(spark)).distinct()
     val fresh = docs.join(seen, Seq("doc_id"), "left_anti")
-    LlmText.dupSpanGrams(fresh, ns: _*)
-      .write.mode("append").parquet(gramsDir)
+    StateLayout.append(LlmText.dupSpanGrams(fresh, ns: _*), gramsDir,
+      Seq("doc_id"))
   }
 
   /** Duplicate-span stats over every doc seen so far, one row per
@@ -129,7 +136,7 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int]) {
     * [[LlmText.dupSpanStats]] stage, same state rows). */
   def spans(spark: SparkSession): DataFrame =
     LlmText.dupSpanStats(
-      readStateOr(spark, gramsDir,
+      StateLayout.read(spark, gramsDir,
         LlmText.dupSpanGrams(
           spark.createDataFrame(Seq.empty[(Long, String)]).toDF("doc_id", "text"),
           ns: _*).schema)
@@ -145,9 +152,12 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int]) {
     * tombstones retained (the IncrementalLineDedup contract). */
   def compact(spark: SparkSession, parts: Int): Unit = {
     val tombs = tombstones(spark).localCheckpoint(true)
-    val cur = spark.read.parquet(gramsDir)
+    val gramSchema = LlmText.dupSpanGrams(
+      spark.createDataFrame(Seq.empty[(Long, String)]).toDF("doc_id", "text"),
+      ns: _*).schema
+    val cur = StateLayout.read(spark, gramsDir, gramSchema)
       .join(tombs, Seq("doc_id"), "left_anti").localCheckpoint(true)
-    cur.repartition(parts).write.mode("overwrite").parquet(gramsDir)
+    StateLayout.overwriteCompacted(cur, gramsDir, Seq("doc_id"), parts)
     val tp = new org.apache.hadoop.fs.Path(tombstonesDir)
     if (tp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tp))
       tombs.repartition(1).write.mode("overwrite").parquet(tombstonesDir)

@@ -96,7 +96,10 @@ final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid]) 
       .localCheckpoint(true) // micro-batch sources are not re-scannable
     val assigned = KMeansLloyd.assign(vecs, cents)
       .select(col("vec_id"), col("cell"))
-    val old = readStateOr(spark, s"$statePath/members", assigned.schema)
+    // guard read PRUNED to the batch's vec_id buckets (VERDICT r10
+    // item 2 — members/ is bucket-partitioned on vec_id)
+    val old = StateLayout.readPruned(spark, s"$statePath/members",
+      assigned.schema, vecs, Seq("vec_id"))
     // replayed micro-batch (foreachBatch retries after failure) is a
     // no-op instead of doubling rows — same idempotent-append contract
     // as IncrementalNearDup. Tombstones are guarded too (tombstones
@@ -104,7 +107,7 @@ final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid]) 
     val seen = old.select("vec_id").union(
       tombstones(spark).select("vec_id")).distinct()
     val fresh = assigned.join(seen, Seq("vec_id"), "left_anti")
-    fresh.write.mode("append").parquet(s"$statePath/members")
+    StateLayout.append(fresh, s"$statePath/members", Seq("vec_id"))
   }
 
   /** Accumulated streamed index members (vec_id, cell), minus
@@ -115,7 +118,7 @@ final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid]) 
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("cell",
         org.apache.spark.sql.types.IntegerType)))
-    readStateOr(spark, s"$statePath/members", schema)
+    StateLayout.read(spark, s"$statePath/members", schema)
       .join(tombstones(spark), Seq("vec_id"), "left_anti")
   }
 
@@ -138,9 +141,14 @@ final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid]) 
     if (fs.exists(p)) {
       // physical removal of retracted codes (tombstones retained so a
       // replayed insert of a deleted vector still appends nothing)
-      val snap = spark.read.parquet(dir)
+      val memberSchema = StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType)))
+      val snap = StateLayout.read(spark, dir, memberSchema)
         .join(tombs, Seq("vec_id"), "left_anti").localCheckpoint(true)
-      snap.coalesce(parts).write.mode("overwrite").parquet(dir)
+      StateLayout.overwriteCompacted(snap, dir, Seq("vec_id"), parts)
     }
     val tp = new org.apache.hadoop.fs.Path(s"$statePath/tombstones")
     if (tp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tp))

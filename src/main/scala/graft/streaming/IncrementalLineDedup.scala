@@ -15,7 +15,8 @@ import graft.queries.LlmText
   * State (parquet under `statePath`):
   *  - `chunks/` — one row per 10-token line occurrence
   *    (doc_id, ck, chunk), the [[LlmText.lineChunks]] relation,
-  *    append-only;
+  *    append-only, bucket-partitioned on doc_id ([[StateLayout]]) so
+  *    the per-batch replay guard prunes to the batch's buckets;
   *  - `tombstones/` — one row per RETRACTED doc_id (CDC DELETE
   *    semantics, VERDICT r9 item 1), append-only.
   *
@@ -88,11 +89,15 @@ final class IncrementalLineDedup(statePath: String) {
     // filtering doc rows against seen doc_ids equals filtering chunk
     // rows — and a replayed doc skips chunking entirely. Tombstoned
     // ids are guarded too (tombstones win): a replayed insert of a
-    // deleted doc must not resurrect its chunks.
-    val old = readStateOr(spark, chunksDir, emptyChunks(spark).schema)
+    // deleted doc must not resurrect its chunks. The guard read is
+    // PRUNED to the batch's doc_id buckets (VERDICT r10 item 2): the
+    // state is bucket-partitioned on doc_id, so this scans O(touched
+    // buckets) files, not the whole committed state.
+    val old = StateLayout.readPruned(spark, chunksDir,
+      emptyChunks(spark).schema, docs, Seq("doc_id"))
     val seen = old.select("doc_id").union(tombstones(spark)).distinct()
     val fresh = docs.join(seen, Seq("doc_id"), "left_anti")
-    LlmText.lineChunks(fresh).write.mode("append").parquet(chunksDir)
+    StateLayout.append(LlmText.lineChunks(fresh), chunksDir, Seq("doc_id"))
   }
 
   /** foreachBatch hook for CDC DELETEs: `deletes` needs doc_id. O(1)
@@ -114,7 +119,7 @@ final class IncrementalLineDedup(statePath: String) {
     * filtered chunk relation, so a deleted owner's line is re-owned by
     * the earliest surviving claimant. */
   def lines(spark: SparkSession): DataFrame = {
-    val ch = readStateOr(spark, chunksDir, emptyChunks(spark).schema)
+    val ch = StateLayout.read(spark, chunksDir, emptyChunks(spark).schema)
     LlmText.lineDedupStats(
       ch.join(tombstones(spark), Seq("doc_id"), "left_anti"))
       .select(col("doc_id"), col("orig_chunks"), col("kept_chunks"), col("new_text"))
@@ -128,9 +133,9 @@ final class IncrementalLineDedup(statePath: String) {
     * appends nothing. */
   def compact(spark: SparkSession, parts: Int): Unit = {
     val tombs = tombstones(spark).localCheckpoint(true)
-    val cur = spark.read.parquet(chunksDir)
+    val cur = StateLayout.read(spark, chunksDir, emptyChunks(spark).schema)
       .join(tombs, Seq("doc_id"), "left_anti").localCheckpoint(true)
-    cur.repartition(parts).write.mode("overwrite").parquet(chunksDir)
+    StateLayout.overwriteCompacted(cur, chunksDir, Seq("doc_id"), parts)
     val p = new org.apache.hadoop.fs.Path(tombstonesDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p))

@@ -139,8 +139,19 @@ final class IncrementalNearDup(statePath: String) {
     // the UNFILTERED dirs — a deleted doc's rows are still committed
     // bytes, and re-appending them on replay would resurrect them at
     // the next compaction.
-    val oldBandsAll = readStateOr(spark, s"$statePath/bands", newBands.schema)
-    val oldBands = oldBandsAll.join(tombs, Seq("doc_id"), "left_anti")
+    //
+    // VERDICT r10 item 2 — state reads prune to the batch's buckets:
+    // bands/ is bucket-partitioned on (band, key) so the candidate
+    // probe reads only partitions the batch's band keys can live in
+    // (file-level pruning UNDER candidateUnion's broadcast semi-join,
+    // which then restricts to exact buckets within them); sets/ on
+    // doc_id so the verify side reads only the candidate docs'
+    // buckets and the replay guard only the batch docs'; pairs/ on
+    // (doc_a, doc_b) so the freshness anti-join reads only the
+    // verified pairs' buckets.
+    val oldBands = StateLayout.readPruned(spark, s"$statePath/bands",
+        newBands.schema, newBands, Seq("band", "key"))
+      .join(tombs, Seq("doc_id"), "left_anti")
     // ONE shuffle for count + cap + candidate generation (VERDICT r6
     // item 4 — previously a count agg, two semi-joins, and a two-sided
     // self equi-join over the same band rows): tag each band row with
@@ -165,20 +176,42 @@ final class IncrementalNearDup(statePath: String) {
       .select(least(col("xd"), col("y.doc_id")).as("doc_a"),
         greatest(col("xd"), col("y.doc_id")).as("doc_b"))
       .distinct()
+      // materialized once: the candidate set is bounded per batch
+      // (≤ cap × touched buckets) and is read twice below — once to
+      // collect its doc buckets for the pruned sets/ read, once as the
+      // verify join's left side
+      .localCheckpoint(true)
 
-    val oldSetsAll = readStateOr(spark, s"$statePath/sets", newSets.schema)
-    val oldSets = oldSetsAll.join(tombs, Seq("doc_id"), "left_anti")
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+    val oldSets = StateLayout.readPruned(spark, s"$statePath/sets",
+        newSets.schema, candDocs, Seq("doc_id"))
+      .join(tombs, Seq("doc_id"), "left_anti")
     val verified = LlmText.verifyPairs(cand, oldSets.unionByName(newSets))
-    val oldPairs = readStateOr(spark, s"$statePath/pairs", verified.schema)
+      // bounded per batch; read twice (bucket collection + append)
+      .localCheckpoint(true)
+    val oldPairs = StateLayout.readPruned(spark, s"$statePath/pairs",
+      verified.schema, verified, Seq("doc_a", "doc_b"))
     val fresh = verified.join(oldPairs.select("doc_a", "doc_b"),
       Seq("doc_a", "doc_b"), "left_anti")
 
     // every append is anti-joined against existing state, so a replayed
     // micro-batch (foreachBatch retries after failure) is a no-op
     // instead of doubling rows — idempotent-by-construction restart
-    // semantics without a transactional table format
-    val freshSets = newSets.join(oldSetsAll.select("doc_id"), Seq("doc_id"), "left_anti")
-    val freshBands = newBands.join(oldBandsAll.select("doc_id").distinct(),
+    // semantics without a transactional table format. The sets/ guard
+    // prunes to the batch docs' buckets; the bands/ guard CANNOT prune
+    // (bands/ is partitioned on the band key, the guard is by doc_id)
+    // and deliberately scans the full dir's doc_id column — a
+    // single-column parquet scan, and the price of guarding each dir
+    // against ITS OWN committed state (a partial crash can commit one
+    // dir and not another).
+    val freshSets = newSets.join(
+      StateLayout.readPruned(spark, s"$statePath/sets", newSets.schema,
+        newSets, Seq("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val freshBands = newBands.join(
+      StateLayout.read(spark, s"$statePath/bands", newBands.schema)
+        .select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
     // the three appends are INDEPENDENT jobs (each reads only committed
     // state dirs, none reads a dir being written), so they run
@@ -186,9 +219,9 @@ final class IncrementalNearDup(statePath: String) {
     // behind `fresh`), not the sum — the driver-side analog of AQE's
     // parallel stages, worth ~1 s/wave of pure scheduling serialization
     graft.util.Jobs.awaitAll(s"IncrementalNearDup batch $batchId appends")(Seq(
-      () => fresh.write.mode("append").parquet(s"$statePath/pairs"),
-      () => freshBands.write.mode("append").parquet(s"$statePath/bands"),
-      () => freshSets.write.mode("append").parquet(s"$statePath/sets")))
+      () => StateLayout.append(fresh, s"$statePath/pairs", Seq("doc_a", "doc_b")),
+      () => StateLayout.append(freshBands, s"$statePath/bands", Seq("band", "key")),
+      () => StateLayout.append(freshSets, s"$statePath/sets", Seq("doc_id"))))
     ()
   }
 
@@ -225,16 +258,21 @@ final class IncrementalNearDup(statePath: String) {
     // either side); the tombstones themselves are retained so a later
     // replay of the deleted doc's insert events still appends nothing
     val tombs = tombstones(spark).localCheckpoint(true)
+    val layoutKeys = Map(
+      "pairs" -> Seq("doc_a", "doc_b"),
+      "bands" -> Seq("band", "key"),
+      "sets" -> Seq("doc_id"))
     Seq("pairs", "bands", "sets").foreach { t =>
       val dir = s"$statePath/$t"
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) {
-        val cur = spark.read.parquet(dir)
+      if (StateLayout.exists(spark, dir)) {
+        // inferred read + drop of the layout column handles each dir's
+        // schema (bands' key struct is fixture-shaped); the rewrite
+        // restores the bucketed layout
+        val cur = spark.read.parquet(dir).drop(StateLayout.BucketCol)
         val snap = (if (t == "pairs") dropTombstonedPairs(cur, tombs)
           else cur.join(tombs, Seq("doc_id"), "left_anti"))
           .localCheckpoint(true)
-        snap.coalesce(parts).write.mode("overwrite").parquet(dir)
+        StateLayout.overwriteCompacted(snap, dir, layoutKeys(t), parts)
       }
     }
     val tp = new org.apache.hadoop.fs.Path(s"$statePath/tombstones")
@@ -253,7 +291,8 @@ final class IncrementalNearDup(statePath: String) {
     * sides, so downstream components re-form as a batch run over the
     * survivors would. */
   def pairs(spark: SparkSession): DataFrame =
-    dropTombstonedPairs(spark.read.parquet(s"$statePath/pairs"),
+    dropTombstonedPairs(
+      spark.read.parquet(s"$statePath/pairs").drop(StateLayout.BucketCol),
       tombstones(spark))
 
   /** Dedup groups over everything ingested so far — same contract as

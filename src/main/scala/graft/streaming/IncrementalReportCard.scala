@@ -83,17 +83,21 @@ final class IncrementalReportCard(statePath: String) {
       // rows that landed in EARLIER batches
       .dropDuplicates(Seq("doc_id"))
       .localCheckpoint(true) // micro-batch sources are not re-scannable
-    val old = readStateOr(spark, docs.schema)
+    // guard read PRUNED to the batch's doc_id buckets (VERDICT r10
+    // item 2 — docs/ is bucket-partitioned on doc_id)
+    val old = StateLayout.readPruned(spark, docsDir, docs.schema,
+      docs, Seq("doc_id"))
     // tombstones win: a replayed insert of a deleted doc appends nothing
-    docs.join(old.select("doc_id").union(tombstones(spark)).distinct(),
-        Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(docsDir)
+    StateLayout.append(
+      docs.join(old.select("doc_id").union(tombstones(spark)).distinct(),
+        Seq("doc_id"), "left_anti"),
+      docsDir, Seq("doc_id"))
   }
 
   /** The (source × lang) crosstab over every doc seen so far —
     * row-identical to batch q133 on the same corpus. */
   def reportCard(spark: SparkSession): DataFrame =
-    LlmText.reportCardOf(readStateOr(spark, emptyDocs(spark).schema)
+    LlmText.reportCardOf(StateLayout.read(spark, docsDir, emptyDocs(spark).schema)
       // retraction: every statistic (incl. the dup-pressure window)
       // re-computes over the surviving docs only
       .join(tombstones(spark), Seq("doc_id"), "left_anti"))
@@ -102,9 +106,9 @@ final class IncrementalReportCard(statePath: String) {
     * also the physical-delete point (tombstones retained). */
   def compact(spark: SparkSession, parts: Int): Unit = {
     val tombs = tombstones(spark).localCheckpoint(true)
-    val cur = spark.read.parquet(docsDir)
+    val cur = StateLayout.read(spark, docsDir, emptyDocs(spark).schema)
       .join(tombs, Seq("doc_id"), "left_anti").localCheckpoint(true)
-    cur.repartition(parts).write.mode("overwrite").parquet(docsDir)
+    StateLayout.overwriteCompacted(cur, docsDir, Seq("doc_id"), parts)
     val tp = new org.apache.hadoop.fs.Path(tombstonesDir)
     if (tp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tp))
       tombs.repartition(1).write.mode("overwrite").parquet(tombstonesDir)

@@ -92,15 +92,21 @@ final class IncrementalSubstringRemoval(statePath: String, n: Int = 10) {
     // tombstones win on both dirs: a replayed insert of a deleted doc
     // appends nothing anywhere
     val tombs = tombstones(spark).localCheckpoint(true)
-    val oldDocs = readStateOr(spark, docsDir, docs.schema)
-    docs.join(oldDocs.select("doc_id").union(tombs).distinct(),
-        Seq("doc_id"), "left_anti")
-      .write.mode("append").parquet(docsDir)
+    // guard reads PRUNED to the batch's doc_id buckets (VERDICT r10
+    // item 2 — both dirs are bucket-partitioned on doc_id)
+    val oldDocs = StateLayout.readPruned(spark, docsDir, docs.schema,
+      docs, Seq("doc_id"))
+    StateLayout.append(
+      docs.join(oldDocs.select("doc_id").union(tombs).distinct(),
+        Seq("doc_id"), "left_anti"),
+      docsDir, Seq("doc_id"))
     val gramSchema = LlmText.removalGrams(emptyDocs(spark), n).schema
-    val oldGramDocs = readStateOr(spark, gramsDir, gramSchema)
+    val oldGramDocs = StateLayout.readPruned(spark, gramsDir, gramSchema,
+        docs, Seq("doc_id"))
       .select("doc_id").union(tombs).distinct()
     val freshForGrams = docs.join(oldGramDocs, Seq("doc_id"), "left_anti")
-    LlmText.removalGrams(freshForGrams, n).write.mode("append").parquet(gramsDir)
+    StateLayout.append(LlmText.removalGrams(freshForGrams, n), gramsDir,
+      Seq("doc_id"))
   }
 
   /** Removal + reconstruction over every doc seen so far —
@@ -110,9 +116,9 @@ final class IncrementalSubstringRemoval(statePath: String, n: Int = 10) {
     // keep-first judgment — a deleted doc neither appears in the
     // output nor keeps removing tokens from surviving docs
     val tombs = tombstones(spark)
-    val docs = readStateOr(spark, docsDir, emptyDocs(spark).schema)
+    val docs = StateLayout.read(spark, docsDir, emptyDocs(spark).schema)
       .join(tombs, Seq("doc_id"), "left_anti")
-    val grams = readStateOr(spark, gramsDir,
+    val grams = StateLayout.read(spark, gramsDir,
       LlmText.removalGrams(emptyDocs(spark), n).schema)
       .join(tombs, Seq("doc_id"), "left_anti")
     LlmText.substringRemovalStats(grams, docs, n)
@@ -123,11 +129,13 @@ final class IncrementalSubstringRemoval(statePath: String, n: Int = 10) {
     * both dirs, tombstones retained. */
   def compact(spark: SparkSession, parts: Int): Unit = {
     val tombs = tombstones(spark).localCheckpoint(true)
-    Seq(gramsDir, docsDir).foreach { dir =>
-      val cur = spark.read.parquet(dir)
-        .join(tombs, Seq("doc_id"), "left_anti").localCheckpoint(true)
-      cur.repartition(parts).write.mode("overwrite").parquet(dir)
-    }
+    val gramSchema = LlmText.removalGrams(emptyDocs(spark), n).schema
+    Seq(gramsDir -> gramSchema, docsDir -> emptyDocs(spark).schema)
+      .foreach { case (dir, schema) =>
+        val cur = StateLayout.read(spark, dir, schema)
+          .join(tombs, Seq("doc_id"), "left_anti").localCheckpoint(true)
+        StateLayout.overwriteCompacted(cur, dir, Seq("doc_id"), parts)
+      }
     val tp = new org.apache.hadoop.fs.Path(tombstonesDir)
     if (tp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tp))
       tombs.repartition(1).write.mode("overwrite").parquet(tombstonesDir)

@@ -73,9 +73,10 @@ class IncrementalDupSpansSpec extends AnyFunSuite with SparkTestSession {
     // compaction preserves content while bounding file counts
     inc2.compact(spark, parts = 2)
     assert(collectSpans(inc2) == batch)
-    val nFiles = new java.io.File(s"$statePath/grams")
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    assert(nFiles <= 2, s"grams not compacted: $nFiles files")
+    // bucketed layout: compaction bounds the dir at one file per
+    // non-empty bucket (StateLayout.overwriteCompacted)
+    val nFiles = StateFiles.parquetCount(s"$statePath/grams")
+    assert(nFiles <= StateLayout.NumBuckets, s"grams not compacted: $nFiles files")
   }
 
   test("a later doc retroactively flags an old doc's span") {

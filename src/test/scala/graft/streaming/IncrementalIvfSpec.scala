@@ -84,9 +84,10 @@ class IncrementalIvfSpec extends AnyFunSuite with SparkTestSession {
     val compacted = inc.members(spark).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(compacted == streamed)
-    val nFiles = new java.io.File(s"$statePath/members")
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    assert(nFiles <= 2, s"members not compacted: $nFiles files")
+    // bucketed layout: compaction bounds the dir at one file per
+    // non-empty bucket (StateLayout.overwriteCompacted)
+    val nFiles = StateFiles.parquetCount(s"$statePath/members")
+    assert(nFiles <= StateLayout.NumBuckets, s"members not compacted: $nFiles files")
   }
 
   test("retraction: the probe view equals a one-shot assignment of the survivors") {

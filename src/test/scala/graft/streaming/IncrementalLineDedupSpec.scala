@@ -64,9 +64,10 @@ class IncrementalLineDedupSpec extends AnyFunSuite with SparkTestSession {
     // compaction preserves content while bounding file counts
     inc2.compact(spark, parts = 2)
     assert(collectOut(inc2.lines(spark)) == batch)
-    val nFiles = new java.io.File(s"$statePath/chunks")
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    assert(nFiles <= 2, s"chunks not compacted: $nFiles files")
+    // bucketed layout: compaction bounds the dir at one file per
+    // non-empty bucket (StateLayout.overwriteCompacted)
+    val nFiles = StateFiles.parquetCount(s"$statePath/chunks")
+    assert(nFiles <= StateLayout.NumBuckets, s"chunks not compacted: $nFiles files")
   }
 
   test("retraction: a deleted owner's line is re-owned by the earliest surviving claimant") {

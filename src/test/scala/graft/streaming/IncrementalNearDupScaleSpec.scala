@@ -27,9 +27,6 @@ class IncrementalNearDupScaleSpec extends AnyFunSuite with SparkTestSession {
     val inc = new IncrementalNearDup(statePath)
     // grown state: the WHOLE corpus committed in one wave
     inc.processBatch(docs, 0L)
-    val oldBands = spark.read.parquet(s"$statePath/bands")
-    val stateRows = oldBands.count()
-    assert(stateRows > 1000, s"state too small to be meaningful: $stateRows")
 
     // a small batch of 5 fresh docs whose text is copied from distinct
     // corpus docs — identical text ⇒ identical band keys ⇒ every batch
@@ -39,6 +36,11 @@ class IncrementalNearDupScaleSpec extends AnyFunSuite with SparkTestSession {
       .withColumn("doc_id", col("doc_id") + 1000000L)
     val newBands = LlmText.bandKeys(
       LlmText.nearDupState(batch).localCheckpoint(true), 8, 2)
+
+    val oldBands = StateLayout.read(spark, s"$statePath/bands",
+      newBands.schema)
+    val stateRows = oldBands.count()
+    assert(stateRows > 1000, s"state too small to be meaningful: $stateRows")
     val nBuckets = newBands.select("band", "key").distinct().count()
 
     val tagged = inc.candidateUnion(oldBands, newBands)

@@ -77,9 +77,10 @@ class IncrementalNearDupSpec extends AnyFunSuite with SparkTestSession {
     val compacted = inc.groups(spark).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(compacted == batchGroups)
-    val nFiles = new java.io.File(s"$statePath/pairs")
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    assert(nFiles <= 2, s"pairs not compacted: $nFiles files")
+    // bucketed layout: compaction bounds the dir at one file per
+    // non-empty bucket (StateLayout.overwriteCompacted)
+    val nFiles = StateFiles.parquetCount(s"$statePath/pairs")
+    assert(nFiles <= StateLayout.NumBuckets, s"pairs not compacted: $nFiles files")
   }
 
   test("retraction: components re-form as a fresh run over the survivors, interleaved with ingest") {

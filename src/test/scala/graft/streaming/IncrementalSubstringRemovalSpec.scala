@@ -65,9 +65,10 @@ class IncrementalSubstringRemovalSpec extends AnyFunSuite with SparkTestSession 
     // compaction preserves content while bounding file counts
     inc2.compact(spark, parts = 2)
     assert(collectOut(inc2.removals(spark)) == batch)
-    val nFiles = new java.io.File(s"$statePath/grams")
-      .listFiles().count(_.getName.endsWith(".parquet"))
-    assert(nFiles <= 2, s"grams not compacted: $nFiles files")
+    // bucketed layout: compaction bounds the dir at one file per
+    // non-empty bucket (StateLayout.overwriteCompacted)
+    val nFiles = StateFiles.parquetCount(s"$statePath/grams")
+    assert(nFiles <= StateLayout.NumBuckets, s"grams not compacted: $nFiles files")
   }
 
   test("retry after a crash between the docs and grams appends recovers the grams") {
@@ -82,9 +83,12 @@ class IncrementalSubstringRemovalSpec extends AnyFunSuite with SparkTestSession 
     inc.processBatch(
       spark.createDataFrame(Seq((10L, s"$span tail"))).toDF("doc_id", "text"), 0L)
 
-    // crash window: doc 20 lands in docs/ only (no grams)
-    spark.createDataFrame(Seq((20L, s"$span other"))).toDF("doc_id", "text")
-      .write.mode("append").parquet(s"$statePath/docs")
+    // crash window: doc 20 lands in docs/ only (no grams) — written
+    // through StateLayout so the simulated partial commit has the same
+    // bucketed physical layout a real crashed append leaves behind
+    StateLayout.append(
+      spark.createDataFrame(Seq((20L, s"$span other"))).toDF("doc_id", "text"),
+      s"$statePath/docs", Seq("doc_id"))
     // pre-fix behavior: the retry was a complete no-op, permanently
     // losing doc 20's grams → doc 20 never flagged as affected
     inc.processBatch(
