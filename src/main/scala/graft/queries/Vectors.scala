@@ -332,10 +332,29 @@ object Vectors {
   private[queries] def lshCandidatePairs(s: SparkSession, d: String): DataFrame =
     lshCandCache.getOrElseUpdate(s, d, lshCandidatePairsUncached(s, d).localCheckpoint(true))
 
+  /** Code-width rule (VERDICT r10 item 3): at a FIXED width the
+    * per-band bucket population is n / 2^bits, so candidate volume —
+    * and with it q55/q115's verify cost — grows ∝ n² / 2^bits: the sf1
+    * sweep measured exactly that (q115 27 s, q55 13 s at 10× data,
+    * fixed 8-bit bands). Linking the width to log₂ n keeps expected
+    * bucket occupancy — hence per-item candidate fan-out — constant as
+    * the corpus grows: bits = max(8, bitlen(n) − 3), i.e. ~2³ = 8
+    * expected members per bucket, the fixture-tier operating point.
+    * At the oracle tiers (n = 200 / 2 000, bitlen ≤ 11) the rule
+    * yields exactly the historical 8 bits, so hashes are unchanged
+    * there; at sf1 (n = 20 000) it widens to 12 bits and the DuckDB
+    * CTE derives the SAME width from COUNT(*) via LENGTH(BIN(n)) —
+    * both engines stay bit-identical at every scale. Bands stay at 8
+    * and multi-probe stays 1-bit, so recall per band is preserved by
+    * construction (the recall-floor specs pin it at fixture scale). */
+  private[queries] def lshBandBits(n: Long): Int =
+    math.max(8, (64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))) - 3)
+
   private def lshCandidatePairsUncached(s: SparkSession, d: String): DataFrame = {
         import s.implicits._
-        val nPlanes = 64
-        val bandBits = 8
+        // one bounded count drives the width (memoized with the pairs)
+        val bandBits = lshBandBits(Tables(s, d, "embeddings").count())
+        val nPlanes = 8 * bandBits
         // data-independent ±1 hyperplane weights, fixed by md5 parity —
         // a 4096-row constant LocalRelation, broadcast to the join
         val planeRows = for { p <- 0 until nPlanes; dim <- 0 until 64 } yield {
@@ -356,11 +375,12 @@ object Vectors {
         // lineage truncated (the round-8 localCheckpoint doctrine)
         val codes = comps.join(broadcast(planes), Seq("d"))
           .groupBy(col("vec_id"), col("p")).agg(sum(col("w") * col("xi")).as("sgn"))
-          .groupBy(col("vec_id"), expr("p div 8").as("band"))
-          .agg(sum(when(col("sgn") >= 0, expr("shiftleft(1L, p % 8)")).otherwise(0L)).as("code"))
+          .groupBy(col("vec_id"), expr(s"p div $bandBits").as("band"))
+          .agg(sum(when(col("sgn") >= 0, expr(s"shiftleft(1L, p % $bandBits)")).otherwise(0L)).as("code"))
           .localCheckpoint(true)
-        // multi-probe: expand one side to the exact bucket + its 8
-        // one-bit flips; equi-join covers every pair within hamming 1
+        // multi-probe: expand one side to the exact bucket + its
+        // bandBits one-bit flips; equi-join covers every pair within
+        // hamming 1
         val probes = codes
           .select(col("vec_id"), col("band"), col("code"),
             explode(array(lit(-1) +: (0 until bandBits).map(lit(_)): _*)).as("k"))
@@ -390,19 +410,25 @@ object Vectors {
     * over the hot cap, so the oracle omits the cap (documented at the
     * Spark-side census). */
   private val LshCandSqlCtes: String =
-      ("e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      // params mirrors lshBandBits: bitlen(n) = LENGTH(BIN(n)), so the
+      // oracle derives the SAME corpus-linked code width the engine
+      // uses — 8 bits at the oracle tiers (hashes unchanged), wider as
+      // the corpus grows (see the lshBandBits scaladoc)
+      ("params AS (SELECT GREATEST(8, LENGTH(BIN(COUNT(*))) - 3) AS bb FROM embeddings), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "planes AS (SELECT p, d, CASE WHEN CAST(('0x' || substring(md5(p || ':' || d),1,1)) AS INT) % 2 = 1 " +
-        "THEN 1 ELSE -1 END AS w FROM (SELECT UNNEST(range(0,64)) AS p) pp " +
+        "THEN 1 ELSE -1 END AS w FROM (SELECT UNNEST(range(0, (SELECT 8*bb FROM params))) AS p) pp " +
         "CROSS JOIN (SELECT UNNEST(range(0,64)) AS d) dd), " +
         "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
         "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
         "dots AS (SELECT vec_id, p, SUM(w * xi) AS sgn FROM comps c JOIN planes pl ON pl.d = c.d " +
         "GROUP BY vec_id, p), " +
-        "codes AS (SELECT vec_id, p // 8 AS band, SUM(CASE WHEN sgn >= 0 " +
-        "THEN (CAST(1 AS BIGINT) << (p % 8)) ELSE 0 END) AS code FROM dots GROUP BY vec_id, p // 8), " +
+        "codes AS (SELECT vec_id, p // (SELECT bb FROM params) AS band, SUM(CASE WHEN sgn >= 0 " +
+        "THEN (CAST(1 AS BIGINT) << (p % (SELECT bb FROM params))) ELSE 0 END) AS code " +
+        "FROM dots GROUP BY vec_id, band), " +
         "probes AS (SELECT vec_id, band, CASE WHEN k < 0 THEN code " +
         "ELSE xor(code, CAST(1 AS BIGINT) << k) END AS probe FROM codes " +
-        "CROSS JOIN (SELECT UNNEST(range(-1,8)) AS k) kk), " +
+        "CROSS JOIN (SELECT UNNEST(range(-1, (SELECT bb FROM params))) AS k) kk), " +
         "cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b FROM probes x " +
         "JOIN codes y ON x.band = y.band AND x.probe = y.code AND x.vec_id < y.vec_id)")
 
@@ -426,6 +452,39 @@ object Vectors {
         lit(c.cell.toLong).as("cell"))
     }: _*)
     array_min(scored).getField("dist")
+  }
+
+  /** n ≤ this ⇒ the exact n·Σx²−(Σx)² variance key is int64-safe at
+    * worst-case |x| ≤ √2·10⁶ (the q116b bound: n·Σx² ≤ n²·2·10¹²).
+    * Shared by the engine ([[varianceKeys]]) and the DuckDB oracles
+    * ([[vkCteSql]] interpolates it), so the two sides cannot drift. */
+  private[queries] val VarKeySafeN = 2048L
+
+  /** Per-dimension integer variance keys for the OPQ allocation stages
+    * (VERDICT r10 item 4 — the overflow remedy, implemented): for
+    * corpora up to [[VarKeySafeN]] rows the key is the exact rational
+    * n·Σx²−(Σx)²; beyond it the components are FLOOR-scaled to
+    * centi-units first (x → ⌊x/100⌋, exactly as the entry comment
+    * documented), shrinking the worst-case key by 10⁴ and extending
+    * int64 safety to n ≈ 2·10⁵ (beyond that, widen the divisor — the
+    * rule, not the constant, is the contract). Ranking semantics are
+    * preserved up to quantization ties, which the dd tiebreak resolves
+    * identically on both engines; floor (not truncate-toward-zero)
+    * division is used because DuckDB's `//` floors and Spark's `div`
+    * truncates — floor(x/100.0) is bit-identical on both. Returns the
+    * bounded 64-row collect both call sites feed to the driver-side
+    * deal. */
+  private[queries] def varianceKeys(vecs: DataFrame, n: Long): Array[(Int, Long)] = {
+    val xs = if (n <= VarKeySafeN) col("x")
+      else expr("CAST(floor(x / 100.0) AS BIGINT)")
+    vecs
+      .select(posexplode(col("xi")).as(Seq("dd", "x")))
+      .select(col("dd"), xs.as("x"))
+      .groupBy(col("dd"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("dd"), (col("n") * col("sxx") - col("sx") * col("sx")).as("vk"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
   }
 
   /** q116's trained permuted index — (dealt perm, permuted vectors,
@@ -460,14 +519,9 @@ object Vectors {
       val (perm, pvecs, books) = opqCache.getOrElseUpdate(s, d, {
         val vecs = Tables(s, d, "embeddings")
           .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
-        // per-dimension variance keys — 64 rows, bounded driver collect
-        val varRows = vecs
-          .select(posexplode(col("xi")).as(Seq("dd", "x")))
-          .groupBy(col("dd"))
-          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-            sum(col("x") * col("x")).as("sxx"))
-          .select(col("dd"), (col("n") * col("sxx") - col("sx") * col("sx")).as("vk"))
-          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        // per-dimension variance keys — 64 rows, bounded driver
+        // collect; overflow-guarded past VarKeySafeN (varianceKeys)
+        val varRows = varianceKeys(vecs, vecs.count())
         // deal dims round-robin by descending variance: rank i →
         // subspace i % m, slot i / m — every subspace gets one dim per
         // variance tier
@@ -503,7 +557,7 @@ object Vectors {
     Some("WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "cm AS (SELECT vec_id, i AS dd, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS x " +
       "FROM ev CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
-      "vk AS (SELECT dd, COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) AS vk FROM cm GROUP BY dd), " +
+      vkCteSql("vk", "cm") +
       "pm AS (SELECT dd, vk, CAST((rn-1) % 16 AS BIGINT) AS sub, CAST((rn-1) // 16 AS BIGINT) AS sd " +
       "FROM (SELECT dd, vk, ROW_NUMBER() OVER (ORDER BY vk DESC, dd) AS rn FROM vk)), " +
       "comps AS MATERIALIZED (SELECT c.vec_id, p.sub, p.sd, c.x AS xi FROM cm c JOIN pm p USING (dd)), " +
@@ -522,6 +576,18 @@ object Vectors {
       "CAST(SUM(vk // 1000000) AS BIGINT) AS var_scaled FROM pm GROUP BY sub) " +
       "SELECT m.sub, m.dims, m.var_scaled, d.distortion FROM meta m " +
       "JOIN dst d ON d.sub = m.sub ORDER BY m.sub"))
+
+  /** The guarded variance-key CTE (shared by q116's `vk`, q116b's
+    * `vk0`/`vk`): the SQL twin of [[varianceKeys]] — exact key within
+    * [[VarKeySafeN]], centi-scaled floor-division key beyond it, both
+    * derived from the same COUNT(*) the engine uses, so the oracle
+    * switches tiers exactly when the engine does. */
+  private def vkCteSql(name: String, src: String): String =
+    s"$name AS (SELECT dd, CASE WHEN COUNT(*) <= $VarKeySafeN " +
+      "THEN COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) " +
+      "ELSE COUNT(*)*SUM(xs*xs) - SUM(xs)*SUM(xs) END AS vk " +
+      s"FROM (SELECT dd, x, CAST(floor(x / 100.0) AS BIGINT) AS xs FROM $src) " +
+      "GROUP BY dd), "
 
   /** The 45° Givens constant, as the one shared literal both engines
     * multiply by (cos = sin = 1/√2). Written once so the Spark exprs
@@ -544,13 +610,7 @@ object Vectors {
       : (Seq[(Int, Int)], DataFrame) = {
     val vecs = Tables(s, d, "embeddings")
       .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
-    val varRows = vecs
-      .select(posexplode(col("xi")).as(Seq("dd", "x")))
-      .groupBy(col("dd"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
-      .select(col("dd"), (col("n") * col("sxx") - col("sx") * col("sx")).as("vk"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val varRows = varianceKeys(vecs, vecs.count())
     val ranked = varRows.sortBy { case (dd, vk) => (-vk, dd) }
     val pairs = (0 until 32).map(i => (ranked(i)._1, ranked(63 - i)._1))
     val role: Map[Int, (Int, Int, Boolean)] = pairs.flatMap { case (h, l) =>
@@ -584,23 +644,19 @@ object Vectors {
     // POST-rotation dim positions, so the two entries' allocations and
     // distortions are directly comparable. Integer-overflow bound for
     // the n·Σx²−(Σx)² variance keys (q116 shares it): worst case
-    // |x'| ≤ √2·10⁶ gives n·Σx² ≤ n²·2·10¹², int64-safe for
-    // n ≤ ~2100 rows — exactly covers the driver tiers (200/2000
-    // vectors); for a larger corpus, scale the key to (x div 100)²
-    // on BOTH engines (ranking semantics unchanged up to ties, which
-    // dd breaks). Everything replays in DuckDB (rk/pr/rx CTEs) — a
-    // learned rotation that is still oracle-HASHED.
+    // |x'| ≤ √2·10⁶ gives n·Σx² ≤ n²·2·10¹², int64-safe only to
+    // n ≈ 2100 rows — so past VarKeySafeN BOTH engines switch to the
+    // centi-scaled floor key (varianceKeys / vkCteSql; VERDICT r10
+    // item 4, implemented round 11), extending safety to n ≈ 2·10⁵.
+    // Exercised at the sf1 tier (20 000 vectors) and pinned by
+    // OpqVarianceKeySpec's boundary property. Everything replays in
+    // DuckDB (rk/pr/rx CTEs) — a learned rotation that is still
+    // oracle-HASHED.
     (s, d) => {
       val (perm, pvecs, books) = opqRotCache.getOrElseUpdate(s, d, {
         val (_, rvecs0) = opqRotationStage(s, d)
         val rvecs = rvecs0.repartition(32).localCheckpoint(true)
-        val varRows2 = rvecs
-          .select(posexplode(col("xi")).as(Seq("dd", "x")))
-          .groupBy(col("dd"))
-          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-            sum(col("x") * col("x")).as("sxx"))
-          .select(col("dd"), (col("n") * col("sxx") - col("sx") * col("sx")).as("vk"))
-          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        val varRows2 = varianceKeys(rvecs, rvecs.count())
         val ranked2 = varRows2.sortBy { case (dd, vk) => (-vk, dd) }
         val perm0: Seq[(Int, Int, Int, Long)] = ranked2.zipWithIndex.map {
           case ((dd, vk), i) => (i % PqM, i / PqM, dd, vk) }.toSeq
@@ -627,7 +683,7 @@ object Vectors {
     Some("WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "cm AS (SELECT vec_id, i AS dd, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS x " +
       "FROM ev CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
-      "vk0 AS (SELECT dd, COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) AS vk FROM cm GROUP BY dd), " +
+      vkCteSql("vk0", "cm") +
       "rk AS (SELECT dd, ROW_NUMBER() OVER (ORDER BY vk DESC, dd) - 1 AS r FROM vk0), " +
       "pr AS (SELECT a.dd AS hd, b.dd AS ld FROM rk a JOIN rk b ON b.r = 63 - a.r WHERE a.r <= 31), " +
       "rx AS MATERIALIZED (" +
@@ -638,7 +694,7 @@ object Vectors {
       "SELECT ch.vec_id, p.ld AS dd, " +
       s"CAST(floor((CAST(ch.x AS DOUBLE) + CAST(cl.x AS DOUBLE)) * $GivensC + 0.5) AS BIGINT) AS x " +
       "FROM pr p JOIN cm ch ON ch.dd = p.hd JOIN cm cl ON cl.dd = p.ld AND cl.vec_id = ch.vec_id), " +
-      "vk AS (SELECT dd, COUNT(*)*SUM(x*x) - SUM(x)*SUM(x) AS vk FROM rx GROUP BY dd), " +
+      vkCteSql("vk", "rx") +
       "pm AS (SELECT dd, vk, CAST((rn-1) % 16 AS BIGINT) AS sub, CAST((rn-1) // 16 AS BIGINT) AS sd " +
       "FROM (SELECT dd, vk, ROW_NUMBER() OVER (ORDER BY vk DESC, dd) AS rn FROM vk)), " +
       "comps AS MATERIALIZED (SELECT c.vec_id, p.sub, p.sd, c.x AS xi FROM rx c JOIN pm p USING (dd)), " +

@@ -27,8 +27,10 @@ object Probe {
       println(f"PROBE $tag%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    val q = SparkEntry.queries("qc7_cdc_neardup_retraction")
-    for (i <- 1 to 2) time(s"qc7 run$i") { q(spark, d).collect() }
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("qc7_cdc_neardup_retraction")
+    val qs = names.map(n => n -> SparkEntry.queries(n))
+    for ((n, q) <- qs; i <- 1 to 2) time(s"$n run$i") { q(spark, d).collect() }
     // job-level breakdown of a warm run
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]
     val starts = new java.util.concurrent.ConcurrentHashMap[Integer, (Long, String)]
@@ -41,7 +43,7 @@ object Probe {
         if (st != null) jobs.add((e.jobId, System.nanoTime() - st._1, st._2))
       }
     })
-    time("qc7 traced") { q(spark, d).collect() }
+    for ((n, q) <- qs) time(s"$n traced") { q(spark, d).collect() }
     Thread.sleep(500)
     jobs.forEach { case (id, ns, desc) =>
       println(f"PROBE job $id%3d ${ns / 1e9}%.2f s  $desc")

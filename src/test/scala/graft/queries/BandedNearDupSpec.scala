@@ -86,6 +86,22 @@ class BandedNearDupSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("LSH code width follows the corpus-linked rule, fixed at the oracle tiers") {
+    // VERDICT r10 item 3: candidate volume ∝ n²/2^bits at fixed width —
+    // the rule keeps expected bucket occupancy (≈ 2³) constant as the
+    // corpus grows, while the oracle tiers keep their historical 8 bits
+    // so every committed hash is unchanged.
+    assert(Vectors.lshBandBits(200) == 8)    // sf0.01 oracle tier
+    assert(Vectors.lshBandBits(2000) == 8)   // sf0.1 bench tier
+    assert(Vectors.lshBandBits(20000) == 12) // the derived sf1 tier
+    assert(Vectors.lshBandBits(1) == 8)
+    assert(Vectors.lshBandBits(2048) == 9)   // bitlen(2^k) = k+1
+    // parity with the DuckDB derivation LENGTH(BIN(n)) − 3
+    for (n <- Seq(1L, 7L, 255L, 256L, 2047L, 2048L, 20000L, 1000000L))
+      assert(Vectors.lshBandBits(n) ==
+        math.max(8, n.toBinaryString.length - 3), s"n=$n")
+  }
+
   test("q55 LSH cosine near-dup is a subset of the all-pairs q47 with identical scores") {
     val banded = rows("q55_lsh_cosine_neardup")
     val brute = rows("q47_cosine_neardup")
