@@ -105,25 +105,41 @@ object Bench {
     * server blasts insert events; measures client framing + decode
     * throughput in events/sec. Fixed event count; callers run it
     * min-of-3-interleaved (see main) so the reported number is a
-    * repeatable best-case, not a host-load sample. */
-  private def ingestEventsPerSec(n: Int = 100000): Double = {
+    * repeatable best-case, not a host-load sample.
+    *
+    * The timed window starts mid-connection (VERDICT r10 item 6 — the
+    * driver-host runs read [363k, 445k, 497k], a 37% spread with the
+    * first run the laggard despite the separate full-size warmup call):
+    * a suite pass of wall clock between warmup and measurement leaves
+    * the first timed run re-paying socket/JIT/allocator warmth, so each
+    * run now drains `warm` events UNTIMED on the SAME connection
+    * immediately before its `n` timed events — the warmth cannot decay
+    * between warmup and measurement because nothing runs in between. */
+  private def ingestEventsPerSec(n: Int = 100000, warm: Int = 50000): Double = {
     import graft.sources.cdc._
-    val events = (1 to n).map(i =>
+    val total = warm + n
+    val events = (1 to total).map(i =>
       s"""{"domain":0,"server_id":1,"sequence":$i,"event_number":1,"timestamp":1754956800,"event_type":"insert","id":$i,"name":"user-$i"}""")
     val server = new testkit.MockMaxScaleServer(events = events)
     val client = new MaxScaleClient(host = "127.0.0.1", port = server.port,
       user = "bench", password = "bench", database = "example", table = "users",
       readTimeoutMs = 2000)
     client.connect()
-    val t0 = System.nanoTime()
     var count = 0
     var eof = false
-    while (!eof && count < n) {
+    while (!eof && count < warm) { // in-connection warmup drain, untimed
       val r = client.poll()
       count += r.events.size
       eof = r.eof
     }
-    val eps = count / ((System.nanoTime() - t0) / 1e9)
+    val warmed = count // poll() batches, so the drain can overshoot `warm`
+    val t0 = System.nanoTime()
+    while (!eof && count < total) {
+      val r = client.poll()
+      count += r.events.size
+      eof = r.eof
+    }
+    val eps = (count - warmed) / ((System.nanoTime() - t0) / 1e9)
     client.close()
     eps
   }

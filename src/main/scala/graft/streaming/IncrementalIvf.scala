@@ -55,7 +55,20 @@ import graft.operators.KMeansLloyd
   * centroids were trained on them) and stays the consumer's retrain
   * concern, exactly like base-side inserts.
   */
-final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid]) {
+final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid],
+    autoCompactFiles: Int = StateLayout.AutoCompactFiles) {
+
+  /** See [[IncrementalLineDedup.compactionCount]]. */
+  @volatile private var nCompactions = 0
+  def compactionCount: Int = nCompactions
+
+  /** The automatic compaction policy (VERDICT r10 item 5) — see
+    * [[IncrementalLineDedup]]'s doc; same trigger, same safety. */
+  private def maybeCompact(spark: SparkSession): Unit =
+    if (StateLayout.autoCompactDue(spark,
+        Seq(s"$statePath/members", s"$statePath/tombstones"),
+        autoCompactFiles))
+      compact(spark, StateLayout.NumBuckets)
 
   private val tombSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("vec_id",
@@ -74,6 +87,7 @@ final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid]) 
       .localCheckpoint(true) // micro-batch sources are not re-scannable
     val fresh = ids.join(tombstones(spark), Seq("vec_id"), "left_anti")
     fresh.write.mode("append").parquet(s"$statePath/tombstones")
+    maybeCompact(spark)
   }
 
   private def readStateOr(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
@@ -108,6 +122,7 @@ final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid]) 
       tombstones(spark).select("vec_id")).distinct()
     val fresh = assigned.join(seen, Seq("vec_id"), "left_anti")
     StateLayout.append(fresh, s"$statePath/members", Seq("vec_id"))
+    maybeCompact(spark)
   }
 
   /** Accumulated streamed index members (vec_id, cell), minus
@@ -150,8 +165,8 @@ final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid]) 
         .join(tombs, Seq("vec_id"), "left_anti").localCheckpoint(true)
       StateLayout.overwriteCompacted(snap, dir, Seq("vec_id"), parts)
     }
-    val tp = new org.apache.hadoop.fs.Path(s"$statePath/tombstones")
-    if (tp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tp))
-      tombs.repartition(1).write.mode("overwrite").parquet(s"$statePath/tombstones")
+    if (StateLayout.exists(spark, s"$statePath/tombstones"))
+      StateLayout.overwriteSmall(tombs, s"$statePath/tombstones")
+    nCompactions += 1
   }
 }

@@ -54,7 +54,23 @@ import graft.queries.LlmText
   * committed chunks ∪ tombstones, tombstone appends against committed
   * tombstones — a foreachBatch retry is a no-op for both.
   */
-final class IncrementalLineDedup(statePath: String) {
+final class IncrementalLineDedup(statePath: String,
+    autoCompactFiles: Int = StateLayout.AutoCompactFiles) {
+
+  /** Compactions this instance has run (policy-triggered or manual) —
+    * exposed so the drills can assert the policy actually fired. */
+  @volatile private var nCompactions = 0
+  def compactionCount: Int = nCompactions
+
+  /** VERDICT r10 item 5 — the automatic compaction policy: polled at
+    * the end of every batch hook; fires when any state dir's file
+    * count exceeds `autoCompactFiles`. Content-preserving (hashes
+    * cannot move) and crash-safe (StateLayout's swap protocol), so
+    * firing mid-stream is always sound. */
+  private def maybeCompact(spark: SparkSession): Unit =
+    if (StateLayout.autoCompactDue(spark, Seq(chunksDir, tombstonesDir),
+        autoCompactFiles))
+      compact(spark, StateLayout.NumBuckets)
 
   private val chunksDir = s"$statePath/chunks"
   private val tombstonesDir = s"$statePath/tombstones"
@@ -98,6 +114,7 @@ final class IncrementalLineDedup(statePath: String) {
     val seen = old.select("doc_id").union(tombstones(spark)).distinct()
     val fresh = docs.join(seen, Seq("doc_id"), "left_anti")
     StateLayout.append(LlmText.lineChunks(fresh), chunksDir, Seq("doc_id"))
+    maybeCompact(spark)
   }
 
   /** foreachBatch hook for CDC DELETEs: `deletes` needs doc_id. O(1)
@@ -111,6 +128,7 @@ final class IncrementalLineDedup(statePath: String) {
       .localCheckpoint(true) // micro-batch sources are not re-scannable
     val fresh = ids.join(tombstones(spark), Seq("doc_id"), "left_anti")
     fresh.write.mode("append").parquet(tombstonesDir)
+    maybeCompact(spark)
   }
 
   /** Line-dedup stats + reconstruction over every doc seen so far,
@@ -136,9 +154,8 @@ final class IncrementalLineDedup(statePath: String) {
     val cur = StateLayout.read(spark, chunksDir, emptyChunks(spark).schema)
       .join(tombs, Seq("doc_id"), "left_anti").localCheckpoint(true)
     StateLayout.overwriteCompacted(cur, chunksDir, Seq("doc_id"), parts)
-    val p = new org.apache.hadoop.fs.Path(tombstonesDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p))
-      tombs.repartition(1).write.mode("overwrite").parquet(tombstonesDir)
+    if (StateLayout.exists(spark, tombstonesDir))
+      StateLayout.overwriteSmall(tombs, tombstonesDir)
+    nCompactions += 1
   }
 }

@@ -68,7 +68,20 @@ import graft.queries.LlmText
   * doc_id, see IncrementalLineDedup's contract). [[compact]] makes
   * deletes physical, retaining the tombstones.
   */
-final class IncrementalNearDup(statePath: String) {
+final class IncrementalNearDup(statePath: String,
+    autoCompactFiles: Int = StateLayout.AutoCompactFiles) {
+
+  /** See [[IncrementalLineDedup.compactionCount]]. */
+  @volatile private var nCompactions = 0
+  def compactionCount: Int = nCompactions
+
+  /** The automatic compaction policy (VERDICT r10 item 5) — see
+    * [[IncrementalLineDedup]]'s doc; same trigger, same safety. */
+  private def maybeCompact(spark: SparkSession): Unit =
+    if (StateLayout.autoCompactDue(spark,
+        Seq("pairs", "bands", "sets", "tombstones").map(t => s"$statePath/$t"),
+        autoCompactFiles))
+      compact(spark)
 
   private val tombSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
@@ -88,6 +101,7 @@ final class IncrementalNearDup(statePath: String) {
       .localCheckpoint(true) // micro-batch sources are not re-scannable
     val fresh = ids.join(tombstones(spark), Seq("doc_id"), "left_anti")
     fresh.write.mode("append").parquet(s"$statePath/tombstones")
+    maybeCompact(spark)
   }
 
   private def readStateOr(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
@@ -222,6 +236,7 @@ final class IncrementalNearDup(statePath: String) {
       () => StateLayout.append(fresh, s"$statePath/pairs", Seq("doc_a", "doc_b")),
       () => StateLayout.append(freshBands, s"$statePath/bands", Seq("band", "key")),
       () => StateLayout.append(freshSets, s"$statePath/sets", Seq("doc_id"))))
+    maybeCompact(spark)
     ()
   }
 
@@ -275,10 +290,9 @@ final class IncrementalNearDup(statePath: String) {
         StateLayout.overwriteCompacted(snap, dir, layoutKeys(t), parts)
       }
     }
-    val tp = new org.apache.hadoop.fs.Path(s"$statePath/tombstones")
-    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (tfs.exists(tp))
-      tombs.repartition(1).write.mode("overwrite").parquet(s"$statePath/tombstones")
+    if (StateLayout.exists(spark, s"$statePath/tombstones"))
+      StateLayout.overwriteSmall(tombs, s"$statePath/tombstones")
+    nCompactions += 1
   }
 
   private def dropTombstonedPairs(p: DataFrame, tombs: DataFrame): DataFrame =

@@ -28,7 +28,19 @@ import graft.queries.LlmText
   * arrival-order independent by construction: state is a pure set
   * union and every reported statistic is computed from the full set.
   */
-final class IncrementalReportCard(statePath: String) {
+final class IncrementalReportCard(statePath: String,
+    autoCompactFiles: Int = StateLayout.AutoCompactFiles) {
+
+  /** See [[IncrementalLineDedup.compactionCount]]. */
+  @volatile private var nCompactions = 0
+  def compactionCount: Int = nCompactions
+
+  /** The automatic compaction policy (VERDICT r10 item 5) — see
+    * [[IncrementalLineDedup]]'s doc; same trigger, same safety. */
+  private def maybeCompact(spark: SparkSession): Unit =
+    if (StateLayout.autoCompactDue(spark, Seq(docsDir, tombstonesDir),
+        autoCompactFiles))
+      compact(spark, StateLayout.NumBuckets)
 
   private val docsDir = s"$statePath/docs"
   private val tombstonesDir = s"$statePath/tombstones"
@@ -60,6 +72,7 @@ final class IncrementalReportCard(statePath: String) {
       .localCheckpoint(true) // micro-batch sources are not re-scannable
     val fresh = ids.join(tombstones(spark), Seq("doc_id"), "left_anti")
     fresh.write.mode("append").parquet(tombstonesDir)
+    maybeCompact(spark)
   }
 
   private def emptyDocs(spark: SparkSession): DataFrame =
@@ -92,6 +105,7 @@ final class IncrementalReportCard(statePath: String) {
       docs.join(old.select("doc_id").union(tombstones(spark)).distinct(),
         Seq("doc_id"), "left_anti"),
       docsDir, Seq("doc_id"))
+    maybeCompact(spark)
   }
 
   /** The (source × lang) crosstab over every doc seen so far —
@@ -109,8 +123,8 @@ final class IncrementalReportCard(statePath: String) {
     val cur = StateLayout.read(spark, docsDir, emptyDocs(spark).schema)
       .join(tombs, Seq("doc_id"), "left_anti").localCheckpoint(true)
     StateLayout.overwriteCompacted(cur, docsDir, Seq("doc_id"), parts)
-    val tp = new org.apache.hadoop.fs.Path(tombstonesDir)
-    if (tp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tp))
-      tombs.repartition(1).write.mode("overwrite").parquet(tombstonesDir)
+    if (StateLayout.exists(spark, tombstonesDir))
+      StateLayout.overwriteSmall(tombs, tombstonesDir)
+    nCompactions += 1
   }
 }

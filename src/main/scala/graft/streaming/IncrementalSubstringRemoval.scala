@@ -39,7 +39,19 @@ import graft.queries.LlmText
   * reads `grams/` — not `docs/` — so the doc's grams are recovered
   * rather than permanently lost.
   */
-final class IncrementalSubstringRemoval(statePath: String, n: Int = 10) {
+final class IncrementalSubstringRemoval(statePath: String, n: Int = 10,
+    autoCompactFiles: Int = StateLayout.AutoCompactFiles) {
+
+  /** See [[IncrementalLineDedup.compactionCount]]. */
+  @volatile private var nCompactions = 0
+  def compactionCount: Int = nCompactions
+
+  /** The automatic compaction policy (VERDICT r10 item 5) — see
+    * [[IncrementalLineDedup]]'s doc; same trigger, same safety. */
+  private def maybeCompact(spark: SparkSession): Unit =
+    if (StateLayout.autoCompactDue(spark,
+        Seq(gramsDir, docsDir, tombstonesDir), autoCompactFiles))
+      compact(spark, StateLayout.NumBuckets)
 
   private val gramsDir = s"$statePath/grams"
   private val docsDir = s"$statePath/docs"
@@ -64,6 +76,7 @@ final class IncrementalSubstringRemoval(statePath: String, n: Int = 10) {
       .localCheckpoint(true) // micro-batch sources are not re-scannable
     val fresh = ids.join(tombstones(spark), Seq("doc_id"), "left_anti")
     fresh.write.mode("append").parquet(tombstonesDir)
+    maybeCompact(spark)
   }
 
   private def readStateOr(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
@@ -107,6 +120,7 @@ final class IncrementalSubstringRemoval(statePath: String, n: Int = 10) {
     val freshForGrams = docs.join(oldGramDocs, Seq("doc_id"), "left_anti")
     StateLayout.append(LlmText.removalGrams(freshForGrams, n), gramsDir,
       Seq("doc_id"))
+    maybeCompact(spark)
   }
 
   /** Removal + reconstruction over every doc seen so far —
@@ -136,8 +150,8 @@ final class IncrementalSubstringRemoval(statePath: String, n: Int = 10) {
           .join(tombs, Seq("doc_id"), "left_anti").localCheckpoint(true)
         StateLayout.overwriteCompacted(cur, dir, Seq("doc_id"), parts)
       }
-    val tp = new org.apache.hadoop.fs.Path(tombstonesDir)
-    if (tp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tp))
-      tombs.repartition(1).write.mode("overwrite").parquet(tombstonesDir)
+    if (StateLayout.exists(spark, tombstonesDir))
+      StateLayout.overwriteSmall(tombs, tombstonesDir)
+    nCompactions += 1
   }
 }
