@@ -1343,6 +1343,30 @@ object LlmText {
       },
       Some(LineDedupOracleSql)),
 
+    QueryDef("q119f_statestore_line_dedup",
+      // q119s on a REAL state store (VERDICT r10 stretch): the same
+      // two-wave drill, but the line→owner index lives in RocksDB via
+      // flatMapGroupsWithState instead of parquet state dirs — per-batch
+      // work is the batch's chunks shuffled onto hash-partitioned state
+      // keys with point access per touched key (no state-file scans),
+      // the bounded-state 100 TB form. The keep decision is re-derived
+      // ONLY from the state path (ownership-change events folded to the
+      // final owner per line; retroactive steals cross real micro-batch
+      // boundaries because even ids stream in wave 2), then held to the
+      // SAME batch q119 oracle. State shape measured in
+      // StateStoreLineDedupSpec: rows = distinct lines, fixed bytes per
+      // line — the corpus text never enters the store.
+      (s, d) => {
+        import graft.streaming.StateStoreLineDedup
+        val src = docs(s, d).select(col("doc_id"), col("text"))
+        val (owners, _) = StateStoreLineDedup.runWaves(s, Seq(
+          src.where(col("doc_id") % 2 === 1),
+          src.where(col("doc_id") % 2 === 0)))
+        StateStoreLineDedup.lineDedupViaOwners(lineChunks(src), owners)
+          .orderBy(col("doc_id"))
+      },
+      Some(LineDedupOracleSql)),
+
     QueryDef("q120_canonical_selection",
       // The dedup DECISION the pair/component machinery exists for:
       // per near-dup cluster (q57's connected components over the
@@ -1543,7 +1567,7 @@ object LlmText {
   /** Shared q119 reassembly tail over a keep-flagged chunk relation
     * (doc_id, ck, chunk, keep): one per-doc hash agg, collect_list
     * state bounded by doc length. */
-  private def chunkReassembly(flagged: DataFrame): DataFrame =
+  private[graft] def chunkReassembly(flagged: DataFrame): DataFrame =
     flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("orig_chunks"),
         sum(col("keep").cast("long")).as("kept_chunks"),

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.queries.LlmText
+
+/** The current keep-first owner of one distinct line (= 10-token
+  * chunk): the minimum (doc_id, ck) seen so far. */
+final case class LineOwnerState(doc_id: Long, ck: Int)
+
+/** An ownership-change event emitted by the state function — the first
+  * arrival of a line, or a later-arriving smaller (doc_id, ck) taking
+  * ownership away. Ownership only ever DECREASES, so the final owner
+  * per chunk is the min over emitted events (order-free). */
+final case class LineOwnerEvent(chunk: String, doc_id: Long, ck: Int)
+
+/** q119 line dedup with the line→owner index in a REAL Spark state
+  * store (`flatMapGroupsWithState` on the RocksDB provider) — the
+  * bounded-state twin of [[IncrementalLineDedup]]'s parquet-dir
+  * doctrine, pinned to the SAME batch q119 oracle.
+  *
+  * Division of labor (the 100 TB shape the design notes promise): the
+  * state store holds ONLY the per-distinct-line owner — a fixed-size
+  * (doc_id, ck) value per line key, RocksDB-backed so it spills past
+  * memory and snapshots into the checkpoint — while the corpus text
+  * stays in the lake (the batch `documents` relation). Per-batch work
+  * is exactly the batch's chunks: Spark shuffles them onto the state
+  * partitions (hash of the chunk key, horizontally partitionable) and
+  * the state function folds a min per touched key. Nothing re-reads
+  * accumulated state; untouched keys cost nothing. Contrast with the
+  * parquet-dir states, whose replay guards and emissions scan (pruned)
+  * state files — this is the shape with per-key point access.
+  *
+  * Emission: keep iff (doc_id, ck) equals the line's final owner —
+  * computed by joining the lake-resident chunk relation with the owner
+  * relation folded from the emitted ownership-change stream; the
+  * retroactive flip (a later smaller doc_id stealing a line) falls out
+  * because the steal emits a new event that wins the min. The keep
+  * decision is therefore load-bearing on the state path end to end.
+  *
+  * State never expires by design — the line index IS the long-lived
+  * state (same contract as the parquet-dir twin); a deployment bounds
+  * it with the store's own levers (RocksDB compaction, changelog
+  * checkpointing) rather than a TTL that would forget owners.
+  */
+object StateStoreLineDedup {
+
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Measured shape of one run, for the scale notes: state rows =
+    * distinct lines (≪ corpus chunks on a duplicative corpus), state
+    * bytes ≈ fixed per line. */
+  final case class StateShape(stateRows: Long, stateBytes: Long,
+      corpusChunks: Long, ownerEvents: Long)
+
+  /** Fold of the state function: min (doc_id, ck) over arrivals ∪
+    * current state; emit an event iff the owner changed. */
+  private def updateOwner(chunk: String,
+      it: Iterator[(String, Long, Int)],
+      state: GroupState[LineOwnerState]): Iterator[LineOwnerEvent] = {
+    var best = state.getOption
+    var changed = false
+    it.foreach { case (_, d, c) =>
+      if (best.forall(b => d < b.doc_id || (d == b.doc_id && c < b.ck))) {
+        best = Some(LineOwnerState(d, c)); changed = true
+      }
+    }
+    if (changed) {
+      val b = best.get
+      state.update(b)
+      Iterator.single(LineOwnerEvent(chunk, b.doc_id, b.ck))
+    } else Iterator.empty
+  }
+
+  /** Stream `waves` of (doc_id, text) through the state function on the
+    * RocksDB provider and return (final owner relation, measured state
+    * shape). Each wave is one micro-batch (drained before the next is
+    * added), so retroactive ownership steals cross real batch
+    * boundaries. */
+  def runWaves(spark: SparkSession, waves: Seq[DataFrame]): (DataFrame, StateShape) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    val sinkName = "line_owner_events_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("q119f-ckpt").toString
+    val mem = MemoryStream[(Long, String)](Encoders.tuple(
+      Encoders.scalaLong, Encoders.STRING), sqlCtx)
+    val chunks = LlmText.lineChunks(
+      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")))
+    val events = chunks
+      .select(col("chunk").as("_1"), col("doc_id").as("_2"), col("ck").as("_3"))
+      .as[(String, Long, Int)](Encoders.tuple(
+        Encoders.STRING, Encoders.scalaLong, Encoders.scalaInt))
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[LineOwnerState, LineOwnerEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateOwner)(
+        Encoders.product[LineOwnerState], Encoders.product[LineOwnerEvent])
+    val q = events.toDF().writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      waves.foreach { w =>
+        mem.addData(w.select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+        q.processAllAvailable()
+      }
+      val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+      val shape = StateShape(
+        stateRows = st.map(_.numRowsTotal).sum,
+        stateBytes = st.map(_.memoryUsedBytes).sum,
+        corpusChunks = -1L, // filled by callers that know the corpus
+        ownerEvents = spark.table(sinkName).count())
+      // owner events only ever decrease per chunk, so min == final
+      val owners = spark.table(sinkName)
+        .groupBy(col("chunk"))
+        .agg(min(struct(col("doc_id"), col("ck"))).as("owner"))
+        .select(col("chunk"), col("owner.doc_id").as("o_doc"),
+          col("owner.ck").as("o_ck"))
+        .localCheckpoint(true) // sever from the transient memory sink
+      (owners, shape)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(sinkName)
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  /** The q119 output (doc_id, orig_chunks, kept_chunks, new_text) with
+    * the keep decision taken from the state-store owners: keep iff this
+    * occurrence IS the owner. Single-occurrence lines own themselves
+    * (their first arrival emitted an event), so no cnt==1 special case
+    * is needed — every chunk joins to exactly one owner row. */
+  def lineDedupViaOwners(chunks: DataFrame, owners: DataFrame): DataFrame =
+    LlmText.chunkReassembly(
+      chunks.join(owners, Seq("chunk"))
+        .withColumn("keep",
+          col("doc_id") === col("o_doc") && col("ck") === col("o_ck")))
+}

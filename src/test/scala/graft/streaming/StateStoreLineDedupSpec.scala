@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q119f (VERDICT r10 item 8, the stretch): line dedup with the
+  * line→owner index on a REAL state store (flatMapGroupsWithState +
+  * RocksDB) — pinned to the batch engine's output, with the state
+  * shape measured (rows = distinct lines; the corpus text never enters
+  * the store) and the retroactive ownership steal proven to cross a
+  * real micro-batch boundary. */
+class StateStoreLineDedupSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docsDf = Tables(spark, dir, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+
+  test("state-store twin equals batch q119, and the state holds only the line index") {
+    import graft.queries.LlmText
+    val src = docsDf
+    val (owners, shape) = StateStoreLineDedup.runWaves(spark, Seq(
+      src.where(col("doc_id") % 2 === 1), src.where(col("doc_id") % 2 === 0)))
+    val chunks = LlmText.lineChunks(src).localCheckpoint(true)
+    val got = asMap(StateStoreLineDedup.lineDedupViaOwners(chunks, owners))
+    val want = asMap(LlmText.lineDedupStats(chunks))
+    assert(got == want)
+
+    // the state shape the 100 TB notes promise: one state row per
+    // DISTINCT line — strictly fewer than corpus chunks on this
+    // duplicative fixture — at a bounded byte cost per line
+    val nChunks = chunks.count()
+    val nLines = chunks.select("chunk").distinct().count()
+    assert(nLines < nChunks, "fixture drift: no duplicate lines at all")
+    assert(shape.stateRows == nLines,
+      s"state rows ${shape.stateRows} != distinct lines $nLines")
+    assert(shape.stateBytes > 0)
+    // ownership events: one per line at first sight + one per steal —
+    // bounded by chunk arrivals, always at least the line count
+    assert(shape.ownerEvents >= nLines && shape.ownerEvents <= nChunks)
+  }
+
+  test("a retroactive ownership steal crosses a real micro-batch boundary") {
+    import spark.implicits._
+    // doc 10 arrives in wave 1 and owns the shared line; doc 2 arrives
+    // in wave 2 with a SMALLER id and must steal ownership — emitting a
+    // second owner event for that line across the batch boundary
+    val line = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val w1 = Seq((10L, line + " ten-only tail here now")).toDF("doc_id", "text")
+    val w2 = Seq((2L, line + " two-only tail here now")).toDF("doc_id", "text")
+    val (owners, shape) = StateStoreLineDedup.runWaves(spark, Seq(w1, w2))
+    val o = owners.where(col("chunk") === line).collect()
+    assert(o.length == 1 && o(0).getLong(1) == 2L,
+      "the later, smaller doc id did not take line ownership")
+    // the steal is visible as a SECOND event for the same line key
+    assert(shape.ownerEvents >= 3, // 2 first-sights + >=1 steal
+      s"expected a steal event, saw ${shape.ownerEvents} events")
+    import graft.queries.LlmText
+    val all = w1.union(w2)
+    val got = asMap(StateStoreLineDedup.lineDedupViaOwners(
+      LlmText.lineChunks(all), owners))
+    assert(got(10L)._2 < got(10L)._1, "doc 10 kept its stolen line")
+    assert(got(2L)._2 == got(2L)._1, "doc 2 lost a line it owns")
+  }
+}
