@@ -51,4 +51,54 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(e.getMessage.contains("ImageIO"))
   }
+
+  test("resizePooled and patchFeatures replay in plain Scala on edge-case blobs") {
+    import spark.implicits._
+    // edge cases: 1 byte (one bucket), exactly 16, non-multiple of 16,
+    // and a 0xff/0x00 alternation (max gradient)
+    val blobs = Seq(
+      DocBlob(1L, Array[Byte](42)),
+      DocBlob(2L, (0 until 16).map(_.toByte).toArray),
+      DocBlob(3L, (0 until 37).map(i => ((i * 53) % 256).toByte).toArray),
+      DocBlob(4L, (0 until 32).map(i => if (i % 2 == 0) 0xff.toByte else 0x00.toByte).toArray))
+    def replayPx(b: DocBlob) = {
+      val n = b.data.length
+      b.data.indices.groupBy(i => (i.toLong * 16 / n).toInt).toSeq.map {
+        case (k, is) =>
+          (b.doc_id, k, is.map(b.data(_) & 0xff).map(_.toLong).sum / is.size, is.size.toLong)
+      }
+    }
+    def replayFeat(b: DocBlob) = {
+      val n = b.data.length
+      (0 until n - 1).groupBy(i => (i.toLong * 16 / n).toInt).toSeq.map {
+        case (k, is) =>
+          (b.doc_id, k, is.map(i => math.abs((b.data(i + 1) & 0xff) - (b.data(i) & 0xff)).toLong).sum,
+            is.size.toLong)
+      }
+    }
+    val ds = spark.createDataset(blobs).repartition(3)
+    assert(Multimodal.resizePooled(ds).collect()
+      .map(p => (p.doc_id, p.bucket, p.px, p.n_in)).toSet ==
+      blobs.flatMap(replayPx).toSet)
+    assert(Multimodal.patchFeatures(ds).collect()
+      .map(p => (p.doc_id, p.bucket, p.edge_energy, p.n_edges)).toSet ==
+      blobs.flatMap(replayFeat).toSet)
+    // the max-gradient blob: every adjacent pair differs by 255
+    val feats4 = blobs.flatMap(replayFeat).filter(_._1 == 4L)
+    assert(feats4.map(_._3).sum == 255L * 31)
+  }
+
+  test("resizeImageReal resamples pixels byte-for-byte (nearest neighbor)") {
+    for ((w, h) <- Seq((7, 3), (64, 64), (123, 457))) {
+      val bytes = imageBytes(w, h, "png") // PNG is lossless — pixels exact
+      val (ow, oh) = (5, 4)
+      val got = Multimodal.resizeImageReal(bytes, ow, oh)
+      // plain replay over the KNOWN generator pixels
+      val want = for (y <- 0 until oh; x <- 0 until ow) yield {
+        val rgb = (x * w / ow * 31 + y * h / oh * 7) & 0xffffff
+        (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+      }
+      assert(got.toSeq == want.toSeq, s"${w}x$h → ${ow}x$oh mismatch")
+    }
+  }
 }
