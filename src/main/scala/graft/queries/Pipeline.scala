@@ -844,6 +844,37 @@ object Pipeline {
       },
       Some(LlmText.dedupGroupsOracleSqlOver(""))),
 
+    QueryDef("q66f_statestore_neardup",
+      // q66's band index on a REAL state store (the q119f doctrine on
+      // the FLAGSHIP near-dup state): the (band, key) → members index
+      // lives in RocksDB via flatMapGroupsWithState, and candidate
+      // pairs are emitted by the state function with point access per
+      // touched bucket — no committed-index scan, no semi-join
+      // restriction, per-batch work exactly the batch's band rows. The
+      // same two parity-waves as q66; the emitted candidates (distinct
+      // across bands/waves) are exact-verified against the lake-resident
+      // shingle state and the components held to the SAME batch q57
+      // oracle. Hot-cap semantics mirror IncrementalNearDup (combined
+      // membership per batch); retraction deliberately stays with the
+      // parquet twin (see the class doc). State shape measured in
+      // StateStoreNearDupSpec: rows = distinct touched buckets, a few
+      // longs per member — the shingle sets never enter the store.
+      (s, d) => {
+        import graft.streaming.StateStoreNearDup
+        val st = LlmText.bigramStateCached(s, d)
+        val (cands, _) = StateStoreNearDup.runWaves(s, Seq(
+          StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 0)),
+          StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 1))))
+        val verified = LlmText.verifyPairs(
+          cands.select(col("doc_a"), col("doc_b")).distinct(),
+          st.select(col("doc_id"), col("hs"), col("nbg")))
+        graft.operators.DedupGroups.components(verified)
+          .groupBy(col("rep").as("rep_doc"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("rep_doc"))
+      },
+      Some(LlmText.dedupGroupsOracleSqlOver(""))),
+
     QueryDef("q66b_incremental_dedup_retract",
       // q66 with CDC DELETE retraction (VERDICT r9 item 4 — the qc6
       // tombstone doctrine on the NEAR-DUP state): both insert waves,

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.{SparkTestSession, Tables}
+import graft.queries.LlmText
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q66f: the banded-LSH candidate index on a REAL state store
+  * (flatMapGroupsWithState + RocksDB) — candidate parity with the batch
+  * banded chain, verified-pair parity with the parquet streaming twin,
+  * state shape measured (rows = distinct touched buckets; shingle sets
+  * never enter the store), cross-wave discovery proven, and the
+  * hot-bucket cap drilled at the state function. */
+class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("state-store candidates and verified pairs equal the batch banded chain") {
+    val st = LlmText.bigramStateCached(spark, dir)
+    val (cands, shape) = StateStoreNearDup.runWaves(spark, Seq(
+      StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 0)),
+      StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 1))))
+    val got = cands.select("doc_a", "doc_b").distinct()
+    // batch candidate set: the same 8x2 banding over the same corpus
+    // (no bucket near the hot cap on this fixture, so per-batch and
+    // final-corpus cap semantics coincide)
+    val want = LlmText.bandedCandidates(st, 8, 2)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "candidate sets differ from the batch banded chain")
+
+    // verified pairs == the batch pipeline's pairs (same verify stage)
+    val verified = LlmText.verifyPairs(got, st.select("doc_id", "hs", "nbg"))
+      .select("doc_a", "doc_b", "jaccard")
+    val batchPairs = LlmText.bandedNearDupPairs(spark, dir)
+      .select("doc_a", "doc_b", "jaccard")
+    assert(verified.except(batchPairs).isEmpty &&
+      batchPairs.except(verified).isEmpty)
+
+    // state shape: one row per DISTINCT touched bucket; events are the
+    // per-bucket pair discoveries (>= distinct candidates, since a pair
+    // can share several bands)
+    val nBuckets = StateStoreNearDup.flatBands(st)
+      .select("band", "k0", "k1").distinct().count()
+    assert(shape.stateRows == nBuckets,
+      s"state rows ${shape.stateRows} != distinct buckets $nBuckets")
+    assert(shape.stateBytes > 0)
+    assert(shape.candEvents >= got.count())
+  }
+
+  test("a pair whose members arrive in different waves is discovered") {
+    import spark.implicits._
+    // two synthetic band rows sharing one bucket, one per wave
+    val w1 = Seq((0, 11L, 22L, 100L)).toDF("band", "k0", "k1", "doc_id")
+    val w2 = Seq((0, 11L, 22L, 7L)).toDF("band", "k0", "k1", "doc_id")
+    val (cands, shape) = StateStoreNearDup.runWaves(spark, Seq(w1, w2))
+    val got = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((7L, 100L)), s"got $got")
+    assert(shape.stateRows == 1)
+  }
+
+  test("a bucket over the hot cap stops emitting; earlier pairs are retained") {
+    import spark.implicits._
+    val cap = LlmText.HotBucketCap
+    // wave 1: 3 members -> 3 pairs; wave 2: pushes the bucket past the
+    // cap -> NO new emissions, but membership still accrues (wave 3's
+    // single arrival sees an over-cap bucket and stays silent too)
+    val mk = (ids: Seq[Long]) => ids.map(i => (0, 1L, 2L, i))
+      .toDF("band", "k0", "k1", "doc_id")
+    val (cands, shape) = StateStoreNearDup.runWaves(spark, Seq(
+      mk(Seq(1L, 2L, 3L)),
+      mk((4L to (cap.toLong + 1L))),
+      mk(Seq(9999L))))
+    val got = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"expected only the pre-cap pairs, got ${got.size} pairs")
+    assert(shape.stateRows == 1)
+  }
+}
