@@ -79,14 +79,22 @@ object StateStoreLineDedup {
     * RocksDB provider and return (final owner relation, measured state
     * shape). Each wave is one micro-batch (drained before the next is
     * added), so retroactive ownership steals cross real batch
-    * boundaries. */
-  def runWaves(spark: SparkSession, waves: Seq[DataFrame]): (DataFrame, StateShape) = {
+    * boundaries.
+    *
+    * `restartAfterWave = Some(i)` STOPS the streaming query after wave
+    * `i` is drained and starts a fresh one on the SAME checkpoint — the
+    * crash/redeploy recovery path: the RocksDB owner state is restored
+    * from the checkpoint snapshot and the resumed query continues at
+    * the committed offset. A lost owner state would re-emit first-sight
+    * events with post-restart owners (breaking keep-first for lines
+    * whose owner arrived before the restart), which the drill spec's
+    * batch-equivalence pin catches. */
+  def runWaves(spark: SparkSession, waves: Seq[DataFrame],
+      restartAfterWave: Option[Int] = None): (DataFrame, StateShape) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
-    val sinkName = "line_owner_events_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("q119f-ckpt").toString
     val mem = MemoryStream[(Long, String)](Encoders.tuple(
       Encoders.scalaLong, Encoders.STRING), sqlCtx)
@@ -100,22 +108,46 @@ object StateStoreLineDedup {
       .flatMapGroupsWithState[LineOwnerState, LineOwnerEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateOwner)(
         Encoders.product[LineOwnerState], Encoders.product[LineOwnerEvent])
-    val q = events.toDF().writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").option("checkpointLocation", ckpt).start()
+    // normal runs use the memory sink (cheapest); a RESTART drill needs
+    // a sink that supports checkpoint recovery, which the memory sink
+    // does not — the parquet file sink does (and is the realistic
+    // production sink: its _spark_metadata commit log keeps the batch
+    // read below exactly-once even if a crash leaves orphan files)
+    val fileMode = restartAfterWave.isDefined
+    val evDir = if (fileMode)
+      java.nio.file.Files.createTempDirectory("q119f-events").toString else ""
+    val sinkName = "line_owner_events_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val evSchema = events.toDF().schema
+    def start() =
+      if (fileMode) events.toDF().writeStream.format("parquet")
+        .option("path", evDir).outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      else events.toDF().writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    def readEvents() =
+      if (fileMode) spark.read.schema(evSchema).parquet(evDir)
+      else spark.table(sinkName)
+    var q = start()
     try {
-      waves.foreach { w =>
+      waves.zipWithIndex.foreach { case (w, i) =>
         mem.addData(w.select(col("doc_id"), col("text")).collect()
           .map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
         q.processAllAvailable()
+        if (restartAfterWave.contains(i) && i < waves.size - 1) {
+          q.stop()
+          q = start()
+        }
       }
       val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+      val allEvents = readEvents()
       val shape = StateShape(
         stateRows = st.map(_.numRowsTotal).sum,
         stateBytes = st.map(_.memoryUsedBytes).sum,
         corpusChunks = -1L, // filled by callers that know the corpus
-        ownerEvents = spark.table(sinkName).count())
+        ownerEvents = allEvents.count())
       // owner events only ever decrease per chunk, so min == final
-      val owners = spark.table(sinkName)
+      val owners = allEvents
         .groupBy(col("chunk"))
         .agg(min(struct(col("doc_id"), col("ck"))).as("owner"))
         .select(col("chunk"), col("owner.doc_id").as("o_doc"),
@@ -124,7 +156,7 @@ object StateStoreLineDedup {
       (owners, shape)
     } finally {
       q.stop()
-      spark.catalog.dropTempView(sinkName)
+      if (!fileMode) spark.catalog.dropTempView(sinkName)
       prev match {
         case Some(v) =>
           spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)

@@ -89,15 +89,22 @@ object StateStoreNearDup {
     * the RocksDB provider; each wave is one micro-batch (drained before
     * the next is added), so cross-wave pair discovery exercises real
     * batch boundaries. Returns (accumulated candidate events, measured
-    * state shape). */
-  def runWaves(spark: SparkSession, waves: Seq[DataFrame]): (DataFrame, StateShape) = {
+    * state shape).
+    *
+    * `restartAfterWave = Some(i)` STOPS the streaming query after wave
+    * `i` is drained and starts a fresh one on the SAME checkpoint — the
+    * crash/redeploy recovery path: the RocksDB state snapshot is
+    * restored from the checkpoint, the resumed query picks up at the
+    * committed offset, and the drill spec pins the accumulated events
+    * to the single-query run (a lost bucket state would re-emit pairs
+    * already found — or miss cross-restart pairs — and fail the pin). */
+  def runWaves(spark: SparkSession, waves: Seq[DataFrame],
+      restartAfterWave: Option[Int] = None): (DataFrame, StateShape) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       StateStoreLineDedup.RocksDbProvider)
-    val sinkName = "neardup_cand_events_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
     val ckpt = java.nio.file.Files.createTempDirectory("q66f-ckpt").toString
     val rowEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
       Encoders.scalaLong, Encoders.scalaLong)
@@ -108,16 +115,39 @@ object StateStoreNearDup {
       .flatMapGroupsWithState[BucketMembers, CandPairEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateBucket)(
         Encoders.product[BucketMembers], Encoders.product[CandPairEvent])
-    val q = events.toDF().writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").option("checkpointLocation", ckpt).start()
+    // normal runs use the memory sink (cheapest); a RESTART drill needs
+    // a sink that supports checkpoint recovery, which the memory sink
+    // does not — the parquet file sink does (and is the realistic
+    // production sink: its _spark_metadata commit log keeps the batch
+    // read below exactly-once even if a crash leaves orphan files)
+    val fileMode = restartAfterWave.isDefined
+    val evDir = if (fileMode)
+      java.nio.file.Files.createTempDirectory("q66f-events").toString else ""
+    val sinkName = "neardup_cand_events_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val evSchema = events.toDF().schema
+    def start() =
+      if (fileMode) events.toDF().writeStream.format("parquet")
+        .option("path", evDir).outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      else events.toDF().writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    def readEvents() =
+      if (fileMode) spark.read.schema(evSchema).parquet(evDir)
+      else spark.table(sinkName)
+    var q = start()
     try {
-      waves.foreach { w =>
+      waves.zipWithIndex.foreach { case (w, i) =>
         mem.addData(w.collect().map(r =>
           (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq: _*)
         q.processAllAvailable()
+        if (restartAfterWave.contains(i) && i < waves.size - 1) {
+          q.stop()
+          q = start()
+        }
       }
       val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
-      val cands = spark.table(sinkName).localCheckpoint(true)
+      val cands = readEvents().localCheckpoint(true)
       val shape = StateShape(
         stateRows = st.map(_.numRowsTotal).sum,
         stateBytes = st.map(_.memoryUsedBytes).sum,
@@ -125,7 +155,7 @@ object StateStoreNearDup {
       (cands, shape)
     } finally {
       q.stop()
-      spark.catalog.dropTempView(sinkName)
+      if (!fileMode) spark.catalog.dropTempView(sinkName)
       prev match {
         case Some(v) =>
           spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)

@@ -45,6 +45,28 @@ class StateStoreLineDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(shape.ownerEvents >= nLines && shape.ownerEvents <= nChunks)
   }
 
+  test("RocksDB owner state survives a query restart between waves") {
+    import graft.queries.LlmText
+    val src = docsDf
+    val waves = Seq(
+      src.where(col("doc_id") % 2 === 1), src.where(col("doc_id") % 2 === 0))
+    val (o1, s1) = StateStoreLineDedup.runWaves(spark, waves)
+    val (o2, s2) = StateStoreLineDedup.runWaves(spark, waves,
+      restartAfterWave = Some(0))
+    // owners must be identical; the EVENT COUNT is the sharper pin — a
+    // lost owner state would re-emit a first-sight event for every
+    // wave-2 line already owned from wave 1 (the min-fold would mask
+    // the corruption in the owner relation, the count cannot)
+    assert(o2.except(o1).isEmpty && o1.except(o2).isEmpty,
+      "restarted run's owner relation differs")
+    assert(s2.ownerEvents == s1.ownerEvents,
+      s"event count changed across restart: ${s1.ownerEvents} -> ${s2.ownerEvents}")
+    assert(s2.stateRows == s1.stateRows)
+    val chunks = LlmText.lineChunks(src).localCheckpoint(true)
+    assert(asMap(StateStoreLineDedup.lineDedupViaOwners(chunks, o2)) ==
+      asMap(LlmText.lineDedupStats(chunks)))
+  }
+
   test("a retroactive ownership steal crosses a real micro-batch boundary") {
     import spark.implicits._
     // doc 10 arrives in wave 1 and owns the shared line; doc 2 arrives

@@ -58,6 +58,27 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
     assert(shape.stateRows == 1)
   }
 
+  test("RocksDB bucket state survives a query restart between waves") {
+    val st = LlmText.bigramStateCached(spark, dir)
+    val waves = Seq(
+      StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 0)),
+      StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 1)))
+    val (c1, s1) = StateStoreNearDup.runWaves(spark, waves)
+    val (c2, s2) = StateStoreNearDup.runWaves(spark, waves,
+      restartAfterWave = Some(0))
+    // the recovery pin is two-sided: a LOST bucket state would MISS
+    // every cross-restart pair (wave-2 docs pairing with wave-1
+    // members), failing the set equality; a REPLAYED wave would
+    // re-emit wave-1 pairs, failing the event-count equality
+    val p1 = c1.select("doc_a", "doc_b").distinct()
+    val p2 = c2.select("doc_a", "doc_b").distinct()
+    assert(p2.except(p1).isEmpty && p1.except(p2).isEmpty,
+      "restarted run's candidate set differs")
+    assert(s2.candEvents == s1.candEvents,
+      s"event count changed across restart: ${s1.candEvents} -> ${s2.candEvents}")
+    assert(s2.stateRows == s1.stateRows)
+  }
+
   test("a bucket over the hot cap stops emitting; earlier pairs are retained") {
     import spark.implicits._
     val cap = LlmText.HotBucketCap
