@@ -71,6 +71,24 @@ object ScaleProbe {
       .agg(max(col("n"))).head().getLong(0)
     println(s"PROBE bigram_df_max_sf1=$dfMax")
 
+    // state-store twins: measured state-vs-corpus at the probe tier —
+    // the bounded-state claim (rows = distinct lines / touched buckets,
+    // fixed bytes per entry, corpus text never in the store) held at 10×
+    import graft.streaming.{StateStoreLineDedup, StateStoreNearDup}
+    val lineWaves = Seq(docs.where(col("doc_id") % 2 === 1),
+      docs.where(col("doc_id") % 2 === 0))
+    val (_, lShape) = StateStoreLineDedup.runWaves(spark, lineWaves)
+    val nChunks = LlmText.lineChunks(docs).count()
+    println(s"PROBE q119f_state_rows=${lShape.stateRows} bytes=${lShape.stateBytes} " +
+      s"corpus_chunks=$nChunks owner_events=${lShape.ownerEvents}")
+    val sig = LlmText.nearDupState(docs).localCheckpoint(true)
+    val (_, nShape) = StateStoreNearDup.runWaves(spark, Seq(
+      StateStoreNearDup.flatBands(sig.where(col("doc_id") % 2 === 0)),
+      StateStoreNearDup.flatBands(sig.where(col("doc_id") % 2 === 1))))
+    val nBandRows = sig.count() * 8
+    println(s"PROBE q66f_state_rows=${nShape.stateRows} bytes=${nShape.stateBytes} " +
+      s"band_rows=$nBandRows cand_events=${nShape.candEvents}")
+
     spark.stop()
   }
 }
