@@ -118,5 +118,23 @@ object CdcComposed {
       // (CdcAnalyticsSpec) cuts the binlog inside the delete section.
       (s, d) => graft.streaming.CdcAnalytics.nearDupRetractionOverCdc(s, d),
       Some(LlmText.dedupGroupsOracleSqlOver(
-        s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0"))))
+        s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0"))),
+
+    QueryDef("qc8_cdc_statestore_neardup",
+      // The production streaming shape end to end, as ONE CONTINUOUS
+      // plan with no foreachBatch: qc2's insert workload over the wire
+      // (mock server → maxscale-cdc source → pre-registered-DDL
+      // stateless projection) → PER-ROW band keys (LlmText.rowBandKeys,
+      // the stateless prefix — no per-doc shuffle anywhere) →
+      // flatMapGroupsWithState on RocksDB (point access per touched
+      // bucket) → parquet file sink (exactly-once commit log), then the
+      // q66 tail over the durable candidates (exact verify against the
+      // lake shingle state, q57-shape groups). ONE shuffle in the whole
+      // streaming plan; source offsets, RocksDB snapshots and sink log
+      // all recover from the same checkpoint. Oracle = batch q57's
+      // (recomputed from `documents`, no CDC anywhere), so the hash
+      // gate certifies connector, per-row minhash recipe, state-store
+      // candidate completeness and sink delivery in one bite.
+      (s, d) => graft.streaming.CdcAnalytics.stateStoreNearDupOverCdc(s, d),
+      Some(LlmText.dedupGroupsOracleSqlOver(""))))
 }

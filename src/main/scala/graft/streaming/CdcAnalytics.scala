@@ -446,6 +446,119 @@ object CdcAnalytics {
       .orderBy(col("rep_doc"))
   }
 
+  // ---- qc8: the wire feeding the STATE-STORE near-dup as ONE
+  // CONTINUOUS streaming plan (no foreachBatch) -------------------------
+
+  /** The qc8 wire half: mock server → maxscale-cdc source → stateless
+    * projection (the DDL is pre-registered from the workload's own
+    * script, so no per-batch registry collect) → PER-ROW band keys
+    * ([[graft.queries.LlmText.rowBandKeys]] — the stateless prefix) →
+    * `flatMapGroupsWithState` on RocksDB
+    * ([[StateStoreNearDup.candidateEvents]]) → parquet file sink.
+    * This is the production streaming shape end to end: ONE shuffle in
+    * the whole plan (band rows onto their state partitions), point
+    * access per touched bucket, candidates durable in the lake behind
+    * the file sink's exactly-once commit log, and every piece of it —
+    * source offsets, RocksDB snapshots, sink log — recovers from the
+    * same checkpoint. Contrast qc2/qc7, which drain each micro-batch
+    * into driver-orchestrated parquet state via foreachBatch.
+    *
+    * Drain: the source is socket-fed, so arrival is async — the loop
+    * re-runs processAllAvailable until the query's progress metrics
+    * account for every scripted event (the qc2 deadline doctrine,
+    * counting source input rows instead of a foreachBatch counter). */
+  def runStateStoreNearDupPipeline(s: SparkSession, events: Seq[String],
+      evDir: String, ckptPath: String, expectRows: Long,
+      sourceOptions: Map[String, String] = Map.empty): Unit = {
+    import graft.sources.cdc.{CdcEvent, DdlEvent}
+    val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
+    val reg = new SchemaRegistry
+    CdcEvent.decode(docDdlJson) match {
+      case Right(d: DdlEvent) => reg.register(d)
+      case other => throw new IllegalStateException(s"bad DDL: $other")
+    }
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      StateStoreLineDedup.RocksDbProvider)
+    try {
+      val stream = sourceOptions.foldLeft(
+        s.readStream.format("maxscale-cdc")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("user", "u").option("password", "p")
+          .option("database", Database).option("table", DocTableName)) {
+          case (b, (k, v)) => b.option(k, v)
+        }
+        .load()
+      val bands = CdcProjection.projectLatest(stream, reg, Database, DocTableName)
+        .where(col("op") === "insert")
+        .select(col("doc_id"),
+          posexplode(graft.queries.LlmText.rowBandKeys(col("text")))
+            .as(Seq("band", "key")))
+        .select(col("band"), col("key.k0").as("k0"), col("key.k1").as("k1"),
+          col("doc_id"))
+      val q = StateStoreNearDup.candidateEvents(bands)
+        .writeStream.format("parquet").option("path", evDir)
+        .outputMode("append").option("checkpointLocation", ckptPath).start()
+      try {
+        // progress entries are keyed by batchId, but a batch can be
+        // REPORTED TWICE — a restarted query re-announces its recovery
+        // batch id with 0 input rows before the real run — so the count
+        // keeps the MAX per batch id (a replayed batch reprocesses the
+        // same rows, never more) accumulated across loop iterations
+        // (recentProgress is a rolling buffer; the map outlives it)
+        val perBatch = scala.collection.mutable.Map.empty[Long, Long]
+        def seen(): Long = {
+          q.recentProgress.foreach { p =>
+            val n = p.sources.map(_.numInputRows).sum
+            perBatch(p.batchId) = math.max(perBatch.getOrElse(p.batchId, 0L), n)
+          }
+          perBatch.values.sum
+        }
+        val deadline = System.currentTimeMillis() + 60000
+        while (seen() < expectRows && System.currentTimeMillis() < deadline)
+          { q.processAllAvailable(); Thread.sleep(50) }
+        require(seen() == expectRows,
+          s"qc8 pipeline drained ${seen()} of $expectRows rows")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  /** Schema of the qc8 event sink (for the batch read-back; the dir
+    * can exist before the first commit). */
+  val CandEventSchema: StructType = StructType(Seq(
+    StructField("doc_a", LongType), StructField("doc_b", LongType)))
+
+  /** qc8's query body: the qc2 insert workload through
+    * [[runStateStoreNearDupPipeline]], then the q66 tail over the
+    * durable candidate events — exact verification against the
+    * lake-resident shingle state and the q57-shape dedup groups, under
+    * the SAME oracle as batch q57 / q66 / q66f (the full banded chain
+    * recomputed from `documents`, no CDC anywhere). The hash gate
+    * certifies the connector, the per-row band-key recipe, the state
+    * store's candidate completeness, and the sink's exactly-once
+    * delivery in one bite. */
+  def stateStoreNearDupOverCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.LlmText
+    val events = docWorkloadEvents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc8-cdc").toString
+    runStateStoreNearDupPipeline(s, events, s"$tmp/events", s"$tmp/ckpt",
+      events.size.toLong)
+    val cands = s.read.schema(CandEventSchema).parquet(s"$tmp/events")
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val st = LlmText.bigramStateCached(s, dir)
+    val verified = LlmText.verifyPairs(cands,
+      st.select(col("doc_id"), col("hs"), col("nbg")))
+    graft.operators.DedupGroups.components(verified)
+      .groupBy(col("rep").as("rep_doc"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("rep_doc"))
+  }
+
   // ---- qc3: CDC-fed incremental IVF (the connector feeding the ANN
   // layer — q88's maintenance loop with the wire path as the arrival
   // source instead of explicit batches) --------------------------------

@@ -84,6 +84,24 @@ object StateStoreNearDup {
     }
   }
 
+  /** The stateful candidate plan over a STREAMING (band, k0, k1,
+    * doc_id) relation — the single flatMapGroupsWithState hop shared by
+    * the MemoryStream wave driver ([[runWaves]]) and the continuous CDC
+    * wire pipeline (qc8). The group-by key is the bucket; Spark's one
+    * shuffle here lands each band row on its state partition. */
+  def candidateEvents(bandRows: DataFrame): DataFrame =
+    bandRows.select(col("band").cast("int").as("_1"),
+        col("k0").cast("long").as("_2"), col("k1").cast("long").as("_3"),
+        col("doc_id").cast("long").as("_4"))
+      .as[(Int, Long, Long, Long)](Encoders.tuple(Encoders.scalaInt,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      .groupByKey(t => (t._1, t._2, t._3))(Encoders.tuple(
+        Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong))
+      .flatMapGroupsWithState[BucketMembers, CandPairEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateBucket)(
+        Encoders.product[BucketMembers], Encoders.product[CandPairEvent])
+      .toDF()
+
   /** Stream `waves` of band rows (band, k0, k1, doc_id — the flattened
     * [[LlmText.bandKeys]] output) through the bucket-state function on
     * the RocksDB provider; each wave is one micro-batch (drained before
@@ -109,12 +127,9 @@ object StateStoreNearDup {
     val rowEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
       Encoders.scalaLong, Encoders.scalaLong)
     val mem = MemoryStream[(Int, Long, Long, Long)](rowEnc, sqlCtx)
-    val events = mem.toDS()
-      .groupByKey(t => (t._1, t._2, t._3))(Encoders.tuple(
-        Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong))
-      .flatMapGroupsWithState[BucketMembers, CandPairEvent](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateBucket)(
-        Encoders.product[BucketMembers], Encoders.product[CandPairEvent])
+    val events = candidateEvents(mem.toDF()
+      .select(col("_1").as("band"), col("_2").as("k0"),
+        col("_3").as("k1"), col("_4").as("doc_id")))
     // normal runs use the memory sink (cheapest); a RESTART drill needs
     // a sink that supports checkpoint recovery, which the memory sink
     // does not — the parquet file sink does (and is the realistic
@@ -125,12 +140,12 @@ object StateStoreNearDup {
       java.nio.file.Files.createTempDirectory("q66f-events").toString else ""
     val sinkName = "neardup_cand_events_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val evSchema = events.toDF().schema
+    val evSchema = events.schema
     def start() =
-      if (fileMode) events.toDF().writeStream.format("parquet")
+      if (fileMode) events.writeStream.format("parquet")
         .option("path", evDir).outputMode("append")
         .option("checkpointLocation", ckpt).start()
-      else events.toDF().writeStream.format("memory").queryName(sinkName)
+      else events.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").option("checkpointLocation", ckpt).start()
     def readEvents() =
       if (fileMode) spark.read.schema(evSchema).parquet(evDir)

@@ -334,6 +334,50 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(groups(resumed) == expected)
   }
 
+  test("qc8: continuous state-store near-dup equals batch q57, across a mid-workload restart") {
+    // the one-continuous-plan composition's drill: kill the stream
+    // partway through the insert binlog, resume on a NEW connection
+    // with the SAME checkpoint — source offsets, the RocksDB bucket
+    // state AND the file sink's commit log must all recover together —
+    // and require the final dedup groups to equal both the one-shot
+    // wire run and the pure batch q57 entry.
+    val events = CdcAnalytics.docWorkloadEvents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc8-restart").toString
+
+    def groupsOf(evDir: String): Seq[(Long, Long)] = {
+      import graft.queries.LlmText
+      val cands = spark.read.schema(CdcAnalytics.CandEventSchema)
+        .parquet(evDir).select("doc_a", "doc_b").distinct()
+      val st = LlmText.bigramStateCached(spark, dir)
+      graft.operators.DedupGroups.components(
+          LlmText.verifyPairs(cands, st.select("doc_id", "hs", "nbg")))
+        .groupBy(org.apache.spark.sql.functions.col("rep"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .orderBy("rep").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+
+    CdcAnalytics.runStateStoreNearDupPipeline(spark, events,
+      s"$tmp/ref_events", s"$tmp/ref_ckpt", events.size.toLong,
+      sourceOptions = Map("maxEventsPerTrigger" -> "64"))
+    val expected = groupsOf(s"$tmp/ref_events")
+    assert(expected.nonEmpty)
+
+    val batch = graft.SparkEntry.queries("q57_dedup_groups")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(expected == batch, "wire run diverges from batch q57")
+
+    val cut = events.size / 2
+    val phaseA = events.take(cut)
+    val phaseB = CdcAnalytics.docDdlJson +: events.drop(cut)
+    CdcAnalytics.runStateStoreNearDupPipeline(spark, phaseA,
+      s"$tmp/events", s"$tmp/ckpt", phaseA.size.toLong)
+    CdcAnalytics.runStateStoreNearDupPipeline(spark, phaseB,
+      s"$tmp/events", s"$tmp/ckpt", phaseB.size.toLong)
+    assert(groupsOf(s"$tmp/events") == expected)
+  }
+
   test("replaying a committed batchId is bit-for-bit idempotent") {
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Files.createTempDirectory("cdc-replay").toString

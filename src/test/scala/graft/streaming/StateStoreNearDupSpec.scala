@@ -47,6 +47,22 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
     assert(shape.candEvents >= got.count())
   }
 
+  test("rowBandKeys equals the batch bandKeys byte-for-byte per doc") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val batch = StateStoreNearDup.flatBands(LlmText.nearDupState(docs))
+      .select("doc_id", "band", "k0", "k1")
+    val perRow = docs.select(col("doc_id"),
+        posexplode(LlmText.rowBandKeys(col("text"))).as(Seq("band", "key")))
+      .select(col("doc_id"), col("band"),
+        col("key.k0").as("k0"), col("key.k1").as("k1"))
+    // both emit exactly 8 rows per >=2-token doc, so two-sided except
+    // over the full row set pins the recipe byte-for-byte, including
+    // the short-doc NULL/filter parity
+    assert(perRow.except(batch).isEmpty && batch.except(perRow).isEmpty)
+    assert(perRow.count() == batch.count())
+  }
+
   test("a pair whose members arrive in different waves is discovered") {
     import spark.implicits._
     // two synthetic band rows sharing one bucket, one per wave
