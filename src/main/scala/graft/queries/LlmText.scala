@@ -120,32 +120,23 @@ object LlmText {
   /** Per-ROW computation of the 8×2 bigram band keys — the SAME bytes
     * as [[bandKeys]] over [[nearDupState]] (same shingle strings, same
     * salted-md5 minhash recipe, parity spec-pinned per doc), but as ONE
-    * codegen-friendly column expression with no explode/group-by: the
-    * shingle array, the four salted md5 arrays, and the 16 array_min
-    * folds all evaluate inside the row. This is the shape a CONTINUOUS
-    * streaming pipeline needs — band keys computed in the stateless
-    * prefix of the plan, so the only shuffle is the one onto the
-    * state-store partitions (qc8), and the shape a 100 TB batch scan
-    * prefers too (zero pre-shuffle, minhash never materializes
-    * per-shingle rows). Docs with fewer than 2 tokens yield NULL (no
-    * shingles → no bands), which posexplode drops — matching the batch
-    * pipeline's size(t) >= 2 filter. */
+    * native expression with no explode/group-by: band keys evaluate
+    * inside the row. This is the shape a CONTINUOUS streaming pipeline
+    * needs — band keys computed in the stateless prefix of the plan, so
+    * the only shuffle is the one onto the state-store partitions (qc8) —
+    * and the shape a 100 TB batch scan prefers too (zero pre-shuffle,
+    * minhash never materializes per-shingle rows). Docs with fewer than
+    * 2 tokens yield NULL (no shingles → no bands), which posexplode
+    * drops — matching the batch pipeline's size(t) >= 2 filter.
+    * Native ([[graft.functions.MinHashBands]]) rather than
+    * higher-order-function built-ins: the `transform`/`array_min`
+    * lambda form evaluates interpreted — measured 38 s vs sub-second on
+    * the sf0.1 corpus (the ArrayDot lesson at per-shingle granularity,
+    * PLAN_NOTES round 1). */
   private[graft] def rowBandKeys(text: Column): Column = {
-    val t = split(text, " ")
-    val sh = transform(sequence(lit(0), size(t) - 2),
-      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))
-    // one md5 per (salt, shingle) — four arrays, each feeding 4 of the
-    // 16 minhash components via substring windows (the nearDupState
-    // recipe verbatim)
-    val mds = ('a' to 'd').map(c =>
-      transform(sh, s => md5(concat(lit(s"$c:"), s))))
-    val hs = (0 until 16).map { i =>
-      array_min(transform(mds(i / 4),
-        m => conv(substring(m, 1 + 8 * (i % 4), 8), 16, 10).cast("long")))
-    }
-    when(size(t) >= 2,
-      array((0 until 8).map(j =>
-        struct(hs(2 * j).as("k0"), hs(2 * j + 1).as("k1"))): _*))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.MinHashBands(ColumnBridge.expression(text)))
   }
 
   private[graft] def bandedCandidates(sig: DataFrame, nBands: Int, bandR: Int,
