@@ -210,9 +210,22 @@ object StateLayout {
     * the driver to drive the partition filter. Returns the logical
     * schema; see the class doc for why restricting to these partitions
     * is join/anti-join exact. */
+  /** Below this file count a pruned read falls back to the FLAT read:
+    * collecting the probe's distinct buckets costs a driver-side job,
+    * which only pays for itself once the dir holds enough files for
+    * partition pruning to skip real IO. A fixture-scale state (a couple
+    * of appends) stays on the flat path; a grown state (many committed
+    * batches) prunes. Every consumer is key-restricted (equi-join or
+    * anti-join on the probe keys), so flat vs pruned is
+    * result-identical by the same soundness argument as pruning
+    * itself. */
+  val PruneMinFiles: Int = 2 * NumBuckets
+
   def readPruned(spark: SparkSession, dir: String, schema: StructType,
       probe: DataFrame, probeKeys: Seq[String]): DataFrame =
     if (!exists(spark, dir)) emptyOf(spark, schema)
+    else if (parquetFileCount(spark, dir) <= PruneMinFiles)
+      read(spark, dir, schema)
     else {
       val buckets = probe
         .select(pmod(hash(probeKeys.map(probe(_)): _*), lit(NumBuckets))

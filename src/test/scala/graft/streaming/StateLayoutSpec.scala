@@ -24,7 +24,13 @@ class StateLayoutSpec extends AnyFunSuite with SparkTestSession {
   test("pruned probe read carries PartitionFilters and matches the full read's buckets") {
     import spark.implicits._
     val dir = tmp("state-layout") + "/chunks"
-    StateLayout.append(state(1000), dir, Seq("doc_id"))
+    // GROW the dir past PruneMinFiles: pruning is adaptive — a
+    // fixture-scale dir reads flat (the probe-bucket collection job
+    // doesn't pay below that), a grown dir must prune
+    (0 until 3).foreach(i => StateLayout.append(
+      state(1000).where(col("doc_id") % 3 === i), dir, Seq("doc_id")))
+    assert(StateFiles.parquetCount(dir) > StateLayout.PruneMinFiles,
+      "fixture did not outgrow the adaptive prune threshold")
 
     val probe = Seq(3L, 17L, 99L).toDF("doc_id").localCheckpoint(true)
     val pruned = StateLayout.readPruned(spark, dir, state(0).schema,
@@ -70,10 +76,24 @@ class StateLayoutSpec extends AnyFunSuite with SparkTestSession {
     val dir = tmp("state-layout-empty") + "/never-written"
     assert(StateLayout.read(spark, dir, state(0).schema).count() == 0)
     val existing = tmp("state-layout-e2") + "/chunks"
-    StateLayout.append(state(10), existing, Seq("doc_id"))
+    // past the adaptive threshold, an empty probe prunes to nothing
+    (0 until 3).foreach(i => StateLayout.append(
+      state(200).where(col("doc_id") % 3 === i), existing, Seq("doc_id")))
+    assert(StateFiles.parquetCount(existing) > StateLayout.PruneMinFiles)
     val emptyProbe = Seq.empty[Long].toDF("doc_id").localCheckpoint(true)
     assert(StateLayout.readPruned(spark, existing, state(0).schema,
       emptyProbe, Seq("doc_id")).count() == 0)
+    // below it, the flat fallback is key-restriction-equivalent: the
+    // anti-join via readPruned still sees every committed key
+    val small = tmp("state-layout-e3") + "/chunks"
+    StateLayout.append(state(10), small, Seq("doc_id"))
+    assert(StateFiles.parquetCount(small) <= StateLayout.PruneMinFiles)
+    val batch = Seq(3L, 5000L).toDF("doc_id").localCheckpoint(true)
+    val anti = batch.join(
+      StateLayout.readPruned(spark, small, state(0).schema, batch,
+        Seq("doc_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti").collect().map(_.getLong(0)).toSet
+    assert(anti == Set(5000L))
   }
 
   test("compaction rewrite bounds files at one per non-empty bucket, rows unchanged") {
