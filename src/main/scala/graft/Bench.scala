@@ -117,6 +117,14 @@ object Bench {
     * between warmup and measurement because nothing runs in between. */
   private def ingestEventsPerSec(n: Int = 100000, warm: Int = 50000): Double = {
     import graft.sources.cdc._
+    // each interleaved run lands right after a full query-suite pass,
+    // whose garbage otherwise forces a major GC INSIDE the timed window
+    // (the residual term behind the driver-host spread: isolated
+    // back-to-back runs measure ~7%, suite-interleaved 35%+). Collect
+    // and settle BEFORE connecting so the timed 100k window starts
+    // heap-quiet.
+    System.gc()
+    Thread.sleep(200)
     val total = warm + n
     val events = (1 to total).map(i =>
       s"""{"domain":0,"server_id":1,"sequence":$i,"event_number":1,"timestamp":1754956800,"event_type":"insert","id":$i,"name":"user-$i"}""")
