@@ -58,41 +58,13 @@ case class MinHashBands(child: Expression) extends UnaryExpression {
 
 object MinHashBands {
 
-  private val Salts: Array[Array[Byte]] =
-    Array("a:", "b:", "c:", "d:").map(_.getBytes(UTF_8))
-
-  private val Md = ThreadLocal.withInitial[MessageDigest](() =>
-    MessageDigest.getInstance("MD5"))
-
   /** Null iff the text has fewer than 2 tokens. Called from generated
-    * code — keep the signature stable. */
+    * code — keep the signature stable. The minhash fold lives in
+    * [[MinHashKernel.minhash]] (shared with [[MinHashSig]]); this
+    * packs the 16 components into the 8 band structs. */
   def compute(text: UTF8String): ArrayData = {
-    val tokens = text.toString.split(" ", -1)
-    val n = tokens.length
-    if (n < 2) return null
-    val mins = Array.fill(16)(Long.MaxValue)
-    val digest = Md.get()
-    var i = 0
-    while (i < n - 1) {
-      val sh = (tokens(i) + " " + tokens(i + 1)).getBytes(UTF_8)
-      var s = 0
-      while (s < 4) {
-        digest.reset()
-        digest.update(Salts(s))
-        digest.update(sh)
-        val d = digest.digest()
-        var k = 0
-        while (k < 4) {
-          val v = ((d(4 * k) & 0xffL) << 24) | ((d(4 * k + 1) & 0xffL) << 16) |
-            ((d(4 * k + 2) & 0xffL) << 8) | (d(4 * k + 3) & 0xffL)
-          val idx = s * 4 + k
-          if (v < mins(idx)) mins(idx) = v
-          k += 1
-        }
-        s += 1
-      }
-      i += 1
-    }
+    val mins = MinHashKernel.minhash(MinHashKernel.tokens(text), 2, 16)
+    if (mins == null) return null
     val bands = new Array[Any](8)
     var j = 0
     while (j < 8) {

@@ -212,25 +212,30 @@ object LlmText {
     * shingle stream). Defaults are the q54/q57/q61/q66 design (bigrams,
     * 8×2 bands); q44 uses (3, 8) for its 3-gram 8×1 design. */
   private[graft] def nearDupState(docsDf: DataFrame, n: Int = 2, nHashes: Int = 16): DataFrame = {
-    val raw = shinglesRawDf(docsDf, n)
-    // h60 (the exact-verify set element) is Spark-INTERNAL — no oracle
-    // ever sees it (DuckDB verifies by joining raw shingle strings), it
-    // only needs to be collision-free and consistently comparable — so
-    // it uses codegen'd xxhash64 rather than a third md5 per shingle
-    // (r9 audit: the md5 trio was ~55% of q44's state-build cost; this
-    // cut the measured state stage by ~25% with hashes unchanged). The
-    // minhash components MUST stay md5: their exact byte recipe is
-    // mirrored in the DuckDB oracle (minhashSigSql).
-    val hashed = raw.select(col("doc_id") +:
-      xxhash64(col("sh")).as("h60") +:
-      (0 until nHashes).map { i =>
-        val salt = s"${('a' + i / 4).toChar}:"
-        val m = md5(concat(lit(salt), col("sh")))
-        conv(substring(m, 1 + 8 * (i % 4), 8), 16, 10).cast("long").as(s"x$i")
-      }: _*)
-    val aggs = sort_array(collect_set(col("h60"))).as("hs") +:
-      (0 until nHashes).map(i => min(col(s"x$i")).as(s"h$i"))
-    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    // ZERO-shuffle since round 11: both sides of the state are native
+    // per-row expressions (functions/NearDupState.scala) — the minhash
+    // fold and the sorted-distinct shingle set evaluate inside the scan
+    // task, so the per-shingle rows of the previous explode → group-by
+    // chain (one shuffle of ~600 rows/doc) never materialize. At 100 TB
+    // this turns the dedup state build into a map-only pass over the
+    // corpus. Byte parity is pinned three ways: NativeStateSpec replays
+    // the old declarative chain and compares per doc; the minhash
+    // recipe stays md5 because the DuckDB oracle mirrors it
+    // (minhashSigSql); h60 stays xxhash64 seed 42 (Spark-internal — no
+    // oracle sees it, it only needs to be collision-free; the kernel
+    // calls the same XXH64 Spark's `xxhash64` uses). A duplicated
+    // doc_id now yields duplicate state ROWS rather than one merged row
+    // — every caller feeds unique doc ids (fixture keys / explicit
+    // dropDuplicates on the CDC paths).
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sig = ColumnBridge.column(graft.functions.MinHashSig(
+      ColumnBridge.expression(col("text")), n, nHashes))
+    val hs = ColumnBridge.column(graft.functions.ShingleSet(
+      ColumnBridge.expression(col("text")), n))
+    docsDf.select(col("doc_id"), hs.as("hs"), sig.as("sig"))
+      .where(col("hs").isNotNull)
+      .select(col("doc_id") +: col("hs") +:
+        (0 until nHashes).map(i => col("sig").getItem(i).as(s"h$i")): _*)
       .withColumn("nbg", size(col("hs")))
   }
 
