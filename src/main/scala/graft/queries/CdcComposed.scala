@@ -136,5 +136,19 @@ object CdcComposed {
       // gate certifies connector, per-row minhash recipe, state-store
       // candidate completeness and sink delivery in one bite.
       (s, d) => graft.streaming.CdcAnalytics.stateStoreNearDupOverCdc(s, d),
-      Some(LlmText.dedupGroupsOracleSqlOver(""))))
+      Some(LlmText.dedupGroupsOracleSqlOver(""))),
+
+    QueryDef("qc9_cdc_statestore_line_dedup",
+      // qc8's sibling on the SIMPLEST state: the same insert workload
+      // as ONE CONTINUOUS plan — source → stateless projection →
+      // per-row line chunking → flatMapGroupsWithState on RocksDB (the
+      // q119f owner index) → parquet file sink — then the q119 keep
+      // decision derived SOLELY from the durable owner events (min
+      // fold; ownership only decreases). One shuffle in the whole
+      // streaming plan (chunk occurrences onto their state
+      // partitions). Oracle = batch q119's (computed from `documents`,
+      // no CDC anywhere); with qc2 this pins foreachBatch and
+      // continuous-plan forms of the same dedup to the same hash.
+      (s, d) => graft.streaming.CdcAnalytics.stateStoreLineDedupOverCdc(s, d),
+      Some(LlmText.LineDedupOracleSql)))
 }

@@ -499,27 +499,7 @@ object CdcAnalytics {
       val q = StateStoreNearDup.candidateEvents(bands)
         .writeStream.format("parquet").option("path", evDir)
         .outputMode("append").option("checkpointLocation", ckptPath).start()
-      try {
-        // progress entries are keyed by batchId, but a batch can be
-        // REPORTED TWICE — a restarted query re-announces its recovery
-        // batch id with 0 input rows before the real run — so the count
-        // keeps the MAX per batch id (a replayed batch reprocesses the
-        // same rows, never more) accumulated across loop iterations
-        // (recentProgress is a rolling buffer; the map outlives it)
-        val perBatch = scala.collection.mutable.Map.empty[Long, Long]
-        def seen(): Long = {
-          q.recentProgress.foreach { p =>
-            val n = p.sources.map(_.numInputRows).sum
-            perBatch(p.batchId) = math.max(perBatch.getOrElse(p.batchId, 0L), n)
-          }
-          perBatch.values.sum
-        }
-        val deadline = System.currentTimeMillis() + 60000
-        while (seen() < expectRows && System.currentTimeMillis() < deadline)
-          { q.processAllAvailable(); Thread.sleep(50) }
-        require(seen() == expectRows,
-          s"qc8 pipeline drained ${seen()} of $expectRows rows")
-      } finally q.stop()
+      try drainByInputRows(q, expectRows, "qc8") finally q.stop()
     } finally prev match {
       case Some(v) =>
         s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
@@ -532,6 +512,32 @@ object CdcAnalytics {
     * can exist before the first commit). */
   val CandEventSchema: StructType = StructType(Seq(
     StructField("doc_a", LongType), StructField("doc_b", LongType)))
+
+  /** Drain a continuous-plan query until its progress metrics account
+    * for every scripted wire event (the qc2 deadline doctrine, counting
+    * source input rows instead of a foreachBatch counter). Progress
+    * entries are keyed by batchId, but a batch can be REPORTED TWICE —
+    * a restarted query re-announces its recovery batch id with 0 input
+    * rows before the real run — so the count keeps the MAX per batch id
+    * (a replayed batch reprocesses the same rows, never more),
+    * accumulated across loop iterations (recentProgress is a rolling
+    * buffer; the map outlives it). */
+  private def drainByInputRows(q: org.apache.spark.sql.streaming.StreamingQuery,
+      expectRows: Long, what: String): Unit = {
+    val perBatch = scala.collection.mutable.Map.empty[Long, Long]
+    def seen(): Long = {
+      q.recentProgress.foreach { p =>
+        val n = p.sources.map(_.numInputRows).sum
+        perBatch(p.batchId) = math.max(perBatch.getOrElse(p.batchId, 0L), n)
+      }
+      perBatch.values.sum
+    }
+    val deadline = System.currentTimeMillis() + 60000
+    while (seen() < expectRows && System.currentTimeMillis() < deadline)
+      { q.processAllAvailable(); Thread.sleep(50) }
+    require(seen() == expectRows,
+      s"$what pipeline drained ${seen()} of $expectRows rows")
+  }
 
   /** qc8's query body: the qc2 insert workload through
     * [[runStateStoreNearDupPipeline]], then the q66 tail over the
@@ -557,6 +563,77 @@ object CdcAnalytics {
       .groupBy(col("rep").as("rep_doc"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("rep_doc"))
+  }
+
+  // ---- qc9: the wire feeding the STATE-STORE line dedup as ONE
+  // CONTINUOUS streaming plan (qc8's sibling on the simplest state) ----
+
+  /** Schema of the qc9 owner-event sink. */
+  val OwnerEventSchema: StructType = StructType(Seq(
+    StructField("chunk", StringType), StructField("doc_id", LongType),
+    StructField("ck", IntegerType)))
+
+  /** The qc9 wire half: source → pre-registered-DDL stateless
+    * projection → per-row line chunking → `flatMapGroupsWithState` on
+    * RocksDB ([[StateStoreLineDedup.ownerEvents]]) → parquet file sink.
+    * One shuffle in the whole plan (chunk occurrences onto their state
+    * partitions); same drain/recovery doctrine as qc8. */
+  def runStateStoreLineDedupPipeline(s: SparkSession, events: Seq[String],
+      evDir: String, ckptPath: String, expectRows: Long,
+      sourceOptions: Map[String, String] = Map.empty): Unit = {
+    import graft.sources.cdc.{CdcEvent, DdlEvent}
+    val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
+    val reg = new SchemaRegistry
+    CdcEvent.decode(docDdlJson) match {
+      case Right(d: DdlEvent) => reg.register(d)
+      case other => throw new IllegalStateException(s"bad DDL: $other")
+    }
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      StateStoreLineDedup.RocksDbProvider)
+    try {
+      val stream = sourceOptions.foldLeft(
+        s.readStream.format("maxscale-cdc")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("user", "u").option("password", "p")
+          .option("database", Database).option("table", DocTableName)) {
+          case (b, (k, v)) => b.option(k, v)
+        }
+        .load()
+      val chunks = graft.queries.LlmText.lineChunks(
+        CdcProjection.projectLatest(stream, reg, Database, DocTableName)
+          .where(col("op") === "insert")
+          .select(col("doc_id"), col("text")))
+      val q = StateStoreLineDedup.ownerEvents(chunks)
+        .writeStream.format("parquet").option("path", evDir)
+        .outputMode("append").option("checkpointLocation", ckptPath).start()
+      try drainByInputRows(q, expectRows, "qc9") finally q.stop()
+    } finally prev match {
+      case Some(v) =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  /** qc9's query body: the qc2 insert workload through the continuous
+    * plan, then the q119 keep decision derived SOLELY from the durable
+    * owner events (min fold — ownership only decreases), under q119's
+    * batch oracle. */
+  def stateStoreLineDedupOverCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.LlmText
+    val events = docWorkloadEvents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc9-cdc").toString
+    runStateStoreLineDedupPipeline(s, events, s"$tmp/events", s"$tmp/ckpt",
+      events.size.toLong)
+    val owners = s.read.schema(OwnerEventSchema).parquet(s"$tmp/events")
+      .groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("ck"))).as("owner"))
+      .select(col("chunk"), col("owner.doc_id").as("o_doc"),
+        col("owner.ck").as("o_ck"))
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    StateStoreLineDedup.lineDedupViaOwners(LlmText.lineChunks(docs), owners)
+      .orderBy(col("doc_id"))
   }
 
   // ---- qc3: CDC-fed incremental IVF (the connector feeding the ANN

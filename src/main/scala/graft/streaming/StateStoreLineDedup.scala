@@ -75,6 +75,22 @@ object StateStoreLineDedup {
     } else Iterator.empty
   }
 
+  /** The stateful owner plan over a STREAMING (doc_id, ck, chunk)
+    * relation — the single flatMapGroupsWithState hop shared by the
+    * MemoryStream wave driver ([[runWaves]]) and the continuous CDC
+    * wire pipeline (qc9). The group-by key is the chunk text; Spark's
+    * one shuffle here lands each occurrence on its state partition. */
+  def ownerEvents(chunks: DataFrame): DataFrame =
+    chunks
+      .select(col("chunk").as("_1"), col("doc_id").as("_2"), col("ck").as("_3"))
+      .as[(String, Long, Int)](Encoders.tuple(
+        Encoders.STRING, Encoders.scalaLong, Encoders.scalaInt))
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[LineOwnerState, LineOwnerEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateOwner)(
+        Encoders.product[LineOwnerState], Encoders.product[LineOwnerEvent])
+      .toDF()
+
   /** Stream `waves` of (doc_id, text) through the state function on the
     * RocksDB provider and return (final owner relation, measured state
     * shape). Each wave is one micro-batch (drained before the next is
@@ -98,16 +114,8 @@ object StateStoreLineDedup {
     val ckpt = java.nio.file.Files.createTempDirectory("q119f-ckpt").toString
     val mem = MemoryStream[(Long, String)](Encoders.tuple(
       Encoders.scalaLong, Encoders.STRING), sqlCtx)
-    val chunks = LlmText.lineChunks(
-      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text")))
-    val events = chunks
-      .select(col("chunk").as("_1"), col("doc_id").as("_2"), col("ck").as("_3"))
-      .as[(String, Long, Int)](Encoders.tuple(
-        Encoders.STRING, Encoders.scalaLong, Encoders.scalaInt))
-      .groupByKey(_._1)(Encoders.STRING)
-      .flatMapGroupsWithState[LineOwnerState, LineOwnerEvent](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateOwner)(
-        Encoders.product[LineOwnerState], Encoders.product[LineOwnerEvent])
+    val events = ownerEvents(LlmText.lineChunks(
+      mem.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))))
     // normal runs use the memory sink (cheapest); a RESTART drill needs
     // a sink that supports checkpoint recovery, which the memory sink
     // does not — the parquet file sink does (and is the realistic

@@ -378,6 +378,51 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(groupsOf(s"$tmp/events") == expected)
   }
 
+  test("qc9: continuous state-store line dedup equals batch q119, across a mid-workload restart") {
+    // qc8's drill on the line-owner state: kill mid-insert, resume on
+    // the same checkpoint, require the emitted dedup stats to equal
+    // both the one-shot run and batch q119.
+    val events = CdcAnalytics.docWorkloadEvents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc9-restart").toString
+
+    def statsOf(evDir: String): Seq[(Long, Long, Long, String)] = {
+      import graft.queries.LlmText
+      val owners = spark.read.schema(CdcAnalytics.OwnerEventSchema)
+        .parquet(evDir)
+        .groupBy(org.apache.spark.sql.functions.col("chunk"))
+        .agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("ck"))).as("owner"))
+        .select(org.apache.spark.sql.functions.col("chunk"),
+          org.apache.spark.sql.functions.col("owner.doc_id").as("o_doc"),
+          org.apache.spark.sql.functions.col("owner.ck").as("o_ck"))
+      val docs = graft.Tables(spark, dir, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      StateStoreLineDedup.lineDedupViaOwners(LlmText.lineChunks(docs), owners)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    }
+
+    CdcAnalytics.runStateStoreLineDedupPipeline(spark, events,
+      s"$tmp/ref_events", s"$tmp/ref_ckpt", events.size.toLong)
+    val expected = statsOf(s"$tmp/ref_events")
+    assert(expected.nonEmpty)
+
+    val batch = graft.SparkEntry.queries("q119_line_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(expected == batch, "wire run diverges from batch q119")
+
+    val cut = events.size / 2
+    CdcAnalytics.runStateStoreLineDedupPipeline(spark, events.take(cut),
+      s"$tmp/events", s"$tmp/ckpt", cut.toLong)
+    CdcAnalytics.runStateStoreLineDedupPipeline(spark,
+      CdcAnalytics.docDdlJson +: events.drop(cut),
+      s"$tmp/events", s"$tmp/ckpt", (events.size - cut + 1).toLong)
+    assert(statsOf(s"$tmp/events") == expected)
+  }
+
   test("replaying a committed batchId is bit-for-bit idempotent") {
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Files.createTempDirectory("cdc-replay").toString
