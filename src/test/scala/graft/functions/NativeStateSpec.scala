@@ -54,6 +54,29 @@ class NativeStateSpec extends AnyFunSuite with SparkTestSession {
     compare(docs, 3, 8)
   }
 
+  test("native state equals the declarative chain on 200 seeded-random texts") {
+    import spark.implicits._
+    // randomized cross-check with multibyte/CJK/emoji tokens — the
+    // kernel hashes UTF-8 bytes and xxhash64 a UTF8String, both of
+    // which only coincide with the declarative chain if encoding is
+    // handled identically (incl. surrogate pairs)
+    val rnd = new scala.util.Random(12345)
+    def tok(): String = rnd.nextInt(6) match {
+      case 0 => "" // empty token — double spaces in the joined text
+      case 1 => "é" * (1 + rnd.nextInt(3))
+      case 2 => rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString
+      case 3 => "日本語"
+      case 4 => "😀🚀" // supplementary-plane code points (surrogate pairs)
+      case 5 => rnd.nextInt(1000).toString
+    }
+    val docs = (1 to 200).map(i =>
+        (i.toLong, Seq.fill(rnd.nextInt(30))(tok()).mkString(" ")))
+      .toDF("doc_id", "text")
+      .localCheckpoint(true)
+    compare(docs, 2, 16)
+    compare(docs, 3, 8)
+  }
+
   test("native state equals the declarative chain on edge docs") {
     import spark.implicits._
     val docs = Seq(
