@@ -63,6 +63,25 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
     assert(perRow.count() == batch.count())
   }
 
+  test("the continuous candidate plan carries exactly one exchange") {
+    // the qc8/qc9 claim pinned at the plan level: scan → per-row band
+    // keys → state hop is ONE shuffle (the group-by onto state
+    // partitions); batch-mode flatMapGroupsWithState builds the same
+    // plan shape as the streaming hop
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val bands = docs.select(col("doc_id"),
+        posexplode(LlmText.rowBandKeys(col("text"))).as(Seq("band", "key")))
+      .select(col("band"), col("key.k0").as("k0"), col("key.k1").as("k1"),
+        col("doc_id"))
+    val ev = StateStoreNearDup.candidateEvents(bands)
+    assert(ev.count() > 0) // execute first — AQE finalizes the plan
+    val plan = ev.queryExecution.executedPlan.toString
+    val exchanges = "Exchange (hashpartitioning|SinglePartition)".r
+      .findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one exchange, plan:\n$plan")
+  }
+
   test("a pair whose members arrive in different waves is discovered") {
     import spark.implicits._
     // two synthetic band rows sharing one bucket, one per wave
