@@ -1,8 +1,5 @@
 package graft.functions
 
-import java.nio.charset.StandardCharsets.UTF_8
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
