@@ -1394,6 +1394,33 @@ object LlmText {
       },
       Some(LineDedupOracleSql)),
 
+    QueryDef("q119g_statestore_line_dedup_retract",
+      // DELETE retraction ON the state store (closes the one capability
+      // gap the q119f/q66f docs deliberately left with the parquet
+      // twins): the state value grows from the single min owner to the
+      // chunk's claimant set + tombstone set, so a delete RE-ELECTS the
+      // next-best claimant inside the state function. Ownership is no
+      // longer monotone, so events carry a per-key VERSION and the
+      // consumer folds argmax-version (a min fold would resurrect
+      // deleted owners — spec-pinned). Tombstones win permanently, the
+      // parquet twins' contract. Waves: odd inserts, even inserts, then
+      // DELETEs of doc_id % 7 == 0; oracle = batch q119 over the
+      // SURVIVORS (no retraction machinery anywhere in it).
+      (s, d) => {
+        import graft.streaming.StateStoreLineDedup
+        val src = docs(s, d).select(col("doc_id"), col("text"))
+        def wave(op: String, pred: Column) = src.where(pred)
+          .select(lit(op).as("op"), col("doc_id"), col("text"))
+        val (owners, _) = StateStoreLineDedup.runOpWaves(s, Seq(
+          wave("insert", col("doc_id") % 2 === 1),
+          wave("insert", col("doc_id") % 2 === 0),
+          wave("delete", col("doc_id") % 7 === 0)))
+        val survivors = src.where(col("doc_id") % 7 =!= 0)
+        StateStoreLineDedup.lineDedupViaOwners(lineChunks(survivors), owners)
+          .orderBy(col("doc_id"))
+      },
+      Some(lineDedupOracleSqlOver(" WHERE doc_id % 7 <> 0"))),
+
     QueryDef("q120_canonical_selection",
       // The dedup DECISION the pair/component machinery exists for:
       // per near-dup cluster (q57's connected components over the
@@ -1572,11 +1599,19 @@ object LlmText {
   }
 
   private[graft] def lineChunks(docsDf: DataFrame): DataFrame =
+    lineChunksKeeping(docsDf, Nil)
+
+  /** [[lineChunks]] carrying extra per-doc columns through the chunk
+    * explode (e.g. the CDC `op` for the retraction twin q119g). */
+  private[graft] def lineChunksKeeping(docsDf: DataFrame,
+      keep: Seq[String]): DataFrame =
     docsDf
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), posexplode(expr(
+      .select(keep.map(col) :+ col("doc_id") :+
+        split(col("text"), " ").as("t"): _*)
+      .select(keep.map(col) :+ col("doc_id") :+ posexplode(expr(
         "transform(sequence(0, CAST(ceil(size(t)/10.0) AS INT) - 1), " +
-          "i -> array_join(slice(t, i*10+1, 10), ' '))")).as(Seq("ck", "chunk")))
+          "i -> array_join(slice(t, i*10+1, 10), ' '))"))
+        .as(Seq("ck", "chunk")): _*)
 
   /** q119's keep-first + reassembly stage over a chunk relation —
     * arrival-order independent (the keep decision reads only the full

@@ -184,4 +184,153 @@ object StateStoreLineDedup {
       chunks.join(owners, Seq("chunk"))
         .withColumn("keep",
           col("doc_id") === col("o_doc") && col("ck") === col("o_ck")))
+
+  // ---- DELETE retraction on the state store (q119g — the r11 close
+  // answer to "retraction stays with the parquet twins"): the state
+  // value grows from the single min owner to the chunk's full claimant
+  // set plus its tombstone set, so a DELETE can RE-ELECT the next-best
+  // claimant — something a min-only state cannot express. Ownership is
+  // no longer monotone (a delete RAISES the owner), so events carry a
+  // per-key VERSION from the state function and the consumer folds
+  // argmax-version instead of min (the min fold would resurrect deleted
+  // owners — spec-pinned). Tombstones win permanently: an insert of an
+  // already-tombstoned doc is ignored even in the same batch
+  // (re-insertion is a new doc_id — the parquet twins' contract).
+  // Claimant sets are bounded by line frequency (sf1 max 28; the q119b
+  // salt hatch is the documented escape for pathological lines). ----
+
+  /** Full per-chunk state: surviving claimants, tombstoned docs, and
+    * the change version. */
+  final case class LineClaimState(docs: Seq[Long], cks: Seq[Int],
+      dead: Seq[Long], ver: Int)
+
+  /** Versioned ownership event: the owner AFTER change `ver`;
+    * `present = false` records that no claimant survives. */
+  final case class OwnerVerEvent(chunk: String, doc_id: Long, ck: Int,
+      ver: Int, present: Boolean)
+
+  private def updateClaimants(chunk: String,
+      it: Iterator[(String, String, Long, Int)],
+      state: GroupState[LineClaimState]): Iterator[OwnerVerEvent] = {
+    val st = state.getOption.getOrElse(LineClaimState(Nil, Nil, Nil, 0))
+    val rows = it.toSeq
+    // tombstones win within the batch too: collect deletes FIRST
+    val dead = st.dead.toSet ++ rows.collect { case (_, "delete", d, _) => d }
+    val kept = st.docs.zip(st.cks).filterNot { case (d, _) => dead(d) }
+    val have = kept.map(_._1).toSet
+    // one claimant entry per doc at its MIN ck — a doc's occurrences of
+    // one chunk all arrive in its single insert event, and keep-first
+    // ranks by (doc_id, ck), so only the doc's first occurrence can own
+    val ins = rows.collect {
+      case (_, "insert", d, c) if !dead(d) && !have(d) => (d, c)
+    }.groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).min) }
+      .toSeq.sorted
+    val next = kept ++ ins
+    val oldOwner = st.docs.zip(st.cks).sorted.headOption
+    val newOwner = next.sorted.headOption
+    val changed = state.getOption.isEmpty || oldOwner != newOwner
+    if (next == st.docs.zip(st.cks) && dead == st.dead.toSet && !changed)
+      Iterator.empty
+    else {
+      val ver = st.ver + (if (changed) 1 else 0)
+      state.update(LineClaimState(next.map(_._1), next.map(_._2),
+        dead.toSeq.sorted, ver))
+      if (!changed) Iterator.empty
+      else newOwner match {
+        case Some((d, c)) => Iterator.single(OwnerVerEvent(chunk, d, c, ver, true))
+        case None => Iterator.single(OwnerVerEvent(chunk, -1L, -1, ver, false))
+      }
+    }
+  }
+
+  /** The stateful versioned-owner plan over a STREAMING (op, doc_id,
+    * ck, chunk) relation — insert and delete chunk occurrences on one
+    * key. */
+  def opOwnerEvents(chunkOps: DataFrame): DataFrame =
+    chunkOps
+      .select(col("chunk").as("_1"), col("op").as("_2"),
+        col("doc_id").as("_3"), col("ck").as("_4"))
+      .as[(String, String, Long, Int)](Encoders.tuple(Encoders.STRING,
+        Encoders.STRING, Encoders.scalaLong, Encoders.scalaInt))
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[LineClaimState, OwnerVerEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateClaimants)(
+        Encoders.product[LineClaimState], Encoders.product[OwnerVerEvent])
+      .toDF()
+
+  /** Fold the versioned event stream to the final owner per chunk:
+    * the event with the HIGHEST version wins (ownership is not
+    * monotone under deletes), chunks whose last event is a clear
+    * (`present = false`) drop out. */
+  def foldVersionedOwners(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("chunk"))
+      .agg(max(struct(col("ver"), col("doc_id"), col("ck"),
+        col("present"))).as("w"))
+      .where(col("w.present"))
+      .select(col("chunk"), col("w.doc_id").as("o_doc"),
+        col("w.ck").as("o_ck"))
+
+  /** Stream `waves` of (op, doc_id, text) rows through the claimant
+    * state on the RocksDB provider; same drain/restart contract as
+    * [[runWaves]]. */
+  def runOpWaves(spark: SparkSession, waves: Seq[DataFrame],
+      restartAfterWave: Option[Int] = None): (DataFrame, StateShape) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    val ckpt = java.nio.file.Files.createTempDirectory("q119g-ckpt").toString
+    val mem = MemoryStream[(String, Long, String)](Encoders.tuple(
+      Encoders.STRING, Encoders.scalaLong, Encoders.STRING), sqlCtx)
+    val chunks = LlmText.lineChunksKeeping(
+      mem.toDF().select(col("_1").as("op"), col("_2").as("doc_id"),
+        col("_3").as("text")), Seq("op"))
+    val events = opOwnerEvents(chunks.select(col("op"), col("doc_id"),
+      col("ck"), col("chunk")))
+    val fileMode = restartAfterWave.isDefined
+    val evDir = if (fileMode)
+      java.nio.file.Files.createTempDirectory("q119g-events").toString else ""
+    val sinkName = "line_ver_events_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val evSchema = events.schema
+    def start() =
+      if (fileMode) events.writeStream.format("parquet")
+        .option("path", evDir).outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      else events.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    def readEvents() =
+      if (fileMode) spark.read.schema(evSchema).parquet(evDir)
+      else spark.table(sinkName)
+    var q = start()
+    try {
+      waves.zipWithIndex.foreach { case (w, i) =>
+        mem.addData(w.select(col("op"), col("doc_id"), col("text")).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq: _*)
+        q.processAllAvailable()
+        if (restartAfterWave.contains(i) && i < waves.size - 1) {
+          q.stop()
+          q = start()
+        }
+      }
+      val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+      val all = readEvents().localCheckpoint(true)
+      val shape = StateShape(
+        stateRows = st.map(_.numRowsTotal).sum,
+        stateBytes = st.map(_.memoryUsedBytes).sum,
+        corpusChunks = -1L,
+        ownerEvents = all.count())
+      (foldVersionedOwners(all).localCheckpoint(true), shape)
+    } finally {
+      q.stop()
+      if (!fileMode) spark.catalog.dropTempView(sinkName)
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

@@ -67,6 +67,63 @@ class StateStoreLineDedupSpec extends AnyFunSuite with SparkTestSession {
       asMap(LlmText.lineDedupStats(chunks)))
   }
 
+  test("q119g: state-store retraction equals batch q119 over the survivors, and is load-bearing") {
+    import graft.queries.LlmText
+    val src = docsDf
+    def wave(op: String, pred: org.apache.spark.sql.Column) = src.where(pred)
+      .select(org.apache.spark.sql.functions.lit(op).as("op"),
+        col("doc_id"), col("text"))
+    val (owners, shape) = StateStoreLineDedup.runOpWaves(spark, Seq(
+      wave("insert", col("doc_id") % 2 === 1),
+      wave("insert", col("doc_id") % 2 === 0),
+      wave("delete", col("doc_id") % 7 === 0)))
+    val survivors = src.where(col("doc_id") % 7 =!= 0)
+    val chunks = LlmText.lineChunks(survivors).localCheckpoint(true)
+    val got = asMap(StateStoreLineDedup.lineDedupViaOwners(chunks, owners))
+    val want = asMap(LlmText.lineDedupStats(chunks))
+    assert(got == want, "retracted state diverges from batch-over-survivors")
+    // load-bearing: filtering the FULL-corpus dedup output to survivors
+    // must NOT equal the survivors-only run (a deleted owner's lines
+    // must pass to the next claimant, not vanish)
+    val fullChunks = LlmText.lineChunks(src).localCheckpoint(true)
+    val naive = asMap(LlmText.lineDedupStats(fullChunks))
+      .filter { case (k, _) => k % 7 != 0 }
+    assert(naive != want, "fixture drift: retraction not exercised")
+    assert(shape.ownerEvents > 0)
+  }
+
+  test("q119g: tombstones win permanently; the versioned fold is load-bearing") {
+    import spark.implicits._
+    val line = (1 to 10).map(i => s"tok$i").mkString(" ")
+    def w(op: String, rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+        .select(org.apache.spark.sql.functions.lit(op).as("op"),
+          col("doc_id"), col("text"))
+    // doc 2 owns the line; its DELETE re-elects doc 5; a REPLAYED
+    // insert of doc 2 after its tombstone must stay dead
+    val (owners, _) = StateStoreLineDedup.runOpWaves(spark, Seq(
+      w("insert", 2L -> (line + " two tail"), 5L -> (line + " five tail")),
+      w("delete", 2L -> (line + " two tail")),
+      w("insert", 2L -> (line + " two tail"))))
+    val o = owners.where(col("chunk") === line).collect()
+    assert(o.length == 1 && o(0).getLong(1) == 5L,
+      s"expected re-elected owner 5, got ${o.toSeq}")
+    // the MIN fold (q119f's, correct only for monotone ownership) would
+    // resurrect doc 2 from this event stream — the version column is
+    // load-bearing, pinned directly on foldVersionedOwners
+    val events = Seq(("L", 2L, 0, 1, true), ("L", 5L, 0, 2, true))
+      .toDF("chunk", "doc_id", "ck", "ver", "present")
+    val versioned = StateStoreLineDedup.foldVersionedOwners(events)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(versioned == Set("L" -> 5L))
+    val minFold = events.groupBy(col("chunk"))
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.struct(col("doc_id"), col("ck")))
+        .as("o"))
+      .collect().map(r => r.getStruct(1).getLong(0)).toSet
+    assert(minFold == Set(2L), "fixture drift: min fold did not differ")
+  }
+
   test("a retroactive ownership steal crosses a real micro-batch boundary") {
     import spark.implicits._
     // doc 10 arrives in wave 1 and owns the shared line; doc 2 arrives
