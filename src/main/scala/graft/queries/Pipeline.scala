@@ -855,8 +855,8 @@ object Pipeline {
       // across bands/waves) are exact-verified against the lake-resident
       // shingle state and the components held to the SAME batch q57
       // oracle. Hot-cap semantics mirror IncrementalNearDup (combined
-      // membership per batch); retraction deliberately stays with the
-      // parquet twin (see the class doc). State shape measured in
+      // membership per batch); DELETE retraction is the sibling entry
+      // q66g (see the class doc). State shape measured in
       // StateStoreNearDupSpec: rows = distinct touched buckets, a few
       // longs per member — the shingle sets never enter the store.
       (s, d) => {
@@ -902,6 +902,44 @@ object Pipeline {
         inc.retractBatch(
           st.where(col("doc_id") % 7 === 0).select(col("doc_id")), 2L)
         inc.groups(s)
+          .groupBy(col("rep").as("rep_doc"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("rep_doc"))
+      },
+      Some(LlmText.dedupGroupsOracleSqlOver("doc_id % 7 <> 0"))),
+
+    QueryDef("q66g_statestore_neardup_retract",
+      // DELETE retraction ON the near-dup state store (the q119g
+      // doctrine on the q66f bucket index — closes the capability gap
+      // q66f's r11 doc deliberately left with the parquet twins): the
+      // bucket state grows to members + tombstoned docs, a DELETE's
+      // band keys are recomputed from the deleted row's text so the
+      // tombstone op lands on exactly the doc's 8 buckets with point
+      // access — and because every pair was discovered in a bucket both
+      // docs share, those buckets cover every pair the doc appears in.
+      // Unlike q119g, NO event versioning: pair events and tombstones
+      // are both monotone sets (re-insertion is a new doc_id), so the
+      // consumer fold is order-free — distinct pairs minus pairs
+      // touching a tombstoned doc. Waves: even inserts, odd inserts,
+      // then DELETEs of doc_id % 7 == 0; verified pairs over the
+      // survivors' shingle sets, components re-form (rep re-election,
+      // splits) exactly as batch q57 over the SURVIVORS — the same
+      // oracle as q66b, no retraction machinery anywhere in it.
+      (s, d) => {
+        import graft.streaming.StateStoreNearDup
+        val st = LlmText.bigramStateCached(s, d)
+        def wave(op: String, pred: org.apache.spark.sql.Column) =
+          StateStoreNearDup.flatBands(st.where(pred))
+            .withColumn("op", lit(op))
+        val (events, _) = StateStoreNearDup.runOpWaves(s, Seq(
+          wave("insert", col("doc_id") % 2 === 0),
+          wave("insert", col("doc_id") % 2 === 1),
+          wave("delete", col("doc_id") % 7 === 0)))
+        val verified = LlmText.verifyPairs(
+          StateStoreNearDup.foldOpEvents(events),
+          st.where(col("doc_id") % 7 =!= 0)
+            .select(col("doc_id"), col("hs"), col("nbg")))
+        graft.operators.DedupGroups.components(verified)
           .groupBy(col("rep").as("rep_doc"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("rep_doc"))

@@ -48,11 +48,10 @@ final case class CandPairEvent(doc_a: Long, doc_b: Long)
   * still accrues past the cap (a few longs per doc), so a bucket that
   * is hot for one batch and quiet after does not silently re-open.
   *
-  * Retraction stays with the parquet twin: tombstone emission needs the
-  * pair/band state readable OUTSIDE the stream (compaction, survivor
-  * views), which the parquet layout provides and a state store hides —
-  * the two twins are complementary, not interchangeable, and the entry
-  * (`q66f`) is insert-only like q66.
+  * Retraction: the insert-only form (`q66f`, [[candidateEvents]])
+  * mirrors q66; the OP-stream form (`q66g`, [[opCandidateEvents]])
+  * carries DELETEs through the store itself — the q119g doctrine on
+  * this state, see the retraction section below.
   */
 object StateStoreNearDup {
 
@@ -186,4 +185,172 @@ object StateStoreNearDup {
     LlmText.bandKeys(sig, 8, 2)
       .select(col("band"), col("key.k0").as("k0"), col("key.k1").as("k1"),
         col("doc_id"))
+
+  // ---- DELETE retraction ON the state store (q66g — the q119g
+  // doctrine applied to the near-dup state): the bucket value grows
+  // from the member list to members + this bucket's tombstoned docs,
+  // so a delete COOLS the bucket (members leave, hot-cap parity with
+  // the parquet twin's tombstone-filtered probe view) and permanently
+  // guards against replayed inserts. Routing is the elegant part: a
+  // CDC DELETE carries the deleted row, so its band keys are the same
+  // pure function of its text as the insert's — the tombstone op lands
+  // on exactly the doc's 8 buckets with point access, and because every
+  // pair (a, b) was discovered in a bucket BOTH docs share, a's buckets
+  // cover every bucket that ever emitted a pair involving a.
+  //
+  // Design contrast with q119g: NO versioned events. Line ownership
+  // needed per-key versions because a delete RAISES the owner
+  // (non-monotone fold); here both folded sets are monotone — pair
+  // events only accrue, tombstoned docs only die (re-insertion is a
+  // new doc_id, the twins' shared contract) — so the consumer fold is
+  // order-free: distinct pair events minus pairs touching a tombstoned
+  // doc. The delete-side hot-cap caveat is shared with the parquet
+  // twin: pairs suppressed while a bucket was over the cap are NOT
+  // retro-generated when later deletes cool it — survivors-parity is
+  // exact only while buckets stay under the cap for the whole stream.
+
+  /** Per-bucket state for the retraction form: surviving members plus
+    * the docs tombstoned in this bucket. */
+  final case class BucketClaimState(docs: Seq[Long], dead: Seq[Long])
+
+  /** A candidate-pair event (`tomb = false`, canonicalized doc_a <
+    * doc_b) or a tombstone event (`tomb = true`, doc_a = the deleted
+    * doc, doc_b = -1; one per bucket the doc's bands land in — the
+    * consumer's distinct folds the copies). */
+  final case class NearDupOpEvent(doc_a: Long, doc_b: Long, tomb: Boolean)
+
+  /** Fold of the op state function for one bucket: deletes apply FIRST
+    * (tombstones win within the batch — an insert+delete of one doc in
+    * one batch nets to dead), then fresh inserts of non-dead docs pair
+    * against the SURVIVING membership under the hot cap. */
+  private def updateBucketOps(key: (Int, Long, Long),
+      it: Iterator[(Int, Long, Long, Long, String)],
+      state: GroupState[BucketClaimState]): Iterator[NearDupOpEvent] = {
+    val st = state.getOption.getOrElse(BucketClaimState(Nil, Nil))
+    val rows = it.toSeq
+    val deadNow = rows.collect { case (_, _, _, d, "delete") => d }.toSet
+    val newDead = (deadNow -- st.dead).toSeq.sorted
+    val dead = st.dead.toSet ++ deadNow
+    // dead members leave the membership physically: they must never
+    // pair again, and their departure cools an over-cap bucket exactly
+    // as the parquet twin's tombstone-filtered band view does
+    val kept = st.docs.filterNot(dead)
+    val seen = scala.collection.mutable.HashSet.from(kept)
+    val fresh = rows.collect {
+      case (_, _, _, d, "insert") if !dead(d) => d
+    }.filter(seen.add(_)).toVector
+    if (fresh.isEmpty && newDead.isEmpty) Iterator.empty
+    else {
+      val alive = kept ++ fresh
+      state.update(BucketClaimState(alive, st.dead ++ newDead))
+      val tombEv = newDead.iterator.map(d =>
+        NearDupOpEvent(d, -1L, tomb = true))
+      // hot cap over the SURVIVING membership; pairs suppressed while
+      // the bucket was hot stay missing (documented caveat above)
+      val pairEv =
+        if (alive.size > LlmText.HotBucketCap) Iterator.empty
+        else fresh.iterator.zipWithIndex.flatMap { case (x, i) =>
+          (kept.iterator ++ fresh.iterator.take(i)).map(y =>
+            NearDupOpEvent(math.min(x, y), math.max(x, y), tomb = false))
+        }
+      tombEv ++ pairEv
+    }
+  }
+
+  /** The stateful op plan over a STREAMING (band, k0, k1, doc_id, op)
+    * relation — insert and delete band rows on one key; the single
+    * flatMapGroupsWithState hop, one shuffle onto the state
+    * partitions, same as [[candidateEvents]]. */
+  def opCandidateEvents(opBandRows: DataFrame): DataFrame =
+    opBandRows.select(col("band").cast("int").as("_1"),
+        col("k0").cast("long").as("_2"), col("k1").cast("long").as("_3"),
+        col("doc_id").cast("long").as("_4"), col("op").as("_5"))
+      .as[(Int, Long, Long, Long, String)](Encoders.tuple(Encoders.scalaInt,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.STRING))
+      .groupByKey(t => (t._1, t._2, t._3))(Encoders.tuple(
+        Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong))
+      .flatMapGroupsWithState[BucketClaimState, NearDupOpEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateBucketOps)(
+        Encoders.product[BucketClaimState], Encoders.product[NearDupOpEvent])
+      .toDF()
+
+  /** Fold the op-event stream to the surviving candidate pairs:
+    * distinct pair events minus any pair touching a tombstoned doc.
+    * Order-free (both sets are monotone — see the section doc), so no
+    * event versioning is needed, unlike [[StateStoreLineDedup
+    * .foldVersionedOwners]]. */
+  def foldOpEvents(events: DataFrame): DataFrame = {
+    val tombs = events.where(col("tomb")).select(col("doc_a")).distinct()
+    events.where(!col("tomb")).select(col("doc_a"), col("doc_b")).distinct()
+      .join(tombs, Seq("doc_a"), "left_anti")
+      .join(tombs.withColumnRenamed("doc_a", "doc_b"), Seq("doc_b"),
+        "left_anti")
+      .select(col("doc_a"), col("doc_b")) // anti-join reorders join keys
+  }
+
+  /** Stream `waves` of (band, k0, k1, doc_id, op) rows through the
+    * claimant bucket state on the RocksDB provider; same drain/restart
+    * contract as [[runWaves]]. Returns the RAW op-event relation
+    * (callers fold with [[foldOpEvents]]) plus the measured shape. */
+  def runOpWaves(spark: SparkSession, waves: Seq[DataFrame],
+      restartAfterWave: Option[Int] = None): (DataFrame, StateShape) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      StateStoreLineDedup.RocksDbProvider)
+    val ckpt = java.nio.file.Files.createTempDirectory("q66g-ckpt").toString
+    val rowEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING)
+    val mem = MemoryStream[(Int, Long, Long, Long, String)](rowEnc, sqlCtx)
+    val events = opCandidateEvents(mem.toDF()
+      .select(col("_1").as("band"), col("_2").as("k0"),
+        col("_3").as("k1"), col("_4").as("doc_id"), col("_5").as("op")))
+    val fileMode = restartAfterWave.isDefined
+    val evDir = if (fileMode)
+      java.nio.file.Files.createTempDirectory("q66g-events").toString else ""
+    val sinkName = "neardup_op_events_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val evSchema = events.schema
+    def start() =
+      if (fileMode) events.writeStream.format("parquet")
+        .option("path", evDir).outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      else events.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    def readEvents() =
+      if (fileMode) spark.read.schema(evSchema).parquet(evDir)
+      else spark.table(sinkName)
+    var q = start()
+    try {
+      waves.zipWithIndex.foreach { case (w, i) =>
+        mem.addData(w.select(col("band"), col("k0"), col("k1"),
+            col("doc_id"), col("op")).collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getString(4))).toSeq: _*)
+        q.processAllAvailable()
+        if (restartAfterWave.contains(i) && i < waves.size - 1) {
+          q.stop()
+          q = start()
+        }
+      }
+      val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+      val all = readEvents().localCheckpoint(true)
+      val shape = StateShape(
+        stateRows = st.map(_.numRowsTotal).sum,
+        stateBytes = st.map(_.memoryUsedBytes).sum,
+        candEvents = all.count())
+      (all, shape)
+    } finally {
+      q.stop()
+      if (!fileMode) spark.catalog.dropTempView(sinkName)
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

@@ -114,6 +114,97 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
     assert(s2.stateRows == s1.stateRows)
   }
 
+  // ---- q66g: DELETE retraction on the state store ----
+
+  private def mkOps(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.map { case (d, op) => (0, 1L, 2L, d, op) }
+      .toDF("band", "k0", "k1", "doc_id", "op")
+  }
+
+  test("q66g: folded op events equal the batch banded chain over the survivors") {
+    val st = LlmText.bigramStateCached(spark, dir)
+    def wave(op: String, pred: org.apache.spark.sql.Column) =
+      StateStoreNearDup.flatBands(st.where(pred)).withColumn("op", lit(op))
+    val (events, shape) = StateStoreNearDup.runOpWaves(spark, Seq(
+      wave("insert", col("doc_id") % 2 === 0),
+      wave("insert", col("doc_id") % 2 === 1),
+      wave("delete", col("doc_id") % 7 === 0)))
+    val surv = st.where(col("doc_id") % 7 =!= 0)
+    val got = LlmText.verifyPairs(StateStoreNearDup.foldOpEvents(events),
+      surv.select("doc_id", "hs", "nbg")).select("doc_a", "doc_b", "jaccard")
+    val want = LlmText.verifyPairs(LlmText.bandedCandidates(surv, 8, 2),
+      surv.select("doc_id", "hs", "nbg")).select("doc_a", "doc_b", "jaccard")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "survivor pair set differs from the batch chain over the survivors")
+    // the tombstone side is real work on this fixture
+    assert(events.where(col("tomb")).select("doc_a").distinct().count() ==
+      st.where(col("doc_id") % 7 === 0).count())
+    assert(shape.stateRows ==
+      StateStoreNearDup.flatBands(st).select("band", "k0", "k1")
+        .distinct().count())
+  }
+
+  test("q66g: tombstones win permanently — a replayed insert stays dead") {
+    val (events, _) = StateStoreNearDup.runOpWaves(spark, Seq(
+      mkOps(Seq(1L -> "insert", 2L -> "insert")), // pair (1,2)
+      mkOps(Seq(2L -> "delete")),
+      mkOps(Seq(2L -> "insert", 3L -> "insert")))) // 2 must stay dead
+    val pairs = StateStoreNearDup.foldOpEvents(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2) retracted; replayed 2 never pairs with 3; (1,3) survives
+    assert(pairs == Set((1L, 3L)), s"got $pairs")
+  }
+
+  test("q66g: delete-before-insert and same-batch insert+delete both net to dead") {
+    val (events, _) = StateStoreNearDup.runOpWaves(spark, Seq(
+      mkOps(Seq(5L -> "delete")), // tombstone arrives first
+      mkOps(Seq(5L -> "insert", 6L -> "insert",
+        8L -> "insert", 8L -> "delete")), // 8 nets to dead in-batch
+      mkOps(Seq(7L -> "insert"))))
+    val pairs = StateStoreNearDup.foldOpEvents(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((6L, 7L)), s"got $pairs")
+  }
+
+  test("q66g: deletes cool a hot bucket; suppressed pairs stay missing") {
+    val cap = LlmText.HotBucketCap
+    // wave 1: 2 members -> 1 pair; wave 2: push past the cap (silent);
+    // wave 3: delete the overflow back under the cap; wave 4: a new
+    // arrival pairs with the SURVIVORS — but the wave-2 pairs that were
+    // suppressed while hot are never retro-generated (the documented
+    // delete-side caveat, pinned here exactly)
+    val overflow = (10L to (10L + cap.toLong)).toSeq
+    val (events, _) = StateStoreNearDup.runOpWaves(spark, Seq(
+      mkOps(Seq(1L -> "insert", 2L -> "insert")),
+      mkOps(overflow.map(_ -> "insert")),
+      mkOps(overflow.map(_ -> "delete")),
+      mkOps(Seq(3L -> "insert"))))
+    val pairs = StateStoreNearDup.foldOpEvents(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+  }
+
+  test("q66g: claimant state survives a query restart between op waves") {
+    val st = LlmText.bigramStateCached(spark, dir)
+    def wave(op: String, pred: org.apache.spark.sql.Column) =
+      StateStoreNearDup.flatBands(st.where(pred)).withColumn("op", lit(op))
+    val waves = Seq(
+      wave("insert", col("doc_id") % 2 === 0),
+      wave("insert", col("doc_id") % 2 === 1),
+      wave("delete", col("doc_id") % 7 === 0))
+    val (e1, s1) = StateStoreNearDup.runOpWaves(spark, waves)
+    val (e2, s2) = StateStoreNearDup.runOpWaves(spark, waves,
+      restartAfterWave = Some(0))
+    val p1 = StateStoreNearDup.foldOpEvents(e1)
+    val p2 = StateStoreNearDup.foldOpEvents(e2)
+    assert(p2.except(p1).isEmpty && p1.except(p2).isEmpty,
+      "restarted run's surviving pair set differs")
+    assert(s2.candEvents == s1.candEvents,
+      s"event count changed across restart: ${s1.candEvents} -> ${s2.candEvents}")
+    assert(s2.stateRows == s1.stateRows)
+  }
+
   test("a bucket over the hot cap stops emitting; earlier pairs are retained") {
     import spark.implicits._
     val cap = LlmText.HotBucketCap
