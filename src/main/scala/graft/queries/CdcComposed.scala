@@ -150,5 +150,27 @@ object CdcComposed {
       // no CDC anywhere); with qc2 this pins foreachBatch and
       // continuous-plan forms of the same dedup to the same hash.
       (s, d) => graft.streaming.CdcAnalytics.stateStoreLineDedupOverCdc(s, d),
-      Some(LlmText.LineDedupOracleSql)))
+      Some(LlmText.LineDedupOracleSql)),
+
+    QueryDef("qc10_cdc_statestore_neardup_retract",
+      // The retraction binlog through the CONTINUOUS plan: qc6/qc7's
+      // insert+delete workload (inserts of every doc, then deletes of
+      // doc_id % 7 == 0) through the qc8 shape on the q66g claimant
+      // state — DELETEs flow through the SAME one-shuffle streaming
+      // plan as inserts (a binlog DELETE carries the deleted row, so
+      // its band keys are recomputed from the text and the tombstone
+      // op lands on exactly the doc's 8 buckets with point access; no
+      // foreachBatch routing split anywhere). Tail: order-free fold of
+      // the durable op events to the surviving pairs (distinct pair
+      // events minus pairs touching a tombstoned doc — both sets
+      // monotone, no versioning needed), exact verify against the
+      // SURVIVORS' shingle state, q57-shape groups. Oracle = q66b's
+      // survivors-only banded chain (no CDC, no retraction machinery):
+      // it matches only if deleted docs' edges vanished from both pair
+      // sides and every component re-formed as a batch run over the
+      // survivors. The kill/resume drill (CdcAnalyticsSpec) cuts the
+      // binlog inside the DELETE section.
+      (s, d) => graft.streaming.CdcAnalytics.stateStoreNearDupRetractionOverCdc(s, d),
+      Some(LlmText.dedupGroupsOracleSqlOver(
+        s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0"))))
 }

@@ -636,6 +636,92 @@ object CdcAnalytics {
       .orderBy(col("doc_id"))
   }
 
+  // ---- qc10: the RETRACTION binlog through the CONTINUOUS plan
+  // (qc6/qc7's insert+delete workload through the qc8 shape, on the
+  // q66g claimant state — DELETEs flow through the SAME one-shuffle
+  // streaming plan as inserts, no foreachBatch routing split) ----------
+
+  /** Schema of the qc10 op-event sink. */
+  val OpEventSchema: StructType = StructType(Seq(
+    StructField("doc_a", LongType), StructField("doc_b", LongType),
+    StructField("tomb", BooleanType)))
+
+  /** The qc10 wire half: source → pre-registered-DDL stateless
+    * projection → per-row band keys computed for BOTH ops (a binlog
+    * DELETE carries the deleted row, so its band keys are the same
+    * pure function of its text as the insert's — the tombstone op
+    * lands on exactly the doc's 8 buckets, point access for deletes
+    * too) → `flatMapGroupsWithState` on RocksDB
+    * ([[StateStoreNearDup.opCandidateEvents]], the q66g claimant
+    * state) → parquet file sink. Still ONE shuffle in the whole plan;
+    * same drain/recovery doctrine as qc8. In-batch op order is
+    * immaterial: the state function applies deletes first and the
+    * consumer fold is order-free (both folded sets are monotone), so
+    * an insert+delete sharing a micro-batch nets to the same surviving
+    * pair set as strict binlog replay. */
+  def runStateStoreNearDupRetractPipeline(s: SparkSession, events: Seq[String],
+      evDir: String, ckptPath: String, expectRows: Long,
+      sourceOptions: Map[String, String] = Map.empty): Unit = {
+    import graft.sources.cdc.{CdcEvent, DdlEvent}
+    val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
+    val reg = new SchemaRegistry
+    CdcEvent.decode(docDdlJson) match {
+      case Right(d: DdlEvent) => reg.register(d)
+      case other => throw new IllegalStateException(s"bad DDL: $other")
+    }
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      StateStoreLineDedup.RocksDbProvider)
+    try {
+      val stream = sourceOptions.foldLeft(
+        s.readStream.format("maxscale-cdc")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("user", "u").option("password", "p")
+          .option("database", Database).option("table", DocTableName)) {
+          case (b, (k, v)) => b.option(k, v)
+        }
+        .load()
+      val bands = CdcProjection.projectLatest(stream, reg, Database, DocTableName)
+        .select(col("op"), col("doc_id"),
+          posexplode(graft.queries.LlmText.rowBandKeys(col("text")))
+            .as(Seq("band", "key")))
+        .select(col("band"), col("key.k0").as("k0"), col("key.k1").as("k1"),
+          col("doc_id"), col("op"))
+      val q = StateStoreNearDup.opCandidateEvents(bands)
+        .writeStream.format("parquet").option("path", evDir)
+        .outputMode("append").option("checkpointLocation", ckptPath).start()
+      try drainByInputRows(q, expectRows, "qc10") finally q.stop()
+    } finally prev match {
+      case Some(v) =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  /** qc10's query body: the qc6 insert+delete workload through the
+    * continuous plan, then the q66b tail over the durable op events —
+    * order-free fold to the surviving pairs, exact verification
+    * against the SURVIVORS' shingle state, q57-shape groups — under
+    * q66b's survivors-only oracle (no CDC, no retraction machinery
+    * anywhere in it). */
+  def stateStoreNearDupRetractionOverCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.LlmText
+    val events = docRetractWorkloadEvents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc10-cdc").toString
+    runStateStoreNearDupRetractPipeline(s, events, s"$tmp/events",
+      s"$tmp/ckpt", events.size.toLong)
+    val ev = s.read.schema(OpEventSchema).parquet(s"$tmp/events")
+    val st = LlmText.bigramStateCached(s, dir)
+    val verified = LlmText.verifyPairs(StateStoreNearDup.foldOpEvents(ev),
+      st.where(col("doc_id") % RetractMod =!= 0)
+        .select(col("doc_id"), col("hs"), col("nbg")))
+    graft.operators.DedupGroups.components(verified)
+      .groupBy(col("rep").as("rep_doc"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("rep_doc"))
+  }
+
   // ---- qc3: CDC-fed incremental IVF (the connector feeding the ANN
   // layer — q88's maintenance loop with the wire path as the arrival
   // source instead of explicit batches) --------------------------------

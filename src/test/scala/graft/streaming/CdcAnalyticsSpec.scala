@@ -378,6 +378,53 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(groupsOf(s"$tmp/events") == expected)
   }
 
+  test("qc10: continuous-plan retraction equals batch q66b, across a restart in the delete section") {
+    // the qc7 drill through the CONTINUOUS plan: DELETEs flow through
+    // the same one-shuffle streaming plan as inserts (no foreachBatch
+    // routing split), the kill lands inside the delete section (some
+    // tombstone events durable before the outage, some after), and the
+    // resumed run must recover source offsets, the RocksDB claimant
+    // state AND the sink's commit log together.
+    val events = CdcAnalytics.docRetractWorkloadEvents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc10-restart").toString
+
+    def groupsOf(evDir: String): Seq[(Long, Long)] = {
+      import graft.queries.LlmText
+      val ev = spark.read.schema(CdcAnalytics.OpEventSchema).parquet(evDir)
+      val st = LlmText.bigramStateCached(spark, dir)
+      val verified = LlmText.verifyPairs(StateStoreNearDup.foldOpEvents(ev),
+        st.where(org.apache.spark.sql.functions.col("doc_id") %
+          CdcAnalytics.RetractMod =!= 0).select("doc_id", "hs", "nbg"))
+      graft.operators.DedupGroups.components(verified)
+        .groupBy(org.apache.spark.sql.functions.col("rep"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .orderBy("rep").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+
+    CdcAnalytics.runStateStoreNearDupRetractPipeline(spark, events,
+      s"$tmp/ref_events", s"$tmp/ref_ckpt", events.size.toLong,
+      sourceOptions = Map("maxEventsPerTrigger" -> "64"))
+    val expected = groupsOf(s"$tmp/ref_events")
+    assert(expected.nonEmpty)
+    assert(expected.forall(_._1 % CdcAnalytics.RetractMod != 0),
+      "a deleted doc survived as a group representative")
+
+    val batch = graft.SparkEntry.queries("q66b_incremental_dedup_retract")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(expected == batch, "wire run diverges from batch q66b")
+
+    val nDel = events.count(_.contains("\"event_type\":\"delete\""))
+    val cut = events.size - nDel / 2
+    CdcAnalytics.runStateStoreNearDupRetractPipeline(spark, events.take(cut),
+      s"$tmp/events", s"$tmp/ckpt", cut.toLong)
+    CdcAnalytics.runStateStoreNearDupRetractPipeline(spark,
+      CdcAnalytics.docDdlJson +: events.drop(cut),
+      s"$tmp/events", s"$tmp/ckpt", (events.size - cut + 1).toLong)
+    assert(groupsOf(s"$tmp/events") == expected)
+  }
+
   test("qc9: continuous state-store line dedup equals batch q119, across a mid-workload restart") {
     // qc8's drill on the line-owner state: kill mid-insert, resume on
     // the same checkpoint, require the emitted dedup stats to equal
