@@ -215,18 +215,13 @@ final class IncrementalNearDup(statePath: String,
     // semantics without a transactional table format. The sets/ guard
     // prunes to the batch docs' buckets; the bands/ guard CANNOT prune
     // (bands/ is partitioned on the band key, the guard is by doc_id)
-    // and deliberately scans the full dir's doc_id column — a
-    // single-column parquet scan, and the price of guarding each dir
-    // against ITS OWN committed state (a partial crash can commit one
-    // dir and not another).
+    // and goes through the bloom sidecar instead — see
+    // [[guardFreshBands]].
     val freshSets = newSets.join(
       StateLayout.readPruned(spark, s"$statePath/sets", newSets.schema,
         newSets, Seq("doc_id")).select("doc_id"),
       Seq("doc_id"), "left_anti")
-    val freshBands = newBands.join(
-      StateLayout.read(spark, s"$statePath/bands", newBands.schema)
-        .select("doc_id").distinct(),
-      Seq("doc_id"), "left_anti")
+    val freshBands = guardFreshBands(spark, newBands)
     // the three appends are INDEPENDENT jobs (each reads only committed
     // state dirs, none reads a dir being written), so they run
     // concurrently: per-wave latency is the slowest chain (the verify
@@ -238,6 +233,72 @@ final class IncrementalNearDup(statePath: String,
       () => StateLayout.append(freshSets, s"$statePath/sets", Seq("doc_id"))))
     maybeCompact(spark)
     ()
+  }
+
+  /** Guard-path counters, observable by the specs: how often the
+    * bands/ replay guard resolved with the bloom fast path (no
+    * committed-dir read at all) vs the exact anti-join fallback. */
+  @volatile private var nGuardFast = 0
+  @volatile private var nGuardExact = 0
+  def guardFastCount: Int = nGuardFast
+  def guardExactCount: Int = nGuardExact
+
+  /** The bands/ replay guard through the bloom sidecar (the one state
+    * read the bucket layout cannot prune — see
+    * [[StateLayout.appendBloom]]'s section doc for the full soundness
+    * and crash-ordering argument). Fast path: no batch doc
+    * might-contained by any segment → the whole batch is provably
+    * fresh, ZERO committed-dir IO. Exact path (a true replay, or a
+    * false positive at [[StateLayout.BloomFpp]]): the committed dir's
+    * doc_id column is scanned ONCE, semi-joined down to the bounded
+    * maybe-set, and only those docs anti-join. The batch's fresh docs
+    * enter a new segment BEFORE the data append commits, so the
+    * sidecar always over-approximates the committed doc set. The
+    * membership test is a broadcast-sketch UDF — bounded to the
+    * batch's distinct docs, and there is no codegen'd Catalyst form of
+    * sketch membership to prefer (Spark's own is internal to runtime
+    * join pruning). */
+  private def guardFreshBands(spark: SparkSession,
+      newBands: DataFrame): DataFrame = {
+    val bandsDir = s"$statePath/bands"
+    val sidecar = StateLayout.bloomSidecar(bandsDir)
+    if (!StateLayout.exists(spark, bandsDir)) {
+      // batch 0: nothing committed — seed the sidecar with this batch
+      StateLayout.appendBloom(spark, sidecar, newBands.select("doc_id"), "doc_id")
+      nGuardFast += 1
+      newBands
+    } else {
+      var blooms = StateLayout.readBlooms(spark, sidecar)
+      if (blooms.isEmpty) {
+        // sidecar lost or predates the feature: heal from the
+        // committed dir — the same O(state) scan the guard used to
+        // pay every batch, paid once
+        StateLayout.rebuildBloom(spark, sidecar,
+          StateLayout.read(spark, bandsDir, newBands.schema)
+            .select("doc_id"), "doc_id")
+        blooms = StateLayout.readBlooms(spark, sidecar)
+      }
+      val bc = spark.sparkContext.broadcast(blooms.toArray)
+      val mightBe = udf((d: Long) => bc.value.exists(_.mightContain(d)))
+      val maybe = newBands.select("doc_id").distinct()
+        .where(mightBe(col("doc_id"))).localCheckpoint(true)
+      if (maybe.isEmpty) {
+        nGuardFast += 1
+        StateLayout.appendBloom(spark, sidecar,
+          newBands.select("doc_id"), "doc_id")
+        newBands
+      } else {
+        nGuardExact += 1
+        val committedMaybe = StateLayout.read(spark, bandsDir, newBands.schema)
+          .select("doc_id").distinct()
+          .join(broadcast(maybe), Seq("doc_id"), "left_semi")
+        val fresh = newBands.join(committedMaybe, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        StateLayout.appendBloom(spark, sidecar,
+          fresh.select("doc_id"), "doc_id")
+        fresh
+      }
+    }
   }
 
   /** The tagged union the candidate group-by shuffles (VERDICT r10
@@ -292,6 +353,15 @@ final class IncrementalNearDup(statePath: String,
     }
     if (StateLayout.exists(spark, s"$statePath/tombstones"))
       StateLayout.overwriteSmall(tombs, s"$statePath/tombstones")
+    // rebuild the bands guard sidecar from the compacted dir: its doc
+    // set is committed-minus-tombstoned, which is exactly what the
+    // guard must over-approximate — a tombstoned doc's replayed insert
+    // is dropped by the `live` filter BEFORE the guard, so shedding
+    // those ids from the sidecar cannot re-admit it
+    if (StateLayout.exists(spark, s"$statePath/bands"))
+      StateLayout.rebuildBloom(spark,
+        StateLayout.bloomSidecar(s"$statePath/bands"),
+        spark.read.parquet(s"$statePath/bands").select("doc_id"), "doc_id")
     nCompactions += 1
   }
 

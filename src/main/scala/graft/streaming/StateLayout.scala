@@ -235,4 +235,87 @@ object StateLayout {
         .where(col(BucketCol).isin(buckets: _*))
         .select(logicalCols(schema): _*)
     }
+
+  // ---- Bloom sidecar: the O(batch) replay guard for the ONE state
+  // read the bucket layout cannot prune (IncrementalNearDup's bands/
+  // guard — the dir partitions on the band key, the guard probes by
+  // doc_id). A sidecar dir of bloom segments over ever-appended guard
+  // keys turns the common case (no replay) into a broadcast membership
+  // test: keys no segment might-contain are provably fresh and append
+  // without touching the committed dir; only might-contained keys
+  // (true replays, or false positives at [[BloomFpp]]) pay the exact
+  // anti-join scan. Soundness does not rest on the sketch: a false
+  // POSITIVE only routes a fresh key to the exact path (extra IO,
+  // same result), and false negatives do not exist in a bloom filter,
+  // so a committed key can never skip the guard. Crash ordering makes
+  // the sidecar an OVER-approximation of the committed key set: the
+  // segment for a batch is durable BEFORE its data append commits, so
+  // a crash between the two leaves an extra-covered key — which only
+  // routes its replay to the exact path. A LOST sidecar (or one
+  // predating the feature) is healed by rebuilding from the committed
+  // dir — the same O(state) scan the guard used to pay every batch,
+  // paid once. ----
+
+  /** Per-segment false-positive probability. At fp ≈ 1e-3, a 10k-doc
+    * batch expects ~10 false-positive keys — a bounded broadcast side
+    * for the exact fallback join, and the full-dir scan itself fires
+    * only when the maybe-set is non-empty. */
+  val BloomFpp = 0.001
+
+  /** Sidecar location for a state dir's guard blooms. */
+  def bloomSidecar(dir: String): String = dir + "_bloom"
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Write ONE bloom segment over the distinct long values of `key` in
+    * `ids`. Must be called BEFORE the data append it covers (see the
+    * section doc's crash-ordering argument). */
+  def appendBloom(spark: SparkSession, sidecarDir: String, ids: DataFrame,
+      key: String): Unit = {
+    val vals = ids.select(col(key).cast("long").as(key)).distinct()
+    val n = vals.count()
+    if (n > 0) {
+      val bloom = vals.stat.bloomFilter(key, math.max(1024L, 2L * n), BloomFpp)
+      val fs = fsOf(spark, sidecarDir)
+      val p = new org.apache.hadoop.fs.Path(sidecarDir,
+        s"seg-${java.util.UUID.randomUUID().toString.replace("-", "")}.bloom")
+      val out = fs.create(p, false)
+      try bloom.writeTo(out) finally out.close()
+    }
+  }
+
+  /** All committed bloom segments (empty when the sidecar is missing —
+    * callers fall back to the exact scan, or rebuild). */
+  def readBlooms(spark: SparkSession,
+      sidecarDir: String): Seq[org.apache.spark.util.sketch.BloomFilter] = {
+    val fs = fsOf(spark, sidecarDir)
+    val p = new org.apache.hadoop.fs.Path(sidecarDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".bloom"))
+      .sortBy(_.getPath.getName)
+      .map { f =>
+        val in = fs.open(f.getPath)
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+        finally in.close()
+      }
+  }
+
+  /** Rewrite the sidecar to one segment over `ids` (compaction, or the
+    * heal path). Crash-safe without renames: the merged segment lands
+    * first, old segments are dropped after — every crash window leaves
+    * either extra segments (over-approximation, exact-path routing
+    * only) or, if the write itself died, the old segments intact. */
+  def rebuildBloom(spark: SparkSession, sidecarDir: String, ids: DataFrame,
+      key: String): Unit = {
+    val fs = fsOf(spark, sidecarDir)
+    val p = new org.apache.hadoop.fs.Path(sidecarDir)
+    val old = if (fs.exists(p)) fs.listStatus(p).toSeq
+      .filter(_.getPath.getName.endsWith(".bloom")).map(_.getPath)
+    else Seq.empty
+    appendBloom(spark, sidecarDir, ids, key)
+    old.foreach(fs.delete(_, false))
+  }
 }
