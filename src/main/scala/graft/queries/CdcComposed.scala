@@ -172,5 +172,26 @@ object CdcComposed {
       // binlog inside the DELETE section.
       (s, d) => graft.streaming.CdcAnalytics.stateStoreNearDupRetractionOverCdc(s, d),
       Some(LlmText.dedupGroupsOracleSqlOver(
-        s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0"))))
+        s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0"))),
+
+    QueryDef("qc11_cdc_bootstrap_gtid_handoff",
+      // The 100 TB deployment seam: an existing corpus is never
+      // replayed through the binlog. The near-dup state is BOOTSTRAPPED
+      // by one distributed batch pass over the warehouse's historical
+      // half (a map-only md5-key-range slice — no global sort, no
+      // driver-side membership), and the stream subscribes FROM the
+      // GTID frontier against a server that honors the resume position
+      // (REQUEST-DATA db.table.v <gtid> — reference A4's gtid made
+      // load-bearing), so the wire only ever carries the live half.
+      // Oracle = the full-corpus batch q57 chain (no CDC, no bootstrap
+      // machinery): a doc double-counted across the boundary, one
+      // skipped by an off-by-one frontier, or any bootstrap-vs-stream
+      // order dependence in the state breaks the hash. The spec
+      // additionally asserts the server-side SKIP (eventsSent == the
+      // live half) and drills a kill/resume whose checkpoint-adopted
+      // GTID lands mid-live-half — committed events are never
+      // re-streamed, unlike the replay-guard-absorbed full resends of
+      // the qc2/qc7 drills.
+      (s, d) => graft.streaming.CdcAnalytics.bootstrapHandoffOverCdc(s, d),
+      Some(LlmText.dedupGroupsOracleSqlOver(""))))
 }

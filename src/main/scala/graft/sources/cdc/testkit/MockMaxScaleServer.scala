@@ -20,7 +20,8 @@ final class MockMaxScaleServer(
     chunkSize: Int = 0, // 0 = write each event whole
     interleavedError: Option[String] = None,
     closeAfterEvents: Boolean = true,
-    avroPayload: Option[Array[Byte]] = None) { // TYPE=AVRO wire bytes (overrides `events`)
+    avroPayload: Option[Array[Byte]] = None, // TYPE=AVRO wire bytes (overrides `events`)
+    honorGtid: Boolean = false) { // skip DMLs at/before the requested GTID
 
   private val server = new ServerSocket(0)
   val port: Int = server.getLocalPort
@@ -28,6 +29,7 @@ final class MockMaxScaleServer(
   @volatile var authReceived: String = _
   @volatile var registerReceived: String = _
   @volatile var requestDataReceived: String = _
+  @volatile var eventsSent: Int = 0 // JSON events actually written (post-skip)
   val handshakeDone = new CountDownLatch(1)
 
   // Phase grammars from the reference tests (`gomaxscale_test.go:23-27`).
@@ -86,12 +88,39 @@ final class MockMaxScaleServer(
         else bytes.grouped(chunkSize).foreach { c => out.write(c); out.flush(); Thread.sleep(1) }
         out.flush()
       case None =>
-        events.zipWithIndex.foreach { case (ev, i) =>
+        // GTID resume (A4): when `honorGtid` is set and REQUEST-DATA
+        // carries a `domain-server_id-sequence` position, DML events at
+        // or before that sequence are NOT re-streamed — the avro
+        // router's resume contract the real server implements (the
+        // reference only ever SENDS the GTID, `gomaxscale.go:120-125`;
+        // the default mock keeps the ignore-and-resend behavior so the
+        // replay-guard drills still exercise at-least-once delivery).
+        // The position is exclusive: it names the last event already
+        // processed (the source's commit-time resume position), so the
+        // stream continues with what FOLLOWS. Schema/DDL events carry
+        // no sequence and are always sent — resume lands inside a
+        // schema version, never before its DDL.
+        val SeqRe = """"sequence":(\d+)""".r.unanchored
+        val GtidRe = """ (\d+)-(\d+)-(\d+)$""".r.unanchored
+        val resumeSeq: Long =
+          if (!honorGtid) -1L
+          else requestDataReceived.trim match {
+            case GtidRe(_, _, sq) => sq.toLong
+            case _ => -1L
+          }
+        val toSend = events.filter { ev =>
+          ev match {
+            case SeqRe(sq) => sq.toLong > resumeSeq
+            case _ => true // DDL / schema events always stream
+          }
+        }
+        toSend.zipWithIndex.foreach { case (ev, i) =>
           interleavedError.filter(_ => i == 1).foreach(e => reply(conn, e))
           val bytes = (ev + "\n").getBytes(UTF_8)
           if (chunkSize <= 0) out.write(bytes)
           else bytes.grouped(chunkSize).foreach { c => out.write(c); out.flush(); Thread.sleep(1) }
           out.flush()
+          eventsSent += 1
         }
     }
     if (!closeAfterEvents) Thread.sleep(60000)

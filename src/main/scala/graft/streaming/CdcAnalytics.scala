@@ -722,6 +722,150 @@ object CdcAnalytics {
       .orderBy(col("rep_doc"))
   }
 
+  // ---- qc11: batch BOOTSTRAP → GTID handoff (the 100 TB deployment
+  // answer: an existing corpus is never replayed through the binlog —
+  // the dedup state is bootstrapped by ONE distributed batch pass over
+  // the warehouse, and the stream subscribes FROM the GTID frontier,
+  // so the wire only ever carries what the warehouse doesn't have) ----
+
+  /** How much of the corpus is "historical" (already in the warehouse
+    * when the stream starts): the first half of the md5-shuffled
+    * workload order. */
+  def bootstrapSplit(nDocs: Int): Int = nDocs / 2
+
+  /** The qc11 wire half + bootstrap. The historical slice is derived
+    * IN SPARK with a map-only key-range predicate (md5 of the same
+    * shuffle key the workload builder sorts by, compared against the
+    * frontier doc's key) — no global sort, no window, no driver-side
+    * membership list: the bootstrap is one distributed batch pass
+    * ([[IncrementalNearDup.processBatch]] over the slice), exactly the
+    * shape a 100 TB backfill runs. The stream then subscribes with
+    * `gtid = 0-1-<k>` (the frontier doc's binlog position) against a
+    * GTID-honoring server ([[MockMaxScaleServer]] `honorGtid`), so the
+    * wire carries ONLY the live half — the server-side skip is
+    * asserted by the spec via `eventsSent`, and the drill's restart
+    * leg shows the checkpoint-adopted GTID landing mid-live-half
+    * (committed events are never re-streamed, unlike the
+    * replay-guard-absorbed full resends of the qc2/qc7 drills). */
+  def runBootstrapHandoffPipeline(s: SparkSession, dir: String,
+      events: Seq[String], statePath: String, ckptPath: String,
+      expectRows: Long, frontierGtid: String, frontierKey: String,
+      bootstrap: Boolean,
+      // the restart leg can't predict redelivery exactly — the
+      // GTID-honoring server skips whatever the checkpoint committed,
+      // and the kill decides that — so it drains to AT LEAST
+      // `expectRows` and then until the count is stable
+      exactDrain: Boolean = true,
+      sourceOptions: Map[String, String] = Map.empty): (IncrementalNearDup, MockMaxScaleServer) = {
+    val inc = new IncrementalNearDup(statePath,
+      autoCompactFiles = DrillCompactFiles)
+    if (bootstrap) {
+      // the distributed backfill: every doc whose shuffle key sorts at
+      // or before the frontier doc's is already in the warehouse
+      val hist = Tables(s, dir, "documents")
+        .where(md5(concat(lit("qc2:"), col("doc_id").cast("string")))
+          <= frontierKey)
+        .select(col("doc_id"), col("text"))
+      inc.processBatch(hist, -1L)
+    }
+    val server = new MockMaxScaleServer(events = events,
+      closeAfterEvents = false, honorGtid = true)
+    val reg = new SchemaRegistry
+    val consumed = new java.util.concurrent.atomic.AtomicLong
+    // 64 KiB reads + a paced trigger keep the live half in FEW
+    // micro-batches (the qc4/qc7 lesson: per-batch banded state work
+    // has a high fixed cost, so an ASAP trigger over 4 KiB socket
+    // reads turns one workload into dozens of batches)
+    val stream = (Map("gtid" -> frontierGtid, "bufferSize" -> "65536")
+        ++ sourceOptions).foldLeft(
+      s.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("user", "u").option("password", "p")
+        .option("database", Database).option("table", DocTableName)) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      .load()
+    val q = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1500 milliseconds"))
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+      CdcProjection.registryFrom(batch, reg)
+      if (reg.latest(Database, DocTableName).isDefined) {
+        val proj = CdcProjection.projectLatest(batch, reg, Database, DocTableName)
+          .where(col("op") === "insert")
+          .select(col("doc_id"), col("text"))
+        inc.processBatch(proj, bid)
+      }
+      consumed.addAndGet(batch.count())
+      ()
+    }.option("checkpointLocation", ckptPath).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (consumed.get() < expectRows && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        if (consumed.get() < expectRows) Thread.sleep(50)
+      }
+      if (exactDrain)
+        require(consumed.get() == expectRows,
+          s"qc11 pipeline drained ${consumed.get()} of $expectRows rows")
+      else {
+        // settle: the server has already written its whole (post-skip)
+        // feed; keep draining until two consecutive polls see no growth
+        var last = -1L
+        while (consumed.get() != last && System.currentTimeMillis() < deadline) {
+          last = consumed.get()
+          q.processAllAvailable()
+          Thread.sleep(200)
+          q.processAllAvailable()
+        }
+        require(consumed.get() >= expectRows,
+          s"qc11 resume drained ${consumed.get()} < minimum $expectRows rows")
+      }
+    } finally q.stop()
+    (inc, server)
+  }
+
+  /** qc11's query body: bootstrap the near-dup state from the
+    * warehouse's historical half (one distributed batch pass), hand
+    * off to the wire at the GTID frontier (the server honors the
+    * resume position, so only the live half is ever streamed), then
+    * emit the q57-shape dedup groups over the accumulated state —
+    * under the SAME full-corpus oracle as batch q57/q66/qc8 (no CDC,
+    * no bootstrap machinery anywhere in it). The hash gate certifies
+    * the handoff seam exactly: a doc double-counted across the
+    * boundary, one skipped by an off-by-one frontier, or any
+    * bootstrap-vs-stream order dependence in the state breaks the
+    * oracle. */
+  def bootstrapHandoffOverCdc(s: SparkSession, dir: String): DataFrame = {
+    val events = docWorkloadEvents(s, dir)
+    val nDocs = events.size - 1 // events(0) is the DDL
+    val k = bootstrapSplit(nDocs)
+    val tmp = java.nio.file.Files.createTempDirectory("qc11-cdc").toString
+    val (inc, _) = runBootstrapHandoffPipeline(s, dir, events,
+      s"$tmp/state", s"$tmp/ckpt",
+      expectRows = 1L + (nDocs - k), // DDL + the live half
+      frontierGtid = s"0-1-$k", frontierKey = frontierShuffleKey(events, k),
+      bootstrap = true)
+    inc.groups(s)
+      .groupBy(col("rep").as("rep_doc"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("rep_doc"))
+  }
+
+  /** The frontier doc's shuffle key: the k-th DML in the scripted
+    * binlog is the k-th doc in md5-shuffle order, so its key bounds
+    * the historical slice. Recomputed from the event's doc_id (the
+    * events are the mock server's binlog — the warehouse side never
+    * reads them; this helper only translates "frontier position k"
+    * into the key-range predicate the distributed bootstrap filters
+    * by). */
+  def frontierShuffleKey(events: Seq[String], k: Int): String = {
+    val DocIdRe = """"doc_id":(-?\d+)""".r.unanchored
+    events(k) match {
+      case DocIdRe(id) => shuffleKey(s"qc2:$id")
+      case e => throw new IllegalArgumentException(s"no doc_id in event: $e")
+    }
+  }
+
   // ---- qc3: CDC-fed incremental IVF (the connector feeding the ANN
   // layer — q88's maintenance loop with the wire path as the arrival
   // source instead of explicit batches) --------------------------------

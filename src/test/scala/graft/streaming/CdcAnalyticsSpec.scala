@@ -470,6 +470,70 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(statsOf(s"$tmp/events") == expected)
   }
 
+  test("qc11: bootstrap + GTID handoff equals batch q57; the wire never carries the historical half") {
+    // the handoff seam's drills, beyond the oracle's happy path:
+    //  1. the SKIP is real — the GTID-honoring server streams exactly
+    //     DDL + the live half (eventsSent), so the bootstrap didn't
+    //     just win a replay-guard race against a full resend;
+    //  2. the result equals the oracle-held batch q57 entry;
+    //  3. kill/resume mid-live-half: the restarted source re-subscribes
+    //     with the CHECKPOINT-adopted GTID (not the configured
+    //     frontier), so the second connection skips the committed
+    //     prefix too — true GTID resume, where the qc2/qc7 drills rely
+    //     on replay guards to absorb full resends.
+    val events = CdcAnalytics.docWorkloadEvents(spark, dir)
+    val nDocs = events.size - 1
+    val k = CdcAnalytics.bootstrapSplit(nDocs)
+    val fKey = CdcAnalytics.frontierShuffleKey(events, k)
+    val tmp = java.nio.file.Files.createTempDirectory("qc11-drill").toString
+
+    def groups(inc: IncrementalNearDup): Seq[(Long, Long)] =
+      inc.groups(spark)
+        .groupBy(org.apache.spark.sql.functions.col("rep"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .orderBy("rep").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // one-shot: small triggers force multiple batches (and commits)
+    val (oneShot, server) = CdcAnalytics.runBootstrapHandoffPipeline(
+      spark, dir, events, s"$tmp/ref_state", s"$tmp/ref_ckpt",
+      expectRows = 1L + (nDocs - k),
+      frontierGtid = s"0-1-$k", frontierKey = fKey, bootstrap = true,
+      sourceOptions = Map("maxEventsPerTrigger" -> "64"))
+    val expected = groups(oneShot)
+    assert(expected.nonEmpty)
+    assert(server.eventsSent == 1 + (nDocs - k),
+      s"server streamed ${server.eventsSent} events, expected DDL + live half ${1 + (nDocs - k)}")
+    assert(server.requestDataReceived.trim.endsWith(s"0-1-$k"),
+      s"REQUEST-DATA did not carry the frontier GTID: ${server.requestDataReceived}")
+
+    val batch = graft.SparkEntry.queries("q57_dedup_groups")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(expected == batch, "handoff run diverges from batch q57")
+
+    // kill mid-live-half (events.take(cut) ends the feed early), then
+    // resume against a server holding the FULL binlog: the adopted
+    // checkpoint GTID must keep the committed prefix off the wire
+    val cut = 1 + k + (nDocs - k) / 2 // event index; live DMLs are k+1..nDocs
+    val (_, _) = CdcAnalytics.runBootstrapHandoffPipeline(
+      spark, dir, events.take(cut), s"$tmp/state", s"$tmp/ckpt",
+      expectRows = 1L + (cut - 1 - k),
+      frontierGtid = s"0-1-$k", frontierKey = fKey, bootstrap = true,
+      sourceOptions = Map("maxEventsPerTrigger" -> "64"))
+    val (resumed, server2) = CdcAnalytics.runBootstrapHandoffPipeline(
+      spark, dir, events, s"$tmp/state", s"$tmp/ckpt",
+      expectRows = 1L + (nDocs - (cut - 1)), // lower bound: full redelivery of the uncommitted tail only
+      frontierGtid = s"0-1-$k", frontierKey = fKey, bootstrap = false,
+      exactDrain = false,
+      sourceOptions = Map("maxEventsPerTrigger" -> "64"))
+    assert(groups(resumed) == expected)
+    // the committed prefix stayed off the wire: strictly fewer events
+    // than the full live half (phase A committed at least one batch)
+    assert(server2.eventsSent < 1 + (nDocs - k),
+      s"GTID resume re-streamed the whole live half (${server2.eventsSent} events)")
+  }
+
   test("replaying a committed batchId is bit-for-bit idempotent") {
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Files.createTempDirectory("cdc-replay").toString
