@@ -351,32 +351,26 @@ object Vectors {
     math.max(8, (64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))) - 3)
 
   private def lshCandidatePairsUncached(s: SparkSession, d: String): DataFrame = {
-        import s.implicits._
         // one bounded count drives the width (memoized with the pairs)
         val bandBits = lshBandBits(Tables(s, d, "embeddings").count())
-        val nPlanes = 8 * bandBits
-        // data-independent ±1 hyperplane weights, fixed by md5 parity —
-        // a 4096-row constant LocalRelation, broadcast to the join
-        val planeRows = for { p <- 0 until nPlanes; dim <- 0 until 64 } yield {
-          val digest = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$p:$dim".getBytes("UTF-8"))
-          val firstHexNibble = (digest(0) >> 4) & 0xf
-          (p, dim, if (firstHexNibble % 2 == 1) 1L else -1L)
-        }
-        val planes = planeRows.toDF("p", "d", "w")
-        // sign projections in exact integer math: quantize each component
-        // once, then sum ±xi per plane (order-independent, portable)
-        val comps = Tables(s, d, "embeddings")
-          .select(col("vec_id"), posexplode(vecDouble(col("embedding"))).as(Seq("d", "x")))
-          .select(col("vec_id"), col("d"),
-            expr("CAST(floor(x * 1000000 + 0.5) AS BIGINT)").as("xi"))
-        // codes feed the probe expansion, the hot-key census, AND the
-        // capped build side (3 plan references) — materialize once,
-        // lineage truncated (the round-8 localCheckpoint doctrine)
-        val codes = comps.join(broadcast(planes), Seq("d"))
-          .groupBy(col("vec_id"), col("p")).agg(sum(col("w") * col("xi")).as("sgn"))
-          .groupBy(col("vec_id"), expr(s"p div $bandBits").as("band"))
-          .agg(sum(when(col("sgn") >= 0, expr(s"shiftleft(1L, p % $bandBits)")).otherwise(0L)).as("code"))
+        // sign projections as ONE native per-row expression
+        // (functions/LshCodes — the MinHashBands lesson on the vector
+        // side): the former explode → broadcast-join(±1 md5-parity
+        // planes) → two groupBys shuffled an O(n · 64 · 8·bits)
+        // component×plane intermediate (~700M rows at 100k vectors) to
+        // compute what is a pure per-row function; the code build is
+        // now a MAP-ONLY corpus scan at any scale (integer parity with
+        // the chain is spec-pinned — LshCodesSpec replays the old
+        // chain verbatim). Codes feed the probe expansion, the hot-key
+        // census, AND the capped build side (3 plan references) —
+        // materialize once, lineage truncated (the round-8
+        // localCheckpoint doctrine).
+        val codes = Tables(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(
+            org.apache.spark.sql.graftbridge.ColumnBridge.column(
+              graft.functions.LshCodes(
+                org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+                  col("embedding")), bandBits))).as(Seq("band", "code")))
           .localCheckpoint(true)
         // multi-probe: expand one side to the exact bucket + its
         // bandBits one-bit flips; equi-join covers every pair within

@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   *    timestamps kept — the scale shape of a busier site);
   *  - `nation`/`region` stay single-copy (dimensions).
   *
-  * Usage: sbt "Test/runMain graft.GenScale [outDir] [copies]".
+  * Usage: sbt "Test/runMain graft.GenScale [outDir] [copies] [mode]".
+  * `mode = vectors` writes ONLY the embeddings table (the 100k-vector
+  * tier for the LSH code-width rule's next widening step — the other
+  * tables would be dead weight there); default writes all tables.
   */
 object GenScale {
 
@@ -36,6 +39,8 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/tmp/sf1")
     val copies = if (args.length > 1) args(1).toInt else 10
+    val mode = if (args.length > 2) args(2) else "all"
+    require(copies <= 64, "embedding rotation is by c components; c must stay < 64")
     val src = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -70,6 +75,16 @@ object GenScale {
       println(s"[genscale] wrote $name x$copies")
     }
     def shift(c: Int)(col0: org.apache.spark.sql.Column) = col0 + lit(c * KeyShift)
+
+    if (mode == "vectors") {
+      copyUnion("embeddings") { (df, c) =>
+        val rotated = if (c == 0) df else df.withColumn("embedding",
+          expr(s"concat(slice(embedding, ${c + 1}, ${64 - c}), slice(embedding, 1, $c))"))
+        rotated.withColumn("vec_id", shift(c)(col("vec_id")))
+      }
+      spark.stop()
+      return
+    }
 
     Seq("region", "nation").foreach { name =>
       Tables(spark, src, name).coalesce(1)
