@@ -310,8 +310,16 @@ object Vectors {
       (s, d) => {
         val cand = lshCandidatePairs(s, d)
         val e = embUnit(s, d)
-        cand.join(e.as("ea"), col("vec_a") === col("ea.vec_id"))
-          .join(e.as("eb"), col("vec_b") === col("eb.vec_id"))
+        // broadcast the VECTOR side of the verify joins: candidates
+        // outnumber vectors ~(bands · probes · occupancy / 2) ≈ 400×
+        // (measured: 40M pairs / 100k vectors at the 100k tier), and
+        // an SMJ would shuffle+sort the pair relation twice — the
+        // second time carrying 512-byte unit-vector arrays. Broadcast
+        // keeps the 16-byte pairs in place and ships the O(corpus)
+        // table once (55 MB at 100k; co-bucket both sides on vec_id
+        // past broadcastable size — the documented crossover).
+        cand.join(broadcast(e.as("ea")), col("vec_a") === col("ea.vec_id"))
+          .join(broadcast(e.as("eb")), col("vec_b") === col("eb.vec_id"))
           .select(col("vec_a"), col("vec_b"),
             round(dot(col("ea.u"), col("eb.u")), 4).as("sim"))
           .where(col("sim") >= 0.4)
@@ -738,9 +746,12 @@ object Vectors {
         .join(sides.select(col("vec_id").as("vec_b"), col("side").as("sb")), Seq("vec_b"))
         .where(col("sa") =!= col("sb")).select(col("vec_a"), col("vec_b"))
       val e = embUnit(s, d)
+      // broadcast the vector side for the same reason as q55's verify
+      // joins: the candidate relation is ~400× the corpus (measured at
+      // the 100k tier) and must not be shuffled carrying array payloads
       val scored = cand
-        .join(e.as("ea"), col("vec_a") === col("ea.vec_id"))
-        .join(e.as("eb"), col("vec_b") === col("eb.vec_id"))
+        .join(broadcast(e.as("ea")), col("vec_a") === col("ea.vec_id"))
+        .join(broadcast(e.as("eb")), col("vec_b") === col("eb.vec_id"))
         .select(col("vec_a"), col("vec_b"),
           floor(round(dot(col("ea.u"), col("eb.u")), 4) * 10000 + 0.5)
             .cast("long").as("sim_e4"))
