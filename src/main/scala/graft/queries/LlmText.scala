@@ -359,7 +359,16 @@ object LlmText {
     * qc7 wire composition (survivors only). Output (rep_doc,
     * n_members) ordered by rep. */
   private[graft] def dedupGroupsOracleSqlOver(docsPred: String): String =
-    "WITH RECURSIVE " + bandedPairsSqlCtesOver(docsPred) + ", " +
+    dedupGroupsOracleSqlOverBr(docsPred, 8, 2)
+
+  /** [[dedupGroupsOracleSqlOver]] at an explicit banding design — the
+    * q66h re-band-migration oracle runs the WHOLE batch chain at the
+    * target (nBands, bandR) with no migration machinery in it: it
+    * matches only if the migrated stream is semantically a fresh run
+    * under the new index design. */
+  private[graft] def dedupGroupsOracleSqlOverBr(docsPred: String,
+      nBands: Int, bandR: Int): String =
+    "WITH RECURSIVE " + bandedPairsSqlCtesOverBr(docsPred, nBands, bandR) + ", " +
       "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
       "UNION SELECT doc_b, doc_a FROM pairs), " +
       "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
@@ -373,7 +382,15 @@ object LlmText {
     * shingle→minhash→band→verify chain over only the matching docs
     * (q66b's survivors-only oracle). */
   private[queries] def bandedPairsSqlCtesOver(docsPred: String): String =
-    shinglesSqlOver(2, docsPred) + ", " + minhashSigSql(8, 2) + ", " +
+    bandedPairsSqlCtesOverBr(docsPred, 8, 2)
+
+  /** [[bandedPairsSqlCtesOver]] at an explicit (nBands, bandR) design
+    * ([[minhashSigSql]] is already parameterized; the verify tail is
+    * banding-independent). nBands·bandR must be 16 — the signature
+    * width both engines compute. */
+  private[queries] def bandedPairsSqlCtesOverBr(docsPred: String,
+      nBands: Int, bandR: Int): String =
+    shinglesSqlOver(2, docsPred) + ", " + minhashSigSql(nBands, bandR) + ", " +
       "sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM sh GROUP BY doc_id), " +
       "inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter FROM cand c " +
       "JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh " +

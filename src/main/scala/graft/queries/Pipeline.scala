@@ -946,6 +946,41 @@ object Pipeline {
       },
       Some(LlmText.dedupGroupsOracleSqlOver("doc_id % 7 <> 0"))),
 
+    QueryDef("q66h_reband_migration",
+      // ONLINE INDEX MIGRATION — the "corpus outgrew the index"
+      // operation on the incremental near-dup state (the MinHash-side
+      // sibling of the corpus-linked hyperplane code width): wave 1
+      // ingests at the (8, 2) design (threshold ≈ 0.35), the state is
+      // then re-banded IN PLACE to the higher-precision (4, 4) design
+      // (threshold ≈ 0.71) WITHOUT touching the corpus — bands/ is
+      // rebuilt from the signatures sets/ retains, pairs/ is
+      // restricted to what (4, 4) co-buckets (a (4, 4) band match is
+      // two aligned (8, 2) matches, so the target candidate set is a
+      // subset and the filter is exact) — and wave 2 ingests through a
+      // consumer constructed at (4, 4). The oracle is the FULL batch
+      // chain at (4, 4) over the whole corpus with no migration
+      // machinery in it: it matches only if migrate-then-continue is
+      // semantically identical to having indexed at (4, 4) from the
+      // start. RebandMigrationSpec drills key-byte parity with
+      // bandKeys, the migration being load-bearing (a mid-jaccard
+      // (8, 2)-only pair must vanish), idempotence, and sidecar heal.
+      (s, d) => {
+        import graft.streaming.IncrementalNearDup
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q66h-reband").toString
+        val st = LlmText.bigramStateCached(s, d)
+        val inc82 = new IncrementalNearDup(statePath)
+        inc82.processState(st.where(col("doc_id") % 2 === 0), 0L)
+        IncrementalNearDup.rebandMigrate(s, statePath, 4, 4)
+        val inc44 = new IncrementalNearDup(statePath, nBands = 4, bandR = 4)
+        inc44.processState(st.where(col("doc_id") % 2 === 1), 1L)
+        inc44.groups(s)
+          .groupBy(col("rep").as("rep_doc"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("rep_doc"))
+      },
+      Some(LlmText.dedupGroupsOracleSqlOverBr("", 4, 4))),
+
     QueryDef("q63_tfidf_top_terms",
       // Per-document top-3 TF-IDF terms (keyword extraction). The IDF is
       // the rational N/df — no transcendental log, so Spark and DuckDB
