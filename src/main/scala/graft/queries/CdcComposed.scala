@@ -193,5 +193,26 @@ object CdcComposed {
       // re-streamed, unlike the replay-guard-absorbed full resends of
       // the qc2/qc7 drills.
       (s, d) => graft.streaming.CdcAnalytics.bootstrapHandoffOverCdc(s, d),
-      Some(LlmText.dedupGroupsOracleSqlOver(""))))
+      Some(LlmText.dedupGroupsOracleSqlOver(""))),
+
+    QueryDef("qc12_cdc_reband_maintenance",
+      // The q66h re-band migration inside a REAL maintenance window on
+      // the wire — the lifecycle a year-long 100 TB dedup stream
+      // actually goes through: wave 1 streams the even half of the
+      // corpus into the near-dup state at the (8, 2) design; the
+      // stream is STOPPED, the committed state is re-banded in place
+      // to the higher-precision (4, 4) design from the signatures
+      // sets/ retains (no corpus re-read, no binlog replay); a NEW
+      // connection then resumes the binlog at (4, 4) with the odd
+      // half plus DELETEs that reach back ACROSS the window into
+      // wave-1 docs (cross-window retraction: the tombstone lands on
+      // state built under the OLD design and already migrated).
+      // Oracle = the full batch chain AT (4, 4) over the SURVIVORS
+      // (dedupGroupsOracleSqlOverBr — no CDC, no migration, no
+      // retraction machinery in it): the hash closes over the
+      // connector, the migration's exactness, cross-window
+      // retraction, and the new design's candidate semantics at once.
+      (s, d) => graft.streaming.CdcAnalytics.nearDupMigrationOverCdc(s, d),
+      Some(LlmText.dedupGroupsOracleSqlOverBr(
+        s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0", 4, 4))))
 }

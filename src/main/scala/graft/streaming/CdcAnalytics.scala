@@ -384,10 +384,11 @@ object CdcAnalytics {
     * 1500 ms); 64 KiB reads still keep the batch COUNT low. */
   def runNearDupRetractPipeline(s: SparkSession, events: Seq[String], statePath: String,
       ckptPath: String, expectRows: Long,
-      sourceOptions: Map[String, String] = Map.empty): IncrementalNearDup = {
+      sourceOptions: Map[String, String] = Map.empty,
+      nBands: Int = 8, bandR: Int = 2): IncrementalNearDup = {
     val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
     val inc = new IncrementalNearDup(statePath,
-      autoCompactFiles = DrillCompactFiles)
+      autoCompactFiles = DrillCompactFiles, nBands = nBands, bandR = bandR)
     val reg = new SchemaRegistry
     val consumed = new java.util.concurrent.atomic.AtomicLong
     val stream = (Map("bufferSize" -> "65536") ++ sourceOptions).foldLeft(
@@ -440,6 +441,66 @@ object CdcAnalytics {
     val tmp = java.nio.file.Files.createTempDirectory("qc7-cdc").toString
     val inc = runNearDupRetractPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
       events.size.toLong)
+    inc.groups(s)
+      .groupBy(col("rep").as("rep_doc"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("rep_doc"))
+  }
+
+  /** The qc12 workload split at the MAINTENANCE WINDOW: wave 1 is the
+    * binlog up to the window (inserts of the even half, md5-shuffled),
+    * wave 2 is the binlog after it (inserts of the odd half, then
+    * DELETEs of doc_id % [[RetractMod]] == 0 — deletes deliberately
+    * reach across the window into wave-1 docs). Each wave is a
+    * separate connection, so each carries the DDL prefix. */
+  def docMigrationWorkloadEvents(s: SparkSession,
+      dir: String): (Vector[String], Vector[String]) = {
+    val rows = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def shuffled(tag: String, rs: Array[(Long, String)]) =
+      rs.map(r => shuffleKey(s"$tag:${r._1}") -> r).sortBy(_._1).map(_._2)
+    def wave(tag: String, inserts: Array[(Long, String)],
+        deletes: Array[(Long, String)], seq0: Long): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      out += docDdlJson
+      var seq = seq0
+      shuffled(s"${tag}i", inserts).foreach { case (id, text) =>
+        seq += 1; out += docOpDmlJson(seq, "insert", id, text)
+      }
+      shuffled(s"${tag}d", deletes).foreach { case (id, text) =>
+        seq += 1; out += docOpDmlJson(seq, "delete", id, text)
+      }
+      out.result()
+    }
+    val evens = rows.filter(_._1 % 2 == 0)
+    val odds = rows.filter(_._1 % 2 == 1)
+    val w1 = wave("qc12a", evens, Array.empty, 0L)
+    (w1, wave("qc12b", odds, rows.filter(_._1 % RetractMod == 0),
+      w1.size.toLong))
+  }
+
+  /** qc12's query body: the q66h re-band migration inside a real
+    * maintenance window on the wire. Wave 1 streams the even half into
+    * the near-dup state at the (8, 2) design; the stream is stopped
+    * (the window), [[IncrementalNearDup.rebandMigrate]] re-bands the
+    * committed state to (4, 4) from the signatures sets/ retains (no
+    * corpus re-read — at 100 TB the corpus cannot be replayed); then a
+    * NEW connection resumes the binlog at the (4, 4) design with the
+    * odd half plus DELETEs that reach back across the window into
+    * wave-1 docs. Oracle = the full batch chain AT (4, 4) over the
+    * SURVIVORS (no CDC, no migration, no retraction machinery in it):
+    * the hash closes over the connector, the migration's exactness
+    * (bands/ parity + the pairs/ subset filter), cross-window
+    * retraction, and the new design's candidate semantics at once. */
+  def nearDupMigrationOverCdc(s: SparkSession, dir: String): DataFrame = {
+    val (w1, w2) = docMigrationWorkloadEvents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc12-cdc").toString
+    runNearDupRetractPipeline(s, w1, s"$tmp/state", s"$tmp/ckpt1",
+      w1.size.toLong, nBands = 8, bandR = 2)
+    IncrementalNearDup.rebandMigrate(s, s"$tmp/state", 4, 4)
+    val inc = runNearDupRetractPipeline(s, w2, s"$tmp/state", s"$tmp/ckpt2",
+      w2.size.toLong, nBands = 4, bandR = 4)
     inc.groups(s)
       .groupBy(col("rep").as("rep_doc"))
       .agg(count(lit(1)).as("n_members"))

@@ -560,4 +560,47 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(snap) == before)
     assert(snap.snapshotIds(spark) == Seq(0L, 1L))
   }
+
+  test("qc12: re-band maintenance window equals batch (4,4) over survivors; wave-2 re-delivery is a no-op") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val (w1, w2) = CdcAnalytics.docMigrationWorkloadEvents(spark, dir)
+    assert(w2.exists(_.contains("\"event_type\":\"delete\"")))
+    val tmp = java.nio.file.Files.createTempDirectory("qc12-drill").toString
+
+    def groups(inc: IncrementalNearDup): Seq[(Long, Long)] =
+      inc.groups(spark).groupBy(col("rep"))
+        .agg(count(lit(1)).as("n")).orderBy("rep").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    CdcAnalytics.runNearDupRetractPipeline(spark, w1, s"$tmp/state",
+      s"$tmp/ckpt1", w1.size.toLong, nBands = 8, bandR = 2)
+    IncrementalNearDup.rebandMigrate(spark, s"$tmp/state", 4, 4)
+    val inc = CdcAnalytics.runNearDupRetractPipeline(spark, w2, s"$tmp/state",
+      s"$tmp/ckpt2", w2.size.toLong, nBands = 4, bandR = 4)
+    val got = groups(inc)
+    assert(got.nonEmpty)
+    assert(got.forall(_._1 % CdcAnalytics.RetractMod != 0),
+      "a deleted doc survived as a group representative")
+
+    // the reference: a fresh batch run AT the target design over the
+    // survivors — no wire, no migration, no retraction machinery
+    val survivors = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") % CdcAnalytics.RetractMod =!= 0)
+    val st = graft.queries.LlmText.nearDupState(survivors).localCheckpoint(true)
+    val batch = graft.operators.DedupGroups.components(
+        graft.queries.LlmText.verifyPairs(
+          graft.queries.LlmText.bandedCandidates(st, 4, 4), st))
+      .groupBy(col("rep")).agg(count(lit(1)).as("n")).orderBy("rep")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == batch,
+      "migrate-then-continue over the wire diverges from the fresh (4,4) survivors run")
+
+    // full wave-2 re-delivery on the migrated state (a resumed
+    // connection replaying the whole post-window binlog): replay
+    // guards absorb the inserts, tombstones win on the deletes
+    val inc2 = CdcAnalytics.runNearDupRetractPipeline(spark, w2, s"$tmp/state",
+      s"$tmp/ckpt3", w2.size.toLong, nBands = 4, bandR = 4)
+    assert(groups(inc2) == got, "wave-2 re-delivery changed the state")
+  }
 }
