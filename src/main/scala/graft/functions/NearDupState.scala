@@ -19,8 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (NativeStateSpec). */
 object MinHashKernel {
 
+  // 8 salts × 4 hex windows = up to 32 components; the first 16 (salts
+  // a:–d:) are the classic near-dup signature, 17–32 (e:–h:) exist for
+  // the signature-WIDENING migration (IncrementalNearDup.widenMigrate)
+  // — same generator as the declarative/oracle recipe's
+  // ('a' + i/4) salt rule
   private val Salts: Array[Array[Byte]] =
-    Array("a:", "b:", "c:", "d:").map(_.getBytes(UTF_8))
+    Array("a:", "b:", "c:", "d:", "e:", "f:", "g:", "h:").map(_.getBytes(UTF_8))
 
   private val Md = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
@@ -38,27 +43,38 @@ object MinHashKernel {
 
   /** The `nHashes` minhash components (min over shingles of md5 hex
     * window (i%4) under salt (i/4)); null if fewer than `n` tokens. */
-  def minhash(tokens: Array[String], n: Int, nHashes: Int): Array[Long] = {
+  def minhash(tokens: Array[String], n: Int, nHashes: Int): Array[Long] =
+    minhashRange(tokens, n, 0, nHashes)
+
+  /** Components [from, until) of the salted-md5 minhash family — the
+    * widening migration's corpus pass computes ONLY the new components
+    * (from = 16, until = 32), paying md5 for salts e:–h: and nothing
+    * for the 16 the state already stores. Output array has
+    * `until − from` entries; null if fewer than `n` tokens. */
+  def minhashRange(tokens: Array[String], n: Int, from: Int, until: Int): Array[Long] = {
     val nTok = tokens.length
     if (nTok < n) return null
-    val nSalts = (nHashes + 3) / 4
-    val mins = Array.fill(nHashes)(Long.MaxValue)
+    val s0 = from / 4
+    val nSalts = (until + 3) / 4
+    val mins = Array.fill(until - from)(Long.MaxValue)
     val digest = Md.get()
     var i = 0
     while (i <= nTok - n) {
       val sh = shingle(tokens, i, n).getBytes(UTF_8)
-      var s = 0
+      var s = s0
       while (s < nSalts) {
         digest.reset()
         digest.update(Salts(s))
         digest.update(sh)
         val d = digest.digest()
         var k = 0
-        while (k < 4 && s * 4 + k < nHashes) {
-          val v = ((d(4 * k) & 0xffL) << 24) | ((d(4 * k + 1) & 0xffL) << 16) |
-            ((d(4 * k + 2) & 0xffL) << 8) | (d(4 * k + 3) & 0xffL)
+        while (k < 4) {
           val idx = s * 4 + k
-          if (v < mins(idx)) mins(idx) = v
+          if (idx >= from && idx < until) {
+            val v = ((d(4 * k) & 0xffL) << 24) | ((d(4 * k + 1) & 0xffL) << 16) |
+              ((d(4 * k + 2) & 0xffL) << 8) | (d(4 * k + 3) & 0xffL)
+            if (v < mins(idx - from)) mins(idx - from) = v
+          }
           k += 1
         }
         s += 1
@@ -95,23 +111,29 @@ object MinHashKernel {
 /** Per-row `nHashes`-component word-`n`-gram minhash signature as
   * `array<long>` — the zero-shuffle signature side of the near-dup
   * state (see [[MinHashKernel]]). NULL for docs with fewer than `n`
-  * tokens, matching the declarative chain's size filter. */
-case class MinHashSig(child: Expression, n: Int, nHashes: Int)
-    extends UnaryExpression {
+  * tokens, matching the declarative chain's size filter.
+  * `firstHash` offsets into the salted-md5 family: components
+  * [firstHash, firstHash + nHashes) — the signature-widening
+  * migration's corpus pass sets firstHash = 16 to compute only the new
+  * half (salts e:–h:), never re-paying md5 for the stored 16. */
+case class MinHashSig(child: Expression, n: Int, nHashes: Int,
+    firstHash: Int = 0) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType if n >= 1 && nHashes >= 1 && nHashes <= 16 =>
+    case StringType if n >= 1 && nHashes >= 1 && firstHash >= 0 &&
+        firstHash + nHashes <= 32 =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects a string argument and 1<=nHashes<=16, got ${other.sql}")
+      s"$prettyName expects a string argument and 1<=nHashes, firstHash+nHashes<=32, got ${other.sql}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
   override def nullSafeEval(t: Any): Any = {
-    val mins = MinHashKernel.minhash(
-      MinHashKernel.tokens(t.asInstanceOf[UTF8String]), n, nHashes)
+    val mins = MinHashKernel.minhashRange(
+      MinHashKernel.tokens(t.asInstanceOf[UTF8String]), n, firstHash,
+      firstHash + nHashes)
     if (mins == null) null else new GenericArrayData(mins)
   }
 
@@ -119,8 +141,9 @@ case class MinHashSig(child: Expression, n: Int, nHashes: Int)
     nullSafeCodeGen(ctx, ev, c => {
       val mins = ctx.freshName("mins")
       s"""
-         |long[] $mins = graft.functions.MinHashKernel.minhash(
-         |  graft.functions.MinHashKernel.tokens($c), $n, $nHashes);
+         |long[] $mins = graft.functions.MinHashKernel.minhashRange(
+         |  graft.functions.MinHashKernel.tokens($c), $n, $firstHash,
+         |  ${firstHash + nHashes});
          |${ev.isNull} = $mins == null;
          |${ev.value} = ${ev.isNull} ? null :
          |  new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);

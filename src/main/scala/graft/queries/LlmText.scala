@@ -386,8 +386,10 @@ object LlmText {
 
   /** [[bandedPairsSqlCtesOver]] at an explicit (nBands, bandR) design
     * ([[minhashSigSql]] is already parameterized; the verify tail is
-    * banding-independent). nBands·bandR must be 16 — the signature
-    * width both engines compute. */
+    * banding-independent). nBands·bandR must be the signature width
+    * the engine computed — 16 as built, 32 after a signature-widening
+    * migration; the salt generator ('a' + i/4) is shared, so the same
+    * SQL covers both. */
   private[queries] def bandedPairsSqlCtesOverBr(docsPred: String,
       nBands: Int, bandR: Int): String =
     shinglesSqlOver(2, docsPred) + ", " + minhashSigSql(nBands, bandR) + ", " +

@@ -981,6 +981,52 @@ object Pipeline {
       },
       Some(LlmText.dedupGroupsOracleSqlOverBr("", 4, 4))),
 
+    QueryDef("q66i_widen_migration",
+      // SIGNATURE-WIDENING MIGRATION — the direction q66h cannot go:
+      // re-banding regroups the existing 16 components and can only
+      // trade recall for precision within them; a corpus that needs a
+      // high threshold AND more collision chances (the (8, 4) design:
+      // threshold ≈ 0.59, twice (4, 4)'s bands) needs components
+      // 17–32, which are md5 under NEW salts (e:–h:, the same
+      // ('a' + i/4) generator the DuckDB oracle derives) over shingle
+      // strings no state table retains. The migration therefore pays
+      // exactly ONE map-only corpus pass computing ONLY the new half
+      // (MinHashSig firstHash = 16 — the stored 16 are never
+      // re-hashed), then everything else from state: sets/ extended by
+      // an equi-join, bands/ rebuilt at (8, 4) through the production
+      // bandKeys, and pairs/ by REGENERATING candidates at the target
+      // design (the capped bucket stage) — stored verifies reused
+      // (verify is a pure function of the stored shingle sets), only
+      // never-before-co-bucketed pairs pay the verify join. Because
+      // candidates are regenerated rather than subset-filtered,
+      // fresh-run parity holds even where q66h's under-the-hot-cap
+      // disclosure applies. Wave 1 ingests at (8, 2), the state is
+      // widened, wave 2 ingests through a consumer constructed at
+      // (8, 4). Oracle: the FULL batch chain at (8, 4) over 32
+      // components, no migration machinery in it — it matches only if
+      // widen-then-continue is semantically indexing at (8, 4) from
+      // the start. Differs from q66's (8, 2) output on the fixture
+      // (mid-jaccard pairs in [0.35, ~0.6) lose their band
+      // collisions), so the migration is load-bearing;
+      // WidenMigrationSpec pins fresh-run equivalence, new-salt byte
+      // parity, suppressed-pair regeneration, and idempotence.
+      (s, d) => {
+        import graft.streaming.IncrementalNearDup
+        val statePath = java.nio.file.Files
+          .createTempDirectory("q66i-widen").toString
+        val st = LlmText.bigramStateCached(s, d)
+        val inc82 = new IncrementalNearDup(statePath)
+        inc82.processState(st.where(col("doc_id") % 2 === 0), 0L)
+        IncrementalNearDup.widenMigrate(s, statePath, docs(s, d), 8, 4)
+        val inc84 = new IncrementalNearDup(statePath, nBands = 8, bandR = 4)
+        inc84.processBatch(docs(s, d).where(col("doc_id") % 2 === 1), 1L)
+        inc84.groups(s)
+          .groupBy(col("rep").as("rep_doc"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("rep_doc"))
+      },
+      Some(LlmText.dedupGroupsOracleSqlOverBr("", 8, 4))),
+
     QueryDef("q63_tfidf_top_terms",
       // Per-document top-3 TF-IDF terms (keyword extraction). The IDF is
       // the rational N/df — no transcendental log, so Spark and DuckDB

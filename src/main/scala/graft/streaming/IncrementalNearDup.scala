@@ -72,10 +72,14 @@ final class IncrementalNearDup(statePath: String,
     autoCompactFiles: Int = StateLayout.AutoCompactFiles,
     nBands: Int = 8, bandR: Int = 2) {
 
-  // both engines compute 16 minhash components; a banding design is a
-  // regrouping of those 16 (8×2 default, 4×4 post-migration, …)
-  require(nBands * bandR == 16,
-    s"banding $nBands x $bandR must regroup the 16-component signature")
+  // a banding design regroups a full salted-md5 signature: 16
+  // components (8×2 default, 4×4 after a re-band migration) or the
+  // 32-wide family (8×4 after a signature-WIDENING migration — see
+  // [[IncrementalNearDup.widenMigrate]]); both engines derive salts by
+  // the same ('a' + i/4) rule, so any regrouping of either width is
+  // oracle-expressible
+  require(nBands * bandR == 16 || nBands * bandR == 32,
+    s"banding $nBands x $bandR must regroup a 16- or 32-component signature")
 
   /** See [[IncrementalLineDedup.compactionCount]]. */
   @volatile private var nCompactions = 0
@@ -129,8 +133,10 @@ final class IncrementalNearDup(statePath: String,
 
     // one scan + one shuffle yields both the signature arrays and the
     // minhash components (LlmText.nearDupState), materialized once for
-    // the batch's several uses
-    processState(LlmText.nearDupState(docs).localCheckpoint(true), batchId)
+    // the batch's several uses; the signature width follows the
+    // consumer's banding design (16 default, 32 post-widening)
+    processState(LlmText.nearDupState(docs, nHashes = nBands * bandR)
+      .localCheckpoint(true), batchId)
   }
 
   /** Shared-scan entry: `state` must be `LlmText.nearDupState` rows for
@@ -439,13 +445,17 @@ object IncrementalNearDup {
     * machinery in it. */
   def rebandMigrate(spark: SparkSession, statePath: String,
       nBands: Int, bandR: Int): Unit = {
-    require(nBands * bandR == 16,
-      s"banding $nBands x $bandR must regroup the 16-component signature")
     val setsDir = s"$statePath/sets"
     require(StateLayout.exists(spark, setsDir),
       s"no sets/ state at $statePath - nothing to migrate")
     val sets = spark.read.parquet(setsDir).drop(StateLayout.BucketCol)
       .localCheckpoint(true)
+    // re-banding regroups the STORED signature (16 as built, 32 after
+    // a widening migration) — a bounded 1-row read pins the width
+    val storedW = sets.select(org.apache.spark.sql.functions.size(col("sig")))
+      .head().getInt(0)
+    require(nBands * bandR == storedW,
+      s"banding $nBands x $bandR must regroup the stored $storedW-component signature")
     // the target-design band keys from the stored signature — identical
     // bytes to bandKeys over nearDupState's h-columns (RebandParity
     // spec pins it): band j's key is the struct of its bandR
@@ -482,5 +492,117 @@ object IncrementalNearDup {
       StateLayout.overwriteCompacted(kept, pairsDir,
         Seq("doc_a", "doc_b"), parts = 8)
     }
+  }
+
+  /** Signature-WIDENING migration — the other direction the corpus can
+    * outgrow the index: [[rebandMigrate]] buys precision by regrouping
+    * the EXISTING 16 components (and can only shrink the candidate
+    * set), but past (4, 4) there is nothing left to regroup, and a
+    * corpus that needs both a high threshold AND more recall (more
+    * bands at the same band width — e.g. (8, 4), threshold ≈ 0.59 with
+    * twice (4, 4)'s collision chances) needs a WIDER signature. The new
+    * components (salts e:–h:, the same ('a' + i/4) generator both
+    * engines and the DuckDB oracle share) are md5 over the shingle
+    * strings, which no state table retains — so widening costs exactly
+    * ONE map-only pass over the live corpus computing ONLY the 16 new
+    * components ([[graft.functions.MinHashSig]] with firstHash = 16;
+    * the stored half is never re-hashed), against a full rebuild's
+    * shingle-set reconstruction plus a from-scratch verify of every
+    * candidate. Everything else derives from state:
+    *
+    *  - sets/: live rows extended to the 32-wide signature by an
+    *    equi-join with the corpus pass (`corpus` must cover every live
+    *    committed doc — in the maintenance-window deployment it IS the
+    *    replicated source table; docs absent from it are dropped, which
+    *    makes migration a physical-retraction point exactly like
+    *    [[IncrementalNearDup.compact]] — tombstones are retained so
+    *    replayed inserts of deleted docs still append nothing);
+    *  - bands/: rebuilt at the target design over the wide signature
+    *    through the SAME [[LlmText.bandKeys]] the ingest path uses
+    *    (byte parity by construction), bloom sidecar rebuilt;
+    *  - pairs/: candidates are REGENERATED at the target design from
+    *    the band index (the production capped bucket stage,
+    *    [[LlmText.bandedCandidates]]); already-verified pairs keep
+    *    their stored jaccard (verify is a pure function of the stored
+    *    shingle sets, so reuse is exact), only candidates never seen
+    *    before — pairs the new bands co-bucket for the first time —
+    *    pay the verify join, again from stored hs, no corpus access.
+    *
+    * Because candidates are regenerated rather than subset-filtered,
+    * parity with a fresh batch run at the target design over the
+    * survivors is exact EVEN IF source buckets ran hot historically: a
+    * pair the (8, 2) hot cap suppressed whose (8, 4) bucket is cool is
+    * co-bucketed by the new index and gets verified now — a strictly
+    * stronger guarantee than the narrowing migration's under-the-cap
+    * disclosure (WidenMigrationSpec pins it with a synthetic
+    * missing-pair state). Both rewrites go through the crash-safe
+    * [[StateLayout]] swap; the operation is idempotent (a re-run
+    * extends an already-wide sets/ only if storedW < target — on an
+    * already-migrated state it is a no-op rebuild of the same rows
+    * via [[rebandMigrate]] semantics). Resume the stream with a
+    * consumer constructed at the target design. */
+  def widenMigrate(spark: SparkSession, statePath: String,
+      corpus: DataFrame, nBands: Int, bandR: Int): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val w = nBands * bandR
+    require(w == 32, s"widening targets the 32-component family, got $nBands x $bandR")
+    val setsDir = s"$statePath/sets"
+    require(StateLayout.exists(spark, setsDir),
+      s"no sets/ state at $statePath - nothing to migrate")
+    val sets0 = spark.read.parquet(setsDir).drop(StateLayout.BucketCol)
+    val storedW = sets0.select(size(col("sig"))).head().getInt(0)
+    require(storedW == 16 || storedW == w,
+      s"stored signature is $storedW wide; widening expects 16 (or $w to resume)")
+    val tombsDir = s"$statePath/tombstones"
+    val live = if (StateLayout.exists(spark, tombsDir))
+      sets0.join(spark.read.schema("doc_id long").parquet(tombsDir),
+        Seq("doc_id"), "left_anti")
+    else sets0
+    // THE corpus pass: only components [storedW, w) — salts e:–h: —
+    // evaluated per row inside the scan (no shuffle until the join).
+    // storedW == w means a previous widening already committed sets/
+    // (the three dir rewrites are individually crash-safe but not
+    // jointly atomic): skip the pass and converge by re-deriving
+    // bands/ and pairs/ from the wide signatures — a re-run is then
+    // exactly idempotent, the same recovery contract as rebandMigrate.
+    val wide = (if (storedW == w) live else {
+      val ext = corpus.select(col("doc_id"),
+        ColumnBridge.column(graft.functions.MinHashSig(
+          ColumnBridge.expression(col("text")), 2, w - storedW, storedW)).as("ext"))
+        .where(col("ext").isNotNull)
+      live.join(ext, Seq("doc_id"))
+        .withColumn("sig", concat(col("sig"), col("ext"))).drop("ext")
+    }).localCheckpoint(true)
+    StateLayout.overwriteCompacted(wide, setsDir, Seq("doc_id"), parts = 8)
+    // target-design h-columns view of the wide signature: band rewrite
+    // and candidate regeneration run the PRODUCTION code paths over it
+    val sigDf = wide.select(col("doc_id") +:
+      (0 until w).map(i => col("sig").getItem(i).as(s"h$i")): _*)
+    val newBands = LlmText.bandKeys(sigDf, nBands, bandR).localCheckpoint(true)
+    StateLayout.overwriteCompacted(newBands, s"$statePath/bands",
+      Seq("band", "key"), parts = 8)
+    StateLayout.rebuildBloom(spark,
+      StateLayout.bloomSidecar(s"$statePath/bands"),
+      newBands.select("doc_id"), "doc_id")
+    val pairsDir = s"$statePath/pairs"
+    val pairs0 = (if (StateLayout.exists(spark, pairsDir))
+      spark.read.parquet(pairsDir).drop(StateLayout.BucketCol)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_b", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType)))))
+      .localCheckpoint(true)
+    val cand = LlmText.bandedCandidates(sigDf, nBands, bandR)
+      .localCheckpoint(true)
+    val known = pairs0.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    val unknown = cand.join(pairs0.select("doc_a", "doc_b"),
+      Seq("doc_a", "doc_b"), "left_anti")
+    val freshV = LlmText.verifyPairs(unknown,
+      wide.select(col("doc_id"), col("hs"), col("nbg")))
+    val migrated = known.unionByName(freshV).localCheckpoint(true)
+    StateLayout.overwriteCompacted(migrated, pairsDir,
+      Seq("doc_a", "doc_b"), parts = 8)
   }
 }
