@@ -214,5 +214,27 @@ object CdcComposed {
       // retraction, and the new design's candidate semantics at once.
       (s, d) => graft.streaming.CdcAnalytics.nearDupMigrationOverCdc(s, d),
       Some(LlmText.dedupGroupsOracleSqlOverBr(
-        s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0", 4, 4))))
+        s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0", 4, 4))),
+
+    QueryDef("qc13_cdc_widen_maintenance",
+      // The q66i signature-WIDENING migration inside a maintenance
+      // window on the wire, with the widening's one corpus pass
+      // reading the CDC-MATERIALIZED replica — never the source table.
+      // qc12 proves re-banding needs state alone; widening needs the
+      // document TEXTS (new md5 salts), and at 100 TB the corpus must
+      // already be in the lake: the SAME wire that feeds the dedup
+      // state maintains the qc1 copy-on-write replica (keyed doc_id),
+      // and the maintenance window reads its snapshot. Wave 1 streams
+      // the even half at (8, 2) while materializing the replica; the
+      // stream stops; widenMigrate extends the signatures to 32
+      // components from the replica snapshot and re-indexes at (8, 4);
+      // a NEW connection resumes with the odd half plus DELETEs
+      // reaching back ACROSS the window (retraction against widened
+      // state). Replica completeness is load-bearing (a missed doc
+      // silently drops from sets/ at the migration join). Oracle = the
+      // full batch chain at (8, 4) over the SURVIVORS — no CDC, no
+      // replica, no migration machinery in it.
+      (s, d) => graft.streaming.CdcAnalytics.nearDupWidenMigrationOverCdc(s, d),
+      Some(LlmText.dedupGroupsOracleSqlOverBr(
+        s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0", 8, 4))))
 }

@@ -385,7 +385,8 @@ object CdcAnalytics {
   def runNearDupRetractPipeline(s: SparkSession, events: Seq[String], statePath: String,
       ckptPath: String, expectRows: Long,
       sourceOptions: Map[String, String] = Map.empty,
-      nBands: Int = 8, bandR: Int = 2): IncrementalNearDup = {
+      nBands: Int = 8, bandR: Int = 2,
+      replica: Option[CdcSnapshotTable] = None): IncrementalNearDup = {
     val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
     val inc = new IncrementalNearDup(statePath,
       autoCompactFiles = DrillCompactFiles, nBands = nBands, bandR = bandR)
@@ -404,14 +405,19 @@ object CdcAnalytics {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
       CdcProjection.registryFrom(batch, reg)
       if (reg.latest(Database, DocTableName).isDefined) {
-        val proj = CdcProjection.projectLatest(batch, reg, Database, DocTableName)
-          .select(col("op"), col("doc_id"), col("text"))
-          .localCheckpoint(true) // split below reads it twice
+        // full envelope retained: the optional replica merge needs
+        // (op, sequence, event_number) alongside the payload
+        val projFull = CdcProjection.projectLatest(batch, reg, Database, DocTableName)
+          .localCheckpoint(true) // read up to three times below
+        val proj = projFull.select(col("op"), col("doc_id"), col("text"))
         // binlog order guarantees a doc's insert precedes its delete
         inc.processBatch(proj.where(col("op") === "insert")
           .select(col("doc_id"), col("text")), bid)
         inc.retractBatch(proj.where(col("op") === "delete")
           .select(col("doc_id")), bid)
+        // qc13: the SAME wire maintains the doc replica the widening
+        // migration's corpus pass will read in the maintenance window
+        replica.foreach(_.applyBatch(projFull, bid))
       }
       consumed.addAndGet(batch.count())
       ()
@@ -501,6 +507,53 @@ object CdcAnalytics {
     IncrementalNearDup.rebandMigrate(s, s"$tmp/state", 4, 4)
     val inc = runNearDupRetractPipeline(s, w2, s"$tmp/state", s"$tmp/ckpt2",
       w2.size.toLong, nBands = 4, bandR = 4)
+    inc.groups(s)
+      .groupBy(col("rep").as("rep_doc"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("rep_doc"))
+  }
+
+  /** The documents-feed payload as a replica table schema (doc analog
+    * of the customer [[payloadSchema]]). */
+  val docPayloadSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+  /** qc13's query body: the q66i signature-WIDENING migration inside a
+    * maintenance window on the wire, with the one corpus pass the
+    * widening needs reading the CDC-MATERIALIZED replica — never the
+    * source table. This closes the loop qc12 leaves open: re-banding
+    * derives everything from dedup state alone, but widening needs the
+    * document TEXTS for the new salt components, and at 100 TB "go ask
+    * the source database for the corpus" is not a plan. Here the SAME
+    * wire that feeds the dedup state maintains a [[CdcSnapshotTable]]
+    * replica of the doc table (the qc1 copy-on-write machinery, keyed
+    * by doc_id), so at the window the corpus is already in the lake:
+    * wave 1 streams the even half at (8, 2) while materializing the
+    * replica; the stream stops, [[IncrementalNearDup.widenMigrate]]
+    * extends the signatures to 32 components reading the replica
+    * snapshot and re-indexes at (8, 4); a NEW connection resumes with
+    * the odd half plus DELETEs reaching back ACROSS the window into
+    * wave-1 docs (retraction against widened 32-wide state). The
+    * replica's completeness is load-bearing — a doc the replica missed
+    * would silently drop out of sets/ at the migration join — so the
+    * oracle (the full batch chain at (8, 4) over the SURVIVORS, no
+    * CDC/replica/migration machinery in it) gates replica fidelity,
+    * the one-pass extension, candidate regeneration at the new design,
+    * and cross-window retraction in a single hash. */
+  def nearDupWidenMigrationOverCdc(s: SparkSession, dir: String): DataFrame = {
+    val (w1, w2) = docMigrationWorkloadEvents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc13-cdc").toString
+    val replica = new CdcSnapshotTable(s"$tmp/replica", Seq("doc_id"), docPayloadSchema)
+    runNearDupRetractPipeline(s, w1, s"$tmp/state", s"$tmp/ckpt1",
+      w1.size.toLong, nBands = 8, bandR = 2, replica = Some(replica))
+    IncrementalNearDup.widenMigrate(s, s"$tmp/state",
+      replica.snapshot(s).select(col("doc_id"), col("text")), 8, 4)
+    val inc = runNearDupRetractPipeline(s, w2, s"$tmp/state", s"$tmp/ckpt2",
+      w2.size.toLong, nBands = 8, bandR = 4)
     inc.groups(s)
       .groupBy(col("rep").as("rep_doc"))
       .agg(count(lit(1)).as("n_members"))

@@ -603,4 +603,58 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
       s"$tmp/ckpt3", w2.size.toLong, nBands = 4, bandR = 4)
     assert(groups(inc2) == got, "wave-2 re-delivery changed the state")
   }
+
+  test("qc13: widening window reads ONLY the wire-built replica; equals batch (8,4) over survivors") {
+    import org.apache.spark.sql.functions.{col, count, lit, size => asize}
+    val (w1, w2) = CdcAnalytics.docMigrationWorkloadEvents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc13-drill").toString
+    val replica = new CdcSnapshotTable(s"$tmp/replica", Seq("doc_id"),
+      CdcAnalytics.docPayloadSchema)
+
+    CdcAnalytics.runNearDupRetractPipeline(spark, w1, s"$tmp/state",
+      s"$tmp/ckpt1", w1.size.toLong, nBands = 8, bandR = 2,
+      replica = Some(replica))
+
+    // replica fidelity at the window is load-bearing: the migration
+    // join drops any committed doc the replica missed — pin that the
+    // snapshot holds EXACTLY the wave-1 (even) half before migrating
+    val evens = graft.Tables(spark, dir, "documents")
+      .where(col("doc_id") % 2 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val snapped = replica.snapshot(spark)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(snapped == evens, "replica snapshot diverges from the streamed half")
+
+    IncrementalNearDup.widenMigrate(spark, s"$tmp/state",
+      replica.snapshot(spark).select(col("doc_id"), col("text")), 8, 4)
+    // every committed signature is 32-wide after the window
+    val widths = spark.read.parquet(s"$tmp/state/sets")
+      .select(asize(col("sig"))).distinct().collect().map(_.getInt(0)).toSeq
+    assert(widths == Seq(32), s"post-widen signature widths: $widths")
+
+    val inc = CdcAnalytics.runNearDupRetractPipeline(spark, w2, s"$tmp/state",
+      s"$tmp/ckpt2", w2.size.toLong, nBands = 8, bandR = 4)
+    val got = inc.groups(spark).groupBy(col("rep"))
+      .agg(count(lit(1)).as("n")).orderBy("rep").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty)
+    assert(got.forall(_._1 % CdcAnalytics.RetractMod != 0),
+      "a cross-window-deleted doc survived as a group representative")
+
+    // the reference: a fresh batch run at (8,4) over 32 components on
+    // the survivors — no wire, no replica, no migration machinery
+    val survivors = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") % CdcAnalytics.RetractMod =!= 0)
+    val st = graft.queries.LlmText.nearDupState(survivors, nHashes = 32)
+      .localCheckpoint(true)
+    val batch = graft.operators.DedupGroups.components(
+        graft.queries.LlmText.verifyPairs(
+          graft.queries.LlmText.bandedCandidates(st, 8, 4),
+          st.select(col("doc_id"), col("hs"), col("nbg"))))
+      .groupBy(col("rep")).agg(count(lit(1)).as("n")).orderBy("rep")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == batch,
+      "widen-then-continue over the wire diverges from the fresh (8,4) survivors run")
+  }
 }
