@@ -375,6 +375,37 @@ object Pipeline {
       "CASE WHEN list_contains(m.plist, string_split(acc, ' ')[-1] || ' ' || x) " +
       s"THEN acc || x ELSE acc || ' ' || x END), ' ') AS t FROM $t CROSS JOIN " +
       s"(SELECT string_split(selected, '|') AS plist FROM $sel) m), "
+  /** The full 4-round batched-training CTE chain (`w0` … `sel4`), with
+    * a trailing `", "` — shared verbatim by q117's merge-table oracle
+    * and q135's encode oracle, so the two entries replay ONE trainer. */
+  private def bpeTrainingSqlCtes: String = {
+    val c1 = selCount("sel1")
+    val c2 = selCount("sel2")
+    val c3 = selCount("sel3")
+    "WITH w0 AS (SELECT UNNEST(string_split(text,' ')) AS w FROM documents), " +
+      "t1 AS (SELECT string_split(w, '') AS t FROM w0 WHERE length(w) >= 2), " +
+      bpeSqlPairs("t1", "p1") + bpeBatchSqlSel("p1", "sel1", "tops1", "0") +
+      bpeBatchSqlMerge("t1", "sel1", "t2") +
+      bpeSqlPairs("t2", "p2") + bpeBatchSqlSel("p2", "sel2", "tops2", c1) +
+      bpeBatchSqlMerge("t2", "sel2", "t3") +
+      bpeSqlPairs("t3", "p3") +
+      bpeBatchSqlSel("p3", "sel3", "tops3", s"($c1 + $c2)") +
+      bpeBatchSqlMerge("t3", "sel3", "t4") +
+      bpeSqlPairs("t4", "p4") +
+      bpeBatchSqlSel("p4", "sel4", "tops4", s"($c1 + $c2 + $c3)")
+  }
+
+  /** One ROUND of encode application over a `(w, t)` vocab relation —
+    * [[bpeBatchSqlMerge]]'s fold with the word carried through (q135).
+    * Per-round folds, in round order, replay training exactly; a
+    * single fold over all rounds' merges would not (see the q135
+    * entry comment). */
+  private def bpeEncodeFoldSql(src: String, sel: String, dst: String) =
+    s"$dst AS (SELECT w, string_split(list_reduce(t, (acc, x) -> " +
+      "CASE WHEN list_contains(m.plist, string_split(acc, ' ')[-1] || ' ' || x) " +
+      s"THEN acc || x ELSE acc || ' ' || x END), ' ') AS t FROM $src CROSS JOIN " +
+      s"(SELECT string_split(selected, '|') AS plist FROM $sel) m), "
+
   private def bpeBatchSqlOut(sel: String, tops: String, r: Int) =
     s"(SELECT $r AS round, z.rank, z.pair, replace(z.pair, ' ', '') AS merged, t.cnt " +
       "FROM (SELECT CAST(UNNEST(generate_series(1, len(string_split(selected, '|')))) AS INTEGER) AS rank, " +
@@ -1568,25 +1599,75 @@ object Pipeline {
           .orderBy(col("round"), col("rank"))
       },
       Some {
-        val c1 = selCount("sel1")
-        val c2 = selCount("sel2")
-        val c3 = selCount("sel3")
-        "WITH w0 AS (SELECT UNNEST(string_split(text,' ')) AS w FROM documents), " +
-          "t1 AS (SELECT string_split(w, '') AS t FROM w0 WHERE length(w) >= 2), " +
-          bpeSqlPairs("t1", "p1") + bpeBatchSqlSel("p1", "sel1", "tops1", "0") +
-          bpeBatchSqlMerge("t1", "sel1", "t2") +
-          bpeSqlPairs("t2", "p2") + bpeBatchSqlSel("p2", "sel2", "tops2", c1) +
-          bpeBatchSqlMerge("t2", "sel2", "t3") +
-          bpeSqlPairs("t3", "p3") +
-          bpeBatchSqlSel("p3", "sel3", "tops3", s"($c1 + $c2)") +
-          bpeBatchSqlMerge("t3", "sel3", "t4") +
-          bpeSqlPairs("t4", "p4") +
-          bpeBatchSqlSel("p4", "sel4", "tops4", s"($c1 + $c2 + $c3)")
-            .stripSuffix(", ") +
+        bpeTrainingSqlCtes.stripSuffix(", ") +
           " SELECT round, rank, pair, merged, cnt FROM (" +
           (1 to 4).map(r => bpeBatchSqlOut(s"sel$r", s"tops$r", r))
             .mkString(" UNION ALL ") +
           ") ORDER BY round, rank"
+      }),
+
+    QueryDef("q135_bpe_encode",
+      // APPLY the trained tokenizer — the pass a pipeline actually runs
+      // over 100 TB once q117's training has produced the merge table:
+      // encode every document and report its BPE token count (the
+      // budget number packing, pricing, and curriculum all key on).
+      // The scale shape is the whole point: encoding is a pure
+      // function of the WORD, so the merge chain runs once per
+      // DISTINCT word (vocab-bounded — the 14 merges are chained
+      // `replace` plan literals in training order, one map-only pass
+      // over the vocab relation), and the corpus-sized stream only
+      // pays a vocab-keyed equi-join (AQE broadcasts the encoded
+      // vocab at fixture scale; at a scale where the vocab outgrows
+      // broadcast it becomes a shuffle join on the word — never a
+      // per-occurrence re-encode). Single-char words are single
+      // tokens by construction (training's length >= 2 floor).
+      // Sequential per-merge replaces equal training's per-round batch
+      // passes (within a round the batch is symbol-disjoint — q117's
+      // own equivalence argument — and across rounds the order is
+      // training order); the double-space token encoding prevents
+      // prefix-token false matches. Oracle: q117's full training CTE
+      // chain (shared prefix, two independent trainer replays stay
+      // pinned) + per-ROUND list_reduce encode folds over the distinct
+      // vocab — round-by-round, NOT one fold over all 14 merges, which
+      // would let a later round's merge preempt an earlier round's on
+      // fresh text (e.g. round-1 "b c" vs round-2 "a b" on "a b c").
+      (s, d) => {
+        val merges = bpeBatchedMerges(s, d).sortBy(m => (m._1, m._2))
+        val words = docs(s, d).select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+          .where(col("w") =!= "")
+        val vocab = words.select(col("w")).distinct()
+          .where(length(col("w")) >= 2)
+        val e0 = concat(lit("  "), concat_ws("  ", split(col("w"), "")), lit("  "))
+        val eN = merges.foldLeft(e0) { case (c, (_, _, pair, merged, _)) =>
+          val Array(a, b) = pair.split(" ", 2)
+          replace(c, lit(s" $a  $b "), lit(s" $merged "))
+        }
+        val vt = vocab.select(col("w"), (size(split(eN, "  ")) - 2).cast("long").as("ntok"))
+        words.join(vt, Seq("w"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(coalesce(col("ntok"), lit(1L))).as("n_tokens"))
+          .orderBy(col("doc_id"))
+          .select(col("doc_id"), col("n_words"), col("n_tokens"))
+      },
+      Some {
+        bpeTrainingSqlCtes +
+          "vv0 AS (SELECT DISTINCT w FROM w0 WHERE length(w) >= 2), " +
+          "ve1 AS (SELECT w, string_split(w, '') AS t FROM vv0), " +
+          bpeEncodeFoldSql("ve1", "sel1", "ve2") +
+          bpeEncodeFoldSql("ve2", "sel2", "ve3") +
+          bpeEncodeFoldSql("ve3", "sel3", "ve4") +
+          bpeEncodeFoldSql("ve4", "sel4", "ve5") +
+          "vt AS (SELECT w, len(t) AS ntok FROM ve5), " +
+          "wd AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS w FROM documents), " +
+          "wdn AS (SELECT doc_id, w FROM wd WHERE w <> '') " +
+          "SELECT doc_id, COUNT(*) AS n_words, " +
+          // CAST: DuckDB SUM(BIGINT) yields HUGEINT, which the compare
+          // renders as a float — pin the integer type on both sides
+          "CAST(SUM(CASE WHEN length(wdn.w) = 1 THEN 1 ELSE vt.ntok END) AS BIGINT) AS n_tokens " +
+          "FROM wdn LEFT JOIN vt ON vt.w = wdn.w " +
+          "GROUP BY doc_id ORDER BY doc_id"
       }),
 
     QueryDef("q118_dsir_selection",

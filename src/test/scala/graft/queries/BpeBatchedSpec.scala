@@ -154,4 +154,62 @@ class BpeBatchedSpec extends AnyFunSuite with SparkTestSession {
     assert(batched._3 == serial.getString(1),
       "batched round-1 rank-1 merge differs from the serial argmax")
   }
+
+  /** Full encoder from the replayed merge table: per-ROUND batch folds
+    * in round order (the q135 contract — training order, all rounds,
+    * including the last round's merges the trainer itself never needs
+    * to apply). */
+  private def encoderFrom(merges: Seq[(Int, Int, String, String, Long)])
+      : String => Vector[String] = {
+    val byRound = merges.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, ms) =>
+      ms.map { m => val Array(a, b) = m._3.split(" ", 2); (a, b) }.toSet
+    }
+    w => byRound.foldLeft(w.split("").toVector)((t, ps) => applyBatch(t, ps))
+  }
+
+  test("q135 encode matches a driver-side per-round fold replay; tokens reconstruct words") {
+    val (merges, _) = replay()
+    val encode = encoderFrom(merges)
+    val mergedSyms = merges.map(_._4).toSet
+    val docsRows = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+    val cache = scala.collection.mutable.Map.empty[String, Long]
+    def ntok(w: String): Long =
+      if (w.length == 1) 1L else cache.getOrElseUpdate(w, encode(w).length.toLong)
+    val expect = docsRows.map { r =>
+      val ws = r.getString(1).split(" ").filter(_.nonEmpty)
+      (r.getLong(0), ws.length.toLong, ws.map(ntok).sum)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q135_bpe_encode")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, "per-doc BPE token counts diverge from the fold replay")
+
+    // structural: the encoding is a segmentation of the word into
+    // trained symbols (multi-char tokens are exactly learned merges),
+    // and the trained merges actually compress the fixture vocab
+    val vocab = docsRows.flatMap(_.getString(1).split(" "))
+      .filter(_.length >= 2).distinct
+    for (w <- vocab) {
+      val t = encode(w)
+      assert(t.mkString == w, s"tokens do not reconstruct '$w'")
+      assert(t.forall(tok => tok.length == 1 || mergedSyms(tok)),
+        s"unlearned multi-char token in encoding of '$w'")
+    }
+    assert(vocab.exists(w => encode(w).length < w.length),
+      "no fixture word compressed - the encode entry is vacuous here")
+  }
+
+  test("q135 must fold round-by-round: an all-merges-at-once fold diverges") {
+    // round-1 learns (b c), round-2 learns (a b): per-round encoding of
+    // "abc" is a|bc (round 1 wins, as in training); one fold over both
+    // rounds' merges lets the LATER round preempt the earlier one
+    val perRound = applyBatch(applyBatch(Vector("a", "b", "c"),
+      Set(("b", "c"))), Set(("a", "b")))
+    val allAtOnce = applyBatch(Vector("a", "b", "c"),
+      Set(("b", "c"), ("a", "b")))
+    assert(perRound == Vector("a", "bc"))
+    assert(allAtOnce == Vector("ab", "c"))
+    assert(perRound != allAtOnce,
+      "the round-order counterexample no longer holds")
+  }
 }
