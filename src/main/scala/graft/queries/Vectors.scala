@@ -330,7 +330,157 @@ object Vectors {
         "SELECT c.vec_a, c.vec_b, ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim " +
         "FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b) " +
         "WHERE sim >= 0.4 ORDER BY vec_a, vec_b")),
-    Q115Def, Q116Def, Q116bDef)
+    Q115Def, Q116Def, Q116bDef, Q136Def)
+
+  /** The composed IVF+PQ ADC scores (query_id, vec_id, adist) over the
+    * probed cells — q90's serving chain up to (but not including) the
+    * top-k: coarse probe restriction, per-query ADC LUT broadcast,
+    * map-side integer LUT-sum. Shared by q90 (rank by ADC) and q136
+    * (ADC shortlist + exact re-rank — FAISS IndexRefineFlat). */
+  private[queries] def ivfpqAdcScored(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.KMeansLloyd
+    val books = pqBooks(s, d)
+    val vecs = Tables(s, d, "embeddings")
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+    val (assigned, probeCents, _) = lloydShared(s, d)
+    val member = pqCodes(s, d)
+      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+    val probes = KMeansLloyd.probeCells(
+        vecs.where(col("vec_id").between(1, 5)), probeCents, nProbe = 2)
+      .select(col("vec_id").as("query_id"), col("cell").as("pcell"))
+    val bookDf = (for { sub <- 0 until PqM; c <- books(sub) }
+      yield (sub, c.cell.toLong, c.ci.toSeq)).toDF("sub", "cw_cell", "cw")
+    val qsub = vecs.where(col("vec_id").between(1, 5))
+      .select(col("vec_id").as("query_id"),
+        posexplode(array((0 until PqM).map(sub =>
+          expr(s"slice(xi, ${sub * PqSubDim + 1}, $PqSubDim)")): _*))
+          .as(Seq("sub", "sx")))
+    val lut = qsub.join(bookDf, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cw_cell"),
+        aggregate(zip_with(col("sx"), col("cw"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, v) => a + v).as("dist"))
+    // probe × LUT: nProbe·m·ksub rows per query — the broadcast side
+    val probeLut = probes.join(lut, "query_id")
+    member.join(broadcast(probeLut),
+        member("cell") === probeLut("pcell") &&
+          member("sub") === probeLut("sub") &&
+          member("code") === probeLut("cw_cell") &&
+          col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dist")).as("adist"))
+  }
+
+  /** The q90 oracle CTE chain ending in the ADC rank relation `r` —
+    * shared by q90 (top-3 by ADC) and q136 (top-[[RefineShortlist]]
+    * shortlist from `r`, then exact re-rank). */
+  private val Q90AdcSqlCtes: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
+        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+        "c0 AS (SELECT vec_id AS cell, d, xi AS ci FROM comps WHERE vec_id < 4), " +
+        "d1 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c0 k USING (d) GROUP BY 1, 2), " +
+        "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
+        "c1 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+        "FROM comps c JOIN a1 a USING (vec_id) GROUP BY 1, 2), " +
+        "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
+        "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
+        "p AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2 WHERE vec_id BETWEEN 1 AND 5) " +
+        "WHERE rn <= 2), " +
+        "pcm AS (SELECT vec_id, CAST(i // 4 AS BIGINT) AS sub, i % 4 AS sd, " +
+        "CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
+        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+        "pc0 AS (SELECT sub, vec_id AS cell, sd, xi AS ci FROM pcm WHERE vec_id < 32), " +
+        "pd1 AS (SELECT c.vec_id, c.sub, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM pcm c JOIN pc0 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +
+        "pa1 AS (SELECT vec_id, sub, cell FROM (SELECT vec_id, sub, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM pd1) WHERE rn = 1), " +
+        "pc1 AS (SELECT a.sub, a.cell, c.sd, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+        "FROM pcm c JOIN pa1 a ON a.vec_id = c.vec_id AND a.sub = c.sub GROUP BY 1, 2, 3), " +
+        "pd2 AS (SELECT c.vec_id, c.sub, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM pcm c JOIN pc1 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +
+        "codes AS (SELECT vec_id, sub, cell AS code FROM (SELECT vec_id, sub, cell, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM pd2) WHERE rn = 1), " +
+        "lut AS (SELECT vec_id AS query_id, sub, cell, dist FROM pd2 WHERE vec_id BETWEEN 1 AND 5), " +
+        "sc AS (SELECT l.query_id, c.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adist " +
+        "FROM codes c JOIN lut l ON l.sub = c.sub AND l.cell = c.code " +
+        "JOIN a2 m ON m.vec_id = c.vec_id " +
+        "JOIN p ON p.query_id = l.query_id AND p.cell = m.cell " +
+        "WHERE c.vec_id <> l.query_id GROUP BY 1, 2), " +
+        "r AS (SELECT query_id, vec_id, adist, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY adist, vec_id) AS rnk FROM sc) "
+
+  /** q136's shortlist depth: ADC keeps this many candidates per query
+    * for the exact re-rank. The refine trade (FAISS IndexRefineFlat):
+    * exact distances are computed for R candidates instead of the
+    * whole probe set, so the full-precision vector reads are bounded
+    * by R·queries while the ranking quality recovers from PQ
+    * quantization error wherever the true neighbor was shortlisted. */
+  private val RefineShortlist = 10
+
+  private lazy val Q136Def: QueryDef = QueryDef("q136_ivfpq_refine",
+    // IVFPQ + exact re-rank — FAISS IndexRefineFlat, the standard
+    // serving pattern stacked on q90: the ADC scores over the probed
+    // cells produce a top-[[RefineShortlist]] SHORTLIST per query
+    // (bounded TopKRows fold, no window), the shortlist alone joins
+    // back to the full-precision quantized vectors (R rows per query —
+    // at 10⁹ vectors the refine step reads 10 exact vectors per query
+    // while ADC scanned ~nProbe·n/k codes), and the exact integer
+    // squared distance re-ranks it to a top-3. Re-ranking repairs PQ
+    // quantization inversions wherever the true neighbor made the
+    // shortlist — AnnRefineSpec pins an actual fixture inversion (ADC
+    // order ≠ exact order inside the shortlist) so the stage is
+    // provably load-bearing, plus shortlist containment and the
+    // never-worse-than-ADC-top-1 guarantee. Everything stays in the
+    // quantized-integer doctrine end to end, so shortlist + re-rank
+    // are oracle-hashable (q90's CTE chain shared verbatim + a
+    // rnk <= R cut + one exact-distance join).
+    (s, d) => {
+      import graft.operators.KMeansLloyd
+      val scored = ivfpqAdcScored(s, d)
+      def topBy(k: Int) = udaf(new graft.functions.TopKRows(k),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val shortlist = scored
+        .select(col("query_id"), col("vec_id"), (-col("adist")).cast("double").as("negd"))
+        .groupBy(col("query_id"))
+        .agg(topBy(RefineShortlist)(col("negd"), col("vec_id"), lit(0L)).as("top"))
+        .select(col("query_id"), explode(col("top")).as("e"))
+        .select(col("query_id"), col("e._2").as("vec_id"))
+      val vecs = Tables(s, d, "embeddings")
+        .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+      val exact = shortlist
+        .join(broadcast(vecs.select(col("vec_id").as("query_id"), col("xi").as("qx"))
+          .where(col("query_id").between(1, 5))), Seq("query_id"))
+        .join(vecs.select(col("vec_id"), col("xi").as("nx")), Seq("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          aggregate(zip_with(col("qx"), col("nx"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (a, v) => a + v).as("edist"))
+      exact
+        .select(col("query_id"), col("vec_id"), (-col("edist")).cast("double").as("negd"))
+        .groupBy(col("query_id"))
+        .agg(topBy(3)(col("negd"), col("vec_id"), lit(0L)).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("query_id"), (col("pos") + 1).as("rnk"),
+          col("e._2").as("neighbor_id"), (-col("e._1")).cast("long").as("edist"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(Q90AdcSqlCtes +
+      s", short AS (SELECT query_id, vec_id FROM r WHERE rnk <= $RefineShortlist), " +
+      "ex AS (SELECT s.query_id, s.vec_id, CAST(SUM((a.xi - b.xi)*(a.xi - b.xi)) AS BIGINT) AS edist " +
+      "FROM short s JOIN comps a ON a.vec_id = s.query_id " +
+      "JOIN comps b ON b.vec_id = s.vec_id AND b.d = a.d GROUP BY 1, 2), " +
+      "rr AS (SELECT query_id, vec_id, edist, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY edist, vec_id) AS rnk FROM ex) " +
+      "SELECT query_id, rnk, vec_id AS neighbor_id, edist FROM rr WHERE rnk <= 3 " +
+      "ORDER BY query_id, rnk"))
 
   /** Deterministic hyperplane-LSH candidate pairs (the q55 generation
     * stage), memoized per (session, dir) and lineage-truncated — shared
@@ -1573,37 +1723,7 @@ object Vectors {
       // distances agree exactly with full-scan q89 on every
       // (query, neighbor) it emits.
       (s, d) => {
-        import s.implicits._
-        import graft.operators.KMeansLloyd
-        val books = pqBooks(s, d)
-        val vecs = Tables(s, d, "embeddings")
-          .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
-        val (assigned, probeCents, _) = lloydShared(s, d)
-        val member = pqCodes(s, d)
-          .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
-        val probes = KMeansLloyd.probeCells(
-            vecs.where(col("vec_id").between(1, 5)), probeCents, nProbe = 2)
-          .select(col("vec_id").as("query_id"), col("cell").as("pcell"))
-        val bookDf = (for { sub <- 0 until PqM; c <- books(sub) }
-          yield (sub, c.cell.toLong, c.ci.toSeq)).toDF("sub", "cw_cell", "cw")
-        val qsub = vecs.where(col("vec_id").between(1, 5))
-          .select(col("vec_id").as("query_id"),
-            posexplode(array((0 until PqM).map(sub =>
-              expr(s"slice(xi, ${sub * PqSubDim + 1}, $PqSubDim)")): _*))
-              .as(Seq("sub", "sx")))
-        val lut = qsub.join(bookDf, Seq("sub"))
-          .select(col("query_id"), col("sub"), col("cw_cell"),
-            aggregate(zip_with(col("sx"), col("cw"), (x, y) => (x - y) * (x - y)),
-              lit(0L), (a, v) => a + v).as("dist"))
-        // probe × LUT: nProbe·m·ksub rows per query — the broadcast side
-        val probeLut = probes.join(lut, "query_id")
-        val scored = member.join(broadcast(probeLut),
-            member("cell") === probeLut("pcell") &&
-              member("sub") === probeLut("sub") &&
-              member("code") === probeLut("cw_cell") &&
-              col("vec_id") =!= col("query_id"))
-          .groupBy(col("query_id"), col("vec_id"))
-          .agg(sum(col("dist")).as("adist"))
+        val scored = ivfpqAdcScored(s, d)
         val topk = udaf(new graft.functions.TopKRows(3),
           org.apache.spark.sql.Encoders.tuple(
             org.apache.spark.sql.Encoders.scalaDouble,
@@ -1621,46 +1741,8 @@ object Vectors {
       // oracle = q73b's coarse chain (cells a2, probes p) + q89's PQ
       // chain (prefixed pcm/pc0/pd1/pa1/pc1/pd2 → codes, lut), joined in
       // the scoring CTE: a candidate scores iff its cell is probed
-      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
-        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
-        "c0 AS (SELECT vec_id AS cell, d, xi AS ci FROM comps WHERE vec_id < 4), " +
-        "d1 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
-        "FROM comps c JOIN c0 k USING (d) GROUP BY 1, 2), " +
-        "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
-        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
-        "c1 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
-        "FROM comps c JOIN a1 a USING (vec_id) GROUP BY 1, 2), " +
-        "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
-        "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
-        "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
-        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
-        "p AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
-        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2 WHERE vec_id BETWEEN 1 AND 5) " +
-        "WHERE rn <= 2), " +
-        "pcm AS (SELECT vec_id, CAST(i // 4 AS BIGINT) AS sub, i % 4 AS sd, " +
-        "CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
-        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
-        "pc0 AS (SELECT sub, vec_id AS cell, sd, xi AS ci FROM pcm WHERE vec_id < 32), " +
-        "pd1 AS (SELECT c.vec_id, c.sub, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
-        "FROM pcm c JOIN pc0 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +
-        "pa1 AS (SELECT vec_id, sub, cell FROM (SELECT vec_id, sub, cell, ROW_NUMBER() OVER " +
-        "(PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM pd1) WHERE rn = 1), " +
-        "pc1 AS (SELECT a.sub, a.cell, c.sd, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
-        "FROM pcm c JOIN pa1 a ON a.vec_id = c.vec_id AND a.sub = c.sub GROUP BY 1, 2, 3), " +
-        "pd2 AS (SELECT c.vec_id, c.sub, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
-        "FROM pcm c JOIN pc1 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +
-        "codes AS (SELECT vec_id, sub, cell AS code FROM (SELECT vec_id, sub, cell, " +
-        "ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM pd2) WHERE rn = 1), " +
-        "lut AS (SELECT vec_id AS query_id, sub, cell, dist FROM pd2 WHERE vec_id BETWEEN 1 AND 5), " +
-        "sc AS (SELECT l.query_id, c.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adist " +
-        "FROM codes c JOIN lut l ON l.sub = c.sub AND l.cell = c.code " +
-        "JOIN a2 m ON m.vec_id = c.vec_id " +
-        "JOIN p ON p.query_id = l.query_id AND p.cell = m.cell " +
-        "WHERE c.vec_id <> l.query_id GROUP BY 1, 2), " +
-        "r AS (SELECT query_id, vec_id, adist, ROW_NUMBER() OVER (PARTITION BY query_id " +
-        "ORDER BY adist, vec_id) AS rnk FROM sc) " +
-        "SELECT query_id, rnk, vec_id AS neighbor_id, adist FROM r WHERE rnk <= 3 " +
+      Some(Q90AdcSqlCtes +
+        " SELECT query_id, rnk, vec_id AS neighbor_id, adist FROM r WHERE rnk <= 3 " +
         "ORDER BY query_id, rnk")),
 
     QueryDef("q96_ivfpq_residual",
