@@ -415,6 +415,157 @@ object Vectors {
         "r AS (SELECT query_id, vec_id, adist, ROW_NUMBER() OVER (PARTITION BY query_id " +
         "ORDER BY adist, vec_id) AS rnk FROM sc) "
 
+  /** The residual-PQ ADC scores (query_id, vec_id, adist) — q96's
+    * serving chain up to the top-k (per-(query, probed cell) LUT, the
+    * residual-PQ subtlety). Shared by q96 (rank by ADC) and q137
+    * (shortlist + exact re-rank — FAISS IndexIVFPQR). */
+  private[queries] def ivfpqResAdcScored(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import s.implicits._
+    val books = pqResBooks(s, d)
+    val vecs = Tables(s, d, "embeddings")
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+    val (_, probeCents, _) = lloydShared(s, d)
+    val member = pqResCodes(s, d)
+    val probes = KMeansLloyd.probeCells(
+        vecs.where(col("vec_id").between(1, 5)), probeCents, nProbe = 2)
+      .select(col("vec_id").as("query_id"), col("cell").as("pcell"), col("xi"))
+    // the query's residual w.r.t. EACH probed cell's centroid
+    val centP = probeCents.foldLeft(lit(null).cast("array<bigint>")) { (acc, c) =>
+      when(col("pcell") === c.cell, array(c.ci.map(lit(_)): _*)).otherwise(acc) }
+    val qsub = probes
+      .select(col("query_id"), col("pcell"),
+        zip_with(col("xi"), centP, (a, b) => a - b).as("xi"))
+      .select(col("query_id"), col("pcell"),
+        posexplode(array((0 until PqM).map(sub =>
+          expr(s"slice(xi, ${sub * PqSubDim + 1}, $PqSubDim)")): _*))
+          .as(Seq("sub", "sx")))
+    val bookDf = (for { sub <- 0 until PqM; c <- books(sub) }
+      yield (sub, c.cell.toLong, c.ci.toSeq)).toDF("sub", "cw_cell", "cw")
+    val lut = qsub.join(bookDf, Seq("sub"))
+      .select(col("query_id"), col("pcell"), col("sub"), col("cw_cell"),
+        aggregate(zip_with(col("sx"), col("cw"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, v) => a + v).as("dist"))
+    val scored = member.join(broadcast(lut),
+        member("cell") === lut("pcell") &&
+          member("sub") === lut("sub") &&
+          member("code") === lut("cw_cell") &&
+          col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dist")).as("adist"))
+    scored
+  }
+
+  /** The q96 oracle CTE chain ending in the residual-ADC rank relation
+    * `r` — shared by q96 and q137 (rnk cut + exact re-rank over the
+    * same `comps`). */
+  private val Q96AdcSqlCtes: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
+        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
+        "c0 AS (SELECT vec_id AS cell, d, xi AS ci FROM comps WHERE vec_id < 4), " +
+        "d1 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c0 k USING (d) GROUP BY 1, 2), " +
+        "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
+        "c1 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+        "FROM comps c JOIN a1 a USING (vec_id) GROUP BY 1, 2), " +
+        "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
+        "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
+        "p AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2 WHERE vec_id BETWEEN 1 AND 5) " +
+        "WHERE rn <= 2), " +
+        "rcm AS (SELECT c.vec_id, CAST(c.d // 4 AS BIGINT) AS sub, c.d % 4 AS sd, " +
+        "c.xi - k.ci AS xi FROM comps c JOIN a2 a ON a.vec_id = c.vec_id " +
+        "JOIN c1 k ON k.cell = a.cell AND k.d = c.d), " +
+        "pc0 AS (SELECT sub, vec_id AS cell, sd, xi AS ci FROM rcm WHERE vec_id < 32), " +
+        "pd1 AS (SELECT c.vec_id, c.sub, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM rcm c JOIN pc0 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +
+        "pa1 AS (SELECT vec_id, sub, cell FROM (SELECT vec_id, sub, cell, ROW_NUMBER() OVER " +
+        "(PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM pd1) WHERE rn = 1), " +
+        "pc1 AS (SELECT a.sub, a.cell, c.sd, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
+        "FROM rcm c JOIN pa1 a ON a.vec_id = c.vec_id AND a.sub = c.sub GROUP BY 1, 2, 3), " +
+        "pd2 AS (SELECT c.vec_id, c.sub, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
+        "FROM rcm c JOIN pc1 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +
+        "codes AS (SELECT vec_id, sub, cell AS code FROM (SELECT vec_id, sub, cell, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM pd2) WHERE rn = 1), " +
+        "qr AS (SELECT p.query_id, p.cell AS pcell, CAST(c.d // 4 AS BIGINT) AS sub, " +
+        "c.d % 4 AS sd, c.xi - k.ci AS xi FROM p JOIN comps c ON c.vec_id = p.query_id " +
+        "JOIN c1 k ON k.cell = p.cell AND k.d = c.d), " +
+        "lut AS (SELECT q.query_id, q.pcell, q.sub, k.cell, " +
+        "SUM((q.xi - k.ci)*(q.xi - k.ci)) AS dist FROM qr q " +
+        "JOIN pc1 k ON k.sub = q.sub AND k.sd = q.sd GROUP BY 1, 2, 3, 4), " +
+        "mem AS (SELECT c.vec_id, a.cell, c.sub, c.code FROM codes c JOIN a2 a USING (vec_id)), " +
+        "sc AS (SELECT l.query_id, m.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adist " +
+        "FROM mem m JOIN lut l ON l.pcell = m.cell AND l.sub = m.sub AND l.cell = m.code " +
+        "WHERE m.vec_id <> l.query_id GROUP BY 1, 2), " +
+        "r AS (SELECT query_id, vec_id, adist, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY adist, vec_id) AS rnk FROM sc) "
+
+  private lazy val Q137Def: QueryDef = QueryDef("q137_ivfpqr_refine",
+    // Refine on the RESIDUAL chain — FAISS IndexIVFPQR: q96's
+    // per-(query, probed cell) residual ADC produces the shortlist,
+    // the exact integer re-rank repairs its quantization inversions —
+    // the same [[RefineShortlist]]/top-3 contract as q136, composed on
+    // the by_residual=true scorer. One serving stack now covers both
+    // FAISS defaults (raw-PQ q90 → q136, residual-PQ q96 → q137) with
+    // the refine tail literally shared: the oracle appends the
+    // IDENTICAL shortlist-cut + exact-distance SQL to q96's CTE chain
+    // (both chains expose `r` over the same `comps`), and the Spark
+    // side reuses the q136 refine stage over q96's score relation.
+    (s, d) => refineStage(s, d, ivfpqResAdcScored(s, d)),
+    Some(Q96AdcSqlCtes + RefineSqlTail))
+
+  /** The shared refine tail (q136/q137): ADC top-[[RefineShortlist]]
+    * shortlist, shortlist-only join to the full-precision quantized
+    * vectors, exact integer squared-distance top-3. */
+  private def refineStage(s: SparkSession, d: String,
+      scored: DataFrame): DataFrame = {
+    import graft.operators.KMeansLloyd
+    def topBy(k: Int) = udaf(new graft.functions.TopKRows(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val shortlist = scored
+      .select(col("query_id"), col("vec_id"), (-col("adist")).cast("double").as("negd"))
+      .groupBy(col("query_id"))
+      .agg(topBy(RefineShortlist)(col("negd"), col("vec_id"), lit(0L)).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e._2").as("vec_id"))
+    val vecs = Tables(s, d, "embeddings")
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+    val exact = shortlist
+      .join(broadcast(vecs.select(col("vec_id").as("query_id"), col("xi").as("qx"))
+        .where(col("query_id").between(1, 5))), Seq("query_id"))
+      .join(vecs.select(col("vec_id"), col("xi").as("nx")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("qx"), col("nx"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, v) => a + v).as("edist"))
+    exact
+      .select(col("query_id"), col("vec_id"), (-col("edist")).cast("double").as("negd"))
+      .groupBy(col("query_id"))
+      .agg(topBy(3)(col("negd"), col("vec_id"), lit(0L)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("e._2").as("neighbor_id"), (-col("e._1")).cast("long").as("edist"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The shared refine ORACLE tail appended to either ADC CTE chain
+    * (q90's or q96's — both end in `r` over the same `comps`). */
+  private lazy val RefineSqlTail: String =
+    s", short AS (SELECT query_id, vec_id FROM r WHERE rnk <= $RefineShortlist), " +
+      "ex AS (SELECT s.query_id, s.vec_id, CAST(SUM((a.xi - b.xi)*(a.xi - b.xi)) AS BIGINT) AS edist " +
+      "FROM short s JOIN comps a ON a.vec_id = s.query_id " +
+      "JOIN comps b ON b.vec_id = s.vec_id AND b.d = a.d GROUP BY 1, 2), " +
+      "rr AS (SELECT query_id, vec_id, edist, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY edist, vec_id) AS rnk FROM ex) " +
+      "SELECT query_id, rnk, vec_id AS neighbor_id, edist FROM rr WHERE rnk <= 3 " +
+      "ORDER BY query_id, rnk"
+
   /** q136's shortlist depth: ADC keeps this many candidates per query
     * for the exact re-rank. The refine trade (FAISS IndexRefineFlat):
     * exact distances are computed for R candidates instead of the
@@ -440,47 +591,8 @@ object Vectors {
     // quantized-integer doctrine end to end, so shortlist + re-rank
     // are oracle-hashable (q90's CTE chain shared verbatim + a
     // rnk <= R cut + one exact-distance join).
-    (s, d) => {
-      import graft.operators.KMeansLloyd
-      val scored = ivfpqAdcScored(s, d)
-      def topBy(k: Int) = udaf(new graft.functions.TopKRows(k),
-        org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaDouble,
-          org.apache.spark.sql.Encoders.scalaLong,
-          org.apache.spark.sql.Encoders.scalaLong))
-      val shortlist = scored
-        .select(col("query_id"), col("vec_id"), (-col("adist")).cast("double").as("negd"))
-        .groupBy(col("query_id"))
-        .agg(topBy(RefineShortlist)(col("negd"), col("vec_id"), lit(0L)).as("top"))
-        .select(col("query_id"), explode(col("top")).as("e"))
-        .select(col("query_id"), col("e._2").as("vec_id"))
-      val vecs = Tables(s, d, "embeddings")
-        .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
-      val exact = shortlist
-        .join(broadcast(vecs.select(col("vec_id").as("query_id"), col("xi").as("qx"))
-          .where(col("query_id").between(1, 5))), Seq("query_id"))
-        .join(vecs.select(col("vec_id"), col("xi").as("nx")), Seq("vec_id"))
-        .select(col("query_id"), col("vec_id"),
-          aggregate(zip_with(col("qx"), col("nx"), (x, y) => (x - y) * (x - y)),
-            lit(0L), (a, v) => a + v).as("edist"))
-      exact
-        .select(col("query_id"), col("vec_id"), (-col("edist")).cast("double").as("negd"))
-        .groupBy(col("query_id"))
-        .agg(topBy(3)(col("negd"), col("vec_id"), lit(0L)).as("top"))
-        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
-        .select(col("query_id"), (col("pos") + 1).as("rnk"),
-          col("e._2").as("neighbor_id"), (-col("e._1")).cast("long").as("edist"))
-        .orderBy(col("query_id"), col("rnk"))
-    },
-    Some(Q90AdcSqlCtes +
-      s", short AS (SELECT query_id, vec_id FROM r WHERE rnk <= $RefineShortlist), " +
-      "ex AS (SELECT s.query_id, s.vec_id, CAST(SUM((a.xi - b.xi)*(a.xi - b.xi)) AS BIGINT) AS edist " +
-      "FROM short s JOIN comps a ON a.vec_id = s.query_id " +
-      "JOIN comps b ON b.vec_id = s.vec_id AND b.d = a.d GROUP BY 1, 2), " +
-      "rr AS (SELECT query_id, vec_id, edist, ROW_NUMBER() OVER (PARTITION BY query_id " +
-      "ORDER BY edist, vec_id) AS rnk FROM ex) " +
-      "SELECT query_id, rnk, vec_id AS neighbor_id, edist FROM rr WHERE rnk <= 3 " +
-      "ORDER BY query_id, rnk"))
+    (s, d) => refineStage(s, d, ivfpqAdcScored(s, d)),
+    Some(Q90AdcSqlCtes + RefineSqlTail))
 
   /** Deterministic hyperplane-LSH candidate pairs (the q55 generation
     * stage), memoized per (session, dir) and lineage-truncated — shared
@@ -1767,38 +1879,7 @@ object Vectors {
       // index relations session-cached and persisted, the member/code
       // scan never shuffles, scoring folds map-side, top-k on TopKRows.
       (s, d) => {
-        import s.implicits._
-        val books = pqResBooks(s, d)
-        val vecs = Tables(s, d, "embeddings")
-          .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
-        val (_, probeCents, _) = lloydShared(s, d)
-        val member = pqResCodes(s, d)
-        val probes = KMeansLloyd.probeCells(
-            vecs.where(col("vec_id").between(1, 5)), probeCents, nProbe = 2)
-          .select(col("vec_id").as("query_id"), col("cell").as("pcell"), col("xi"))
-        // the query's residual w.r.t. EACH probed cell's centroid
-        val centP = probeCents.foldLeft(lit(null).cast("array<bigint>")) { (acc, c) =>
-          when(col("pcell") === c.cell, array(c.ci.map(lit(_)): _*)).otherwise(acc) }
-        val qsub = probes
-          .select(col("query_id"), col("pcell"),
-            zip_with(col("xi"), centP, (a, b) => a - b).as("xi"))
-          .select(col("query_id"), col("pcell"),
-            posexplode(array((0 until PqM).map(sub =>
-              expr(s"slice(xi, ${sub * PqSubDim + 1}, $PqSubDim)")): _*))
-              .as(Seq("sub", "sx")))
-        val bookDf = (for { sub <- 0 until PqM; c <- books(sub) }
-          yield (sub, c.cell.toLong, c.ci.toSeq)).toDF("sub", "cw_cell", "cw")
-        val lut = qsub.join(bookDf, Seq("sub"))
-          .select(col("query_id"), col("pcell"), col("sub"), col("cw_cell"),
-            aggregate(zip_with(col("sx"), col("cw"), (x, y) => (x - y) * (x - y)),
-              lit(0L), (a, v) => a + v).as("dist"))
-        val scored = member.join(broadcast(lut),
-            member("cell") === lut("pcell") &&
-              member("sub") === lut("sub") &&
-              member("code") === lut("cw_cell") &&
-              col("vec_id") =!= col("query_id"))
-          .groupBy(col("query_id"), col("vec_id"))
-          .agg(sum(col("dist")).as("adist"))
+        val scored = ivfpqResAdcScored(s, d)
         val topk = udaf(new graft.functions.TopKRows(3),
           org.apache.spark.sql.Encoders.tuple(
             org.apache.spark.sql.Encoders.scalaDouble,
@@ -1818,51 +1899,11 @@ object Vectors {
       // cell); the LUT is built per (query, probed cell) from the
       // query's per-cell residual qr scored against the pc1 codebook —
       // the same codewords the encode argmin (pd2) ran on
-      Some("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
-        "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
-        "c0 AS (SELECT vec_id AS cell, d, xi AS ci FROM comps WHERE vec_id < 4), " +
-        "d1 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
-        "FROM comps c JOIN c0 k USING (d) GROUP BY 1, 2), " +
-        "a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
-        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1), " +
-        "c1 AS (SELECT a.cell, c.d, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
-        "FROM comps c JOIN a1 a USING (vec_id) GROUP BY 1, 2), " +
-        "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
-        "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
-        "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
-        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
-        "p AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
-        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2 WHERE vec_id BETWEEN 1 AND 5) " +
-        "WHERE rn <= 2), " +
-        "rcm AS (SELECT c.vec_id, CAST(c.d // 4 AS BIGINT) AS sub, c.d % 4 AS sd, " +
-        "c.xi - k.ci AS xi FROM comps c JOIN a2 a ON a.vec_id = c.vec_id " +
-        "JOIN c1 k ON k.cell = a.cell AND k.d = c.d), " +
-        "pc0 AS (SELECT sub, vec_id AS cell, sd, xi AS ci FROM rcm WHERE vec_id < 32), " +
-        "pd1 AS (SELECT c.vec_id, c.sub, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
-        "FROM rcm c JOIN pc0 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +
-        "pa1 AS (SELECT vec_id, sub, cell FROM (SELECT vec_id, sub, cell, ROW_NUMBER() OVER " +
-        "(PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM pd1) WHERE rn = 1), " +
-        "pc1 AS (SELECT a.sub, a.cell, c.sd, CAST(floor(CAST(SUM(c.xi) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS ci " +
-        "FROM rcm c JOIN pa1 a ON a.vec_id = c.vec_id AND a.sub = c.sub GROUP BY 1, 2, 3), " +
-        "pd2 AS (SELECT c.vec_id, c.sub, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
-        "FROM rcm c JOIN pc1 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +
-        "codes AS (SELECT vec_id, sub, cell AS code FROM (SELECT vec_id, sub, cell, " +
-        "ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM pd2) WHERE rn = 1), " +
-        "qr AS (SELECT p.query_id, p.cell AS pcell, CAST(c.d // 4 AS BIGINT) AS sub, " +
-        "c.d % 4 AS sd, c.xi - k.ci AS xi FROM p JOIN comps c ON c.vec_id = p.query_id " +
-        "JOIN c1 k ON k.cell = p.cell AND k.d = c.d), " +
-        "lut AS (SELECT q.query_id, q.pcell, q.sub, k.cell, " +
-        "SUM((q.xi - k.ci)*(q.xi - k.ci)) AS dist FROM qr q " +
-        "JOIN pc1 k ON k.sub = q.sub AND k.sd = q.sd GROUP BY 1, 2, 3, 4), " +
-        "mem AS (SELECT c.vec_id, a.cell, c.sub, c.code FROM codes c JOIN a2 a USING (vec_id)), " +
-        "sc AS (SELECT l.query_id, m.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adist " +
-        "FROM mem m JOIN lut l ON l.pcell = m.cell AND l.sub = m.sub AND l.cell = m.code " +
-        "WHERE m.vec_id <> l.query_id GROUP BY 1, 2), " +
-        "r AS (SELECT query_id, vec_id, adist, ROW_NUMBER() OVER (PARTITION BY query_id " +
-        "ORDER BY adist, vec_id) AS rnk FROM sc) " +
-        "SELECT query_id, rnk, vec_id AS neighbor_id, adist FROM r WHERE rnk <= 3 " +
+      Some(Q96AdcSqlCtes +
+        " SELECT query_id, rnk, vec_id AS neighbor_id, adist FROM r WHERE rnk <= 3 " +
         "ORDER BY query_id, rnk")),
+
+    Q137Def,
 
     Q113Def,
 

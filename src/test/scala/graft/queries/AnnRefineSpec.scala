@@ -18,12 +18,22 @@ class AnnRefineSpec extends AnyFunSuite with SparkTestSession {
   private def xiOf(v: Seq[Float]): Array[Long] =
     v.map(x => math.floor(x.toDouble * 1000000 + 0.5).toLong).toArray
 
+  private lazy val xi = Tables(spark, dir, "embeddings")
+    .select(col("vec_id"), col("embedding")).collect()
+    .map(r => r.getLong(0) -> xiOf(r.getSeq[Float](1))).toMap
+
   test("q136 equals a driver-side shortlist + exact re-rank replay; the re-rank is load-bearing") {
-    val adc = Vectors.ivfpqAdcScored(spark, dir).collect()
+    refineReplay("q136_ivfpq_refine", Vectors.ivfpqAdcScored(spark, dir))
+  }
+
+  test("q137 (residual chain) equals the same replay over q96's scores") {
+    refineReplay("q137_ivfpqr_refine", Vectors.ivfpqResAdcScored(spark, dir))
+  }
+
+  private def refineReplay(entry: String,
+      scoredDf: org.apache.spark.sql.DataFrame): Unit = {
+    val adc = scoredDf.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val xi = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> xiOf(r.getSeq[Float](1))).toMap
     def exact(q: Long, n: Long): Long =
       xi(q).zip(xi(n)).map { case (a, b) => (a - b) * (a - b) }.sum
 
@@ -34,7 +44,7 @@ class AnnRefineSpec extends AnyFunSuite with SparkTestSession {
       val reranked = shortlist.map(v => (exact(q, v), v)).sorted.take(3)
       reranked.zipWithIndex.map { case ((ed, v), i) => (q, i + 1L, v, ed) }
     }.sortBy(t => (t._1, t._2))
-    val got = SparkEntry.queries("q136_ivfpq_refine")(spark, dir).collect()
+    val got = SparkEntry.queries(entry)(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3))).toSeq
     assert(got == expect, "refine output diverges from the driver replay")
 
@@ -47,7 +57,7 @@ class AnnRefineSpec extends AnyFunSuite with SparkTestSession {
         .sorted.take(R).map(_._2).map(v => (exact(q, v), v)).sorted.take(3).map(_._2)
       byAdc != byExact
     }
-    assert(inverted, "fixture shows no ADC inversion - the refine stage is vacuous here")
+    assert(inverted, s"$entry: fixture shows no ADC inversion - the refine stage is vacuous here")
 
     // never-worse guarantee on the exact metric: refine's top-1 exact
     // distance <= the exact distance of ADC's own top-1 (the ADC top-1
