@@ -1036,11 +1036,14 @@ object Pipeline {
       // (8, 4). Oracle: the FULL batch chain at (8, 4) over 32
       // components, no migration machinery in it — it matches only if
       // widen-then-continue is semantically indexing at (8, 4) from
-      // the start. Differs from q66's (8, 2) output on the fixture
-      // (mid-jaccard pairs in [0.35, ~0.6) lose their band
-      // collisions), so the migration is load-bearing;
-      // WidenMigrationSpec pins fresh-run equivalence, new-salt byte
-      // parity, suppressed-pair regeneration, and idempotence.
+      // the start. On the DRIVER fixture the (8, 4) groups happen to
+      // coincide with q66's (8, 2) groups (its near-dup families are
+      // high-jaccard, caught by both designs — verified identical at
+      // sf0.01 and sf0.1), so the design-sensitivity proof lives in
+      // WidenMigrationSpec's mid-jaccard corpus (~0.47 pairs, where
+      // the designs provably disagree) alongside fresh-run
+      // equivalence, new-salt byte parity, suppressed-pair
+      // regeneration, and idempotence.
       (s, d) => {
         import graft.streaming.IncrementalNearDup
         val statePath = java.nio.file.Files
