@@ -976,8 +976,7 @@ object LlmText {
       // ingested odd doc's isdup without re-processing it.
       (s, d) => {
         import graft.streaming.IncrementalReportCard
-        val statePath = java.nio.file.Files
-          .createTempDirectory("q133s-incremental").toString
+        val statePath = graft.util.Scratch.dir("q133s-incremental")
         val inc = new IncrementalReportCard(statePath)
         val src = docs(s, d).select(col("doc_id"), col("text"), col("source"), col("lang"))
         inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)
@@ -996,8 +995,7 @@ object LlmText {
       // never produce. Oracle = batch q133 over the survivors.
       (s, d) => {
         import graft.streaming.IncrementalReportCard
-        val statePath = java.nio.file.Files
-          .createTempDirectory("q133r-retract").toString
+        val statePath = graft.util.Scratch.dir("q133r-retract")
         val inc = new IncrementalReportCard(statePath)
         val src = docs(s, d).select(col("doc_id"), col("text"), col("source"), col("lang"))
         inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)
@@ -1169,8 +1167,7 @@ object LlmText {
       // functions of text, so arrival order cannot change it.
       (s, d) => {
         import graft.streaming.IncrementalDupSpans
-        val statePath = java.nio.file.Files
-          .createTempDirectory("q112s-incremental").toString
+        val statePath = graft.util.Scratch.dir("q112s-incremental")
         val inc = new IncrementalDupSpans(statePath)
         val src = docs(s, d).select(col("doc_id"), col("text"))
         inc.processBatch(src.where(col("doc_id") % 2 === 0), 0L)
@@ -1194,8 +1191,7 @@ object LlmText {
       // it): it matches only if exactly those flips happened.
       (s, d) => {
         import graft.streaming.IncrementalDupSpans
-        val statePath = java.nio.file.Files
-          .createTempDirectory("q112r-retract").toString
+        val statePath = graft.util.Scratch.dir("q112r-retract")
         val inc = new IncrementalDupSpans(statePath)
         val src = docs(s, d).select(col("doc_id"), col("text"))
         inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)
@@ -1244,8 +1240,7 @@ object LlmText {
       // create (50, h) groups, old resolutions' stats are untouched.
       (s, d) => {
         import graft.streaming.IncrementalDupSpans
-        val base = java.nio.file.Files
-          .createTempDirectory("q112bs-incremental").toString
+        val base = graft.util.Scratch.dir("q112bs-incremental")
         val src = docs(s, d).select(col("doc_id"), col("text"))
         val inc = new IncrementalDupSpans(base, Seq(5, 10, 20))
         inc.processBatch(src.where(col("doc_id") % 2 === 0), 0L)
@@ -1333,8 +1328,7 @@ object LlmText {
       // later and take gram ownership away from already-ingested odds.
       (s, d) => {
         import graft.streaming.IncrementalSubstringRemoval
-        val statePath = java.nio.file.Files
-          .createTempDirectory("q126s-incremental").toString
+        val statePath = graft.util.Scratch.dir("q126s-incremental")
         val inc = new IncrementalSubstringRemoval(statePath)
         val src = docs(s, d).select(col("doc_id"), col("text"))
         inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)
@@ -1354,8 +1348,7 @@ object LlmText {
       // q126 over the survivors.
       (s, d) => {
         import graft.streaming.IncrementalSubstringRemoval
-        val statePath = java.nio.file.Files
-          .createTempDirectory("q126r-retract").toString
+        val statePath = graft.util.Scratch.dir("q126r-retract")
         val inc = new IncrementalSubstringRemoval(statePath)
         val src = docs(s, d).select(col("doc_id"), col("text"))
         inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)
@@ -1379,8 +1372,7 @@ object LlmText {
       // arrival order.
       (s, d) => {
         import graft.streaming.IncrementalLineDedup
-        val statePath = java.nio.file.Files
-          .createTempDirectory("q119s-incremental").toString
+        val statePath = graft.util.Scratch.dir("q119s-incremental")
         val inc = new IncrementalLineDedup(statePath)
         val src = docs(s, d).select(col("doc_id"), col("text"))
         inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)

@@ -616,7 +616,7 @@ object Pipeline {
       // shard count scales with volume, the manifest agg stays
       // nShards-bounded.
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("q123-shards").toString
+        val out = graft.util.Scratch.dir("q123-shards")
         shardedWriteManifest(s, d, out)
       },
       Some("SELECT CAST(('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 16 AS shard, " +
@@ -857,8 +857,7 @@ object Pipeline {
       // construction.
       (s, d) => {
         import graft.streaming.IncrementalNearDup
-        val statePath = java.nio.file.Files
-          .createTempDirectory("q66-incremental").toString
+        val statePath = graft.util.Scratch.dir("q66-incremental")
         val inc = new IncrementalNearDup(statePath)
         // the whole corpus is known here, so each wave gets its slice
         // of the SESSION-CACHED per-doc signature state (the wire path,
@@ -924,8 +923,7 @@ object Pipeline {
       // tombstone-wins re-inserts, and physical compaction.
       (s, d) => {
         import graft.streaming.IncrementalNearDup
-        val statePath = java.nio.file.Files
-          .createTempDirectory("q66b-incremental").toString
+        val statePath = graft.util.Scratch.dir("q66b-incremental")
         val inc = new IncrementalNearDup(statePath)
         val st = LlmText.bigramStateCached(s, d)
         inc.processState(st.where(col("doc_id") % 2 === 0), 0L)
@@ -997,8 +995,7 @@ object Pipeline {
       // (8, 2)-only pair must vanish), idempotence, and sidecar heal.
       (s, d) => {
         import graft.streaming.IncrementalNearDup
-        val statePath = java.nio.file.Files
-          .createTempDirectory("q66h-reband").toString
+        val statePath = graft.util.Scratch.dir("q66h-reband")
         val st = LlmText.bigramStateCached(s, d)
         val inc82 = new IncrementalNearDup(statePath)
         inc82.processState(st.where(col("doc_id") % 2 === 0), 0L)
@@ -1046,8 +1043,7 @@ object Pipeline {
       // regeneration, and idempotence.
       (s, d) => {
         import graft.streaming.IncrementalNearDup
-        val statePath = java.nio.file.Files
-          .createTempDirectory("q66i-widen").toString
+        val statePath = graft.util.Scratch.dir("q66i-widen")
         val st = LlmText.bigramStateCached(s, d)
         val inc82 = new IncrementalNearDup(statePath)
         inc82.processState(st.where(col("doc_id") % 2 === 0), 0L)

@@ -421,7 +421,6 @@ object Vectors {
     * (shortlist + exact re-rank — FAISS IndexIVFPQR). */
   private[queries] def ivfpqResAdcScored(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import s.implicits._
     val books = pqResBooks(s, d)
     val vecs = Tables(s, d, "embeddings")
       .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
@@ -1599,8 +1598,7 @@ object Vectors {
         val vecs = all.select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
         val (baseAssigned, servingCents, _) = KMeansLloyd.runTracked(
           vecs.where(col("vec_id") % 5 =!= 4), "vec_id", k = 4, iters = 2)
-        val statePath = java.nio.file.Files
-          .createTempDirectory("q88-incremental-ivf").toString
+        val statePath = graft.util.Scratch.dir("q88-incremental-ivf")
         val inc = new IncrementalIvf(statePath, servingCents)
         val arrivals = all.where(col("vec_id") % 5 === 4)
           .select(col("vec_id"), col("embedding"))
@@ -1635,8 +1633,7 @@ object Vectors {
         val vecs = all.select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
         val (baseAssigned, servingCents, _) = KMeansLloyd.runTracked(
           vecs.where(col("vec_id") % 5 =!= 4), "vec_id", k = 4, iters = 2)
-        val statePath = java.nio.file.Files
-          .createTempDirectory("q88b-incremental-ivf").toString
+        val statePath = graft.util.Scratch.dir("q88b-incremental-ivf")
         val inc = new IncrementalIvf(statePath, servingCents)
         val arrivals = all.where(col("vec_id") % 5 === 4)
           .select(col("vec_id"), col("embedding"))

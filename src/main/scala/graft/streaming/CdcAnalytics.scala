@@ -210,7 +210,7 @@ object CdcAnalytics {
     * `documents` fixture, no CDC anywhere). */
   def incrementalLineDedupOverCdc(s: SparkSession, dir: String): DataFrame = {
     val events = docWorkloadEvents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("qc2-cdc").toString
+    val tmp = graft.util.Scratch.dir("qc2-cdc")
     val inc = runDocPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
       events.size.toLong)
     inc.lines(s).orderBy(col("doc_id"))
@@ -358,7 +358,7 @@ object CdcAnalytics {
     * promoted to owner all break the hash. */
   def lineDedupRetractionOverCdc(s: SparkSession, dir: String): DataFrame = {
     val events = docRetractWorkloadEvents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("qc6-cdc").toString
+    val tmp = graft.util.Scratch.dir("qc6-cdc")
     val inc = runDocRetractPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
       events.size.toLong)
     inc.lines(s).orderBy(col("doc_id"))
@@ -444,7 +444,7 @@ object CdcAnalytics {
     * splits) at once. */
   def nearDupRetractionOverCdc(s: SparkSession, dir: String): DataFrame = {
     val events = docRetractWorkloadEvents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("qc7-cdc").toString
+    val tmp = graft.util.Scratch.dir("qc7-cdc")
     val inc = runNearDupRetractPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
       events.size.toLong)
     inc.groups(s)
@@ -501,7 +501,7 @@ object CdcAnalytics {
     * retraction, and the new design's candidate semantics at once. */
   def nearDupMigrationOverCdc(s: SparkSession, dir: String): DataFrame = {
     val (w1, w2) = docMigrationWorkloadEvents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("qc12-cdc").toString
+    val tmp = graft.util.Scratch.dir("qc12-cdc")
     runNearDupRetractPipeline(s, w1, s"$tmp/state", s"$tmp/ckpt1",
       w1.size.toLong, nBands = 8, bandR = 2)
     IncrementalNearDup.rebandMigrate(s, s"$tmp/state", 4, 4)
@@ -546,7 +546,7 @@ object CdcAnalytics {
     * and cross-window retraction in a single hash. */
   def nearDupWidenMigrationOverCdc(s: SparkSession, dir: String): DataFrame = {
     val (w1, w2) = docMigrationWorkloadEvents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("qc13-cdc").toString
+    val tmp = graft.util.Scratch.dir("qc13-cdc")
     val replica = new CdcSnapshotTable(s"$tmp/replica", Seq("doc_id"), docPayloadSchema)
     runNearDupRetractPipeline(s, w1, s"$tmp/state", s"$tmp/ckpt1",
       w1.size.toLong, nBands = 8, bandR = 2, replica = Some(replica))
@@ -665,7 +665,7 @@ object CdcAnalytics {
   def stateStoreNearDupOverCdc(s: SparkSession, dir: String): DataFrame = {
     import graft.queries.LlmText
     val events = docWorkloadEvents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("qc8-cdc").toString
+    val tmp = graft.util.Scratch.dir("qc8-cdc")
     runStateStoreNearDupPipeline(s, events, s"$tmp/events", s"$tmp/ckpt",
       events.size.toLong)
     val cands = s.read.schema(CandEventSchema).parquet(s"$tmp/events")
@@ -737,7 +737,7 @@ object CdcAnalytics {
   def stateStoreLineDedupOverCdc(s: SparkSession, dir: String): DataFrame = {
     import graft.queries.LlmText
     val events = docWorkloadEvents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("qc9-cdc").toString
+    val tmp = graft.util.Scratch.dir("qc9-cdc")
     runStateStoreLineDedupPipeline(s, events, s"$tmp/events", s"$tmp/ckpt",
       events.size.toLong)
     val owners = s.read.schema(OwnerEventSchema).parquet(s"$tmp/events")
@@ -822,7 +822,7 @@ object CdcAnalytics {
   def stateStoreNearDupRetractionOverCdc(s: SparkSession, dir: String): DataFrame = {
     import graft.queries.LlmText
     val events = docRetractWorkloadEvents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("qc10-cdc").toString
+    val tmp = graft.util.Scratch.dir("qc10-cdc")
     runStateStoreNearDupRetractPipeline(s, events, s"$tmp/events",
       s"$tmp/ckpt", events.size.toLong)
     val ev = s.read.schema(OpEventSchema).parquet(s"$tmp/events")
@@ -953,7 +953,7 @@ object CdcAnalytics {
     val events = docWorkloadEvents(s, dir)
     val nDocs = events.size - 1 // events(0) is the DDL
     val k = bootstrapSplit(nDocs)
-    val tmp = java.nio.file.Files.createTempDirectory("qc11-cdc").toString
+    val tmp = graft.util.Scratch.dir("qc11-cdc")
     val (inc, _) = runBootstrapHandoffPipeline(s, dir, events,
       s"$tmp/state", s"$tmp/ckpt",
       expectRows = 1L + (nDocs - k), // DDL + the live half
@@ -1071,7 +1071,7 @@ object CdcAnalytics {
     val (baseAssigned, servingCents, _) = KMeansLloyd.runTracked(
       vecs.where(col("vec_id") % 5 =!= 4), "vec_id", k = 4, iters = 2)
     val events = vecWorkloadEvents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("qc3-cdc").toString
+    val tmp = graft.util.Scratch.dir("qc3-cdc")
     val inc = runVecPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
       events.size.toLong, servingCents)
     graft.queries.Vectors.ivfCompositionSummary(baseAssigned, inc.members(s))
@@ -1186,7 +1186,7 @@ object CdcAnalytics {
     * state is a pure set union and PSI is computed from counts. */
   def driftOverCdc(s: SparkSession, dir: String): DataFrame = {
     val events = eventWorkloadEvents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("qc4-cdc").toString
+    val tmp = graft.util.Scratch.dir("qc4-cdc")
     val feedDir = runEventPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
       events.size.toLong)
     val ev = s.read.parquet(feedDir)
@@ -1268,7 +1268,7 @@ object CdcAnalytics {
     * accumulated docs — under q133's own oracle (no CDC anywhere). */
   def reportCardOverCdc(s: SparkSession, dir: String): DataFrame = {
     val events = corpusWorkloadEvents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("qc5-cdc").toString
+    val tmp = graft.util.Scratch.dir("qc5-cdc")
     val inc = runCorpusPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
       events.size.toLong)
     inc.reportCard(s)
@@ -1279,7 +1279,7 @@ object CdcAnalytics {
     * entry measures the real pipeline, not a cache hit). */
   def materializedAgg(s: SparkSession, dir: String): DataFrame = {
     val events = workloadEvents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("qc1-cdc").toString
+    val tmp = graft.util.Scratch.dir("qc1-cdc")
     val snap = runPipeline(s, events, s"$tmp/snap", s"$tmp/ckpt", events.size.toLong)
     snap.snapshot(s)
       .groupBy(col("nationkey").cast("long").as("nationkey"))

@@ -451,9 +451,13 @@ object IncrementalNearDup {
     val sets = spark.read.parquet(setsDir).drop(StateLayout.BucketCol)
       .localCheckpoint(true)
     // re-banding regroups the STORED signature (16 as built, 32 after
-    // a widening migration) — a bounded 1-row read pins the width
+    // a widening migration) — a bounded 1-row read pins the width.
+    // ADVICE r11: an existing-but-EMPTY sets/ dir must fail with a
+    // message, not an opaque NoSuchElementException from head()
     val storedW = sets.select(org.apache.spark.sql.functions.size(col("sig")))
-      .head().getInt(0)
+      .head(1).headOption.map(_.getInt(0)).getOrElse(
+        throw new IllegalStateException(
+          s"sets/ state at $statePath exists but is empty - nothing to re-band"))
     require(nBands * bandR == storedW,
       s"banding $nBands x $bandR must regroup the stored $storedW-component signature")
     // the target-design band keys from the stored signature — identical
@@ -542,7 +546,8 @@ object IncrementalNearDup {
     * via [[rebandMigrate]] semantics). Resume the stream with a
     * consumer constructed at the target design. */
   def widenMigrate(spark: SparkSession, statePath: String,
-      corpus: DataFrame, nBands: Int, bandR: Int): Unit = {
+      corpus: DataFrame, nBands: Int, bandR: Int,
+      allowCorpusDrops: Boolean = false): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val w = nBands * bandR
     require(w == 32, s"widening targets the 32-component family, got $nBands x $bandR")
@@ -550,7 +555,11 @@ object IncrementalNearDup {
     require(StateLayout.exists(spark, setsDir),
       s"no sets/ state at $statePath - nothing to migrate")
     val sets0 = spark.read.parquet(setsDir).drop(StateLayout.BucketCol)
-    val storedW = sets0.select(size(col("sig"))).head().getInt(0)
+    // ADVICE r11: same empty-state guard as rebandMigrate — fail with a
+    // message instead of head()'s NoSuchElementException
+    val storedW = sets0.select(size(col("sig"))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(throw new IllegalStateException(
+        s"sets/ state at $statePath exists but is empty - nothing to widen"))
     require(storedW == 16 || storedW == w,
       s"stored signature is $storedW wide; widening expects 16 (or $w to resume)")
     val tombsDir = s"$statePath/tombstones"
@@ -573,6 +582,27 @@ object IncrementalNearDup {
       live.join(ext, Seq("doc_id"))
         .withColumn("sig", concat(col("sig"), col("ext"))).drop("ext")
     }).localCheckpoint(true)
+    // ADVICE r11 — the equi-join above is a DESTRUCTIVE rewrite point:
+    // a live committed doc absent from `corpus` (a stale or partial
+    // replica snapshot) silently vanishes from sets/ and surfaces only
+    // as downstream group drift. Count live vs wide BEFORE the swap and
+    // refuse by default; `allowCorpusDrops = true` is the documented
+    // opt-in for a deployment that WANTS migration to double as
+    // physical retraction of corpus-absent docs (live docs all carry
+    // >= 2 tokens — nearDupState filtered them at ingest — so every
+    // drop here is a genuinely missing corpus row, never the size
+    // filter re-biting).
+    if (storedW != w) {
+      val nLive = live.count()
+      val nWide = wide.count()
+      if (nWide != nLive) {
+        val msg = s"widenMigrate at $statePath: corpus covers $nWide of " +
+          s"$nLive live committed docs - ${nLive - nWide} would be dropped"
+        require(allowCorpusDrops, msg + " (pass allowCorpusDrops=true to " +
+          "treat migration as physical retraction of the missing docs)")
+        graft.sources.cdc.CdcWarnings.emit("widenMigrate", msg)
+      }
+    }
     StateLayout.overwriteCompacted(wide, setsDir, Seq("doc_id"), parts = 8)
     // target-design h-columns view of the wide signature: band rewrite
     // and candidate regeneration run the PRODUCTION code paths over it

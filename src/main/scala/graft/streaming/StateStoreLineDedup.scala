@@ -111,7 +111,7 @@ object StateStoreLineDedup {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
-    val ckpt = java.nio.file.Files.createTempDirectory("q119f-ckpt").toString
+    val ckpt = graft.util.Scratch.dir("q119f-ckpt")
     val mem = MemoryStream[(Long, String)](Encoders.tuple(
       Encoders.scalaLong, Encoders.STRING), sqlCtx)
     val events = ownerEvents(LlmText.lineChunks(
@@ -123,7 +123,7 @@ object StateStoreLineDedup {
     // read below exactly-once even if a crash leaves orphan files)
     val fileMode = restartAfterWave.isDefined
     val evDir = if (fileMode)
-      java.nio.file.Files.createTempDirectory("q119f-events").toString else ""
+      graft.util.Scratch.dir("q119f-events") else ""
     val sinkName = "line_owner_events_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val evSchema = events.toDF().schema
@@ -280,7 +280,7 @@ object StateStoreLineDedup {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
-    val ckpt = java.nio.file.Files.createTempDirectory("q119g-ckpt").toString
+    val ckpt = graft.util.Scratch.dir("q119g-ckpt")
     val mem = MemoryStream[(String, Long, String)](Encoders.tuple(
       Encoders.STRING, Encoders.scalaLong, Encoders.STRING), sqlCtx)
     val chunks = LlmText.lineChunksKeeping(
@@ -290,7 +290,7 @@ object StateStoreLineDedup {
       col("ck"), col("chunk")))
     val fileMode = restartAfterWave.isDefined
     val evDir = if (fileMode)
-      java.nio.file.Files.createTempDirectory("q119g-events").toString else ""
+      graft.util.Scratch.dir("q119g-events") else ""
     val sinkName = "line_ver_events_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val evSchema = events.schema

@@ -122,7 +122,7 @@ object StateStoreNearDup {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       StateStoreLineDedup.RocksDbProvider)
-    val ckpt = java.nio.file.Files.createTempDirectory("q66f-ckpt").toString
+    val ckpt = graft.util.Scratch.dir("q66f-ckpt")
     val rowEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
       Encoders.scalaLong, Encoders.scalaLong)
     val mem = MemoryStream[(Int, Long, Long, Long)](rowEnc, sqlCtx)
@@ -136,7 +136,7 @@ object StateStoreNearDup {
     // read below exactly-once even if a crash leaves orphan files)
     val fileMode = restartAfterWave.isDefined
     val evDir = if (fileMode)
-      java.nio.file.Files.createTempDirectory("q66f-events").toString else ""
+      graft.util.Scratch.dir("q66f-events") else ""
     val sinkName = "neardup_cand_events_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val evSchema = events.schema
@@ -300,7 +300,7 @@ object StateStoreNearDup {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       StateStoreLineDedup.RocksDbProvider)
-    val ckpt = java.nio.file.Files.createTempDirectory("q66g-ckpt").toString
+    val ckpt = graft.util.Scratch.dir("q66g-ckpt")
     val rowEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
       Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING)
     val mem = MemoryStream[(Int, Long, Long, Long, String)](rowEnc, sqlCtx)
@@ -309,7 +309,7 @@ object StateStoreNearDup {
         col("_3").as("k1"), col("_4").as("doc_id"), col("_5").as("op")))
     val fileMode = restartAfterWave.isDefined
     val evDir = if (fileMode)
-      java.nio.file.Files.createTempDirectory("q66g-events").toString else ""
+      graft.util.Scratch.dir("q66g-events") else ""
     val sinkName = "neardup_op_events_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val evSchema = events.schema

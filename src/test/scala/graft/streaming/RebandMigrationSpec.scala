@@ -109,6 +109,23 @@ class RebandMigrationSpec extends AnyFunSuite with SparkTestSession {
     assert(fromState == fromText && fromState.nonEmpty)
   }
 
+  test("empty sets/ state fails with a message, not an opaque head() error") {
+    // ADVICE r11: the stored-width probe must not surface an
+    // existing-but-empty sets/ dir as a bare NoSuchElementException
+    val statePath = java.nio.file.Files
+      .createTempDirectory("reband-empty").toString
+    val empty = LlmText.nearDupState(corpus.where(lit(false)))
+      .select(col("doc_id"), col("hs"), col("nbg"),
+        array((0 until 16).map(i => col(s"h$i")): _*).as("sig"))
+    // a compaction that swept every row leaves schema-bearing empty
+    // part files — repartition(1) forces one such file out
+    empty.repartition(1).write.parquet(s"$statePath/sets")
+    val e = intercept[IllegalStateException] {
+      IncrementalNearDup.rebandMigrate(spark, statePath, 4, 4)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("migration is idempotent") {
     val docs = corpus.localCheckpoint(true)
     val st = LlmText.nearDupState(docs).localCheckpoint(true)

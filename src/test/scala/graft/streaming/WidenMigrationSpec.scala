@@ -130,6 +130,49 @@ class WidenMigrationSpec extends AnyFunSuite with SparkTestSession {
     assert(j == 1.0, s"regenerated pair must carry the verified jaccard, got $j")
   }
 
+  test("empty sets/ state fails with a message, not an opaque head() error") {
+    // ADVICE r11: an existing-but-empty sets/ dir (e.g. a compaction
+    // that swept every doc) must raise a diagnosable error
+    val statePath = java.nio.file.Files
+      .createTempDirectory("widen-empty").toString
+    val empty = LlmText.nearDupState(corpus.where(lit(false)))
+      .select(col("doc_id"), col("hs"), col("nbg"),
+        array((0 until 16).map(i => col(s"h$i")): _*).as("sig"))
+    // a compaction that swept every row leaves schema-bearing empty
+    // part files — repartition(1) forces one such file out
+    empty.repartition(1).write.parquet(s"$statePath/sets")
+    val e = intercept[IllegalStateException] {
+      IncrementalNearDup.widenMigrate(spark, statePath, corpus, 8, 4)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("a corpus missing live docs is refused unless drops are opted in") {
+    // ADVICE r11: the widen equi-join is a destructive rewrite — a
+    // stale/partial replica snapshot must fail loudly at the migration,
+    // not surface as downstream group drift; allowCorpusDrops = true is
+    // the documented physical-retraction opt-in
+    val docs = corpus.localCheckpoint(true)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("widen-partial").toString
+    new IncrementalNearDup(statePath)
+      .processState(LlmText.nearDupState(docs).localCheckpoint(true), 0L)
+    val partial = docs.where(col("doc_id") =!= 20L)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalNearDup.widenMigrate(spark, statePath, partial, 8, 4)
+    }
+    assert(e.getMessage.contains("would be dropped"))
+    // state untouched by the refusal: signatures still 16-wide
+    assert(spark.read.parquet(s"$statePath/sets").drop(StateLayout.BucketCol)
+      .where(size(col("sig")) === 16).count() > 0)
+    IncrementalNearDup.widenMigrate(spark, statePath, partial, 8, 4,
+      allowCorpusDrops = true)
+    val sets = spark.read.parquet(s"$statePath/sets").drop(StateLayout.BucketCol)
+    assert(sets.where(col("doc_id") === 20L).isEmpty,
+      "opted-in migration physically retracts the corpus-absent doc")
+    assert(sets.where(size(col("sig")) =!= 32).isEmpty)
+  }
+
   test("widening is idempotent (re-run after a mid-migration crash converges)") {
     val docs = corpus.localCheckpoint(true)
     val st = LlmText.nearDupState(docs).localCheckpoint(true)
