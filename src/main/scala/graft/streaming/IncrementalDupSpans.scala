@@ -80,6 +80,11 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int],
   private def tombstones(spark: SparkSession): DataFrame =
     readStateOr(spark, tombstonesDir, tombSchema)
 
+  /** See [[StateLayout.readOpt]] — None until the first DELETE lands,
+    * so the common insert-only stream skips the tombstone machinery. */
+  private def tombstonesOpt(spark: SparkSession): Option[DataFrame] =
+    StateLayout.readOpt(spark, tombstonesDir, tombSchema)
+
   /** foreachBatch hook for CDC DELETEs: `deletes` needs doc_id. O(1)
     * per delete; span re-judgment is deferred to [[spans]]. Idempotent
     * under replay. */
@@ -88,7 +93,8 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int],
     val ids = deletes.select(col("doc_id").cast("long").as("doc_id"))
       .dropDuplicates(Seq("doc_id")) // intra-batch replay dedup
       .localCheckpoint(true) // micro-batch sources are not re-scannable
-    val fresh = ids.join(tombstones(spark), Seq("doc_id"), "left_anti")
+    val fresh = tombstonesOpt(spark)
+      .map(t => ids.join(t, Seq("doc_id"), "left_anti")).getOrElse(ids)
     fresh.write.mode("append").parquet(tombstonesDir)
     maybeCompact(spark)
   }
@@ -117,8 +123,10 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int],
     // gram-then-anti order shuffled the full gram relation per wave)
     val gramSchema = LlmText.dupSpanGrams(docs.limit(0), ns: _*).schema
     // guard read PRUNED to the batch's doc_id buckets (VERDICT r10
-    // item 2 — the state is bucket-partitioned on doc_id)
-    val old = StateLayout.readPruned(spark, gramsDir, gramSchema,
+    // item 2 — the state is bucket-partitioned on doc_id); None when
+    // nothing is committed yet (batch 0 skips the guard join — an
+    // anti-join against a provably empty side is the identity)
+    val oldOpt = StateLayout.readPrunedOpt(spark, gramsDir, gramSchema,
       docs, Seq("doc_id"))
     // the per-doc_id guard is only sound while the resolution set is
     // the one the state was built with — an enlarged `ns` would skip
@@ -129,16 +137,22 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int],
     // check deliberately reads the FULL state, not the pruned view: a
     // batch whose buckets happen to hold no committed rows must still
     // refuse to append mismatched resolutions.)
-    val stateNs = StateLayout.read(spark, gramsDir, gramSchema)
-      .select(col("n")).distinct().collect().map(_.getInt(0)).toSet
-    require(stateNs.isEmpty || stateNs == ns.toSet,
-      s"state at $gramsDir was built for resolutions $stateNs but this " +
-        s"instance runs ${ns.toSet}: changing the resolution set over " +
-        "existing state requires a rebuild from the corpus")
+    if (oldOpt.isDefined) {
+      val stateNs = StateLayout.read(spark, gramsDir, gramSchema)
+        .select(col("n")).distinct().collect().map(_.getInt(0)).toSet
+      require(stateNs.isEmpty || stateNs == ns.toSet,
+        s"state at $gramsDir was built for resolutions $stateNs but this " +
+          s"instance runs ${ns.toSet}: changing the resolution set over " +
+          "existing state requires a rebuild from the corpus")
+    }
     // tombstones win: a replayed insert of a deleted doc appends
     // nothing (see IncrementalLineDedup's re-insertion contract)
-    val seen = old.select("doc_id").union(tombstones(spark)).distinct()
-    val fresh = docs.join(seen, Seq("doc_id"), "left_anti")
+    val guardSides = oldOpt.map(_.select("doc_id")).toSeq ++
+      tombstonesOpt(spark).map(_.select("doc_id"))
+    val fresh = guardSides.reduceOption(_ union _) match {
+      case Some(seen) => docs.join(seen.distinct(), Seq("doc_id"), "left_anti")
+      case None => docs
+    }
     StateLayout.append(LlmText.dupSpanGrams(fresh, ns: _*), gramsDir,
       Seq("doc_id"))
     maybeCompact(spark)
@@ -148,18 +162,19 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int],
     * affected (doc, n) — row-identical to batch q112/q112b on the same
     * corpus (the stream==batch hash-gate claim: same
     * [[LlmText.dupSpanStats]] stage, same state rows). */
-  def spans(spark: SparkSession): DataFrame =
-    LlmText.dupSpanStats(
-      StateLayout.read(spark, gramsDir,
-        LlmText.dupSpanGrams(
-          spark.createDataFrame(Seq.empty[(Long, String)]).toDF("doc_id", "text"),
-          ns: _*).schema)
-        // retraction: the shared-gram judgment runs over SURVIVORS
-        // only, so a deleted doc's grams stop making other docs' spans
-        // duplicated
-        .join(tombstones(spark), Seq("doc_id"), "left_anti"))
+  def spans(spark: SparkSession): DataFrame = {
+    val grams = StateLayout.read(spark, gramsDir,
+      LlmText.dupSpanGrams(
+        spark.createDataFrame(Seq.empty[(Long, String)]).toDF("doc_id", "text"),
+        ns: _*).schema)
+    // retraction: the shared-gram judgment runs over SURVIVORS only,
+    // so a deleted doc's grams stop making other docs' spans duplicated
+    val live = tombstonesOpt(spark)
+      .map(t => grams.join(t, Seq("doc_id"), "left_anti")).getOrElse(grams)
+    LlmText.dupSpanStats(live)
       .select(col("doc_id"), col("n"), col("n_spans"),
         col("dup_tokens"), col("n_tokens"))
+  }
 
   /** Bound the state-file count (small-file compaction between waves);
     * also the physical-delete point — tombstoned grams are dropped,

@@ -77,6 +77,11 @@ final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid],
   private def tombstones(spark: SparkSession): DataFrame =
     readStateOr(spark, s"$statePath/tombstones", tombSchema)
 
+  /** See [[StateLayout.readOpt]] — None until the first DELETE lands,
+    * so the common insert-only stream skips the tombstone machinery. */
+  private def tombstonesOpt(spark: SparkSession): Option[DataFrame] =
+    StateLayout.readOpt(spark, s"$statePath/tombstones", tombSchema)
+
   /** foreachBatch hook for CDC DELETEs: `deletes` needs vec_id. O(1)
     * per delete — appends a tombstone; removal from the probe view is
     * [[members]]'s anti-join. Idempotent under replay. */
@@ -85,7 +90,8 @@ final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid],
     val ids = deletes.select(col("vec_id").cast("long").as("vec_id"))
       .dropDuplicates(Seq("vec_id")) // intra-batch replay dedup
       .localCheckpoint(true) // micro-batch sources are not re-scannable
-    val fresh = ids.join(tombstones(spark), Seq("vec_id"), "left_anti")
+    val fresh = tombstonesOpt(spark)
+      .map(t => ids.join(t, Seq("vec_id"), "left_anti")).getOrElse(ids)
     fresh.write.mode("append").parquet(s"$statePath/tombstones")
     maybeCompact(spark)
   }
@@ -111,16 +117,20 @@ final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid],
     val assigned = KMeansLloyd.assign(vecs, cents)
       .select(col("vec_id"), col("cell"))
     // guard read PRUNED to the batch's vec_id buckets (VERDICT r10
-    // item 2 — members/ is bucket-partitioned on vec_id)
-    val old = StateLayout.readPruned(spark, s"$statePath/members",
-      assigned.schema, vecs, Seq("vec_id"))
-    // replayed micro-batch (foreachBatch retries after failure) is a
+    // item 2 — members/ is bucket-partitioned on vec_id); batch 0
+    // skips the guard join entirely (identity against an empty side).
+    // Replayed micro-batch (foreachBatch retries after failure) is a
     // no-op instead of doubling rows — same idempotent-append contract
     // as IncrementalNearDup. Tombstones are guarded too (tombstones
     // win): a replayed insert of a deleted vector appends nothing.
-    val seen = old.select("vec_id").union(
-      tombstones(spark).select("vec_id")).distinct()
-    val fresh = assigned.join(seen, Seq("vec_id"), "left_anti")
+    val guardSides =
+      StateLayout.readPrunedOpt(spark, s"$statePath/members",
+        assigned.schema, vecs, Seq("vec_id")).map(_.select("vec_id")).toSeq ++
+      tombstonesOpt(spark).map(_.select("vec_id"))
+    val fresh = guardSides.reduceOption(_ union _) match {
+      case Some(seen) => assigned.join(seen.distinct(), Seq("vec_id"), "left_anti")
+      case None => assigned
+    }
     StateLayout.append(fresh, s"$statePath/members", Seq("vec_id"))
     maybeCompact(spark)
   }
@@ -133,8 +143,9 @@ final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid],
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("cell",
         org.apache.spark.sql.types.IntegerType)))
-    StateLayout.read(spark, s"$statePath/members", schema)
-      .join(tombstones(spark), Seq("vec_id"), "left_anti")
+    val m = StateLayout.read(spark, s"$statePath/members", schema)
+    tombstonesOpt(spark)
+      .map(t => m.join(t, Seq("vec_id"), "left_anti")).getOrElse(m)
   }
 
   /** Retrain boundary: true once the streamed membership exceeds

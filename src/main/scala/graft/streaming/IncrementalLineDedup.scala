@@ -91,6 +91,11 @@ final class IncrementalLineDedup(statePath: String,
   private def tombstones(spark: SparkSession): DataFrame =
     readStateOr(spark, tombstonesDir, tombSchema)
 
+  /** See [[StateLayout.readOpt]] — None until the first DELETE lands,
+    * so the common insert-only stream skips the tombstone machinery. */
+  private def tombstonesOpt(spark: SparkSession): Option[DataFrame] =
+    StateLayout.readOpt(spark, tombstonesDir, tombSchema)
+
   /** foreachBatch hook: `batch` needs (doc_id, text). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -108,11 +113,17 @@ final class IncrementalLineDedup(statePath: String,
     // deleted doc must not resurrect its chunks. The guard read is
     // PRUNED to the batch's doc_id buckets (VERDICT r10 item 2): the
     // state is bucket-partitioned on doc_id, so this scans O(touched
-    // buckets) files, not the whole committed state.
-    val old = StateLayout.readPruned(spark, chunksDir,
-      emptyChunks(spark).schema, docs, Seq("doc_id"))
-    val seen = old.select("doc_id").union(tombstones(spark)).distinct()
-    val fresh = docs.join(seen, Seq("doc_id"), "left_anti")
+    // buckets) files, not the whole committed state. Batch 0 (nothing
+    // committed, no tombstones) skips the guard join entirely — the
+    // anti-join against a provably empty side is the identity.
+    val guardSides =
+      StateLayout.readPrunedOpt(spark, chunksDir, emptyChunks(spark).schema,
+        docs, Seq("doc_id")).map(_.select("doc_id")).toSeq ++
+      tombstonesOpt(spark).map(_.select("doc_id"))
+    val fresh = guardSides.reduceOption(_ union _) match {
+      case Some(seen) => docs.join(seen.distinct(), Seq("doc_id"), "left_anti")
+      case None => docs
+    }
     StateLayout.append(LlmText.lineChunks(fresh), chunksDir, Seq("doc_id"))
     maybeCompact(spark)
   }
@@ -126,7 +137,8 @@ final class IncrementalLineDedup(statePath: String,
     val ids = deletes.select(col("doc_id").cast("long").as("doc_id"))
       .dropDuplicates(Seq("doc_id")) // intra-batch replay dedup
       .localCheckpoint(true) // micro-batch sources are not re-scannable
-    val fresh = ids.join(tombstones(spark), Seq("doc_id"), "left_anti")
+    val fresh = tombstonesOpt(spark)
+      .map(t => ids.join(t, Seq("doc_id"), "left_anti")).getOrElse(ids)
     fresh.write.mode("append").parquet(tombstonesDir)
     maybeCompact(spark)
   }
@@ -138,8 +150,9 @@ final class IncrementalLineDedup(statePath: String,
     * the earliest surviving claimant. */
   def lines(spark: SparkSession): DataFrame = {
     val ch = StateLayout.read(spark, chunksDir, emptyChunks(spark).schema)
-    LlmText.lineDedupStats(
-      ch.join(tombstones(spark), Seq("doc_id"), "left_anti"))
+    val live = tombstonesOpt(spark)
+      .map(t => ch.join(t, Seq("doc_id"), "left_anti")).getOrElse(ch)
+    LlmText.lineDedupStats(live)
       .select(col("doc_id"), col("orig_chunks"), col("kept_chunks"), col("new_text"))
   }
 

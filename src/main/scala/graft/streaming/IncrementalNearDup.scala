@@ -100,6 +100,21 @@ final class IncrementalNearDup(statePath: String,
   private def tombstones(spark: SparkSession): DataFrame =
     readStateOr(spark, s"$statePath/tombstones", tombSchema)
 
+  /** None until the first DELETE lands — the common insert-only stream
+    * (and every pre-delete wave of a retracting one) then skips the
+    * whole tombstone machinery: no empty-relation checkpoint job, no
+    * anti-joins against a provably empty side. Each skipped step is a
+    * driver-scheduled job at micro-batch cadence, which is exactly the
+    * fixture-scale overhead VERDICT r11 flagged on this family
+    * (semantics unchanged: an anti-join against an empty relation is
+    * the identity). */
+  private def tombstonesOpt(spark: SparkSession): Option[DataFrame] = {
+    val dir = s"$statePath/tombstones"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.schema(tombSchema).parquet(dir)) else None
+  }
+
   /** foreachBatch hook for CDC DELETEs: `deletes` needs doc_id. O(1)
     * per delete — appends a tombstone; edge removal and component
     * re-formation are deferred to [[pairs]]/[[groups]]. Idempotent
@@ -109,7 +124,8 @@ final class IncrementalNearDup(statePath: String,
     val ids = deletes.select(col("doc_id").cast("long").as("doc_id"))
       .dropDuplicates(Seq("doc_id")) // intra-batch replay dedup
       .localCheckpoint(true) // micro-batch sources are not re-scannable
-    val fresh = ids.join(tombstones(spark), Seq("doc_id"), "left_anti")
+    val fresh = tombstonesOpt(spark)
+      .map(t => ids.join(t, Seq("doc_id"), "left_anti")).getOrElse(ids)
     fresh.write.mode("append").parquet(s"$statePath/tombstones")
     maybeCompact(spark)
   }
@@ -150,10 +166,12 @@ final class IncrementalNearDup(statePath: String,
     * recomputing per wave. */
   def processState(state: DataFrame, batchId: Long): Unit = {
     val spark = state.sparkSession
-    val tombs = tombstones(spark).localCheckpoint(true)
+    val tombsOpt = tombstonesOpt(spark).map(_.localCheckpoint(true))
+    def antiTomb(df: DataFrame): DataFrame =
+      tombsOpt.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
     // tombstones win: a replayed insert of a deleted doc is dropped
     // here, so it can never re-enter the band index or the pair set
-    val live = state.join(tombs, Seq("doc_id"), "left_anti")
+    val live = antiTomb(state)
     // sets/ retains the SIGNATURE alongside the exact-verify shingle
     // set (+16 longs/doc): the signature is the index's raw material,
     // and keeping it makes a later re-band migration
@@ -182,9 +200,6 @@ final class IncrementalNearDup(statePath: String,
     // buckets and the replay guard only the batch docs'; pairs/ on
     // (doc_a, doc_b) so the freshness anti-join reads only the
     // verified pairs' buckets.
-    val oldBands = StateLayout.readPruned(spark, s"$statePath/bands",
-        newBands.schema, newBands, Seq("band", "key"))
-      .join(tombs, Seq("doc_id"), "left_anti")
     // ONE shuffle for count + cap + candidate generation (VERDICT r6
     // item 4 — previously a count agg, two semi-joins, and a two-sided
     // self equi-join over the same band rows): tag each band row with
@@ -195,13 +210,30 @@ final class IncrementalNearDup(statePath: String,
     // semi-join form enforced), so no bucket can blow up a task at
     // 100 TB; candidates are row-identical to the join form
     // (spec-pinned stream==batch, q66 oracle hash unchanged).
-    val tagged = candidateUnion(oldBands, newBands)
+    // Batch 0 (no committed index yet) skips the committed side
+    // entirely — new-vs-new candidates only, no semi-join broadcast.
+    val bandsExists = StateLayout.exists(spark, s"$statePath/bands")
+    val tagged = if (!bandsExists) newBands.withColumn("is_new", lit(true))
+      else candidateUnion(
+        antiTomb(StateLayout.readPruned(spark, s"$statePath/bands",
+          newBands.schema, newBands, Seq("band", "key"))),
+        newBands)
     val buckets = tagged.groupBy(col("band"), col("key"))
       .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("ms"))
       .where(size(col("ms")) <= LlmText.HotBucketCap)
     // new-vs-all within the bucket: canonicalize so (a, b) is found
     // once regardless of which side is the new doc
-    val cand = buckets
+    // checkpoints below are CONDITIONAL on the pruned read path being
+    // active (a grown state dir): only then is the relation evaluated
+    // twice (once as a readPruned probe, once in its join) and worth
+    // materializing. At fixture/early-stream file counts every read is
+    // flat, each relation is referenced once, and the checkpoint would
+    // be a pure sequential driver-job barrier — the fixture-scale cost
+    // class VERDICT r11 flagged on this family. At a 100 TB batch
+    // cadence the dirs grow past the threshold and the checkpoints
+    // re-engage, so the scale path is unchanged.
+    val setsPrunes = StateLayout.prunes(spark, s"$statePath/sets")
+    val cand0 = buckets
       .select(explode(col("ms")).as("x"), col("ms"))
       .where(col("x.is_new"))
       .select(col("x.doc_id").as("xd"), explode(col("ms")).as("y"))
@@ -209,24 +241,31 @@ final class IncrementalNearDup(statePath: String,
       .select(least(col("xd"), col("y.doc_id")).as("doc_a"),
         greatest(col("xd"), col("y.doc_id")).as("doc_b"))
       .distinct()
-      // materialized once: the candidate set is bounded per batch
-      // (≤ cap × touched buckets) and is read twice below — once to
-      // collect its doc buckets for the pruned sets/ read, once as the
-      // verify join's left side
-      .localCheckpoint(true)
+    // bounded per batch (≤ cap × touched buckets); read twice when the
+    // sets/ read prunes — its doc buckets drive the partition filter
+    val cand = if (setsPrunes) cand0.localCheckpoint(true) else cand0
 
+    // batch-0 fast paths below (setsExists / pairsExists): joining
+    // against a committed dir that does not exist yet is the identity —
+    // skipping the join skips its broadcast-build and probe jobs, the
+    // bulk of the first wave's driver-scheduling overhead
+    val setsExists = StateLayout.exists(spark, s"$statePath/sets")
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
-    val oldSets = StateLayout.readPruned(spark, s"$statePath/sets",
-        newSets.schema, candDocs, Seq("doc_id"))
-      .join(tombs, Seq("doc_id"), "left_anti")
-    val verified = LlmText.verifyPairs(cand, oldSets.unionByName(newSets))
-      // bounded per batch; read twice (bucket collection + append)
-      .localCheckpoint(true)
-    val oldPairs = StateLayout.readPruned(spark, s"$statePath/pairs",
-      verified.schema, verified, Seq("doc_a", "doc_b"))
-    val fresh = verified.join(oldPairs.select("doc_a", "doc_b"),
-      Seq("doc_a", "doc_b"), "left_anti")
+    val verifySets = if (!setsExists) newSets
+      else antiTomb(StateLayout.readPruned(spark, s"$statePath/sets",
+        newSets.schema, candDocs, Seq("doc_id"))).unionByName(newSets)
+    val pairsPrunes = StateLayout.prunes(spark, s"$statePath/pairs")
+    val verified0 = LlmText.verifyPairs(cand, verifySets)
+    // read twice when the pairs/ read prunes (probe + freshness join)
+    val verified = if (pairsPrunes) verified0.localCheckpoint(true) else verified0
+    val pairsExists = StateLayout.exists(spark, s"$statePath/pairs")
+    val fresh = if (!pairsExists) verified
+      else verified.join(
+        StateLayout.readPruned(spark, s"$statePath/pairs",
+          verified.schema, verified, Seq("doc_a", "doc_b"))
+          .select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_anti")
 
     // every append is anti-joined against existing state, so a replayed
     // micro-batch (foreachBatch retries after failure) is a no-op
@@ -236,19 +275,25 @@ final class IncrementalNearDup(statePath: String,
     // (bands/ is partitioned on the band key, the guard is by doc_id)
     // and goes through the bloom sidecar instead — see
     // [[guardFreshBands]].
-    val freshSets = newSets.join(
-      StateLayout.readPruned(spark, s"$statePath/sets", newSets.schema,
-        newSets, Seq("doc_id")).select("doc_id"),
-      Seq("doc_id"), "left_anti")
-    val freshBands = guardFreshBands(spark, newBands)
+    val freshSets = if (!setsExists) newSets
+      else newSets.join(
+        StateLayout.readPruned(spark, s"$statePath/sets", newSets.schema,
+          newSets, Seq("doc_id")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
     // the three appends are INDEPENDENT jobs (each reads only committed
     // state dirs, none reads a dir being written), so they run
     // concurrently: per-wave latency is the slowest chain (the verify
     // behind `fresh`), not the sum — the driver-side analog of AQE's
-    // parallel stages, worth ~1 s/wave of pure scheduling serialization
+    // parallel stages, worth ~1 s/wave of pure scheduling serialization.
+    // The bands replay guard (bloom probe + sidecar append) runs INSIDE
+    // its append thunk: its jobs overlap the verify chain instead of
+    // serializing before it, and the crash ordering it needs (sidecar
+    // segment durable before the data append commits) is sequential
+    // within the thunk.
     graft.util.Jobs.awaitAll(s"IncrementalNearDup batch $batchId appends")(Seq(
       () => StateLayout.append(fresh, s"$statePath/pairs", Seq("doc_a", "doc_b")),
-      () => StateLayout.append(freshBands, s"$statePath/bands", Seq("band", "key")),
+      () => StateLayout.append(guardFreshBands(spark, newBands),
+        s"$statePath/bands", Seq("band", "key")),
       () => StateLayout.append(freshSets, s"$statePath/sets", Seq("doc_id"))))
     maybeCompact(spark)
     ()
@@ -281,9 +326,15 @@ final class IncrementalNearDup(statePath: String,
       newBands: DataFrame): DataFrame = {
     val bandsDir = s"$statePath/bands"
     val sidecar = StateLayout.bloomSidecar(bandsDir)
+    // the batch's distinct doc set, computed ONCE and shared by the
+    // sketch probe and the sidecar append — previously each re-ran the
+    // distinct shuffle (one more driver-scheduled job per wave, the
+    // fixture-scale cost class VERDICT r11 flagged)
+    def batchDocs() = newBands.select(col("doc_id")).distinct()
+      .localCheckpoint(true)
     if (!StateLayout.exists(spark, bandsDir)) {
       // batch 0: nothing committed — seed the sidecar with this batch
-      StateLayout.appendBloom(spark, sidecar, newBands.select("doc_id"), "doc_id")
+      StateLayout.appendBloomDistinct(spark, sidecar, batchDocs(), "doc_id")
       nGuardFast += 1
       newBands
     } else {
@@ -299,12 +350,13 @@ final class IncrementalNearDup(statePath: String,
       }
       val bc = spark.sparkContext.broadcast(blooms.toArray)
       val mightBe = udf((d: Long) => bc.value.exists(_.mightContain(d)))
-      val maybe = newBands.select("doc_id").distinct()
-        .where(mightBe(col("doc_id"))).localCheckpoint(true)
+      val docs = batchDocs()
+      // a filter over the checkpointed distinct set — cheap to
+      // re-evaluate, no further checkpoint needed
+      val maybe = docs.where(mightBe(col("doc_id")))
       if (maybe.isEmpty) {
         nGuardFast += 1
-        StateLayout.appendBloom(spark, sidecar,
-          newBands.select("doc_id"), "doc_id")
+        StateLayout.appendBloomDistinct(spark, sidecar, docs, "doc_id")
         newBands
       } else {
         nGuardExact += 1
@@ -393,10 +445,10 @@ final class IncrementalNearDup(statePath: String,
     * the SURVIVING docs — a tombstoned doc's edges vanish from both
     * sides, so downstream components re-form as a batch run over the
     * survivors would. */
-  def pairs(spark: SparkSession): DataFrame =
-    dropTombstonedPairs(
-      spark.read.parquet(s"$statePath/pairs").drop(StateLayout.BucketCol),
-      tombstones(spark))
+  def pairs(spark: SparkSession): DataFrame = {
+    val p = spark.read.parquet(s"$statePath/pairs").drop(StateLayout.BucketCol)
+    tombstonesOpt(spark).map(dropTombstonedPairs(p, _)).getOrElse(p)
+  }
 
   /** Dedup groups over everything ingested so far — same contract as
     * the batch q57 (doc_id → component-min rep). */

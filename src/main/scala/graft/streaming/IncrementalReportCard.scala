@@ -59,6 +59,11 @@ final class IncrementalReportCard(statePath: String,
   private def tombstones(spark: SparkSession): DataFrame =
     readDirOr(spark, tombstonesDir, tombSchema)
 
+  /** See [[StateLayout.readOpt]] — None until the first DELETE lands,
+    * so the common insert-only stream skips the tombstone machinery. */
+  private def tombstonesOpt(spark: SparkSession): Option[DataFrame] =
+    StateLayout.readOpt(spark, tombstonesDir, tombSchema)
+
   /** foreachBatch hook for CDC DELETEs (the IncrementalLineDedup
     * tombstone doctrine): O(1) tombstone append; the crosstab at
     * emission re-computes over survivors, so a doc whose only
@@ -70,7 +75,8 @@ final class IncrementalReportCard(statePath: String,
     val ids = deletes.select(col("doc_id").cast("long").as("doc_id"))
       .dropDuplicates(Seq("doc_id")) // intra-batch replay dedup
       .localCheckpoint(true) // micro-batch sources are not re-scannable
-    val fresh = ids.join(tombstones(spark), Seq("doc_id"), "left_anti")
+    val fresh = tombstonesOpt(spark)
+      .map(t => ids.join(t, Seq("doc_id"), "left_anti")).getOrElse(ids)
     fresh.write.mode("append").parquet(tombstonesDir)
     maybeCompact(spark)
   }
@@ -97,24 +103,30 @@ final class IncrementalReportCard(statePath: String,
       .dropDuplicates(Seq("doc_id"))
       .localCheckpoint(true) // micro-batch sources are not re-scannable
     // guard read PRUNED to the batch's doc_id buckets (VERDICT r10
-    // item 2 — docs/ is bucket-partitioned on doc_id)
-    val old = StateLayout.readPruned(spark, docsDir, docs.schema,
-      docs, Seq("doc_id"))
+    // item 2 — docs/ is bucket-partitioned on doc_id); batch 0 skips
+    // the guard join entirely (identity against an empty side).
     // tombstones win: a replayed insert of a deleted doc appends nothing
-    StateLayout.append(
-      docs.join(old.select("doc_id").union(tombstones(spark)).distinct(),
-        Seq("doc_id"), "left_anti"),
-      docsDir, Seq("doc_id"))
+    val guardSides =
+      StateLayout.readPrunedOpt(spark, docsDir, docs.schema,
+        docs, Seq("doc_id")).map(_.select("doc_id")).toSeq ++
+      tombstonesOpt(spark).map(_.select("doc_id"))
+    val fresh = guardSides.reduceOption(_ union _) match {
+      case Some(seen) => docs.join(seen.distinct(), Seq("doc_id"), "left_anti")
+      case None => docs
+    }
+    StateLayout.append(fresh, docsDir, Seq("doc_id"))
     maybeCompact(spark)
   }
 
   /** The (source × lang) crosstab over every doc seen so far —
     * row-identical to batch q133 on the same corpus. */
-  def reportCard(spark: SparkSession): DataFrame =
-    LlmText.reportCardOf(StateLayout.read(spark, docsDir, emptyDocs(spark).schema)
-      // retraction: every statistic (incl. the dup-pressure window)
-      // re-computes over the surviving docs only
-      .join(tombstones(spark), Seq("doc_id"), "left_anti"))
+  def reportCard(spark: SparkSession): DataFrame = {
+    val d = StateLayout.read(spark, docsDir, emptyDocs(spark).schema)
+    // retraction: every statistic (incl. the dup-pressure window)
+    // re-computes over the surviving docs only
+    LlmText.reportCardOf(tombstonesOpt(spark)
+      .map(t => d.join(t, Seq("doc_id"), "left_anti")).getOrElse(d))
+  }
 
   /** Bound the state-file count (small-file compaction between waves);
     * also the physical-delete point (tombstones retained). */

@@ -64,6 +64,11 @@ final class IncrementalSubstringRemoval(statePath: String, n: Int = 10,
   private def tombstones(spark: SparkSession): DataFrame =
     readStateOr(spark, tombstonesDir, tombSchema)
 
+  /** See [[StateLayout.readOpt]] — None until the first DELETE lands,
+    * so the common insert-only stream skips the tombstone machinery. */
+  private def tombstonesOpt(spark: SparkSession): Option[DataFrame] =
+    StateLayout.readOpt(spark, tombstonesDir, tombSchema)
+
   /** foreachBatch hook for CDC DELETEs (the IncrementalLineDedup
     * tombstone doctrine): O(1) tombstone append; the keep-first
     * re-judgment over survivors is deferred to [[removals]] — a gram
@@ -74,7 +79,8 @@ final class IncrementalSubstringRemoval(statePath: String, n: Int = 10,
     val ids = deletes.select(col("doc_id").cast("long").as("doc_id"))
       .dropDuplicates(Seq("doc_id")) // intra-batch replay dedup
       .localCheckpoint(true) // micro-batch sources are not re-scannable
-    val fresh = ids.join(tombstones(spark), Seq("doc_id"), "left_anti")
+    val fresh = tombstonesOpt(spark)
+      .map(t => ids.join(t, Seq("doc_id"), "left_anti")).getOrElse(ids)
     fresh.write.mode("append").parquet(tombstonesDir)
     maybeCompact(spark)
   }
@@ -103,21 +109,23 @@ final class IncrementalSubstringRemoval(statePath: String, n: Int = 10,
     // its own committed state, so a retry after a partial failure
     // re-runs exactly the append(s) that did not commit.
     // tombstones win on both dirs: a replayed insert of a deleted doc
-    // appends nothing anywhere
-    val tombs = tombstones(spark).localCheckpoint(true)
+    // appends nothing anywhere. Batch 0 (nothing committed anywhere)
+    // skips both guard joins — identity against an empty side.
+    val tombsOpt = tombstonesOpt(spark).map(_.localCheckpoint(true))
     // guard reads PRUNED to the batch's doc_id buckets (VERDICT r10
     // item 2 — both dirs are bucket-partitioned on doc_id)
-    val oldDocs = StateLayout.readPruned(spark, docsDir, docs.schema,
-      docs, Seq("doc_id"))
-    StateLayout.append(
-      docs.join(oldDocs.select("doc_id").union(tombs).distinct(),
-        Seq("doc_id"), "left_anti"),
-      docsDir, Seq("doc_id"))
+    def freshAgainst(dir: String, schema: StructType): DataFrame = {
+      val sides = StateLayout.readPrunedOpt(spark, dir, schema,
+        docs, Seq("doc_id")).map(_.select("doc_id")).toSeq ++
+        tombsOpt.map(_.select("doc_id"))
+      sides.reduceOption(_ union _) match {
+        case Some(seen) => docs.join(seen.distinct(), Seq("doc_id"), "left_anti")
+        case None => docs
+      }
+    }
+    StateLayout.append(freshAgainst(docsDir, docs.schema), docsDir, Seq("doc_id"))
     val gramSchema = LlmText.removalGrams(emptyDocs(spark), n).schema
-    val oldGramDocs = StateLayout.readPruned(spark, gramsDir, gramSchema,
-        docs, Seq("doc_id"))
-      .select("doc_id").union(tombs).distinct()
-    val freshForGrams = docs.join(oldGramDocs, Seq("doc_id"), "left_anti")
+    val freshForGrams = freshAgainst(gramsDir, gramSchema)
     StateLayout.append(LlmText.removalGrams(freshForGrams, n), gramsDir,
       Seq("doc_id"))
     maybeCompact(spark)
@@ -129,12 +137,12 @@ final class IncrementalSubstringRemoval(statePath: String, n: Int = 10,
     // retraction: both relations restricted to survivors BEFORE the
     // keep-first judgment — a deleted doc neither appears in the
     // output nor keeps removing tokens from surviving docs
-    val tombs = tombstones(spark)
-    val docs = StateLayout.read(spark, docsDir, emptyDocs(spark).schema)
-      .join(tombs, Seq("doc_id"), "left_anti")
-    val grams = StateLayout.read(spark, gramsDir,
-      LlmText.removalGrams(emptyDocs(spark), n).schema)
-      .join(tombs, Seq("doc_id"), "left_anti")
+    val tombsOpt = tombstonesOpt(spark)
+    def live(df: DataFrame): DataFrame = tombsOpt
+      .map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
+    val docs = live(StateLayout.read(spark, docsDir, emptyDocs(spark).schema))
+    val grams = live(StateLayout.read(spark, gramsDir,
+      LlmText.removalGrams(emptyDocs(spark), n).schema))
     LlmText.substringRemovalStats(grams, docs, n)
   }
 
