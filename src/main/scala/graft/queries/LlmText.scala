@@ -117,26 +117,31 @@ object LlmText {
     sig.select(col("doc_id"), posexplode(array(keys: _*)).as(Seq("band", "key")))
   }
 
-  /** Per-ROW computation of the 8×2 bigram band keys — the SAME bytes
-    * as [[bandKeys]] over [[nearDupState]] (same shingle strings, same
-    * salted-md5 minhash recipe, parity spec-pinned per doc), but as ONE
-    * native expression with no explode/group-by: band keys evaluate
+  /** Per-ROW computation of the bigram band BUCKET ids at any
+    * (nBands × bandR) design — the same minhash bytes as [[bandKeys]]
+    * over [[nearDupState]] (same shingle strings, same salted-md5
+    * minhash recipe), each band's key tuple folded to one long through
+    * Spark's `xxhash64` recipe (parity with
+    * `xxhash64(key.k0, …, key.k{r-1})` spec-pinned per doc), as ONE
+    * native expression with no explode/group-by: bucket ids evaluate
     * inside the row. This is the shape a CONTINUOUS streaming pipeline
-    * needs — band keys computed in the stateless prefix of the plan, so
-    * the only shuffle is the one onto the state-store partitions (qc8) —
-    * and the shape a 100 TB batch scan prefers too (zero pre-shuffle,
-    * minhash never materializes per-shingle rows). Docs with fewer than
-    * 2 tokens yield NULL (no shingles → no bands), which posexplode
-    * drops — matching the batch pipeline's size(t) >= 2 filter.
+    * needs — band buckets computed in the stateless prefix of the plan,
+    * so the only shuffle is the one onto the state-store partitions
+    * (qc8) — and the shape a 100 TB batch scan prefers too (zero
+    * pre-shuffle, minhash never materializes per-shingle rows). Docs
+    * with fewer than 2 tokens yield NULL (no shingles → no bands),
+    * which posexplode drops — matching the batch pipeline's
+    * size(t) >= 2 filter.
     * Native ([[graft.functions.MinHashBands]]) rather than
     * higher-order-function built-ins: the `transform`/`array_min`
     * lambda form evaluates interpreted — measured 38 s vs sub-second on
     * the sf0.1 corpus (the ArrayDot lesson at per-shingle granularity,
     * PLAN_NOTES round 1). */
-  private[graft] def rowBandKeys(text: Column): Column = {
+  private[graft] def rowBandBuckets(text: Column,
+      nBands: Int = 8, bandR: Int = 2): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(
-      graft.functions.MinHashBands(ColumnBridge.expression(text)))
+      graft.functions.MinHashBands(ColumnBridge.expression(text), nBands, bandR))
   }
 
   private[graft] def bandedCandidates(sig: DataFrame, nBands: Int, bandR: Int,

@@ -1057,6 +1057,72 @@ object Pipeline {
       },
       Some(LlmText.dedupGroupsOracleSqlOverBr("", 8, 4))),
 
+    QueryDef("q66j_statestore_neardup_hp",
+      // The q66h TARGET design on the RocksDB state store (VERDICT r11
+      // item 1 — the banding is now a PARAMETER of the store plumbing):
+      // the state key is (band, xxhash64-bucket), so the same
+      // flatMapGroupsWithState function that runs (8, 2) runs the
+      // high-precision (4, 4) design with no key-shape change — only
+      // the flatBands/rowBandBuckets parameter moves. A 64-bit bucket
+      // collision merges two buckets; the exact verify downstream kills
+      // any spurious pair, so results are unchanged (the documented
+      // store-key tradeoff). Same parity waves as q66f; oracle = the
+      // FULL batch chain at (4, 4) — the same oracle the parquet twin's
+      // q66h migration is held to, certifying that the store path and
+      // the migrated parquet path implement one design.
+      (s, d) => {
+        import graft.streaming.StateStoreNearDup
+        val st = LlmText.bigramStateCached(s, d)
+        val (cands, _) = StateStoreNearDup.runWaves(s, Seq(
+          StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 0), 4, 4),
+          StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 1), 4, 4)))
+        val verified = LlmText.verifyPairs(
+          cands.select(col("doc_a"), col("doc_b")).distinct(),
+          st.select(col("doc_id"), col("hs"), col("nbg")))
+        graft.operators.DedupGroups.components(verified)
+          .groupBy(col("rep").as("rep_doc"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("rep_doc"))
+      },
+      Some(LlmText.dedupGroupsOracleSqlOverBr("", 4, 4))),
+
+    QueryDef("q66k_statestore_neardup_wide_retract",
+      // The q66i TARGET design on the RocksDB state store, with DELETE
+      // retraction: 32-component signatures banded (8, 4) through the
+      // SAME claimant state function as q66g — the widened design is
+      // just a parameter here too, because the bucket id hashes however
+      // many components the band carries. Waves: even inserts, odd
+      // inserts, then DELETEs of doc_id % 7 == 0 reaching back into
+      // both insert waves; the op fold and the exact verify run over
+      // the survivors' 32-wide state. Oracle = the full batch chain at
+      // (8, 4) over 32 components restricted to the survivors — q66i's
+      // oracle family, no store/retraction machinery anywhere in it.
+      // Note the store CANNOT migrate (8, 2) state to this design in
+      // place (bucket ids are opaque hashes): standing up a widened
+      // store is a REBUILD through a fresh checkpoint, which is exactly
+      // what the qc14 wire composition drills from the CDC replica.
+      (s, d) => {
+        import graft.streaming.StateStoreNearDup
+        val st = LlmText.nearDupState(docs(s, d), nHashes = 32)
+          .localCheckpoint(true)
+        def wave(op: String, pred: org.apache.spark.sql.Column) =
+          StateStoreNearDup.flatBands(st.where(pred), 8, 4)
+            .withColumn("op", lit(op))
+        val (events, _) = StateStoreNearDup.runOpWaves(s, Seq(
+          wave("insert", col("doc_id") % 2 === 0),
+          wave("insert", col("doc_id") % 2 === 1),
+          wave("delete", col("doc_id") % 7 === 0)))
+        val verified = LlmText.verifyPairs(
+          StateStoreNearDup.foldOpEvents(events),
+          st.where(col("doc_id") % 7 =!= 0)
+            .select(col("doc_id"), col("hs"), col("nbg")))
+        graft.operators.DedupGroups.components(verified)
+          .groupBy(col("rep").as("rep_doc"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("rep_doc"))
+      },
+      Some(LlmText.dedupGroupsOracleSqlOverBr("doc_id % 7 <> 0", 8, 4))),
+
     QueryDef("q63_tfidf_top_terms",
       // Per-document top-3 TF-IDF terms (keyword extraction). The IDF is
       // the rational N/df — no transcendental log, so Spark and DuckDB

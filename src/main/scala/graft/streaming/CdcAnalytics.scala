@@ -560,6 +560,66 @@ object CdcAnalytics {
       .orderBy(col("rep_doc"))
   }
 
+  /** qc14's query body: standing up a RE-DESIGNED RocksDB state-store
+    * near-dup index by REBUILDING from the wire-built replica through
+    * a FRESH checkpoint — the design-change move the state-store path
+    * actually has. The parquet twin migrates in place (qc12 re-bands
+    * from stored signatures, qc13 widens via the replica corpus pass),
+    * but the store keys on opaque xxhash64 bucket ids: there is
+    * nothing to re-band FROM, so the production operation is a
+    * rebuild. Wave 1 streams the even half at (8, 2) into the legacy
+    * parquet state while the SAME wire maintains the qc1 copy-on-write
+    * replica; at the window the legacy deployment is decommissioned
+    * and the NEW (8, 4)/32-component store is built by one map-only
+    * pass over replica.snapshot() (never the source table — the qc13
+    * doctrine) feeding a fresh checkpoint; the store is then KILLED
+    * and RESUMED from that checkpoint (restartAfterWave = 0, the
+    * RocksDB recovery drill) before serving the live wave — the odd
+    * half plus DELETEs reaching back ACROSS the window into rebuilt
+    * docs. Live-wave rows come from the fixture: wave-2 WIRE delivery
+    * is qc12/qc13's certified claim, qc14's claim is the rebuild and
+    * the recovery. Replica completeness is load-bearing (a doc the
+    * replica missed has no bands in the rebuilt store — its pairs
+    * vanish and the hash gate fails). Oracle = the full batch chain at
+    * (8, 4) over the SURVIVORS, no CDC/replica/store machinery in it.
+    * `restart = None` lets the spec pin the drill against a
+    * single-query run. */
+  def stateStoreRebuildOverCdc(s: SparkSession, dir: String,
+      restart: Option[Int] = Some(0)): DataFrame = {
+    import graft.queries.LlmText
+    val (w1, _) = docMigrationWorkloadEvents(s, dir)
+    val tmp = graft.util.Scratch.dir("qc14-cdc")
+    val replica = new CdcSnapshotTable(s"$tmp/replica", Seq("doc_id"),
+      docPayloadSchema)
+    runNearDupRetractPipeline(s, w1, s"$tmp/state", s"$tmp/ckpt1",
+      w1.size.toLong, nBands = 8, bandR = 2, replica = Some(replica))
+    // the window: the new store's band rows derive from the REPLICA —
+    // the corpus is already in the lake, the binlog is never replayed
+    val st32rep = LlmText.nearDupState(
+      replica.snapshot(s).select(col("doc_id"), col("text")), nHashes = 32)
+    val rebuild = StateStoreNearDup.flatBands(st32rep, 8, 4)
+      .withColumn("op", lit("insert"))
+    val st32full = LlmText.nearDupState(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      nHashes = 32).localCheckpoint(true)
+    def wave(op: String, pred: org.apache.spark.sql.Column) =
+      StateStoreNearDup.flatBands(st32full.where(pred), 8, 4)
+        .withColumn("op", lit(op))
+    val (events, _) = StateStoreNearDup.runOpWaves(s, Seq(
+      rebuild,
+      wave("insert", col("doc_id") % 2 === 1),
+      wave("delete", col("doc_id") % RetractMod === 0)),
+      restartAfterWave = restart)
+    val verified = LlmText.verifyPairs(
+      StateStoreNearDup.foldOpEvents(events),
+      st32full.where(col("doc_id") % RetractMod =!= 0)
+        .select(col("doc_id"), col("hs"), col("nbg")))
+    graft.operators.DedupGroups.components(verified)
+      .groupBy(col("rep").as("rep_doc"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("rep_doc"))
+  }
+
   // ---- qc8: the wire feeding the STATE-STORE near-dup as ONE
   // CONTINUOUS streaming plan (no foreachBatch) -------------------------
 
@@ -606,10 +666,9 @@ object CdcAnalytics {
       val bands = CdcProjection.projectLatest(stream, reg, Database, DocTableName)
         .where(col("op") === "insert")
         .select(col("doc_id"),
-          posexplode(graft.queries.LlmText.rowBandKeys(col("text")))
-            .as(Seq("band", "key")))
-        .select(col("band"), col("key.k0").as("k0"), col("key.k1").as("k1"),
-          col("doc_id"))
+          posexplode(graft.queries.LlmText.rowBandBuckets(col("text")))
+            .as(Seq("band", "bkey")))
+        .select(col("band"), col("bkey"), col("doc_id"))
       val q = StateStoreNearDup.candidateEvents(bands)
         .writeStream.format("parquet").option("path", evDir)
         .outputMode("append").option("checkpointLocation", ckptPath).start()
@@ -797,10 +856,9 @@ object CdcAnalytics {
         .load()
       val bands = CdcProjection.projectLatest(stream, reg, Database, DocTableName)
         .select(col("op"), col("doc_id"),
-          posexplode(graft.queries.LlmText.rowBandKeys(col("text")))
-            .as(Seq("band", "key")))
-        .select(col("band"), col("key.k0").as("k0"), col("key.k1").as("k1"),
-          col("doc_id"), col("op"))
+          posexplode(graft.queries.LlmText.rowBandBuckets(col("text")))
+            .as(Seq("band", "bkey")))
+        .select(col("band"), col("bkey"), col("doc_id"), col("op"))
       val q = StateStoreNearDup.opCandidateEvents(bands)
         .writeStream.format("parquet").option("path", evDir)
         .outputMode("append").option("checkpointLocation", ckptPath).start()

@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.queries.LlmText
 
 /** The membership of one LSH band bucket: every doc_id that ever hashed
-  * into this (band, key) — the value side of the state-store index. */
+  * into this (band, bucket) — the value side of the state-store index. */
 final case class BucketMembers(docs: Seq[Long])
 
 /** A candidate near-dup pair emitted by the state function the moment
@@ -18,13 +18,31 @@ final case class CandPairEvent(doc_a: Long, doc_b: Long)
 
 /** The banded-LSH candidate index on a REAL Spark state store (the
   * q119f doctrine applied to the flagship near-dup state): the (band,
-  * key) → member-list index lives in RocksDB via
+  * bucket) → member-list index lives in RocksDB via
   * `flatMapGroupsWithState` instead of the parquet `bands/` dir of
   * [[IncrementalNearDup]], pinned to the SAME dedup-groups oracle as
   * batch q57 / streaming q66.
   *
+  * BANDING IS A PARAMETER (VERDICT r11 item 1): the state key is
+  * (band, bucket) where bucket = Spark's `xxhash64` over the band's
+  * `bandR` consecutive minhash components ([[flatBands]] declaratively,
+  * [[graft.functions.MinHashBands]] per-row on the continuous wire
+  * plan) — hashing the key tuple to ONE long makes the key shape
+  * design-independent, so the SAME store plumbing runs (8, 2), the
+  * re-banded (4, 4), and the widened 32-component (8, 4) designs the
+  * parquet twin migrates between (q66h/q66i). A 64-bit bucket
+  * collision merges two buckets; the only effects are a spurious
+  * candidate pair (killed by the downstream exact verify — results
+  * unchanged) and the merged membership counting jointly toward the
+  * hot cap (~2⁻⁶⁴ per bucket pair — documented, not load-bearing).
+  * The store itself cannot migrate IN PLACE — bucket ids are opaque
+  * hashes, so there is nothing to re-band from — which is exactly why
+  * the production design-change move on this path is a REBUILD from
+  * the lake replica through a fresh checkpoint (qc14), not an in-place
+  * rewrite like the parquet twin's q66h/q66i.
+  *
   * Division of labor (the 100 TB shape): the store holds ONLY the
-  * bucket membership — doc_ids per band key, RocksDB-backed so it
+  * bucket membership — doc_ids per band bucket, RocksDB-backed so it
   * spills past memory and snapshots into the checkpoint — while the
   * shingle sets used for exact verification stay in the lake (the
   * session-cached `nearDupState` relation). Per-batch work is exactly
@@ -39,8 +57,8 @@ final case class CandPairEvent(doc_a: Long, doc_b: Long)
   * Semantics mirror [[IncrementalNearDup]] exactly: candidates are
   * new-vs-(state ∪ new) within a bucket, each pair discovered once (in
   * the batch where its later member arrives; the same pair surfacing in
-  * several of the 8 bands folds out in the consumer's distinct), and
-  * the hot-bucket cap ([[LlmText.HotBucketCap]]) is applied to the
+  * several of the nBands bands folds out in the consumer's distinct),
+  * and the hot-bucket cap ([[LlmText.HotBucketCap]]) is applied to the
   * bucket's COMBINED membership per batch — a bucket over the cap stops
   * emitting new candidates while pairs found while it was small are
   * retained, the documented streaming-LSH tradeoff (including its
@@ -56,7 +74,7 @@ final case class CandPairEvent(doc_a: Long, doc_b: Long)
 object StateStoreNearDup {
 
   /** Measured shape of one run: state rows = distinct touched (band,
-    * key) buckets; bytes ≈ members × 8 + per-key overhead. The shingle
+    * bucket) pairs; bytes ≈ members × 8 + per-key overhead. The shingle
     * sets never enter the store. */
   final case class StateShape(stateRows: Long, stateBytes: Long,
       candEvents: Long)
@@ -65,12 +83,12 @@ object StateStoreNearDup {
     * already present; if the combined membership respects the hot cap,
     * emit each NEW member paired with every member that precedes it
     * (old ∪ earlier-in-batch) — each pair exactly once per bucket. */
-  private def updateBucket(key: (Int, Long, Long),
-      it: Iterator[(Int, Long, Long, Long)],
+  private def updateBucket(key: (Int, Long),
+      it: Iterator[(Int, Long, Long)],
       state: GroupState[BucketMembers]): Iterator[CandPairEvent] = {
     val old = state.getOption.map(_.docs).getOrElse(Seq.empty)
     val seen = scala.collection.mutable.HashSet.from(old)
-    val fresh = it.map(_._4).filter(seen.add(_)).toVector
+    val fresh = it.map(_._3).filter(seen.add(_)).toVector
     if (fresh.isEmpty) Iterator.empty
     else {
       val all = old ++ fresh
@@ -83,27 +101,26 @@ object StateStoreNearDup {
     }
   }
 
-  /** The stateful candidate plan over a STREAMING (band, k0, k1,
-    * doc_id) relation — the single flatMapGroupsWithState hop shared by
-    * the MemoryStream wave driver ([[runWaves]]) and the continuous CDC
+  /** The stateful candidate plan over a STREAMING (band, bkey, doc_id)
+    * relation — the single flatMapGroupsWithState hop shared by the
+    * MemoryStream wave driver ([[runWaves]]) and the continuous CDC
     * wire pipeline (qc8). The group-by key is the bucket; Spark's one
     * shuffle here lands each band row on its state partition. */
   def candidateEvents(bandRows: DataFrame): DataFrame =
     bandRows.select(col("band").cast("int").as("_1"),
-        col("k0").cast("long").as("_2"), col("k1").cast("long").as("_3"),
-        col("doc_id").cast("long").as("_4"))
-      .as[(Int, Long, Long, Long)](Encoders.tuple(Encoders.scalaInt,
-        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
-      .groupByKey(t => (t._1, t._2, t._3))(Encoders.tuple(
-        Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong))
+        col("bkey").cast("long").as("_2"), col("doc_id").cast("long").as("_3"))
+      .as[(Int, Long, Long)](Encoders.tuple(Encoders.scalaInt,
+        Encoders.scalaLong, Encoders.scalaLong))
+      .groupByKey(t => (t._1, t._2))(Encoders.tuple(
+        Encoders.scalaInt, Encoders.scalaLong))
       .flatMapGroupsWithState[BucketMembers, CandPairEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateBucket)(
         Encoders.product[BucketMembers], Encoders.product[CandPairEvent])
       .toDF()
 
-  /** Stream `waves` of band rows (band, k0, k1, doc_id — the flattened
-    * [[LlmText.bandKeys]] output) through the bucket-state function on
-    * the RocksDB provider; each wave is one micro-batch (drained before
+  /** Stream `waves` of band rows (band, bkey, doc_id — the flattened
+    * [[flatBands]] output) through the bucket-state function on the
+    * RocksDB provider; each wave is one micro-batch (drained before
     * the next is added), so cross-wave pair discovery exercises real
     * batch boundaries. Returns (accumulated candidate events, measured
     * state shape).
@@ -124,11 +141,11 @@ object StateStoreNearDup {
       StateStoreLineDedup.RocksDbProvider)
     val ckpt = graft.util.Scratch.dir("q66f-ckpt")
     val rowEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
-      Encoders.scalaLong, Encoders.scalaLong)
-    val mem = MemoryStream[(Int, Long, Long, Long)](rowEnc, sqlCtx)
+      Encoders.scalaLong)
+    val mem = MemoryStream[(Int, Long, Long)](rowEnc, sqlCtx)
     val events = candidateEvents(mem.toDF()
-      .select(col("_1").as("band"), col("_2").as("k0"),
-        col("_3").as("k1"), col("_4").as("doc_id")))
+      .select(col("_1").as("band"), col("_2").as("bkey"),
+        col("_3").as("doc_id")))
     // normal runs use the memory sink (cheapest); a RESTART drill needs
     // a sink that supports checkpoint recovery, which the memory sink
     // does not — the parquet file sink does (and is the realistic
@@ -153,7 +170,7 @@ object StateStoreNearDup {
     try {
       waves.zipWithIndex.foreach { case (w, i) =>
         mem.addData(w.collect().map(r =>
-          (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq: _*)
+          (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq: _*)
         q.processAllAvailable()
         if (restartAfterWave.contains(i) && i < waves.size - 1) {
           q.stop()
@@ -179,11 +196,17 @@ object StateStoreNearDup {
     }
   }
 
-  /** Flatten [[LlmText.bandKeys]]'s (doc_id, band, key{k0,k1}) rows to
-    * the wire tuple shape `runWaves` streams. */
-  def flatBands(sig: DataFrame): DataFrame =
-    LlmText.bandKeys(sig, 8, 2)
-      .select(col("band"), col("key.k0").as("k0"), col("key.k1").as("k1"),
+  /** Flatten [[LlmText.bandKeys]]'s (doc_id, band, key struct) rows to
+    * the (band, bkey, doc_id) wire tuples [[runWaves]] streams, at any
+    * banding design: bkey = `xxhash64` over the band's key components
+    * (byte parity with the per-row native expression
+    * [[graft.functions.MinHashBands]] is spec-pinned two-sided). `sig`
+    * must carry h0..h{nBands·bandR−1} — the 16-component state for
+    * (8, 2)/(4, 4), the 32-component family for (8, 4). */
+  def flatBands(sig: DataFrame, nBands: Int = 8, bandR: Int = 2): DataFrame =
+    LlmText.bandKeys(sig, nBands, bandR)
+      .select(col("band"),
+        xxhash64((0 until bandR).map(k => col(s"key.k$k")): _*).as("bkey"),
         col("doc_id"))
 
   // ---- DELETE retraction ON the state store (q66g — the q119g
@@ -192,11 +215,12 @@ object StateStoreNearDup {
   // so a delete COOLS the bucket (members leave, hot-cap parity with
   // the parquet twin's tombstone-filtered probe view) and permanently
   // guards against replayed inserts. Routing is the elegant part: a
-  // CDC DELETE carries the deleted row, so its band keys are the same
-  // pure function of its text as the insert's — the tombstone op lands
-  // on exactly the doc's 8 buckets with point access, and because every
-  // pair (a, b) was discovered in a bucket BOTH docs share, a's buckets
-  // cover every bucket that ever emitted a pair involving a.
+  // CDC DELETE carries the deleted row, so its band buckets are the
+  // same pure function of its text as the insert's — the tombstone op
+  // lands on exactly the doc's nBands buckets with point access, and
+  // because every pair (a, b) was discovered in a bucket BOTH docs
+  // share, a's buckets cover every bucket that ever emitted a pair
+  // involving a.
   //
   // Design contrast with q119g: NO versioned events. Line ownership
   // needed per-key versions because a delete RAISES the owner
@@ -223,12 +247,12 @@ object StateStoreNearDup {
     * (tombstones win within the batch — an insert+delete of one doc in
     * one batch nets to dead), then fresh inserts of non-dead docs pair
     * against the SURVIVING membership under the hot cap. */
-  private def updateBucketOps(key: (Int, Long, Long),
-      it: Iterator[(Int, Long, Long, Long, String)],
+  private def updateBucketOps(key: (Int, Long),
+      it: Iterator[(Int, Long, Long, String)],
       state: GroupState[BucketClaimState]): Iterator[NearDupOpEvent] = {
     val st = state.getOption.getOrElse(BucketClaimState(Nil, Nil))
     val rows = it.toSeq
-    val deadNow = rows.collect { case (_, _, _, d, "delete") => d }.toSet
+    val deadNow = rows.collect { case (_, _, d, "delete") => d }.toSet
     val newDead = (deadNow -- st.dead).toSeq.sorted
     val dead = st.dead.toSet ++ deadNow
     // dead members leave the membership physically: they must never
@@ -237,7 +261,7 @@ object StateStoreNearDup {
     val kept = st.docs.filterNot(dead)
     val seen = scala.collection.mutable.HashSet.from(kept)
     val fresh = rows.collect {
-      case (_, _, _, d, "insert") if !dead(d) => d
+      case (_, _, d, "insert") if !dead(d) => d
     }.filter(seen.add(_)).toVector
     if (fresh.isEmpty && newDead.isEmpty) Iterator.empty
     else {
@@ -257,19 +281,18 @@ object StateStoreNearDup {
     }
   }
 
-  /** The stateful op plan over a STREAMING (band, k0, k1, doc_id, op)
+  /** The stateful op plan over a STREAMING (band, bkey, doc_id, op)
     * relation — insert and delete band rows on one key; the single
     * flatMapGroupsWithState hop, one shuffle onto the state
     * partitions, same as [[candidateEvents]]. */
   def opCandidateEvents(opBandRows: DataFrame): DataFrame =
     opBandRows.select(col("band").cast("int").as("_1"),
-        col("k0").cast("long").as("_2"), col("k1").cast("long").as("_3"),
-        col("doc_id").cast("long").as("_4"), col("op").as("_5"))
-      .as[(Int, Long, Long, Long, String)](Encoders.tuple(Encoders.scalaInt,
-        Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
-        Encoders.STRING))
-      .groupByKey(t => (t._1, t._2, t._3))(Encoders.tuple(
-        Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong))
+        col("bkey").cast("long").as("_2"),
+        col("doc_id").cast("long").as("_3"), col("op").as("_4"))
+      .as[(Int, Long, Long, String)](Encoders.tuple(Encoders.scalaInt,
+        Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING))
+      .groupByKey(t => (t._1, t._2))(Encoders.tuple(
+        Encoders.scalaInt, Encoders.scalaLong))
       .flatMapGroupsWithState[BucketClaimState, NearDupOpEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateBucketOps)(
         Encoders.product[BucketClaimState], Encoders.product[NearDupOpEvent])
@@ -289,7 +312,7 @@ object StateStoreNearDup {
       .select(col("doc_a"), col("doc_b")) // anti-join reorders join keys
   }
 
-  /** Stream `waves` of (band, k0, k1, doc_id, op) rows through the
+  /** Stream `waves` of (band, bkey, doc_id, op) rows through the
     * claimant bucket state on the RocksDB provider; same drain/restart
     * contract as [[runWaves]]. Returns the RAW op-event relation
     * (callers fold with [[foldOpEvents]]) plus the measured shape. */
@@ -302,11 +325,11 @@ object StateStoreNearDup {
       StateStoreLineDedup.RocksDbProvider)
     val ckpt = graft.util.Scratch.dir("q66g-ckpt")
     val rowEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
-      Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING)
-    val mem = MemoryStream[(Int, Long, Long, Long, String)](rowEnc, sqlCtx)
+      Encoders.scalaLong, Encoders.STRING)
+    val mem = MemoryStream[(Int, Long, Long, String)](rowEnc, sqlCtx)
     val events = opCandidateEvents(mem.toDF()
-      .select(col("_1").as("band"), col("_2").as("k0"),
-        col("_3").as("k1"), col("_4").as("doc_id"), col("_5").as("op")))
+      .select(col("_1").as("band"), col("_2").as("bkey"),
+        col("_3").as("doc_id"), col("_4").as("op")))
     val fileMode = restartAfterWave.isDefined
     val evDir = if (fileMode)
       graft.util.Scratch.dir("q66g-events") else ""
@@ -325,10 +348,10 @@ object StateStoreNearDup {
     var q = start()
     try {
       waves.zipWithIndex.foreach { case (w, i) =>
-        mem.addData(w.select(col("band"), col("k0"), col("k1"),
+        mem.addData(w.select(col("band"), col("bkey"),
             col("doc_id"), col("op")).collect()
-          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
-            r.getString(4))).toSeq: _*)
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+            r.getString(3))).toSeq: _*)
         q.processAllAvailable()
         if (restartAfterWave.contains(i) && i < waves.size - 1) {
           q.stop()

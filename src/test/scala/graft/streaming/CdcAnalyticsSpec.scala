@@ -657,4 +657,21 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == batch,
       "widen-then-continue over the wire diverges from the fresh (8,4) survivors run")
   }
+
+  test("qc14: store rebuild from the replica — kill/resume run equals the single-query run") {
+    import org.apache.spark.sql.functions.col
+    // the entry itself runs the kill/resume drill (restart after the
+    // rebuild wave); pin it two-sided against a single-query run of
+    // the same composition — a lost RocksDB snapshot would re-emit
+    // rebuild pairs or miss cross-restart pairs and diverge
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val restarted = rows(CdcAnalytics.stateStoreRebuildOverCdc(spark, dir))
+    val single = rows(CdcAnalytics.stateStoreRebuildOverCdc(spark, dir,
+      restart = None))
+    assert(restarted.nonEmpty && restarted == single,
+      "restarted rebuild diverges from the single-query run")
+    assert(restarted.forall(_._1 % CdcAnalytics.RetractMod != 0),
+      "a cross-window-deleted doc survived as a group representative")
+  }
 }

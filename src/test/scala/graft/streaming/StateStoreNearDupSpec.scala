@@ -40,27 +40,35 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
     // per-bucket pair discoveries (>= distinct candidates, since a pair
     // can share several bands)
     val nBuckets = StateStoreNearDup.flatBands(st)
-      .select("band", "k0", "k1").distinct().count()
+      .select("band", "bkey").distinct().count()
     assert(shape.stateRows == nBuckets,
       s"state rows ${shape.stateRows} != distinct buckets $nBuckets")
     assert(shape.stateBytes > 0)
     assert(shape.candEvents >= got.count())
   }
 
-  test("rowBandKeys equals the batch bandKeys byte-for-byte per doc") {
+  test("rowBandBuckets equals flatBands byte-for-byte per doc, at every design") {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    val batch = StateStoreNearDup.flatBands(LlmText.nearDupState(docs))
-      .select("doc_id", "band", "k0", "k1")
-    val perRow = docs.select(col("doc_id"),
-        posexplode(LlmText.rowBandKeys(col("text"))).as(Seq("band", "key")))
-      .select(col("doc_id"), col("band"),
-        col("key.k0").as("k0"), col("key.k1").as("k1"))
-    // both emit exactly 8 rows per >=2-token doc, so two-sided except
-    // over the full row set pins the recipe byte-for-byte, including
-    // the short-doc NULL/filter parity
-    assert(perRow.except(batch).isEmpty && batch.except(perRow).isEmpty)
-    assert(perRow.count() == batch.count())
+    // (8,2) and (4,4) regroup the 16-component signature; (8,4) runs on
+    // the widened 32-component family — the same three designs the
+    // parquet twin migrates between (q66h/q66i)
+    for ((b, r, w) <- Seq((8, 2, 16), (4, 4, 16), (8, 4, 32))) {
+      val batch = StateStoreNearDup.flatBands(
+          LlmText.nearDupState(docs, nHashes = w), b, r)
+        .select("doc_id", "band", "bkey")
+      val perRow = docs.select(col("doc_id"),
+          posexplode(LlmText.rowBandBuckets(col("text"), b, r))
+            .as(Seq("band", "bkey")))
+        .select(col("doc_id"), col("band"), col("bkey"))
+      // both emit exactly b rows per >=2-token doc, so two-sided except
+      // over the full row set pins the recipe byte-for-byte — the
+      // shared minhash fold AND the xxhash64 bucket fold — including
+      // the short-doc NULL/filter parity
+      assert(perRow.except(batch).isEmpty && batch.except(perRow).isEmpty,
+        s"bucket parity broke at ($b, $r)")
+      assert(perRow.count() == batch.count() && perRow.count() > 0)
+    }
   }
 
   test("the continuous candidate plan carries exactly one exchange") {
@@ -71,9 +79,8 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val bands = docs.select(col("doc_id"),
-        posexplode(LlmText.rowBandKeys(col("text"))).as(Seq("band", "key")))
-      .select(col("band"), col("key.k0").as("k0"), col("key.k1").as("k1"),
-        col("doc_id"))
+        posexplode(LlmText.rowBandBuckets(col("text"))).as(Seq("band", "bkey")))
+      .select(col("band"), col("bkey"), col("doc_id"))
     val ev = StateStoreNearDup.candidateEvents(bands)
     assert(ev.count() > 0) // execute first — AQE finalizes the plan
     val plan = ev.queryExecution.executedPlan.toString
@@ -85,8 +92,8 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
   test("a pair whose members arrive in different waves is discovered") {
     import spark.implicits._
     // two synthetic band rows sharing one bucket, one per wave
-    val w1 = Seq((0, 11L, 22L, 100L)).toDF("band", "k0", "k1", "doc_id")
-    val w2 = Seq((0, 11L, 22L, 7L)).toDF("band", "k0", "k1", "doc_id")
+    val w1 = Seq((0, 1122L, 100L)).toDF("band", "bkey", "doc_id")
+    val w2 = Seq((0, 1122L, 7L)).toDF("band", "bkey", "doc_id")
     val (cands, shape) = StateStoreNearDup.runWaves(spark, Seq(w1, w2))
     val got = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((7L, 100L)), s"got $got")
@@ -118,8 +125,8 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
 
   private def mkOps(rows: Seq[(Long, String)]) = {
     import spark.implicits._
-    rows.map { case (d, op) => (0, 1L, 2L, d, op) }
-      .toDF("band", "k0", "k1", "doc_id", "op")
+    rows.map { case (d, op) => (0, 12L, d, op) }
+      .toDF("band", "bkey", "doc_id", "op")
   }
 
   test("q66g: folded op events equal the batch banded chain over the survivors") {
@@ -141,7 +148,7 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
     assert(events.where(col("tomb")).select("doc_a").distinct().count() ==
       st.where(col("doc_id") % 7 === 0).count())
     assert(shape.stateRows ==
-      StateStoreNearDup.flatBands(st).select("band", "k0", "k1")
+      StateStoreNearDup.flatBands(st).select("band", "bkey")
         .distinct().count())
   }
 
@@ -205,14 +212,56 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
     assert(s2.stateRows == s1.stateRows)
   }
 
+  test("the (4,4) high-precision design runs on the same store plumbing") {
+    // VERDICT r11 item 1 — the q66h target design on the state store:
+    // same waves, same state function, only the banding parameter moves
+    val st = LlmText.bigramStateCached(spark, dir)
+    val (cands, shape) = StateStoreNearDup.runWaves(spark, Seq(
+      StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 0), 4, 4),
+      StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 1), 4, 4)))
+    val got = cands.select("doc_a", "doc_b").distinct()
+    val want = LlmText.bandedCandidates(st, 4, 4)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "(4,4) candidate set differs from the batch chain at (4,4)")
+    assert(shape.stateRows ==
+      StateStoreNearDup.flatBands(st, 4, 4).select("band", "bkey")
+        .distinct().count())
+    // the designs disagree on this corpus (or the test proves nothing)
+    val c82 = LlmText.bandedCandidates(st, 8, 2)
+    assert(want.count() < c82.count(),
+      "(4,4) must admit strictly fewer candidates than (8,2) here")
+  }
+
+  test("the widened (8,4) design runs on the same store plumbing with ops") {
+    // the q66i target design: 32-component signatures, claimant state,
+    // DELETEs — survivors equal the batch chain at (8,4) over survivors
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val st = LlmText.nearDupState(docs, nHashes = 32).localCheckpoint(true)
+    def wave(op: String, pred: org.apache.spark.sql.Column) =
+      StateStoreNearDup.flatBands(st.where(pred), 8, 4)
+        .withColumn("op", lit(op))
+    val (events, _) = StateStoreNearDup.runOpWaves(spark, Seq(
+      wave("insert", col("doc_id") % 2 === 0),
+      wave("insert", col("doc_id") % 2 === 1),
+      wave("delete", col("doc_id") % 7 === 0)))
+    val surv = st.where(col("doc_id") % 7 =!= 0)
+    val got = LlmText.verifyPairs(StateStoreNearDup.foldOpEvents(events),
+      surv.select("doc_id", "hs", "nbg")).select("doc_a", "doc_b", "jaccard")
+    val want = LlmText.verifyPairs(LlmText.bandedCandidates(surv, 8, 4),
+      surv.select("doc_id", "hs", "nbg")).select("doc_a", "doc_b", "jaccard")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "(8,4) survivor pair set differs from the batch chain at (8,4)")
+  }
+
   test("a bucket over the hot cap stops emitting; earlier pairs are retained") {
     import spark.implicits._
     val cap = LlmText.HotBucketCap
     // wave 1: 3 members -> 3 pairs; wave 2: pushes the bucket past the
     // cap -> NO new emissions, but membership still accrues (wave 3's
     // single arrival sees an over-cap bucket and stays silent too)
-    val mk = (ids: Seq[Long]) => ids.map(i => (0, 1L, 2L, i))
-      .toDF("band", "k0", "k1", "doc_id")
+    val mk = (ids: Seq[Long]) => ids.map(i => (0, 12L, i))
+      .toDF("band", "bkey", "doc_id")
     val (cands, shape) = StateStoreNearDup.runWaves(spark, Seq(
       mk(Seq(1L, 2L, 3L)),
       mk((4L to (cap.toLong + 1L))),
