@@ -108,19 +108,28 @@ final class MockMaxScaleServer(
             case GtidRe(_, _, sq) => sq.toLong
             case _ => -1L
           }
-        val toSend = events.filter { ev =>
-          ev match {
-            case SeqRe(sq) => sq.toLong > resumeSeq
-            case _ => true // DDL / schema events always stream
+        // fast path: with no resume position every event streams (the
+        // regex would match-or-default to true for all of them), so the
+        // per-event sequence scan — and the filtered copy it builds —
+        // is skipped; the ingest bench feeds multi-million-event
+        // streams through here
+        val toSend =
+          if (resumeSeq < 0) events
+          else events.filter { ev =>
+            ev match {
+              case SeqRe(sq) => sq.toLong > resumeSeq
+              case _ => true // DDL / schema events always stream
+            }
           }
-        }
-        toSend.zipWithIndex.foreach { case (ev, i) =>
+        var i = 0
+        toSend.foreach { ev =>
           interleavedError.filter(_ => i == 1).foreach(e => reply(conn, e))
           val bytes = (ev + "\n").getBytes(UTF_8)
           if (chunkSize <= 0) out.write(bytes)
           else bytes.grouped(chunkSize).foreach { c => out.write(c); out.flush(); Thread.sleep(1) }
           out.flush()
           eventsSent += 1
+          i += 1
         }
     }
     if (!closeAfterEvents) Thread.sleep(60000)
