@@ -54,7 +54,8 @@ object DedupGroups {
         .join(labels.select(col("doc_id").as("src"), col("rep")), "src")
         .select(col("dst").as("doc_id"), col("rep"))
         .unionByName(labels)
-      val next = contrib.groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
+      val next = graft.util.StageAudit.record(s"cc:minlabel-round$i",
+          contrib.groupBy(col("doc_id")).agg(min(col("rep")).as("rep")))
         .localCheckpoint(true)
       val nextSum = labelSum(next)
       labels = next

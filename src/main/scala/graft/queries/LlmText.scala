@@ -836,10 +836,12 @@ object LlmText {
         val scanRows = pairs.count()
         val rows = graft.util.Jobs.awaitAll("q130 threshold legs")(
           Seq(35, 50, 70).map { t => () => {
-          val p = pairs.where(col("jaccard") >= t / 100.0).localCheckpoint(true)
+          val p = graft.util.StageAudit.record(s"q130:filter-t$t",
+            pairs.where(col("jaccard") >= t / 100.0)).localCheckpoint(true)
           val comp = graft.operators.DedupGroups.components(p)
-          val agg = comp.groupBy(col("rep")).agg(count(lit(1)).as("m"))
-            .agg(count(lit(1)).as("ncl"), coalesce(sum(col("m")), lit(0L)).as("nmem"))
+          val agg = graft.util.StageAudit.record(s"q130:cluster-agg-t$t",
+            comp.groupBy(col("rep")).agg(count(lit(1)).as("m"))
+              .agg(count(lit(1)).as("ncl"), coalesce(sum(col("m")), lit(0L)).as("nmem")))
             .collect().head
           val (ncl, nmem) = (agg.getLong(0), agg.getLong(1))
           val np = p.count()

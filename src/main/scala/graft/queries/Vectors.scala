@@ -2210,11 +2210,12 @@ object Vectors {
         def top3(scored: DataFrame): DataFrame =
           scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
             .select(col("query_id"), col("node"))
-        // exact ground truth (the q48 brute shape)
-        val truth3 = top3(
+        // exact ground truth (the q48 brute shape — the one DECLARED
+        // BNLJ stage in this entry; the stage audit allowlists it)
+        val truth3 = graft.util.StageAudit.record("q129:truth3-brute", top3(
           e.join(qv, col("vec_id") =!= col("query_id"))
             .select(col("query_id"), col("vec_id").as("node"),
-              round(dot(col("u"), col("qu")), 4).as("sim")))
+              round(dot(col("u"), col("qu")), 4).as("sim"))))
           .localCheckpoint(true)
         def hits(t3: DataFrame): Long =
           t3.join(truth3, Seq("query_id", "node")).count()
@@ -2236,10 +2237,11 @@ object Vectors {
             .select(col("vec_id").as("query_id"), col("cell"))
           val q = broadcast(probes.join(
             qv.select(col("query_id"), col("qu")), Seq("query_id")))
-          val cand = member.join(q,
+          val cand = graft.util.StageAudit.record(s"q129:ivf-p$p",
+            member.join(q,
               member("cell") === q("cell") && col("vec_id") =!= col("query_id"))
             .select(col("query_id"), col("vec_id").as("node"),
-              round(dot(col("u"), col("qu")), 4).as("sim"))
+              round(dot(col("u"), col("qu")), 4).as("sim")))
             .localCheckpoint(true)
           ("ivf", p.toLong, cand.count(), hits(top3(cand)))
         } }
@@ -2254,20 +2256,23 @@ object Vectors {
         val beamF = Seq(2, 4, 8).map { b => () => {
           var beam = ent
           var scoredCount = 0L
-          for (_ <- 1 to 5) {
-            val expanded = beam
-              .union(beam.join(g0, col("node") === col("src"))
-                .select(col("query_id"), col("dst").as("node")))
-              .distinct().localCheckpoint(false)
+          for (h <- 1 to 5) {
+            val expanded = graft.util.StageAudit.record(s"q129:beam-b$b-h$h-expand",
+              beam
+                .union(beam.join(g0, col("node") === col("src"))
+                  .select(col("query_id"), col("dst").as("node")))
+                .distinct()).localCheckpoint(false)
             scoredCount += expanded.count()
-            beam = scoreNodes(expanded)
-              .groupBy(col("query_id"))
-              .agg(slice(sort_array(collect_set(
-                struct((lit(0.0) - col("sim")).as("ns"), col("node")))), 1, b).as("top"))
-              .select(col("query_id"), explode(col("top.node")).as("node"))
+            beam = graft.util.StageAudit.record(s"q129:beam-b$b-h$h-select",
+              scoreNodes(expanded)
+                .groupBy(col("query_id"))
+                .agg(slice(sort_array(collect_set(
+                  struct((lit(0.0) - col("sim")).as("ns"), col("node")))), 1, b).as("top"))
+                .select(col("query_id"), explode(col("top.node")).as("node")))
               .localCheckpoint(false)
           }
-          val fin = top3(scoreNodes(beam).where(col("node") =!= col("query_id")))
+          val fin = top3(graft.util.StageAudit.record(s"q129:beam-b$b-final",
+            scoreNodes(beam).where(col("node") =!= col("query_id"))))
           ("beam", b.toLong, scoredCount, hits(fin))
         } }
 

@@ -53,9 +53,18 @@ object StateLayout {
     * (and with it the [[autoCompactDue]] cadence) proportional to
     * batches, not to batch partitioning. */
   def append(df: DataFrame, dir: String, keys: Seq[String]): Unit =
-    df.withColumn(BucketCol, bucketOf(keys))
-      .repartition(NumBuckets, col(BucketCol))
+    // the audit hook sees the FULL per-batch upstream DAG here — every
+    // incremental state's batch computation terminates in an append,
+    // so this one record() covers the streaming twins' per-batch plans
+    graft.util.StageAudit.record(s"state-append:${dirLabel(dir)}",
+        df.withColumn(BucketCol, bucketOf(keys))
+          .repartition(NumBuckets, col(BucketCol)))
       .write.mode("append").partitionBy(BucketCol).parquet(dir)
+
+  /** Stable audit label: scratch roots are per-run temp dirs, so key
+    * the captured plan by the state dir's leaf name only. */
+  private def dirLabel(dir: String): String =
+    dir.reverse.takeWhile(_ != '/').reverse
 
   /** Compaction rewrite preserving the bucketed layout: `repartition`
     * ON the bucket column puts each bucket's rows in exactly one task,
@@ -69,8 +78,9 @@ object StateLayout {
   def overwriteCompacted(df: DataFrame, dir: String, keys: Seq[String],
       parts: Int): Unit =
     swapIn(df.sparkSession, dir) { tmp =>
-      df.withColumn(BucketCol, bucketOf(keys))
-        .repartition(NumBuckets, col(BucketCol))
+      graft.util.StageAudit.record(s"state-compact:${dirLabel(dir)}",
+          df.withColumn(BucketCol, bucketOf(keys))
+            .repartition(NumBuckets, col(BucketCol)))
         .write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
     }
 

@@ -24,16 +24,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * aggregation over materialized state — the interesting plans are
   * audited via their batch twins.
   *
-  * KNOWN LIMITATION (ADVICE r9): the audit inspects each entry's FINAL
-  * executedPlan only. For driver-composed entries the final plan is a
+  * SCOPE (ADVICE r9, closed in r12): this spec inspects each entry's
+  * FINAL executedPlan. For driver-composed entries the final plan is a
   * trivial LocalRelation over collected rows (q129/q130: per-leg
   * sweeps collected then toDF) or a scan of materialized temp state
-  * (q133s and the other streaming twins) — the interesting per-leg /
-  * per-wave plans never reach this spec. Those entries' constituent
-  * stages are audited by their TARGETED guards instead (PlanSpec
-  * inspects the round/leg stage DataFrames directly — the q122b
-  * lesson), so the blanket pass here means "no unlisted shape in any
-  * final plan", not "every intermediate plan of every entry".
+  * (q133s and the other streaming twins) — their constituent per-leg /
+  * per-batch plans are audited by StagePlanAuditSpec via the
+  * StageAudit capture hook (same assertions, per recorded stage), on
+  * top of the TARGETED PlanSpec guards.
   */
 class RegistryPlanAuditSpec extends AnyFunSuite with SparkTestSession {
 
