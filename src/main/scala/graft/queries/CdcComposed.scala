@@ -258,5 +258,31 @@ object CdcComposed {
       // machinery anywhere in it.
       (s, d) => graft.streaming.CdcAnalytics.stateStoreRebuildOverCdc(s, d),
       Some(LlmText.dedupGroupsOracleSqlOverBr(
-        s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0", 8, 4))))
+        s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0", 8, 4))),
+
+    QueryDef("qc15_cdc_multitable_ddl_evolution",
+      // Multi-table DDL EVOLUTION under load (VERDICT r11 item 8): two
+      // tables subscribed concurrently in ONE unioned streaming query,
+      // each receiving a mid-stream DDL that RENAMES its value column
+      // (non-additive — projecting a v1 row under v2 loses the value),
+      // with CDC DELETEs in each v2 wave reaching back across the DDL
+      // boundary. The sources split micro-batches at the DDL event
+      // (`splitBatchesAtDdl`), so the materializer binds `from_json`
+      // ONCE per (batch, table) — version-purity is require()d per
+      // batch. Which COLUMN each key's cents landed in IS the version
+      // that projected it, so the oracle — both final states computed
+      // straight from customer/orders, no CDC anywhere — certifies the
+      // boundary split and per-version binding in one hash gate.
+      (s, d) => graft.streaming.CdcAnalytics.multiTableDdlEvolution(s, d),
+      Some("SELECT * FROM (" +
+        "SELECT 'balances' AS src, c_custkey AS k, " +
+        "CASE WHEN c_custkey % 2 = 0 THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS v1_cents, " +
+        "CASE WHEN c_custkey % 2 = 1 THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS v2_cents " +
+        "FROM customer WHERE c_custkey % 10 <> 0 " +
+        "UNION ALL " +
+        "SELECT 'orders' AS src, o_orderkey AS k, " +
+        "CASE WHEN o_orderkey % 32 = 0 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END AS v1_cents, " +
+        "CASE WHEN o_orderkey % 32 <> 0 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END AS v2_cents " +
+        "FROM orders WHERE o_orderkey % 16 = 0 AND o_orderkey % 160 <> 0" +
+        ") ORDER BY src, k")))
 }

@@ -337,6 +337,31 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
     availableNowBound = buffer.synchronized(base + buffer.size)
   }
 
+  // ---- DDL batch-boundary split (SURVEY §7.3 hardening): with
+  // `splitBatchesAtDdl=true`, a micro-batch never SPANS a schema
+  // change — the admitted range is cut just before the first DDL event
+  // strictly inside it, so the DDL opens the NEXT batch and every
+  // batch's DML rows project under exactly one schema version (a
+  // DDL-leading batch registers its schema before its own DMLs in
+  // CdcProjection.registryFrom, which collects DDLs batch-first). Off
+  // by default: projectPerVersion already handles spanning batches;
+  // this is for sinks that bind `from_json` ONCE per batch.
+  private val splitAtDdl =
+    options.getOrElse("splitBatchesAtDdl", "false").toBoolean
+
+  /** First DDL index in (from, until) — exclusive on BOTH ends: a DDL
+    * AT `from` is the batch's own leading schema event and must not
+    * produce an empty batch. Buffer lock must be held. */
+  private def ddlCutLocked(from: Long, until: Long): Long = {
+    var i = math.max(from + 1, base)
+    var cut = until
+    while (i < until && cut == until) {
+      if (buffer((i - base).toInt).kind == "ddl") cut = i
+      i += 1
+    }
+    cut
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     ensureReceiver()
     if (receiverError != null) throw receiverError
@@ -345,10 +370,11 @@ final class MaxScaleCdcMicroBatchStream(options: Map[String, String])
       rebaseIfBeyondLocked(s)
       val avail0 = base + buffer.size
       val avail = if (availableNowBound >= 0) math.min(avail0, availableNowBound) else avail0
-      val end = limit match {
+      val end0 = limit match {
         case m: ReadMaxRows => math.min(avail, s + m.maxRows)
         case _ => avail
       }
+      val end = if (splitAtDdl) ddlCutLocked(s, end0) else end0
       offsetAtLocked(end)
     }
   }

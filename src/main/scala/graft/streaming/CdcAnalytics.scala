@@ -1344,4 +1344,180 @@ object CdcAnalytics {
       .agg(count(lit(1)).as("n_cust"), sum(col("bal_cents")).as("sum_cents"))
       .orderBy(col("nationkey"))
   }
+
+  // ---- qc15: multi-table DDL EVOLUTION under load (VERDICT r11
+  // item 8). Two tables subscribed CONCURRENTLY (two connections, one
+  // unioned streaming query), each receiving a mid-stream DDL that
+  // RENAMES its value column — the non-additive evolution that makes
+  // per-version projection load-bearing: projecting a v1 row under the
+  // v2 schema loses the value (the renamed field is absent from the v1
+  // payload), so the final hash gate fails unless every batch's DMLs
+  // bind `from_json` under their own version. The sources run with
+  // `splitBatchesAtDdl=true`, so a micro-batch never spans the DDL:
+  // the materializer may bind ONE schema per (batch, table) — the
+  // registry absorbed this batch's leading DDL first — and the drill
+  // require()s version-purity per batch, proving the boundary split.
+  // CDC DELETEs in each v2 wave reach BACK across the DDL boundary
+  // into v1-inserted keys (delete payloads are v2-shaped; only the key
+  // projects). Oracle: both tables' final states computed straight
+  // from `customer`/`orders` with no CDC anywhere — v1-wave keys carry
+  // their cents in the OLD column, v2-wave keys in the NEW one.
+
+  val BalTableName = "balances_feed"
+  val OrdTableName = "orders_feed2"
+
+  /** Wide (all-versions) sink schemas: the union of v1 and v2 fields. */
+  val balWideSchema: StructType = StructType(Seq(
+    StructField("custkey", LongType),
+    StructField("bal_cents", LongType),      // v1 name
+    StructField("balance_cents", LongType))) // v2 name (renamed)
+  val ordWideSchema: StructType = StructType(Seq(
+    StructField("okey", LongType),
+    StructField("total_cents", LongType),    // v1 name
+    StructField("amount_cents", LongType)))  // v2 name (renamed)
+
+  private def evolveDdlJson(tbl: String, version: Int, key: String,
+      valueField: String): String =
+    s"""{"namespace":"MaxScaleChangeDataSchema.avro","type":"record","name":"ChangeRecord","table":"$tbl","database":"$Database","version":$version,"gtid":"0-1-1","fields":[{"name":"$key","type":"long"},{"name":"$valueField","type":"long"}]}"""
+
+  private def evolveDmlJson(seq: Long, op: String, key: String, k: Long,
+      valueField: String, cents: Long): String =
+    s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,"timestamp":1754956800,"event_type":"$op","$key":$k,"$valueField":$cents}"""
+
+  /** balances_feed binlog: DDL v1(custkey, bal_cents) → even-custkey
+    * inserts → DDL v2(custkey, balance_cents) → odd-custkey inserts →
+    * deletes of custkey % 10 == 0 (all even: v1-inserted, reached back
+    * across the DDL). */
+  def balWorkloadEvents(s: SparkSession, dir: String): Vector[String] = {
+    val rows = Tables(s, dir, "customer")
+      .select(col("c_custkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"))
+      .orderBy(col("c_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    var seq = 0L
+    val out = Vector.newBuilder[String]
+    out += evolveDdlJson(BalTableName, 1, "custkey", "bal_cents")
+    rows.filter(_._1 % 2 == 0).foreach { case (k, c) =>
+      seq += 1; out += evolveDmlJson(seq, "insert", "custkey", k, "bal_cents", c)
+    }
+    out += evolveDdlJson(BalTableName, 2, "custkey", "balance_cents")
+    rows.filter(_._1 % 2 == 1).foreach { case (k, c) =>
+      seq += 1; out += evolveDmlJson(seq, "insert", "custkey", k, "balance_cents", c)
+    }
+    rows.filter(_._1 % 10 == 0).foreach { case (k, c) =>
+      seq += 1; out += evolveDmlJson(seq, "delete", "custkey", k, "balance_cents", c)
+    }
+    out.result()
+  }
+
+  /** orders_feed2 binlog over the o_orderkey % 16 == 0 subset: v1 wave
+    * = % 32 == 0, v2 wave = the rest, deletes = % 160 == 0 (⊂ v1). */
+  def ordWorkloadEvents(s: SparkSession, dir: String): Vector[String] = {
+    val rows = Tables(s, dir, "orders")
+      .where(col("o_orderkey") % 16 === 0)
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .orderBy(col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    var seq = 0L
+    val out = Vector.newBuilder[String]
+    out += evolveDdlJson(OrdTableName, 1, "okey", "total_cents")
+    rows.filter(_._1 % 32 == 0).foreach { case (k, c) =>
+      seq += 1; out += evolveDmlJson(seq, "insert", "okey", k, "total_cents", c)
+    }
+    out += evolveDdlJson(OrdTableName, 2, "okey", "amount_cents")
+    rows.filter(_._1 % 32 != 0).foreach { case (k, c) =>
+      seq += 1; out += evolveDmlJson(seq, "insert", "okey", k, "amount_cents", c)
+    }
+    rows.filter(_._1 % 160 == 0).foreach { case (k, c) =>
+      seq += 1; out += evolveDmlJson(seq, "delete", "okey", k, "amount_cents", c)
+    }
+    out.result()
+  }
+
+  /** ONE streaming query over BOTH tables' sources (unioned), each
+    * with `splitBatchesAtDdl=true`; per (batch, table): absorb DDLs,
+    * require version-purity of the DMLs (the split proof), bind the
+    * registry's latest schema ONCE, widen to the all-versions sink
+    * schema, and merge exactly-once into that table's snapshot. Reuse
+    * the same snapBase+ckptPath to RESUME (the qc1 restart contract);
+    * `onBatch` observes (batchId, table, distinct DML versions) for
+    * the drill's boundary assertions. */
+  def runMultiTableDdlPipeline(s: SparkSession,
+      balEvents: Seq[String], ordEvents: Seq[String],
+      snapBase: String, ckptPath: String, expectRows: Long,
+      timeoutMs: Long = 120000,
+      onBatch: (Long, String, Seq[Int]) => Unit = (_, _, _) => ())
+      : (CdcSnapshotTable, CdcSnapshotTable) = {
+    val srvA = new MockMaxScaleServer(events = balEvents, closeAfterEvents = false)
+    val srvB = new MockMaxScaleServer(events = ordEvents, closeAfterEvents = false)
+    val snapA = new CdcSnapshotTable(s"$snapBase/bal", Seq("custkey"), balWideSchema)
+    val snapB = new CdcSnapshotTable(s"$snapBase/ord", Seq("okey"), ordWideSchema)
+    val reg = new SchemaRegistry
+    val consumed = new java.util.concurrent.atomic.AtomicLong
+    def src(port: Int, tbl: String) =
+      s.readStream.format("maxscale-cdc")
+        .option("host", "127.0.0.1").option("port", port)
+        .option("user", "u").option("password", "p")
+        .option("database", Database).option("table", tbl)
+        .option("splitBatchesAtDdl", "true")
+        .load()
+    val stream = src(srvA.port, BalTableName)
+      .unionByName(src(srvB.port, OrdTableName))
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      CdcProjection.registryFrom(batch, reg)
+      Seq((BalTableName, snapA, balWideSchema),
+          (OrdTableName, snapB, ordWideSchema)).foreach {
+        case (tbl, snap, wide) =>
+          val slice = batch.where(col("table") === tbl)
+          val vers = slice.where(col("kind") === "dml")
+            .select(col("schema_version")).distinct()
+            .collect().map(_.getInt(0)).toSeq.sorted
+          onBatch(bid, tbl, vers)
+          require(vers.size <= 1,
+            s"batch $bid spans schema versions $vers for $tbl — DDL split failed")
+          if (reg.latest(Database, tbl).isDefined) {
+            val proj = CdcProjection.projectLatest(slice, reg, Database, tbl)
+            val filled = wide.fields.foldLeft(proj) { (df, f) =>
+              if (df.columns.contains(f.name)) df
+              else df.withColumn(f.name, lit(null).cast(f.dataType))
+            }
+            snap.applyBatch(filled, bid)
+          }
+      }
+      consumed.addAndGet(batch.count())
+      ()
+    }.option("checkpointLocation", ckptPath).start()
+    try {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (consumed.get() < expectRows && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        if (consumed.get() < expectRows) Thread.sleep(50)
+      }
+      require(consumed.get() == expectRows,
+        s"multi-table CDC drained ${consumed.get()} of $expectRows rows")
+    } finally q.stop()
+    snapA.prune(s); snapB.prune(s)
+    (snapA, snapB)
+  }
+
+  /** The qc15 entry body: run the two-table evolution workload, then
+    * emit one comparison table over both final snapshots — which
+    * COLUMN each key's cents landed in IS the version it was projected
+    * under, so the hash gate certifies the per-version binding and the
+    * batch-boundary split together. */
+  def multiTableDdlEvolution(s: SparkSession, dir: String): DataFrame = {
+    val balEvents = balWorkloadEvents(s, dir)
+    val ordEvents = ordWorkloadEvents(s, dir)
+    val tmp = graft.util.Scratch.dir("qc15-cdc")
+    val (snapA, snapB) = runMultiTableDdlPipeline(s, balEvents, ordEvents,
+      s"$tmp/snap", s"$tmp/ckpt", (balEvents.size + ordEvents.size).toLong)
+    snapA.snapshot(s)
+      .select(lit("balances").as("src"), col("custkey").as("k"),
+        col("bal_cents").as("v1_cents"), col("balance_cents").as("v2_cents"))
+      .unionByName(snapB.snapshot(s)
+        .select(lit("orders").as("src"), col("okey").as("k"),
+          col("total_cents").as("v1_cents"), col("amount_cents").as("v2_cents")))
+      .orderBy(col("src"), col("k"))
+  }
 }

@@ -89,6 +89,26 @@ object ScaleProbe {
     println(s"PROBE q66f_state_rows=${nShape.stateRows} bytes=${nShape.stateBytes} " +
       s"band_rows=$nBandRows cand_events=${nShape.candEvents}")
 
+    // r12: the PARAMETERIZED designs' stores at the same tier — the
+    // (4, 4) high-precision key space (q66j) and the widened (8, 4)
+    // over 32 components (q66k); state stays linear in touched buckets
+    // whatever the banding, because the key is (band, xxhash64 bucket)
+    val (_, hpShape) = StateStoreNearDup.runWaves(spark, Seq(
+      StateStoreNearDup.flatBands(sig.where(col("doc_id") % 2 === 0), 4, 4),
+      StateStoreNearDup.flatBands(sig.where(col("doc_id") % 2 === 1), 4, 4)))
+    println(s"PROBE q66j_state_rows=${hpShape.stateRows} bytes=${hpShape.stateBytes} " +
+      s"band_rows=${sig.count() * 4} cand_events=${hpShape.candEvents}")
+    val sig32 = LlmText.nearDupState(docs, nHashes = 32).localCheckpoint(true)
+    def opWave(op: String, pred: org.apache.spark.sql.Column) =
+      StateStoreNearDup.flatBands(sig32.where(pred), 8, 4)
+        .withColumn("op", lit(op))
+    val (_, wShape) = StateStoreNearDup.runOpWaves(spark, Seq(
+      opWave("insert", col("doc_id") % 2 === 0),
+      opWave("insert", col("doc_id") % 2 === 1),
+      opWave("delete", col("doc_id") % 7 === 0)))
+    println(s"PROBE q66k_state_rows=${wShape.stateRows} bytes=${wShape.stateBytes} " +
+      s"band_rows=${sig32.count() * 8} op_events=${wShape.candEvents}")
+
     spark.stop()
   }
 }

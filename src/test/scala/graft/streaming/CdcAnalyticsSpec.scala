@@ -674,4 +674,69 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(restarted.forall(_._1 % CdcAnalytics.RetractMod != 0),
       "a cross-window-deleted doc survived as a group representative")
   }
+
+  test("qc15: micro-batches split at each table's DDL and versions transition cleanly") {
+    // observe (batchId, table, distinct DML versions) across the live
+    // run: per table the sequence of non-empty version sets must be a
+    // clean [1],[1],...,[2],[2],... — both versions present, never
+    // mixed in one batch (the require() inside the pipeline enforces
+    // purity; this asserts the TRANSITION actually happened in-stream
+    // rather than v2 arriving in a fresh query)
+    val balEvents = CdcAnalytics.balWorkloadEvents(spark, dir)
+    val ordEvents = CdcAnalytics.ordWorkloadEvents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc15-split").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Seq[Int])]
+    CdcAnalytics.runMultiTableDdlPipeline(spark, balEvents, ordEvents,
+      s"$tmp/snap", s"$tmp/ckpt", (balEvents.size + ordEvents.size).toLong,
+      onBatch = (bid, tbl, vers) => { seen.add((bid, tbl, vers)); () })
+    val byTable = seen.toArray(Array.empty[(Long, String, Seq[Int])])
+      .toSeq.groupBy(_._2)
+    Seq(CdcAnalytics.BalTableName, CdcAnalytics.OrdTableName).foreach { t =>
+      val versSeq = byTable(t).sortBy(_._1).map(_._3).filter(_.nonEmpty)
+      assert(versSeq.forall(_.size == 1), s"$t: mixed-version batch in $versSeq")
+      val flat = versSeq.map(_.head)
+      assert(flat.contains(1) && flat.contains(2),
+        s"$t: both schema versions must appear in-stream, saw $flat")
+      assert(flat == flat.sorted, s"$t: version order regressed: $flat")
+    }
+  }
+
+  test("qc15: kill/resume mid-v1 (balances) and mid-v2 (orders) equals the one-shot run") {
+    // A4's per-version resume composed with the evolution drill: the
+    // two tables are killed in DIFFERENT schema versions, so the two
+    // resumed connections re-announce DIFFERENT current schemas at
+    // stream head (the version-qualified REQUEST-DATA contract)
+    val balEvents = CdcAnalytics.balWorkloadEvents(spark, dir)
+    val ordEvents = CdcAnalytics.ordWorkloadEvents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc15-resume").toString
+    def emit(snaps: (CdcSnapshotTable, CdcSnapshotTable)): Seq[Seq[Any]] = {
+      val (a, b) = snaps
+      (a.snapshot(spark).orderBy("custkey").collect() ++
+        b.snapshot(spark).orderBy("okey").collect()).map(_.toSeq).toSeq
+    }
+    val oneShot = emit(CdcAnalytics.runMultiTableDdlPipeline(spark,
+      balEvents, ordEvents, s"$tmp/ref_snap", s"$tmp/ref_ckpt",
+      (balEvents.size + ordEvents.size).toLong))
+
+    // balances cut INSIDE the v1 insert wave; orders INSIDE v2's
+    val balDdl2 = balEvents.indexWhere(e => e.contains("\"version\":2"))
+    val ordDdl2 = ordEvents.indexWhere(e => e.contains("\"version\":2"))
+    assert(balDdl2 > 1 && ordDdl2 > 1)
+    val cutA = 1 + (balDdl2 - 1) / 2             // mid-v1
+    val cutB = ordDdl2 + 1 +
+      (ordEvents.size - ordDdl2 - 1) / 2         // mid-v2
+    val phaseA_bal = balEvents.take(cutA)
+    val phaseA_ord = ordEvents.take(cutB)
+    // a reconnect's stream is self-describing: the CURRENT version's
+    // schema first, then the remaining binlog
+    val phaseB_bal = balEvents.head +: balEvents.drop(cutA)           // ddl v1
+    val phaseB_ord = ordEvents(ordDdl2) +: ordEvents.drop(cutB)       // ddl v2
+    CdcAnalytics.runMultiTableDdlPipeline(spark, phaseA_bal, phaseA_ord,
+      s"$tmp/snap", s"$tmp/ckpt", (phaseA_bal.size + phaseA_ord.size).toLong)
+    val resumed = emit(CdcAnalytics.runMultiTableDdlPipeline(spark,
+      phaseB_bal, phaseB_ord, s"$tmp/snap", s"$tmp/ckpt",
+      (phaseB_bal.size + phaseB_ord.size).toLong))
+    assert(resumed.nonEmpty && resumed == oneShot,
+      "resumed two-table evolution diverges from the one-shot run")
+  }
 }
