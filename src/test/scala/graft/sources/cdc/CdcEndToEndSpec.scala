@@ -156,6 +156,71 @@ class CdcEndToEndSpec extends AnyFunSuite with SparkTestSession {
     } finally q.stop()
   }
 
+  test("splitBatchesAtDdl cuts the admitted range so no batch's DMLs span versions") {
+    // the same rename workload as above, but the SOURCE guarantees a
+    // sink may bind from_json once per batch: the mid-stream DDL must
+    // open a NEW micro-batch (qc15's mechanism, unit-tested at the
+    // source level). Batch membership is observed via a foreachBatch
+    // collector; without the option this workload CAN land in one
+    // spanning batch (the mixed-batch test above relies on it).
+    def ddlV(version: Int, fields: String) =
+      s"""{"namespace":"MaxScaleChangeDataSchema.avro","type":"record","name":"ChangeRecord","table":"users","database":"example","version":$version,"gtid":"0-1-$version","fields":[$fields]}"""
+    def dmlRaw(seq: Int, payload: String) =
+      s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,"timestamp":1754956800,"event_type":"insert",$payload}"""
+    val events = Seq(
+      ddlV(1, """{"name":"id","type":"int"},{"name":"name","type":["null","string"]}"""),
+      dmlRaw(1, """"id":1,"name":"alice""""),
+      dmlRaw(2, """"id":2,"name":"bob""""),
+      ddlV(2, """{"name":"id","type":"int"},{"name":"full_name","type":["null","string"]}"""),
+      dmlRaw(3, """"id":3,"full_name":"carol""""),
+      dmlRaw(4, """"id":4,"full_name":"dave""""))
+    val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
+    val df = spark.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1").option("port", server.port)
+      .option("user", "u").option("password", "p")
+      .option("database", "example").option("table", "users")
+      .option("splitBatchesAtDdl", "true")
+      .load()
+    val perBatch = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[(String, Int)])]
+    val total = new java.util.concurrent.atomic.AtomicLong
+    val q = df.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val rows = batch.orderBy("sequence")
+          .select(col("kind"), col("schema_version"))
+          .collect().map(r => (r.getString(0),
+            if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq
+        perBatch.add((bid, rows))
+        total.addAndGet(rows.size)
+        ()
+    }.option("checkpointLocation",
+      java.nio.file.Files.createTempDirectory("cdc-split").toString).start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (total.get() < events.size && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); q.processAllAvailable()
+      }
+      assert(total.get() == events.size)
+      val batches = perBatch.toArray(Array.empty[(Long, Seq[(String, Int)])])
+        .toSeq.sortBy(_._1).map(_._2).filter(_.nonEmpty)
+      // per batch: DML rows carry exactly one version
+      batches.foreach { b =>
+        val dmlVers = b.filter(_._1 == "dml").map(_._2).distinct
+        assert(dmlVers.size <= 1, s"batch spans versions: $b")
+      }
+      // every DDL is the FIRST event of its batch, never mid-batch
+      // (the cut admits a DDL only at the range head, so two DDLs can
+      // never share a batch either)
+      batches.foreach { b =>
+        b.zipWithIndex.foreach { case ((k, v), i) =>
+          assert(k != "ddl" || i == 0, s"DDL v$v at mid-batch position $i in $b")
+        }
+      }
+      // both versions were actually delivered
+      val allVers = batches.flatten.filter(_._1 == "dml").map(_._2).distinct.sorted
+      assert(allVers == Seq(1, 2))
+    } finally q.stop()
+  }
+
   test("checkpoint restart resumes without offset underflow") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
     CdcRestartProbe.rows.clear()
