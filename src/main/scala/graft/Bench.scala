@@ -219,9 +219,12 @@ object Bench {
     * events/elapsed among them: a blip lands in one sub-window and is
     * discarded; residual JIT warming favors later sub-windows instead
     * of depressing the whole run. The stream repeats (no EOF inside a
-    * run), so every sub-window is full-length. */
+    * run), so every sub-window is full-length. Ten windows span ~5 s
+    * of wall per run — a round-12 close measured a whole 3 s (6-window)
+    * run depressed by one sustained ambient-load patch, so the span
+    * must out-wait the patch, not just the blip. */
   private def ingestEventsPerSec(windowSecs: Double = 0.5,
-      nWindows: Int = 6, warmSecs: Double = 0.8, minWarm: Int = 50000): Double = {
+      nWindows: Int = 10, warmSecs: Double = 0.8, minWarm: Int = 50000): Double = {
     import graft.sources.cdc._
     // each interleaved run lands right after a full query-suite pass,
     // whose garbage otherwise forces a major GC INSIDE the timed window
