@@ -284,5 +284,21 @@ object CdcComposed {
         "CASE WHEN o_orderkey % 32 = 0 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END AS v1_cents, " +
         "CASE WHEN o_orderkey % 32 <> 0 THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END AS v2_cents " +
         "FROM orders WHERE o_orderkey % 16 = 0 AND o_orderkey % 160 <> 0" +
-        ") ORDER BY src, k")))
+        ") ORDER BY src, k")),
+
+    QueryDef("qc16_cdc_evolving_line_dedup",
+      // The DDL evolution crossing a STATEFUL layer (qc15 proves the
+      // split on a snapshot materializer; this proves it where state
+      // accumulates): the corpus table's text column is RENAMED
+      // (text → body) mid-stream while the feed fills the incremental
+      // line-dedup state — even docs arrive under v1, odd docs under
+      // v2, each wave md5-shuffled, and line OWNERSHIP reaches across
+      // the rename (a v2 doc with a lower doc_id takes a line from a
+      // v1 doc). The sink adapts per batch with a column rename — the
+      // split guarantees one schema per batch. A spanning batch would
+      // project v1 rows under v2 with null body → null text → missing
+      // chunks → the oracle hash fails. Oracle = batch q119's,
+      // verbatim (qc2's exact gate — no CDC, no evolution in it).
+      (s, d) => graft.streaming.CdcAnalytics.evolvingLineDedupOverCdc(s, d),
+      Some(LlmText.LineDedupOracleSql)))
 }

@@ -1501,6 +1501,109 @@ object CdcAnalytics {
     (snapA, snapB)
   }
 
+  // ---- qc16: the DDL-EVOLVING corpus feed into the DEDUP LAYER —
+  // qc15 proves the boundary split on a snapshot materializer; here
+  // the rename crosses a STATEFUL layer: the corpus table's text
+  // column is renamed (text → body) mid-stream while the feed is
+  // filling IncrementalLineDedup, and the sink adapts per batch (the
+  // split guarantees each batch binds one schema, so the adapter is a
+  // column rename, not a per-row dispatch). If a batch spanned the
+  // DDL, v1 rows would project under v2 with a null body → null text
+  // → missing chunks, and the q119 oracle hash (computed from
+  // `documents` with no CDC anywhere — qc2's exact gate) fails.
+
+  val EvoDocTableName = "documents_evo"
+
+  def evoDocDdlJson(version: Int, textField: String): String =
+    s"""{"namespace":"MaxScaleChangeDataSchema.avro","type":"record","name":"ChangeRecord","table":"$EvoDocTableName","database":"$Database","version":$version,"gtid":"0-1-$version","fields":[{"name":"doc_id","type":"long"},{"name":"$textField","type":"string"}]}"""
+
+  private def evoDocDmlJson(seq: Long, docId: Long, textField: String,
+      text: String): String =
+    s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,"timestamp":1754956800,"event_type":"insert","doc_id":$docId,"$textField":"${jsonEscape(text)}"}"""
+
+  /** Scripted evolving binlog: DDL v1(doc_id, text) → even docs under
+    * v1 → DDL v2(doc_id, body — the RENAME) → odd docs under v2, each
+    * wave md5-shuffled (the qc2 arrival-order doctrine). Line
+    * ownership REACHES ACROSS the rename: an odd (v2) doc with a lower
+    * doc_id takes a line from an even (v1) doc, so the dedup judgment
+    * itself spans the schema versions. */
+  def evoDocWorkloadEvents(s: SparkSession, dir: String): Vector[String] = {
+    val rows = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def shuffled(wave: Seq[(Long, String)], salt: String) =
+      wave.map(r => shuffleKey(s"qc16:$salt:${r._1}") -> r).sortBy(_._1).map(_._2)
+    var seq = 0L
+    val out = Vector.newBuilder[String]
+    out += evoDocDdlJson(1, "text")
+    shuffled(rows.filter(_._1 % 2 == 0), "v1").foreach { case (id, t) =>
+      seq += 1; out += evoDocDmlJson(seq, id, "text", t)
+    }
+    out += evoDocDdlJson(2, "body")
+    shuffled(rows.filter(_._1 % 2 == 1), "v2").foreach { case (id, t) =>
+      seq += 1; out += evoDocDmlJson(seq, id, "body", t)
+    }
+    out.result()
+  }
+
+  /** The qc16 wire half (injectable paths for the resume drill): the
+    * evolving feed with `splitBatchesAtDdl=true`, per-batch
+    * version-purity require()d, and the rename adapted by a column
+    * rename before the batch enters the dedup state. */
+  def runEvoDocPipeline(s: SparkSession, events: Seq[String],
+      statePath: String, ckptPath: String, expectRows: Long): IncrementalLineDedup = {
+    val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
+    val inc = new IncrementalLineDedup(statePath)
+    val reg = new SchemaRegistry
+    val consumed = new java.util.concurrent.atomic.AtomicLong
+    val stream = s.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1").option("port", server.port)
+      .option("user", "u").option("password", "p")
+      .option("database", Database).option("table", EvoDocTableName)
+      .option("splitBatchesAtDdl", "true")
+      .load()
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      CdcProjection.registryFrom(batch, reg)
+      if (reg.latest(Database, EvoDocTableName).isDefined) {
+        val vers = batch.where(col("kind") === "dml")
+          .select(col("schema_version")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        require(vers.size <= 1,
+          s"qc16 batch $bid spans schema versions $vers — DDL split failed")
+        val proj = CdcProjection.projectLatest(batch, reg, Database, EvoDocTableName)
+          .where(col("op") === "insert")
+        val normalized =
+          if (proj.columns.contains("body"))
+            proj.withColumnRenamed("body", "text")
+          else proj
+        inc.processBatch(normalized.select(col("doc_id"), col("text")), bid)
+      }
+      consumed.addAndGet(batch.count())
+      ()
+    }.option("checkpointLocation", ckptPath).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (consumed.get() < expectRows && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        if (consumed.get() < expectRows) Thread.sleep(50)
+      }
+      require(consumed.get() == expectRows,
+        s"qc16 pipeline drained ${consumed.get()} of $expectRows rows")
+    } finally q.stop()
+    inc
+  }
+
+  /** qc16's query body: the evolving feed into the dedup state, then
+    * the q119 emission — the oracle is qc2's verbatim, so the gate
+    * certifies that a mid-stream RENAME is invisible to the layer. */
+  def evolvingLineDedupOverCdc(s: SparkSession, dir: String): DataFrame = {
+    val events = evoDocWorkloadEvents(s, dir)
+    val tmp = graft.util.Scratch.dir("qc16-cdc")
+    val inc = runEvoDocPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
+      events.size.toLong)
+    inc.lines(s).orderBy(col("doc_id"))
+  }
+
   /** The qc15 entry body: run the two-table evolution workload, then
     * emit one comparison table over both final snapshots — which
     * COLUMN each key's cents landed in IS the version it was projected

@@ -739,4 +739,30 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(resumed.nonEmpty && resumed == oneShot,
       "resumed two-table evolution diverges from the one-shot run")
   }
+
+  test("qc16: an outage spanning the rename DDL resumes to the one-shot dedup state") {
+    // kill the evolving feed INSIDE the v1 wave, so the v2 DDL (the
+    // rename) and every v2 doc arrive only after the restart — the
+    // dedup state built under v1 must seamlessly absorb the renamed
+    // feed, and cross-version line ownership (a v2 doc with a lower
+    // doc_id taking a v1 doc's line) must come out identical to the
+    // uninterrupted run
+    def rows(inc: IncrementalLineDedup) =
+      inc.lines(spark).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val events = CdcAnalytics.evoDocWorkloadEvents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc16-resume").toString
+    val oneShot = rows(CdcAnalytics.runEvoDocPipeline(spark, events,
+      s"$tmp/ref_state", s"$tmp/ref_ckpt", events.size.toLong))
+    val ddl2 = events.indexWhere(_.contains("\"version\":2"))
+    assert(ddl2 > 2, "fixture drift: no v2 DDL mid-stream")
+    val cut = 1 + (ddl2 - 1) / 2 // inside the v1 wave
+    val phaseA = events.take(cut)
+    val phaseB = events.head +: events.drop(cut) // reconnect: current (v1) schema first
+    CdcAnalytics.runEvoDocPipeline(spark, phaseA,
+      s"$tmp/state", s"$tmp/ckpt", phaseA.size.toLong)
+    val resumed = rows(CdcAnalytics.runEvoDocPipeline(spark, phaseB,
+      s"$tmp/state", s"$tmp/ckpt", phaseB.size.toLong))
+    assert(resumed.nonEmpty && resumed == oneShot,
+      "resume across the rename DDL diverges from the one-shot run")
+  }
 }
