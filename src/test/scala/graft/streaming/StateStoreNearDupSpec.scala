@@ -254,6 +254,34 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
       "(8,4) survivor pair set differs from the batch chain at (8,4)")
   }
 
+  test("the widened (8,4) claimant state survives a restart into the delete wave") {
+    // recovery at the design the production migration lands on (qc14's
+    // rebuilt store): kill after both insert waves, recover the RocksDB
+    // snapshot from the checkpoint, then serve the DELETE wave — a lost
+    // bucket state would re-emit discovered pairs or drop tombstones,
+    // and the survivor fold would diverge from the single-query run
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val st = LlmText.nearDupState(docs, nHashes = 32).localCheckpoint(true)
+    def wave(op: String, pred: org.apache.spark.sql.Column) =
+      StateStoreNearDup.flatBands(st.where(pred), 8, 4)
+        .withColumn("op", lit(op))
+    val waves = Seq(
+      wave("insert", col("doc_id") % 2 === 0),
+      wave("insert", col("doc_id") % 2 === 1),
+      wave("delete", col("doc_id") % 7 === 0))
+    def survivors(restart: Option[Int]) = {
+      val (events, _) = StateStoreNearDup.runOpWaves(spark, waves,
+        restartAfterWave = restart)
+      StateStoreNearDup.foldOpEvents(events)
+        .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    }
+    val restarted = survivors(Some(1))
+    val single = survivors(None)
+    assert(restarted.nonEmpty && restarted == single,
+      "restarted (8,4) op-wave run diverges from the single-query run")
+  }
+
   test("a bucket over the hot cap stops emitting; earlier pairs are retained") {
     import spark.implicits._
     val cap = LlmText.HotBucketCap
