@@ -44,7 +44,10 @@ object CompactionScaleProbe {
     println(s"PROBE n_docs=${docs.count()} batches=$nBatches " +
       s"threshold=${StateLayout.AutoCompactFiles}")
 
-    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    // session scratch root (shutdown-hook cleaned) — two 50k-doc state
+    // dirs per run would otherwise accumulate in /tmp (the ADVICE r11
+    // class)
+    def tmp(p: String) = graft.util.Scratch.dir(p)
     val autoDir = tmp("compact-sf1-auto")
     val auto = new IncrementalLineDedup(autoDir) // PRODUCTION threshold
     val twin = new IncrementalLineDedup(tmp("compact-sf1-twin"),
