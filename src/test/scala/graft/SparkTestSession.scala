@@ -15,7 +15,13 @@ trait SparkTestSession extends BeforeAndAfterAll { self: Suite =>
 object SparkTestSession {
   lazy val session: SparkSession = {
     val builder = SparkSession.builder()
-      .master("local[4]")
+      // local[threads, maxFailures]: 2 task attempts, so the suite can
+      // drill TASK-RETRY idempotence (TaskRetrySpec) — the failure mode
+      // that is CONSTANT on a 1000-executor cluster and that batch-
+      // replay drills alone cannot reach. Fail-fast specs are
+      // unaffected: a deterministic task error fails its retry too and
+      // surfaces the same wrapped exception, one attempt later.
+      .master("local[4,2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
