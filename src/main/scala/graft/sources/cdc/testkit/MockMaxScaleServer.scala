@@ -121,16 +121,28 @@ final class MockMaxScaleServer(
               case _ => true // DDL / schema events always stream
             }
           }
+        // whole-event mode writes through a 64 KiB buffer — one syscall
+        // per ~300 events instead of one per event, which is also how
+        // the real server's TCP segments arrive (many events per read;
+        // the framer exists precisely to re-split them). The buffer is
+        // flushed after the loop, BEFORE the keep-alive sleep, so every
+        // scripted event is on the wire when the loop ends. Chunked
+        // mode keeps per-chunk flushes — its tests stress read
+        // boundaries on a trickling wire.
+        val bout = if (chunkSize <= 0)
+          new java.io.BufferedOutputStream(out, 65536) else out
         var i = 0
         toSend.foreach { ev =>
-          interleavedError.filter(_ => i == 1).foreach(e => reply(conn, e))
+          interleavedError.filter(_ => i == 1).foreach { e =>
+            bout.flush(); reply(conn, e)
+          }
           val bytes = (ev + "\n").getBytes(UTF_8)
-          if (chunkSize <= 0) out.write(bytes)
-          else bytes.grouped(chunkSize).foreach { c => out.write(c); out.flush(); Thread.sleep(1) }
-          out.flush()
+          if (chunkSize <= 0) bout.write(bytes)
+          else bytes.grouped(chunkSize).foreach { c => bout.write(c); bout.flush(); Thread.sleep(1) }
           eventsSent += 1
           i += 1
         }
+        bout.flush()
     }
     if (!closeAfterEvents) Thread.sleep(60000)
   }
