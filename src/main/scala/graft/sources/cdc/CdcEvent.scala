@@ -60,15 +60,31 @@ object CdcEvent {
   private val mapper = new ObjectMapper
 
   /** Cheap prefix dispatch before a full parse (reference:
-    * `stream.go:13-16`, `stream.go:119-135`). */
-  private val DdlPrefix = """^\s*\{\s*"namespace"""".r
-  private val DmlPrefix = """^\s*\{\s*"domain"""".r
+    * `stream.go:13-16`, `stream.go:119-135`): `{ "namespace"` = DDL,
+    * `{ "domain"` = DML, whitespace-tolerant. Hand scan — this runs
+    * once per wire event, and the regex form it replaces showed up in
+    * the single-connection ingest profile. */
+  private def prefixKey(json: String): String = {
+    var i = 0
+    val n = json.length
+    while (i < n && json.charAt(i).isWhitespace) i += 1
+    if (i >= n || json.charAt(i) != '{') return ""
+    i += 1
+    while (i < n && json.charAt(i).isWhitespace) i += 1
+    if (i >= n || json.charAt(i) != '"') return ""
+    i += 1
+    val start = i
+    while (i < n && json.charAt(i) != '"') i += 1
+    json.substring(start, i)
+  }
 
   def decode(json: String): Either[String, CdcEvent] =
     try {
-      if (DdlPrefix.findFirstIn(json).isDefined) decodeDdl(json)
-      else if (DmlPrefix.findFirstIn(json).isDefined) decodeDml(json)
-      else Left(s"unknown event shape: ${json.take(60)}")
+      prefixKey(json) match {
+        case "namespace" => decodeDdl(json)
+        case "domain" => decodeDml(json)
+        case _ => Left(s"unknown event shape: ${json.take(60)}")
+      }
     } catch {
       case e: Exception => Left(s"malformed event: ${e.getMessage}")
     }
@@ -114,15 +130,44 @@ object CdcEvent {
     }
   }
 
+  /** DML decode via the STREAMING parser: one pass that collects the
+    * six envelope fields and `skipChildren()`s everything else — no
+    * JsonNode tree is built for the payload columns (they stay lazy in
+    * `rawJson`, the reference's `RawData` contract), which is the
+    * measured hot cost of `readTree` at wire rate. Malformed-input
+    * semantics are unchanged: the parser consumes the WHOLE object to
+    * END_OBJECT, so a syntax error anywhere — envelope or payload —
+    * still throws and surfaces as `Left(malformed ...)`. */
   private def decodeDml(json: String): Either[String, CdcEvent] = {
-    val n = mapper.readTree(json)
-    Right(DmlEvent(
-      domain = n.path("domain").asInt(),
-      serverId = n.path("server_id").asInt(),
-      sequence = n.path("sequence").asLong(),
-      eventNumber = n.path("event_number").asLong(),
-      timestamp = n.path("timestamp").asLong(),
-      eventKind = n.path("event_type").asText(),
-      rawJson = json))
+    val p = mapper.createParser(json)
+    try {
+      var domain = 0
+      var serverId = 0
+      var sequence = 0L
+      var eventNumber = 0L
+      var timestamp = 0L
+      var eventKind: String = null
+      if (p.nextToken() != com.fasterxml.jackson.core.JsonToken.START_OBJECT)
+        throw new IllegalArgumentException("not a JSON object")
+      var t = p.nextToken()
+      while (t == com.fasterxml.jackson.core.JsonToken.FIELD_NAME) {
+        val name = p.currentName()
+        p.nextToken() // move onto the value
+        name match {
+          case "domain" => domain = p.getValueAsInt
+          case "server_id" => serverId = p.getValueAsInt
+          case "sequence" => sequence = p.getValueAsLong
+          case "event_number" => eventNumber = p.getValueAsLong
+          case "timestamp" => timestamp = p.getValueAsLong
+          case "event_type" => eventKind = p.getValueAsString
+          case _ => p.skipChildren() // payload column — stays lazy
+        }
+        t = p.nextToken()
+      }
+      if (t != com.fasterxml.jackson.core.JsonToken.END_OBJECT)
+        throw new IllegalArgumentException(s"unexpected token $t")
+      Right(DmlEvent(domain, serverId, sequence, eventNumber, timestamp,
+        if (eventKind == null) "" else eventKind, json))
+    } finally p.close()
   }
 }

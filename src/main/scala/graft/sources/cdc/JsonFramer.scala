@@ -24,45 +24,70 @@ final class JsonFramer {
   /** Non-JSON server text seen between objects (e.g. "ERR ..."). */
   final case class ServerText(text: String) extends Frame
 
-  private val buf = new StringBuilder
-  private val pending = new StringBuilder // non-JSON run outside objects
+  private val buf = new java.lang.StringBuilder
+  private val pending = new java.lang.StringBuilder // non-JSON run outside objects
   private var depth = 0
   private var inString = false
   private var escaped = false
 
-  /** Feed one chunk; returns every frame completed by it, in order. */
+  /** Feed one chunk; returns every frame completed by it, in order.
+    *
+    * Hot-path shape (the framing scan is the measured single-connection
+    * ingest ceiling): each state scans ahead for its next SIGNIFICANT
+    * character and bulk-appends the region it skipped, instead of
+    * appending char-by-char — the common case (long runs of plain
+    * payload chars, long runs inside string values) becomes one array
+    * copy per region plus a branch-light scan. Semantics are pinned by
+    * JsonFramerSpec's random-chunk-split property tests. */
   def feed(chunk: String): Seq[Frame] = {
     val out = mutable.ArrayBuffer.empty[Frame]
+    val n = chunk.length
     var i = 0
-    while (i < chunk.length) {
-      val c = chunk.charAt(i)
+    while (i < n) {
       if (depth == 0) {
-        if (c == '{') {
+        // between objects: everything up to the next '{' is server text
+        val start = i
+        while (i < n && chunk.charAt(i) != '{') i += 1
+        if (i > start) pending.append(chunk, start, i)
+        if (i < n) { // found an object start
           flushPending(out)
           depth = 1
-          buf.append(c)
-        } else {
-          pending.append(c)
+          buf.append('{')
+          i += 1
         }
-      } else {
-        buf.append(c)
-        if (inString) {
+      } else if (inString) {
+        // inside a string value: only '\\' and '"' matter
+        val start = i
+        while (i < n && inString) {
+          val c = chunk.charAt(i)
           if (escaped) escaped = false
           else if (c == '\\') escaped = true
           else if (c == '"') inString = false
-        } else c match {
-          case '"' => inString = true
-          case '{' => depth += 1
-          case '}' =>
-            depth -= 1
-            if (depth == 0) {
-              out += Json(buf.result())
-              buf.clear()
-            }
-          case _ =>
+          i += 1
         }
+        buf.append(chunk, start, i)
+      } else {
+        // inside an object, outside strings: scan to the next '"' '{' '}'
+        val start = i
+        var emitted = false
+        while (i < n && !inString && !emitted) {
+          val c = chunk.charAt(i)
+          if (c == '"') { inString = true; i += 1 }
+          else if (c == '{') { depth += 1; i += 1 }
+          else if (c == '}') {
+            depth -= 1
+            i += 1
+            if (depth == 0) {
+              buf.append(chunk, start, i)
+              out += Json(buf.toString)
+              buf.setLength(0)
+              emitted = true
+            }
+          }
+          else i += 1
+        }
+        if (!emitted) buf.append(chunk, start, i)
       }
-      i += 1
     }
     // Unlike the reference (which requires non-JSON text to fit one read,
     // `stream.go:86-87`), we only flush server text once a JSON object
@@ -78,8 +103,8 @@ final class JsonFramer {
   }
 
   private def flushPending(out: mutable.ArrayBuffer[Frame]): Unit = {
-    val s = pending.result().trim
-    pending.clear()
+    val s = pending.toString.trim
+    pending.setLength(0)
     if (s.nonEmpty) out += ServerText(s)
   }
 }
