@@ -300,5 +300,21 @@ object CdcComposed {
       // chunks → the oracle hash fails. Oracle = batch q119's,
       // verbatim (qc2's exact gate — no CDC, no evolution in it).
       (s, d) => graft.streaming.CdcAnalytics.evolvingLineDedupOverCdc(s, d),
-      Some(LlmText.LineDedupOracleSql)))
+      Some(LlmText.LineDedupOracleSql)),
+
+    QueryDef("qc17_cdc_evolving_ivf_retract",
+      // DDL evolution × RETRACTION × the ANN state (closes the
+      // stateful-layer evolution family: dedup was qc16, IVF is here):
+      // the vector table's embedding column is RENAMED (emb →
+      // embedding_csv) mid-arrival-stream while the feed fills the
+      // incremental IVF member state, and a CDC DELETE wave reaches
+      // BACK across the DDL — every deleted vector was inserted under
+      // v1 and deleted under v2 (v2-shaped full-row delete payloads),
+      // so the tombstone only lands on the right key if per-version
+      // binding AND the batch split both hold. The sink adapts per
+      // batch with a column rename (the qc16 adapter). Oracle = q88b's
+      // survivors-only composed-index summary, computed from
+      // `embeddings` with no CDC, no evolution anywhere in it.
+      (s, d) => graft.streaming.CdcAnalytics.evolvingIvfRetractOverCdc(s, d),
+      Some(Vectors.incrementalIvfOracleSqlOver("vec_id % 20 <> 4"))))
 }

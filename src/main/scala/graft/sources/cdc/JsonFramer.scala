@@ -15,6 +15,12 @@ import scala.collection.mutable
   *
   * State is O(current object), so a source task can stream arbitrarily
   * large feeds; at scale one framer instance lives per source partition.
+  *
+  * The client's wire path now uses the zero-copy [[ByteJsonFramer]];
+  * this char-level framer is retained as the INDEPENDENT semantics
+  * oracle for its differential property tests (ByteJsonFramerSpec) —
+  * two implementations of the same frame grammar, cross-checked under
+  * random inputs and splits.
   */
 final class JsonFramer {
 

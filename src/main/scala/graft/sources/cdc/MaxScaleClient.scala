@@ -49,7 +49,7 @@ final class MaxScaleClient(
   private var socket: Socket = _
   private var in: InputStream = _
   private var out: OutputStream = _
-  private val framer = new JsonFramer
+  private val framer = new ByteJsonFramer
   private val avroFramer = new AvroFramer
   private val readBuf = new Array[Byte](bufferSize)
 
@@ -140,18 +140,21 @@ final class MaxScaleClient(
     if (n < 0) {
       val tail =
         if (wireType == "AVRO") Nil
-        else framer.finish().collect { case framer.ServerText(t) => t }
+        else framer.finish().collect { case ByteJsonFramer.ServerText(t) => t }
       return PollResult(Nil, tail, eof = true)
     }
     if (n == 0) return PollResult(Nil, Nil, eof = false)
     if (wireType == "AVRO") pollAvro(n)
     else {
-      val frames = framer.feed(new String(readBuf, 0, n, UTF_8))
+      // byte-level framing (ByteJsonFramer): the read buffer is scanned
+      // in place and each frame is decoded to a String exactly once at
+      // its boundary — no chunk-wide String, no per-frame StringBuilder
+      val frames = framer.feed(readBuf, 0, n)
       val events = Vector.newBuilder[Either[String, CdcEvent]]
       val errors = Vector.newBuilder[String]
       frames.foreach {
-        case framer.Json(text) => events += CdcEvent.decode(text)
-        case framer.ServerText(t) => errors += t
+        case ByteJsonFramer.Json(text) => events += CdcEvent.decode(text)
+        case ByteJsonFramer.ServerText(t) => errors += t
       }
       PollResult(events.result(), errors.result(), eof = false)
     }

@@ -1604,6 +1604,132 @@ object CdcAnalytics {
     inc.lines(s).orderBy(col("doc_id"))
   }
 
+  // ---- qc17: DDL EVOLUTION over the ANN (IVF) state WITH RETRACTION —
+  // qc16 proved the rename over the dedup layer; here the rename
+  // crosses the IVF member state (the qc3 pipeline) AND a CDC DELETE
+  // wave reaches back across the DDL: every deleted vector was
+  // INSERTED under v1 (field `emb`) and DELETED under v2 (field
+  // `embedding_csv`), so the retraction only lands if per-version
+  // binding, the batch-boundary split, and the tombstone anti-join all
+  // hold at once. Oracle: q88b's survivors-only composed-index summary
+  // (incrementalIvfOracleSqlOver), computed from `embeddings` with no
+  // CDC anywhere.
+
+  val EvoVecTableName = "vectors_evo"
+
+  def evoVecDdlJson(version: Int, embField: String): String =
+    s"""{"namespace":"MaxScaleChangeDataSchema.avro","type":"record","name":"ChangeRecord","table":"$EvoVecTableName","database":"$Database","version":$version,"gtid":"0-1-$version","fields":[{"name":"vec_id","type":"long"},{"name":"$embField","type":"string"}]}"""
+
+  private def evoVecDmlJson(seq: Long, op: String, vecId: Long,
+      embField: String, emb: String): String =
+    s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,"timestamp":1754956800,"event_type":"$op","vec_id":$vecId,"$embField":"$emb"}"""
+
+  /** Scripted evolving binlog over the qc3 arrival set (vec_id % 5 ==
+    * 4): DDL v1(vec_id, emb) → the vec_id % 10 == 4 wave under v1 →
+    * DDL v2(vec_id, embedding_csv — the RENAME) → the vec_id % 10 == 9
+    * wave under v2 → DELETEs of vec_id % 20 == 4 (all v1-inserted,
+    * reached back across the DDL with v2-shaped full-row payloads).
+    * Every wave md5-shuffled (the qc2 arrival-order doctrine);
+    * embeddings as exact Float round-trip strings (the qc3 doctrine).
+    */
+  def evoVecWorkloadEvents(s: SparkSession, dir: String): Vector[String] = {
+    val rows = Tables(s, dir, "embeddings")
+      .where(col("vec_id") % 5 === 4)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toString).mkString(",")))
+    def shuffled(wave: Seq[(Long, String)], salt: String) =
+      wave.map(r => shuffleKey(s"qc17:$salt:${r._1}") -> r).sortBy(_._1).map(_._2)
+    var seq = 0L
+    val out = Vector.newBuilder[String]
+    out += evoVecDdlJson(1, "emb")
+    shuffled(rows.filter(_._1 % 10 == 4), "v1").foreach { case (id, e) =>
+      seq += 1; out += evoVecDmlJson(seq, "insert", id, "emb", e)
+    }
+    out += evoVecDdlJson(2, "embedding_csv")
+    shuffled(rows.filter(_._1 % 10 == 9), "v2").foreach { case (id, e) =>
+      seq += 1; out += evoVecDmlJson(seq, "insert", id, "embedding_csv", e)
+    }
+    shuffled(rows.filter(_._1 % 20 == 4), "del").foreach { case (id, e) =>
+      seq += 1; out += evoVecDmlJson(seq, "delete", id, "embedding_csv", e)
+    }
+    out.result()
+  }
+
+  /** The qc17 wire half (injectable paths for the resume drill): the
+    * evolving feed with `splitBatchesAtDdl=true`; per batch, version
+    * purity is require()d, the rename is adapted by a column rename
+    * (the qc16 adapter — legal precisely because the split guarantees
+    * one schema per batch), inserts enter [[IncrementalIvf.processBatch]]
+    * and deletes [[IncrementalIvf.retractBatch]]. A deleted key's
+    * insert always precedes the v2 DDL while its delete follows it, so
+    * the split also guarantees insert and delete never share a batch —
+    * the in-batch processBatch→retractBatch order is never load-bearing. */
+  def runEvoVecPipeline(s: SparkSession, events: Seq[String],
+      statePath: String, ckptPath: String, expectRows: Long,
+      cents: Seq[graft.operators.KMeansLloyd.Centroid]): IncrementalIvf = {
+    val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
+    val inc = new IncrementalIvf(statePath, cents)
+    val reg = new SchemaRegistry
+    val consumed = new java.util.concurrent.atomic.AtomicLong
+    val stream = s.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1").option("port", server.port)
+      .option("user", "u").option("password", "p")
+      .option("database", Database).option("table", EvoVecTableName)
+      .option("splitBatchesAtDdl", "true")
+      .load()
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      CdcProjection.registryFrom(batch, reg)
+      if (reg.latest(Database, EvoVecTableName).isDefined) {
+        val vers = batch.where(col("kind") === "dml")
+          .select(col("schema_version")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        require(vers.size <= 1,
+          s"qc17 batch $bid spans schema versions $vers — DDL split failed")
+        val proj = CdcProjection.projectLatest(batch, reg, Database, EvoVecTableName)
+        val normalized =
+          if (proj.columns.contains("embedding_csv"))
+            proj.withColumnRenamed("embedding_csv", "emb")
+          else proj
+        val parsed = normalized.select(col("op"), col("vec_id"),
+          expr("transform(split(emb, ','), x -> CAST(x AS FLOAT))").as("embedding"))
+        inc.processBatch(parsed.where(col("op") === "insert")
+          .select(col("vec_id"), col("embedding")), bid)
+        inc.retractBatch(parsed.where(col("op") === "delete")
+          .select(col("vec_id")), bid)
+      }
+      consumed.addAndGet(batch.count())
+      ()
+    }.option("checkpointLocation", ckptPath).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (consumed.get() < expectRows && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        if (consumed.get() < expectRows) Thread.sleep(50)
+      }
+      require(consumed.get() == expectRows,
+        s"qc17 pipeline drained ${consumed.get()} of $expectRows rows")
+    } finally q.stop()
+    inc
+  }
+
+  /** qc17's query body: train the base index from the warehouse (qc3's
+    * split — training is not a CDC concern), stream the EVOLVING feed
+    * with its cross-DDL delete wave, and emit the q88 composed-index
+    * summary over survivors. */
+  def evolvingIvfRetractOverCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KMeansLloyd
+    val vecs = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+    val (baseAssigned, servingCents, _) = KMeansLloyd.runTracked(
+      vecs.where(col("vec_id") % 5 =!= 4), "vec_id", k = 4, iters = 2)
+    val events = evoVecWorkloadEvents(s, dir)
+    val tmp = graft.util.Scratch.dir("qc17-cdc")
+    val inc = runEvoVecPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
+      events.size.toLong, servingCents)
+    graft.queries.Vectors.ivfCompositionSummary(baseAssigned, inc.members(s))
+  }
+
   /** The qc15 entry body: run the two-table evolution workload, then
     * emit one comparison table over both final snapshots — which
     * COLUMN each key's cents landed in IS the version it was projected

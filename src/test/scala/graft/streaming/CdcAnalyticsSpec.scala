@@ -765,4 +765,54 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(resumed.nonEmpty && resumed == oneShot,
       "resume across the rename DDL diverges from the one-shot run")
   }
+
+  test("qc17: an outage inside the cross-DDL delete wave resumes to the one-shot IVF state") {
+    // the delete wave retracts vectors INSERTED under v1 using
+    // v2-shaped payloads; the kill lands mid-wave, so some tombstones
+    // commit before the outage and the rest arrive through a resumed
+    // v2 connection — the composed index must come out identical to
+    // the uninterrupted run (and to the no-deletes run MINUS exactly
+    // the retracted vectors)
+    import graft.operators.KMeansLloyd
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+    val (baseAssigned, cents, _) = KMeansLloyd.runTracked(
+      vecs.where(col("vec_id") % 5 =!= 4), "vec_id", k = 4, iters = 2)
+    def summary(inc: IncrementalIvf): Seq[Seq[Any]] =
+      graft.queries.Vectors.ivfCompositionSummary(baseAssigned, inc.members(spark))
+        .collect().map(_.toSeq).toSeq
+    val events = CdcAnalytics.evoVecWorkloadEvents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc17-resume").toString
+    val oneShot = summary(CdcAnalytics.runEvoVecPipeline(spark, events,
+      s"$tmp/ref_state", s"$tmp/ref_ckpt", events.size.toLong, cents))
+    assert(oneShot.nonEmpty)
+
+    val firstDel = events.indexWhere(_.contains("\"event_type\":\"delete\""))
+    val ddl2 = events.indexWhere(_.contains("\"version\":2"))
+    assert(ddl2 > 1 && firstDel > ddl2, "fixture drift: need deletes after the v2 DDL")
+    val cut = firstDel + 1 + (events.size - firstDel - 1) / 2 // mid-delete-wave
+    assert(cut > firstDel && cut < events.size, "fixture drift: delete wave too small to cut")
+    val phaseA = events.take(cut)
+    // reconnect: the CURRENT (v2) schema is re-announced at stream head
+    val phaseB = events(ddl2) +: events.drop(cut)
+    CdcAnalytics.runEvoVecPipeline(spark, phaseA,
+      s"$tmp/state", s"$tmp/ckpt", phaseA.size.toLong, cents)
+    val resumed = summary(CdcAnalytics.runEvoVecPipeline(spark, phaseB,
+      s"$tmp/state", s"$tmp/ckpt", phaseB.size.toLong, cents))
+    assert(resumed == oneShot,
+      "resume inside the cross-DDL delete wave diverges from the one-shot run")
+
+    // the retraction is exactly the % 20 == 4 streamed set: the same
+    // feed WITHOUT its delete wave must carry precisely those vectors
+    // on top of the one-shot run's surviving streamed membership
+    val noDel = events.filterNot(_.contains("\"event_type\":\"delete\""))
+    val full = CdcAnalytics.runEvoVecPipeline(spark, noDel,
+      s"$tmp/nodel_state", s"$tmp/nodel_ckpt", noDel.size.toLong, cents)
+    val retracted = full.members(spark)
+      .where(col("vec_id") % 20 === 4).count()
+    assert(retracted > 0, "fixture drift: no vectors in the delete set")
+    val survivors = oneShot.map(_(2).asInstanceOf[Long]).sum // Σ n_new
+    assert(full.members(spark).count() == survivors + retracted)
+  }
 }
