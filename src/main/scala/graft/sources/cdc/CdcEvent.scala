@@ -82,7 +82,14 @@ object CdcEvent {
     try {
       prefixKey(json) match {
         case "namespace" => decodeDdl(json)
-        case "domain" => decodeDml(json)
+        case "domain" =>
+          // fast path first: the hand scanner accepts only the plain
+          // wire shape and returns null on ANYTHING unexpected, so the
+          // Jackson streaming decode below stays the semantics anchor
+          // (differential property tests pin fast == jackson on every
+          // accepted event)
+          val fast = decodeDmlFast(json)
+          if (fast != null) Right(fast) else decodeDml(json)
         case _ => Left(s"unknown event shape: ${json.take(60)}")
       }
     } catch {
@@ -130,6 +137,207 @@ object CdcEvent {
     }
   }
 
+  /** Hand-rolled DML envelope scan — the wire-rate fast path in front
+    * of [[decodeDml]]. At ~1M events/s the Jackson streaming parse is
+    * the measured ceiling (parser object + token dispatch per ~130-byte
+    * event); this scanner reads the six envelope fields in one
+    * branch-light pass and SKIPS payload values structurally (strings
+    * with validated escapes, strict-grammar numbers, literals).
+    *
+    * Deliberately CONSERVATIVE: it accepts only the plain shape the
+    * avro router emits — top-level `"name":value` members, envelope
+    * values as unquoted integer tokens, `event_type` as an escape-free
+    * string — and returns null (→ Jackson path) for anything else:
+    * escapes in a field name, a non-integer envelope value, malformed
+    * syntax, truncation. It never *rejects* an event itself, so
+    * malformed-input semantics (`Left(malformed ...)` with Jackson's
+    * message) are byte-identical to the slow path. CdcEventFastSpec
+    * pins fast == jackson differentially on random valid and mutated
+    * events.
+    */
+  private[cdc] def decodeDmlFast(json: String): DmlEvent = {
+    val n = json.length
+    var i = 0
+    var domain = 0
+    var serverId = 0
+    var sequence = 0L
+    var eventNumber = 0L
+    var timestamp = 0L
+    var eventKind: String = null
+
+    // strict JSON whitespace only (Character.isWhitespace also admits
+    // U+001C..U+001F, which strict JSON rejects between tokens — those
+    // must bail to Jackson, not be silently accepted)
+    def ws(): Unit = {
+      while (i < n && { val c = json.charAt(i)
+        c == ' ' || c == '\t' || c == '\n' || c == '\r' }) i += 1
+    }
+    // every helper returns false to BAIL (→ Jackson), never to reject:
+    // the fast path may only accept inputs Jackson would accept with an
+    // identical result, so each scan enforces the STRICT JSON grammar
+    // of its token and punts anything else
+    def skipString(): Boolean = { // after the opening quote
+      while (i < n) {
+        val c = json.charAt(i)
+        if (c == '"') { i += 1; return true }
+        else if (c == '\\') {
+          i += 1
+          if (i >= n) return false
+          json.charAt(i) match {
+            case '"' | '\\' | '/' | 'b' | 'f' | 'n' | 'r' | 't' => i += 1
+            case 'u' =>
+              if (i + 4 >= n) return false
+              var k = 1
+              while (k <= 4) {
+                val h = json.charAt(i + k)
+                if (!((h >= '0' && h <= '9') || (h >= 'a' && h <= 'f') ||
+                  (h >= 'A' && h <= 'F'))) return false
+                k += 1
+              }
+              i += 5
+            case _ => return false // invalid escape — Jackson judges it
+          }
+        }
+        else if (c < 0x20) return false // raw control char — Jackson judges it
+        else i += 1
+      }
+      false
+    }
+    def skipNumber(): Boolean = { // strict JSON number grammar
+      if (json.charAt(i) == '-') i += 1
+      if (i >= n) return false
+      val c0 = json.charAt(i)
+      if (c0 == '0') i += 1
+      else if (c0 >= '1' && c0 <= '9') {
+        while (i < n && { val d = json.charAt(i); d >= '0' && d <= '9' }) i += 1
+      } else return false
+      if (i < n && json.charAt(i) == '.') {
+        i += 1
+        val s = i
+        while (i < n && { val d = json.charAt(i); d >= '0' && d <= '9' }) i += 1
+        if (i == s) return false
+      }
+      if (i < n && { val d = json.charAt(i); d == 'e' || d == 'E' }) {
+        i += 1
+        if (i < n && { val d = json.charAt(i); d == '+' || d == '-' }) i += 1
+        val s = i
+        while (i < n && { val d = json.charAt(i); d >= '0' && d <= '9' }) i += 1
+        if (i == s) return false
+      }
+      true
+    }
+    def skipValue(): Boolean = {
+      val c = json.charAt(i)
+      if (c == '"') { i += 1; skipString() }
+      else if (c == 't') { if (json.startsWith("true", i)) { i += 4; true } else false }
+      else if (c == 'f') { if (json.startsWith("false", i)) { i += 5; true } else false }
+      else if (c == 'n') { if (json.startsWith("null", i)) { i += 4; true } else false }
+      else if (c == '-' || (c >= '0' && c <= '9')) skipNumber()
+      // nested object/array payload values are not the avro router's
+      // flat-row shape — bail rather than hand-validate full JSON
+      else false
+    }
+
+    ws()
+    if (i >= n || json.charAt(i) != '{') return null
+    i += 1
+    ws()
+    var done = i < n && json.charAt(i) == '}' // {} — empty envelope
+    if (done) i += 1
+    while (!done) {
+      // member name (escape-free fast form only)
+      ws()
+      if (i >= n || json.charAt(i) != '"') return null
+      i += 1
+      val nameStart = i
+      while (i < n && { val c = json.charAt(i); c != '"' && c != '\\' }) i += 1
+      if (i >= n || json.charAt(i) == '\\') return null
+      val nameEnd = i
+      i += 1
+      ws()
+      if (i >= n || json.charAt(i) != ':') return null
+      i += 1
+      ws()
+      if (i >= n) return null
+      val slot = envelopeSlot(json, nameStart, nameEnd)
+      val c = json.charAt(i)
+      if (slot >= 0 && slot < 5) {
+        // envelope numerics must be plain non-negative integer tokens
+        // (exactly the avro router's wire shape; anything else bails —
+        // including leading zeros, which strict JSON forbids)
+        if (c < '0' || c > '9') return null
+        if (c == '0' && i + 1 < n &&
+          { val d = json.charAt(i + 1); d >= '0' && d <= '9' }) return null
+        var v = 0L
+        val vStart = i
+        while (i < n && { val d = json.charAt(i); d >= '0' && d <= '9' }) {
+          v = v * 10 + (json.charAt(i) - '0')
+          i += 1
+        }
+        // ≤18 digits fits a Long with no wraparound ambiguity (v*10+d
+        // can wrap past negative back to positive on longer runs) —
+        // wire sequences are far below; anything bigger bails
+        if (i - vStart > 18) return null
+        if (i < n && { val d = json.charAt(i); d == '.' || d == 'e' || d == 'E' }) return null
+        if ((slot == 0 || slot == 1) && v > Int.MaxValue) return null
+        slot match {
+          case 0 => domain = v.toInt
+          case 1 => serverId = v.toInt
+          case 2 => sequence = v
+          case 3 => eventNumber = v
+          case 4 => timestamp = v
+        }
+      } else if (slot == 5) {
+        // event_type: escape-free string only
+        if (c != '"') return null
+        i += 1
+        val s = i
+        while (i < n && { val d = json.charAt(i); d != '"' && d != '\\' }) i += 1
+        if (i >= n || json.charAt(i) == '\\') return null
+        eventKind = json.substring(s, i)
+        i += 1
+      } else {
+        if (!skipValue()) return null // payload value — skip structurally
+      }
+      ws()
+      if (i >= n) return null
+      json.charAt(i) match {
+        case ',' => i += 1
+        case '}' => i += 1; done = true
+        case _ => return null
+      }
+    }
+    ws()
+    if (i != n) return null // trailing garbage — let Jackson judge it
+    mkDml(domain, serverId, sequence, eventNumber, timestamp, eventKind, json)
+  }
+
+  private def mkDml(domain: Int, serverId: Int, sequence: Long,
+      eventNumber: Long, timestamp: Long, eventKind: String,
+      json: String): DmlEvent =
+    DmlEvent(domain, serverId, sequence, eventNumber, timestamp,
+      if (eventKind == null) "" else eventKind, json)
+
+  /** Envelope-field dispatch on the name region without substring
+    * allocation: 0=domain 1=server_id 2=sequence 3=event_number
+    * 4=timestamp 5=event_type, -1=payload. */
+  private def envelopeSlot(j: String, s: Int, e: Int): Int = {
+    def is(name: String): Boolean = {
+      if (e - s != name.length) return false
+      var k = 0
+      while (k < name.length) { if (j.charAt(s + k) != name.charAt(k)) return false; k += 1 }
+      true
+    }
+    (e - s) match {
+      case 6 => if (is("domain")) 0 else -1
+      case 9 => if (is("server_id")) 1 else if (is("timestamp")) 4 else -1
+      case 8 => if (is("sequence")) 2 else -1
+      case 12 => if (is("event_number")) 3 else -1
+      case 10 => if (is("event_type")) 5 else -1
+      case _ => -1
+    }
+  }
+
   /** DML decode via the STREAMING parser: one pass that collects the
     * six envelope fields and `skipChildren()`s everything else — no
     * JsonNode tree is built for the payload columns (they stay lazy in
@@ -138,7 +346,7 @@ object CdcEvent {
     * semantics are unchanged: the parser consumes the WHOLE object to
     * END_OBJECT, so a syntax error anywhere — envelope or payload —
     * still throws and surfaces as `Left(malformed ...)`. */
-  private def decodeDml(json: String): Either[String, CdcEvent] = {
+  private[cdc] def decodeDml(json: String): Either[String, CdcEvent] = {
     val p = mapper.createParser(json)
     try {
       var domain = 0
