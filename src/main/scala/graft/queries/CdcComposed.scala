@@ -316,5 +316,22 @@ object CdcComposed {
       // survivors-only composed-index summary, computed from
       // `embeddings` with no CDC, no evolution anywhere in it.
       (s, d) => graft.streaming.CdcAnalytics.evolvingIvfRetractOverCdc(s, d),
-      Some(Vectors.incrementalIvfOracleSqlOver("vec_id % 20 <> 4"))))
+      Some(Vectors.incrementalIvfOracleSqlOver("vec_id % 20 <> 4"))),
+
+    QueryDef("qc18_cdc_ivf_serving_search",
+      // The SERVING side of qc17 — an index exists to answer queries,
+      // so this entry closes the loop: the same evolved + retracted
+      // index is rebuilt over the wire, then five base vectors are
+      // SEARCHED through the composed base ∪ streamed-survivors
+      // membership (nProbe = 1 into their own cell, q73's shape;
+      // top-3 via the windowless bounded-heap aggregator, q73b's
+      // form; full-precision vectors fetched from the warehouse by
+      // vec_id — IDs in the index, vectors in the lake). The search
+      // RESULT is the hash gate: a retracted vector surfacing as a
+      // neighbor, a missed wire insert, or a v1-projected v2 row
+      // would each change the top-3 lists. Oracle = the q73 search
+      // tail over the a2 survivors, training CTEs shared verbatim
+      // with q88/qc3, no CDC/evolution/retraction machinery in it.
+      (s, d) => graft.streaming.CdcAnalytics.evolvingIvfServingSearchOverCdc(s, d),
+      Some(Vectors.ivfServingSearchOracleSql("vec_id % 20 <> 4", "1, 2, 3, 5, 6"))))
 }

@@ -2509,6 +2509,42 @@ object Vectors {
         when(col("n_new") * 4 > col("n_base") + col("n_new"), 1L).otherwise(0L))
       .orderBy(col("cell"))
 
+  /** The qc18 SERVING search over a composed (base ∪ streamed-
+    * survivors) IVF membership: queries probe their own assigned cell
+    * (nProbe = 1, the q73 shape), full-precision vectors are fetched
+    * from the warehouse by vec_id (the index stores only (vec_id,
+    * cell) — exactly the production split: IDs in the index, vectors
+    * in the lake), per-query top-3 via the mergeable bounded-buffer
+    * Aggregator (q73b's windowless form — map-side ≤3-entry buffers,
+    * no shuffle-and-sort of the scored stream). */
+  private[graft] def ivfServingSearch(s: SparkSession, d: String,
+      baseAssigned: DataFrame, streamedMembers: DataFrame,
+      queryIds: Seq[Long]): DataFrame = {
+    val members = baseAssigned
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
+      .unionByName(streamedMembers
+        .select(col("vec_id"), col("cell").cast("int").as("cell")))
+    val e = embUnit(s, d)
+    val member = members.join(e, "vec_id")
+    val q = broadcast(member.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("cell"), col("u").as("qu")))
+    val scored = member.join(q,
+        member("cell") === q("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("u"), col("qu")), 4).as("sim"))
+    val topk = udaf(new graft.functions.TopKRows(3),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("sim"), col("vec_id"), lit(0L)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("e._2").as("neighbor_id"), col("e._1").as("sim"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** DuckDB oracle shared by q88 and qc3 (the CDC-fed twin): train on
     * the base 80%, score EVERY vector against the serving centroids in
     * one pass — the arrival rows reproduce the incremental map-only
@@ -2518,11 +2554,12 @@ object Vectors {
   private[queries] val IncrementalIvfOracleSql: String =
     incrementalIvfOracleSqlOver("TRUE")
 
-  /** [[IncrementalIvfOracleSql]] with the composed-index view
-    * restricted to `keepPred` (training is untouched — the centroids
-    * come from the base rows either way): q88b's survivors-only oracle
-    * for streamed-vector retraction. */
-  private[queries] def incrementalIvfOracleSqlOver(keepPred: String): String =
+  /** The shared base-trained serving-assignment CTE chain (`e` …
+    * `a2`): train on the base 80%, score EVERY vector against the
+    * serving centroids — the prefix of q88/qc3's oracle, factored so
+    * the qc18 SEARCH oracle replays the identical index. No trailing
+    * comma. */
+  private def ivfServingTrainCtes: String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
       "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
@@ -2537,13 +2574,40 @@ object Vectors {
       "d2 AS (SELECT c.vec_id, k.cell, SUM((c.xi - k.ci)*(c.xi - k.ci)) AS dist " +
       "FROM comps c JOIN c1 k USING (d) GROUP BY 1, 2), " +
       "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
-      "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
+      "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1)"
+
+  /** [[IncrementalIvfOracleSql]] with the composed-index view
+    * restricted to `keepPred` (training is untouched — the centroids
+    * come from the base rows either way): q88b's survivors-only oracle
+    * for streamed-vector retraction. */
+  private[queries] def incrementalIvfOracleSqlOver(keepPred: String): String =
+    ivfServingTrainCtes + ", " +
       "u AS (SELECT vec_id, cell, CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END AS is_new " +
       s"FROM a2 WHERE $keepPred) " +
       "SELECT cell, CAST(SUM(1 - is_new) AS BIGINT) AS n_base, " +
       "CAST(SUM(is_new) AS BIGINT) AS n_new, " +
       "CAST(CASE WHEN SUM(is_new) * 4 > COUNT(*) THEN 1 ELSE 0 END AS BIGINT) AS retrain_due " +
       "FROM u GROUP BY cell ORDER BY cell"
+
+  /** qc18's oracle: the q73 single-probe search tail over the SERVING
+    * index restricted to `keepPred` survivors — same training chain as
+    * q88/qc3 ([[ivfServingTrainCtes]]), same probe/rank/rounding tail
+    * as q73, membership = a2 survivors. Queries are the base vectors
+    * named in `queryIds` (their probe cell is their own assigned
+    * cell, nProbe = 1). */
+  private[queries] def ivfServingSearchOracleSql(keepPred: String,
+      queryIds: String): String =
+    ivfServingTrainCtes + ", " +
+      s"m AS (SELECT vec_id, cell FROM a2 WHERE $keepPred), " +
+      s"q AS (SELECT vec_id AS query_id, cell FROM m WHERE vec_id IN ($queryIds)), " +
+      "c AS (SELECT q.query_id, m.vec_id, " +
+      "ROUND(list_cosine_similarity(ev.v, eq.v), 4) AS sim " +
+      "FROM q JOIN m ON m.cell = q.cell AND m.vec_id <> q.query_id " +
+      "JOIN e ev ON ev.vec_id = m.vec_id JOIN e eq ON eq.vec_id = q.query_id), " +
+      "r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY sim DESC, vec_id) AS rnk FROM c) " +
+      "SELECT query_id, rnk, vec_id AS neighbor_id, sim FROM r WHERE rnk <= 3 " +
+      "ORDER BY query_id, rnk"
 
   /** NN-Descent refinement loop (q113), rounds-parameterized so
     * NnDescentSpec can pin recall MONOTONICITY: each co-neighbor round

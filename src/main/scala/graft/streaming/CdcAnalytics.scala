@@ -1730,6 +1730,29 @@ object CdcAnalytics {
     graft.queries.Vectors.ivfCompositionSummary(baseAssigned, inc.members(s))
   }
 
+  /** qc18's query body: the SERVING side of qc17 — rebuild the same
+    * evolved + retracted index over the wire, then ANSWER QUERIES from
+    * it: five base vectors probe their own cell (nProbe = 1) across the
+    * composed base ∪ streamed-survivors membership, full-precision
+    * vectors fetched from the warehouse by vec_id. The search result is
+    * the gate: a retracted vector surfacing as a neighbor, a missed
+    * wire insert, or a mis-bound version would each change the top-3
+    * lists. Oracle = the q73 search tail over a2 survivors, training
+    * CTEs shared verbatim with q88/qc3. */
+  def evolvingIvfServingSearchOverCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KMeansLloyd
+    val vecs = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+    val (baseAssigned, servingCents, _) = KMeansLloyd.runTracked(
+      vecs.where(col("vec_id") % 5 =!= 4), "vec_id", k = 4, iters = 2)
+    val events = evoVecWorkloadEvents(s, dir)
+    val tmp = graft.util.Scratch.dir("qc18-cdc")
+    val inc = runEvoVecPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
+      events.size.toLong, servingCents)
+    graft.queries.Vectors.ivfServingSearch(s, dir, baseAssigned,
+      inc.members(s), Seq(1L, 2L, 3L, 5L, 6L))
+  }
+
   /** The qc15 entry body: run the two-table evolution workload, then
     * emit one comparison table over both final snapshots — which
     * COLUMN each key's cents landed in IS the version it was projected

@@ -815,4 +815,23 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     val survivors = oneShot.map(_(2).asInstanceOf[Long]).sum // Σ n_new
     assert(full.members(spark).count() == survivors + retracted)
   }
+
+  test("qc18: the served search sees wire-fed survivors and never a retracted vector") {
+    // the oracle hash (Verify) pins the exact top-3 lists; this drill
+    // pins the two properties that MAKE the search the gate — every
+    // query answers (3 rows each), at least one neighbor is a
+    // wire-inserted survivor (the index composition is live), and no
+    // retracted vector ever surfaces (the tombstone path holds at
+    // serve time)
+    import org.apache.spark.sql.functions.col
+    val res = CdcAnalytics.evolvingIvfServingSearchOverCdc(spark, dir)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(res.length == 15, s"expected 3 neighbors x 5 queries, got ${res.length}")
+    assert(res.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 5L, 6L))
+    assert(!res.exists(_._2 % 20 == 4),
+      "a retracted vector surfaced as a neighbor")
+    assert(res.exists(_._2 % 5 == 4),
+      "no wire-inserted survivor among the neighbors — composition not live")
+  }
 }
