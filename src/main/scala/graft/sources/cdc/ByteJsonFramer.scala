@@ -148,17 +148,33 @@ final class ByteJsonFramer {
   }
 
   private def ensure(a: Array[Byte], used: Int, extra: Int): Array[Byte] = {
-    val need = used + extra
+    // Long arithmetic: `used + extra` and the doubling loop both
+    // overflow Int once a (hostile/buggy) server streams an
+    // unterminated frame past 2^30 bytes — the Int form spun forever
+    // (cap <<= 1 reaches MinValue then sticks at 0) where the old
+    // StringBuilder framer at least OOM'd visibly. Fail loudly
+    // instead: a >1 GiB single CDC event is protocol breakage, and
+    // the thrown error surfaces through poll() like any other
+    // connection fault.
+    val need = used.toLong + extra
     if (need <= a.length) a
+    else if (need > ByteJsonFramer.MaxFrameBytes)
+      throw new MaxScaleProtocolException(
+        s"frame exceeds ${ByteJsonFramer.MaxFrameBytes} bytes without closing — malformed stream")
     else {
-      var cap = a.length << 1
+      var cap = a.length.toLong << 1
       while (cap < need) cap <<= 1
-      java.util.Arrays.copyOf(a, cap)
+      java.util.Arrays.copyOf(a, math.min(cap, ByteJsonFramer.MaxFrameBytes).toInt)
     }
   }
 }
 
 object ByteJsonFramer {
+  /** Hard bound on one frame's byte length (1 GiB): no real CDC event
+    * approaches it, and bounding it turns an unterminated-frame stream
+    * into a loud protocol error instead of unbounded buffering. */
+  private[cdc] val MaxFrameBytes: Long = 1L << 30
+
   sealed trait Frame
   /** A complete JSON object, decoded from its UTF-8 bytes once. */
   final case class Json(text: String) extends Frame

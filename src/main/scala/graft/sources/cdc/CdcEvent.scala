@@ -245,13 +245,15 @@ object CdcEvent {
     var done = i < n && json.charAt(i) == '}' // {} — empty envelope
     if (done) i += 1
     while (!done) {
-      // member name (escape-free fast form only)
+      // member name (escape-free fast form only; raw control chars
+      // bail — strict JSON forbids them in strings, Jackson judges)
       ws()
       if (i >= n || json.charAt(i) != '"') return null
       i += 1
       val nameStart = i
-      while (i < n && { val c = json.charAt(i); c != '"' && c != '\\' }) i += 1
-      if (i >= n || json.charAt(i) == '\\') return null
+      while (i < n && { val c = json.charAt(i)
+        c != '"' && c != '\\' && c >= 0x20 }) i += 1
+      if (i >= n || json.charAt(i) != '"') return null
       val nameEnd = i
       i += 1
       ws()
@@ -288,12 +290,13 @@ object CdcEvent {
           case 4 => timestamp = v
         }
       } else if (slot == 5) {
-        // event_type: escape-free string only
+        // event_type: escape-free string only (control chars bail too)
         if (c != '"') return null
         i += 1
         val s = i
-        while (i < n && { val d = json.charAt(i); d != '"' && d != '\\' }) i += 1
-        if (i >= n || json.charAt(i) == '\\') return null
+        while (i < n && { val d = json.charAt(i)
+          d != '"' && d != '\\' && d >= 0x20 }) i += 1
+        if (i >= n || json.charAt(i) != '"') return null
         eventKind = json.substring(s, i)
         i += 1
       } else {

@@ -1713,20 +1713,29 @@ object CdcAnalytics {
     inc
   }
 
-  /** qc17's query body: train the base index from the warehouse (qc3's
-    * split — training is not a CDC concern), stream the EVOLVING feed
-    * with its cross-DDL delete wave, and emit the q88 composed-index
-    * summary over survivors. */
-  def evolvingIvfRetractOverCdc(s: SparkSession, dir: String): DataFrame = {
+  /** Shared qc17/qc18 prelude: train the serving index from the
+    * warehouse (qc3's split — training is not a CDC concern) and
+    * stream the SAME evolving + retracting feed over the wire into a
+    * fresh IncrementalIvf state. One definition, so the two entries
+    * cannot silently diverge on the index they claim to share. */
+  private def evoVecIndexOverWire(s: SparkSession, dir: String,
+      scratch: String): (DataFrame, IncrementalIvf) = {
     import graft.operators.KMeansLloyd
     val vecs = Tables(s, dir, "embeddings")
       .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
     val (baseAssigned, servingCents, _) = KMeansLloyd.runTracked(
       vecs.where(col("vec_id") % 5 =!= 4), "vec_id", k = 4, iters = 2)
     val events = evoVecWorkloadEvents(s, dir)
-    val tmp = graft.util.Scratch.dir("qc17-cdc")
+    val tmp = graft.util.Scratch.dir(scratch)
     val inc = runEvoVecPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
       events.size.toLong, servingCents)
+    (baseAssigned, inc)
+  }
+
+  /** qc17's query body: the evolving feed with its cross-DDL delete
+    * wave, emitted as the q88 composed-index summary over survivors. */
+  def evolvingIvfRetractOverCdc(s: SparkSession, dir: String): DataFrame = {
+    val (baseAssigned, inc) = evoVecIndexOverWire(s, dir, "qc17-cdc")
     graft.queries.Vectors.ivfCompositionSummary(baseAssigned, inc.members(s))
   }
 
@@ -1740,15 +1749,7 @@ object CdcAnalytics {
     * lists. Oracle = the q73 search tail over a2 survivors, training
     * CTEs shared verbatim with q88/qc3. */
   def evolvingIvfServingSearchOverCdc(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.KMeansLloyd
-    val vecs = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
-    val (baseAssigned, servingCents, _) = KMeansLloyd.runTracked(
-      vecs.where(col("vec_id") % 5 =!= 4), "vec_id", k = 4, iters = 2)
-    val events = evoVecWorkloadEvents(s, dir)
-    val tmp = graft.util.Scratch.dir("qc18-cdc")
-    val inc = runEvoVecPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
-      events.size.toLong, servingCents)
+    val (baseAssigned, inc) = evoVecIndexOverWire(s, dir, "qc18-cdc")
     graft.queries.Vectors.ivfServingSearch(s, dir, baseAssigned,
       inc.members(s), Seq(1L, 2L, 3L, 5L, 6L))
   }

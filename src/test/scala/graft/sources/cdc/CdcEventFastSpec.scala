@@ -74,13 +74,20 @@ class CdcEventFastSpec extends AnyFunSuite {
       """{"domain":"3","server_id":1,"sequence":2,"event_number":1,"timestamp":5,"event_type":"insert"}""",
       // negative envelope numeric
       """{"domain":-1,"server_id":1,"sequence":3,"event_number":1,"timestamp":5,"event_type":"insert"}""",
-      // escaped event_type (decodes to "insert", but the fast path
-      // only takes escape-free strings there)
+      // escape inside event_type (a valid escaped backslash — the
+      // fast path only takes escape-free strings there)
       """{"domain":0,"server_id":1,"sequence":4,"event_number":1,"timestamp":5,"event_type":"ins\\u0065rt"}""",
       // null event_type
       """{"domain":0,"server_id":1,"sequence":5,"event_number":1,"timestamp":5,"event_type":null}""",
       // leading zero — strict JSON forbids it
-      """{"domain":00,"server_id":1,"sequence":6,"event_number":1,"timestamp":5,"event_type":"insert"}"""
+      """{"domain":00,"server_id":1,"sequence":6,"event_number":1,"timestamp":5,"event_type":"insert"}""",
+      // raw control char inside event_type — Jackson rejects it as
+      // malformed; the fast path must bail, never accept (the one
+      // divergence a code review caught before the alphabet below
+      // covered control chars)
+      "{\"domain\":0,\"server_id\":1,\"sequence\":7,\"event_number\":1,\"timestamp\":5,\"event_type\":\"in\tsert\"}",
+      // raw control char inside a member NAME
+      "{\"domain\":0,\"server_id\":1,\"se\tquence\":8,\"event_number\":1,\"timestamp\":5,\"event_type\":\"insert\"}"
     )
     cases.foreach { ev =>
       assert(CdcEvent.decodeDmlFast(ev) == null, s"must bail on: $ev")
@@ -130,9 +137,11 @@ class CdcEventFastSpec extends AnyFunSuite {
     for (_ <- 0 until 5000) {
       val mutated = r.nextInt(4) match {
         case 0 => base.substring(0, 1 + r.nextInt(base.length - 1)) // truncate
-        case 1 => // inject one char
+        case 1 => // inject one char (incl. raw control chars — the
+          // class where a too-permissive scanner diverges from Jackson)
           val p = r.nextInt(base.length)
-          base.substring(0, p) + "{}[]\",:x\\7".charAt(r.nextInt(10)) + base.substring(p)
+          val alphabet = "{}[]\",:x\\7\t\n"
+          base.substring(0, p) + alphabet.charAt(r.nextInt(alphabet.length)) + base.substring(p)
         case 2 => // delete one char
           val p = r.nextInt(base.length)
           base.substring(0, p) + base.substring(p + 1)
