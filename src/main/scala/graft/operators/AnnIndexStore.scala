@@ -1,0 +1,177 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persist + reload a trained ANN index — the FAISS
+  * `write_index`/`read_index` analog for this engine's lake-native
+  * shape (VERDICT r12 item 2: until now centroids/codebooks/codes were
+  * session-cached relations, so every cold session RETRAINED — the
+  * q136/q96 heads at sf1. A serving deployment needs save once / load
+  * everywhere).
+  *
+  * An index on disk is one directory of parquet component dirs plus a
+  * tiny JSON manifest:
+  *
+  * {{{
+  *   <dir>/manifest.json        design + format version (commit record)
+  *   <dir>/coarse_centroids/    (cell INT, ci ARRAY<BIGINT>)
+  *   <dir>/members/             (vec_id BIGINT, cell INT)        [ivf]
+  *   <dir>/books/               (sub INT, code INT, ci ARRAY<BIGINT>)
+  *                                                             [ivfpq*]
+  *   <dir>/codes/               (vec_id BIGINT, cell INT, sub INT,
+  *                               code INT)                     [ivfpq*]
+  * }}}
+  *
+  * Everything is integer-quantized (the engine-wide doctrine), so a
+  * saved index is bit-exact across engines and sessions: a fresh
+  * SparkSession that loads it serves IDENTICAL results to the session
+  * that trained it — the qc19/q140 entries' hash gates prove exactly
+  * that against the train-time oracles.
+  *
+  * Commit protocol: the manifest is written LAST (and deleted first on
+  * re-save), so a crash mid-save leaves a directory without a manifest
+  * — invisible to [[loadManifest]], which requires it and fails loudly
+  * on absence or a format-version mismatch. Component parquet dirs are
+  * each atomic at the Spark commit-protocol level; the manifest is the
+  * index-level commit record on top.
+  *
+  * Scale shape: centroids and codebooks are the driver-bounded sides
+  * (k·dim and m·ksub·subDim longs — the same bounded collects the
+  * trainers already do), written as single-part parquet. The big sides
+  * — members and codes, O(corpus) — stay DataFrames end to end: saved
+  * by a distributed write, loaded as a scan, never collected. At 10⁹
+  * vectors the store is the inverted file in the lake; a serving
+  * session opens it with one manifest read and two bounded collects.
+  */
+object AnnIndexStore {
+
+  /** Bumped on any layout change; load refuses mismatches loudly. */
+  val FormatVersion = 1
+
+  /** Index kinds — what component set a directory carries. */
+  val KindIvf = "ivf"            // coarse_centroids + members
+  val KindIvfPq = "ivfpq"        // + books + codes (raw-vector PQ)
+  val KindIvfPqR = "ivfpqr"      // + books + codes (residual PQ)
+
+  final case class Manifest(kind: String, k: Int, m: Int, ksub: Int,
+      subDim: Int, formatVersion: Int)
+
+  private val CentSchema = StructType(Seq(
+    StructField("cell", IntegerType), StructField("ci", ArrayType(LongType))))
+  private val BookSchema = StructType(Seq(
+    StructField("sub", IntegerType), StructField("code", IntegerType),
+    StructField("ci", ArrayType(LongType))))
+  private val MemberSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("cell", IntegerType)))
+  private val CodeSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("cell", IntegerType),
+    StructField("sub", IntegerType), StructField("code", IntegerType)))
+
+  // ---- save ----
+
+  /** Persist an IVF index: serving centroids + inverted-file
+    * membership. `members` needs (vec_id, cell). */
+  def saveIvf(spark: SparkSession, dir: String,
+      cents: Seq[KMeansLloyd.Centroid], members: DataFrame): Unit =
+    save(spark, dir, Manifest(KindIvf, cents.size, 0, 0, 0, FormatVersion),
+      cents, None, Some(members), None)
+
+  /** Persist an IVF+PQ index (raw or residual per `kind`): coarse
+    * centroids, the m per-subspace codebooks, and the code table
+    * (vec_id, cell, sub, code) — the serving index proper. */
+  def saveIvfPq(spark: SparkSession, dir: String, kind: String,
+      cents: Seq[KMeansLloyd.Centroid],
+      books: Seq[Seq[KMeansLloyd.Centroid]], codes: DataFrame): Unit = {
+    require(kind == KindIvfPq || kind == KindIvfPqR, s"bad kind $kind")
+    val subDim = books.head.head.ci.length
+    save(spark, dir,
+      Manifest(kind, cents.size, books.size, books.head.size, subDim,
+        FormatVersion),
+      cents, Some(books), None, Some(codes))
+  }
+
+  private def save(spark: SparkSession, dir: String, man: Manifest,
+      cents: Seq[KMeansLloyd.Centroid],
+      books: Option[Seq[Seq[KMeansLloyd.Centroid]]],
+      members: Option[DataFrame], codes: Option[DataFrame]): Unit = {
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(dir))
+    Files.deleteIfExists(Paths.get(dir, "manifest.json")) // uncommit first
+    import spark.implicits._
+    cents.map(c => (c.cell, c.ci.toSeq)).toDF("cell", "ci")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse_centroids")
+    books.foreach { bs =>
+      (for { (b, sub) <- bs.zipWithIndex; c <- b }
+        yield (sub, c.cell, c.ci.toSeq)).toDF("sub", "code", "ci")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+    }
+    members.foreach(_.select(col("vec_id").cast("long"),
+        col("cell").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/members"))
+    codes.foreach(_.select(col("vec_id").cast("long"),
+        col("cell").cast("int"), col("sub").cast("int"),
+        col("code").cast("int"))
+      .write.mode("overwrite").parquet(s"$dir/codes"))
+    // the commit record, last
+    val json = s"""{"kind":"${man.kind}","k":${man.k},"m":${man.m},""" +
+      s""""ksub":${man.ksub},"subDim":${man.subDim},""" +
+      s""""formatVersion":${man.formatVersion}}"""
+    Files.write(Paths.get(dir, "manifest.json"), json.getBytes(UTF_8))
+  }
+
+  // ---- load ----
+
+  /** True iff `dir` holds a COMMITTED index (manifest present). */
+  def committed(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "manifest.json"))
+
+  /** Read + validate the commit record. Fails loudly on a missing
+    * manifest (never saved, or a crash mid-save left an uncommitted
+    * directory) or a format-version mismatch. */
+  def loadManifest(dir: String): Manifest = {
+    val p = java.nio.file.Paths.get(dir, "manifest.json")
+    require(java.nio.file.Files.exists(p),
+      s"no ANN index committed at $dir (manifest.json absent)")
+    val json = new String(java.nio.file.Files.readAllBytes(p), UTF_8)
+    def str(k: String) =
+      s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+        .getOrElse(sys.error(s"manifest at $dir lacks $k"))
+    def num(k: String) =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+        .getOrElse(sys.error(s"manifest at $dir lacks $k"))
+    val m = Manifest(str("kind"), num("k"), num("m"), num("ksub"),
+      num("subDim"), num("formatVersion"))
+    require(m.formatVersion == FormatVersion,
+      s"index at $dir is format v${m.formatVersion}; this build reads v$FormatVersion")
+    m
+  }
+
+  /** The coarse (serving) centroids — bounded collect, k rows. */
+  def loadCentroids(spark: SparkSession, dir: String): Seq[KMeansLloyd.Centroid] =
+    spark.read.schema(CentSchema).parquet(s"$dir/coarse_centroids")
+      .collect().map(r => KMeansLloyd.Centroid(r.getInt(0),
+        r.getSeq[Long](1).toArray)).sortBy(_.cell).toSeq
+
+  /** The m per-subspace PQ codebooks — bounded collect, m·ksub rows. */
+  def loadBooks(spark: SparkSession, dir: String): Seq[Seq[KMeansLloyd.Centroid]] = {
+    val man = loadManifest(dir)
+    val rows = spark.read.schema(BookSchema).parquet(s"$dir/books").collect()
+    (0 until man.m).map { sub =>
+      rows.filter(_.getInt(0) == sub).map(r =>
+        KMeansLloyd.Centroid(r.getInt(1), r.getSeq[Long](2).toArray))
+        .sortBy(_.cell).toSeq
+    }
+  }
+
+  /** The inverted-file membership (vec_id, cell) — stays distributed. */
+  def loadMembers(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(MemberSchema).parquet(s"$dir/members")
+
+  /** The code table (vec_id, cell, sub, code) — stays distributed. */
+  def loadCodes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(CodeSchema).parquet(s"$dir/codes")
+}

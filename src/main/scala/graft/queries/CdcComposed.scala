@@ -333,5 +333,21 @@ object CdcComposed {
       // tail over the a2 survivors, training CTEs shared verbatim
       // with q88/qc3, no CDC/evolution/retraction machinery in it.
       (s, d) => graft.streaming.CdcAnalytics.evolvingIvfServingSearchOverCdc(s, d),
-      Some(Vectors.ivfServingSearchOracleSql("vec_id % 20 <> 4", "1, 2, 3, 5, 6"))))
+      Some(Vectors.ivfServingSearchOracleSql("vec_id % 20 <> 4"))),
+
+    QueryDef("qc19_cdc_ivf_persist_reload",
+      // INDEX PERSISTENCE on the wire path (VERDICT r12 item 2 — the
+      // FAISS write_index/read_index analog, composed with the full
+      // CDC lifecycle): qc17's evolving + retracting feed rebuilds the
+      // incremental IVF over the wire; the composed inverted file
+      // (base ∪ streamed survivors) + serving centroids are COMMITTED
+      // to an AnnIndexStore directory (parquet components behind a
+      // manifest commit record, written last); a FRESH SparkSession —
+      // nothing cached, nothing trained — then opens the store and
+      // answers qc18's serving search from it. Oracle = qc18's
+      // verbatim: identical top-3 lists or the round trip is broken.
+      // The batch twins are q139/q140/q141 (raw-PQ and residual-PQ
+      // designs through the same store).
+      (s, d) => graft.streaming.CdcAnalytics.persistedIvfServingSearchOverCdc(s, d),
+      Some(Vectors.ivfServingSearchOracleSql("vec_id % 20 <> 4"))))
 }

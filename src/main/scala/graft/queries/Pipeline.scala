@@ -346,6 +346,62 @@ object Pipeline {
     merges.toSeq
   }
 
+  /** The batched training loop with NATIVE re-tokenization (VERDICT
+    * r12 item 3 — the wide-batch trainer): semantics identical to
+    * [[trainBatched]] (same pair count, same (cnt DESC, pair ASC)
+    * window, same greedy symbol-disjoint selection), but each round's
+    * tokenization is produced by the compiled [[graft.functions
+    * .BpeEncode]] pass over the RAW unit arrays with all rounds
+    * selected so far — the expression whose parity with the trainer's
+    * own fold is already pinned three ways (BpeBigEncodeSpec). That
+    * replaces [[trainBatched]]'s per-round chain of `replace()` plan
+    * literals, whose depth grows with the BATCH (512 chained string
+    * scans per row per round was the practical ceiling — Catalyst's
+    * optimizer walks are superlinear in expression depth, the q135
+    * lesson): here batch width costs one hash-set entry, not one plan
+    * node, so rounds can run as wide as symbol-disjointness allows
+    * (thousands of pairs — the alphabet, not the planner, is the
+    * bound). Cost shape per round: one encode pass (O(r · word len))
+    * + the vocab-bounded pair-count shuffle + a ≤topC collect; the
+    * raw vocab is persisted ONCE (state never mutates — re-encoding
+    * from raw replaces the per-round persist chain, and the O(rounds²)
+    * total passes are compiled hash probes over vocab rows, cheap at
+    * any realistic round count). ≥8k merges on the derived sf1 corpus
+    * is the ScaleProbe row; bit-parity with [[trainBatched]] at the
+    * q138 constants is q142's oracle gate + BpeWideTrainSpec. */
+  private[graft] def trainBatchedNative(units0: DataFrame, rounds: Int,
+      batch: Int, cap: Int, topC: Int): Seq[(Int, Int, String, String, Long)] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val base = units0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mergesByRound = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val limit = math.min(batch, cap - merges.size)
+      if (limit > 0) {
+        val toks = ColumnBridge.column(graft.functions.BpeEncode(
+          ColumnBridge.expression(col("u")), mergesByRound.toSeq))
+        val tops = base
+          .select(col("wcnt"), toks.as("t"))
+          .select(col("wcnt"), explode(zip_with(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(topC).collect()
+          .map(row => (row.getString(0), row.getLong(1))).toSeq
+        val sel = selectDisjointBatch(tops, limit)
+        sel.zipWithIndex.foreach { case ((pair, cnt), i) =>
+          merges += ((r, i + 1, pair, pair.replace(" ", ""), cnt))
+        }
+        mergesByRound += sel.map(_._1)
+      }
+    }
+    base.unpersist(blocking = false)
+    merges.toSeq
+  }
+
   /** (round, rank-in-round, pair, merged, cnt-at-selection) rows. */
   private[queries] def bpeBatchedMerges(s: SparkSession, d: String): Seq[(Int, Int, String, String, Long)] =
     bpeBatchCache.getOrElseUpdate(s, d, {
@@ -485,6 +541,61 @@ object Pipeline {
     val m = bpeBigMerges(s, d)
     (1 to BpeBigRounds).map(r => m.filter(_._1 == r).sortBy(_._2).map(_._3))
   }
+
+  /** The derived vocab as (u: raw 2-char unit arrays, wcnt) — the
+    * [[trainBatchedNative]] input shape for the q138 corpus. */
+  private[graft] def bpeBigUnits(s: SparkSession, d: String): DataFrame =
+    bpeBigWords(s, d)
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+      .select(bigUnits(col("w")).as("u"), col("wcnt"))
+
+  private val bpeWideCache =
+    new graft.SessionCache[Seq[(Int, Int, String, String, Long)]](_ => ())
+
+  /** q142's merge table: [[trainBatchedNative]] at exactly q138's
+    * constants (the oracle-parity configuration; the probe tier runs
+    * the same loop at wide constants). */
+  private[graft] def bpeWideMerges(s: SparkSession, d: String): Seq[(Int, Int, String, String, Long)] =
+    bpeWideCache.getOrElseUpdate(s, d, trainBatchedNative(bpeBigUnits(s, d),
+      BpeBigRounds, BpeBigBatch, BpeBigVocabCap, BpeBigTopC))
+
+  private[graft] def bpeWideMergeRounds(s: SparkSession, d: String): Seq[Seq[String]] = {
+    val m = bpeWideMerges(s, d)
+    (1 to BpeBigRounds).map(r => m.filter(_._1 == r).sortBy(_._2).map(_._3))
+  }
+
+  /** The q138/q142 output: per-doc (n_words, n_tokens) of the derived
+    * word stream under the trained tokenizer — encode once per
+    * DISTINCT word (vocab-bounded map-only pass via the native
+    * expression), corpus stream pays a vocab-keyed equi-join. */
+  private def bpeVocabTokenSummary(s: SparkSession, d: String,
+      rounds: Seq[Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val words = bpeBigWords(s, d)
+    val vocab = words.select(col("w")).distinct()
+      .where(length(col("w")) >= 2)
+    val toks = ColumnBridge.column(graft.functions.BpeEncode(
+      ColumnBridge.expression(bigUnits(col("w"))), rounds))
+    val vt = vocab.select(col("w"), size(toks).cast("long").as("ntok"))
+    words.join(vt, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"))
+  }
+
+  /** The q138/q142 oracle: the 10-round training CTE chain whose final
+    * tokenization is definitionally the trained tokenizer's encode of
+    * every vocab word — shared verbatim by both entries, which is the
+    * point: q142's wide trainer must reproduce q138's table exactly. */
+  private lazy val BpeBigSummaryOracle: String =
+    bpeBigTrainingSqlCtes +
+      s"vt AS (SELECT w, len(t) AS ntok FROM tbig${BpeBigRounds + 1}) " +
+      "SELECT wd.doc_id, COUNT(*) AS n_words, " +
+      "CAST(SUM(vt.ntok) AS BIGINT) AS n_tokens " +
+      "FROM wd JOIN vt ON vt.w = wd.w " +
+      "GROUP BY wd.doc_id ORDER BY wd.doc_id"
 
   // DuckDB twins of the big training round — the [[bpeSqlPairs]]
   // family with the word-FREQUENCY weighting the trainer itself uses
@@ -1026,7 +1137,7 @@ object Pipeline {
           StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 0)),
           StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 1))))
         val verified = LlmText.verifyPairs(
-          cands.select(col("doc_a"), col("doc_b")).distinct(),
+          StateStoreNearDup.foldCandEvents(cands),
           st.select(col("doc_id"), col("hs"), col("nbg")))
         graft.operators.DedupGroups.components(verified)
           .groupBy(col("rep").as("rep_doc"))
@@ -1207,7 +1318,7 @@ object Pipeline {
           StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 0), 4, 4),
           StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 1), 4, 4)))
         val verified = LlmText.verifyPairs(
-          cands.select(col("doc_a"), col("doc_b")).distinct(),
+          StateStoreNearDup.foldCandEvents(cands),
           st.select(col("doc_id"), col("hs"), col("nbg")))
         graft.operators.DedupGroups.components(verified)
           .groupBy(col("rep").as("rep_doc"))
@@ -1252,6 +1363,46 @@ object Pipeline {
           .orderBy(col("rep_doc"))
       },
       Some(LlmText.dedupGroupsOracleSqlOverBr("doc_id % 7 <> 0", 8, 4))),
+
+    QueryDef("q66l_statestore_neardup_hotcap_recovery",
+      // HOT-BUCKET EXACTNESS on the state store (VERDICT r12 item 1 —
+      // the one documented exactness hole at production scale, closed):
+      // the same q66f waves run with the hot cap forced down to 3, so
+      // REAL fixture buckets cross it MID-STREAM. Crossing POISONS the
+      // bucket — one poison event, the membership moves to the ledger
+      // (member events in the sink), and the bucket's stored state is a
+      // constant marker from then on (a boilerplate-hot bucket no
+      // longer grows state without bound). The maintenance fold
+      // (foldCandEvents with recovery) re-derives every suppressed pair
+      // from the ledger, so the result equals the UNCAPPED batch chain
+      // — which is what this oracle (the q66f/q57 dedup-groups chain,
+      // whose modeled HotBucketCap of 500 no fixture bucket reaches)
+      // computes. The entry is load-bearing by construction: with the
+      // r12 semantics (stop emitting, keep accruing) the mid-stream
+      // poisonings would permanently drop the suppressed pairs and the
+      // hash would fail. StateStoreNearDupSpec drills the same
+      // lifecycle synthetically (edge-triggered poison, O(1) poisoned
+      // state, restart across the poisoning, both fold modes), and
+      // ScaleProbe measures poisoning + recovery parity on the
+      // adversarial 10-identical-copies corpus at the REAL cap.
+      (s, d) => {
+        import graft.streaming.StateStoreNearDup
+        val st = LlmText.bigramStateCached(s, d)
+        val (ev, _) = StateStoreNearDup.runWaves(s, Seq(
+          StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 0)),
+          StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 1))),
+          cap = 3)
+        require(ev.where(col("kind") === StateStoreNearDup.KindPoison)
+          .count() > 0, "q66l drill is vacuous: no bucket crossed the cap")
+        val verified = LlmText.verifyPairs(
+          StateStoreNearDup.foldCandEvents(ev),
+          st.select(col("doc_id"), col("hs"), col("nbg")))
+        graft.operators.DedupGroups.components(verified)
+          .groupBy(col("rep").as("rep_doc"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("rep_doc"))
+      },
+      Some(LlmText.dedupGroupsOracleSqlOver(""))),
 
     QueryDef("q63_tfidf_top_terms",
       // Per-document top-3 TF-IDF terms (keyword extraction). The IDF is
@@ -1889,29 +2040,25 @@ object Pipeline {
       // definitionally the trained tokenizer's encode of every vocab
       // word — matching it certifies the native expression against an
       // independent replay of training itself.
-      (s, d) => {
-        import org.apache.spark.sql.graftbridge.ColumnBridge
-        val rounds = bpeBigMergeRounds(s, d)
-        val words = bpeBigWords(s, d)
-        val vocab = words.select(col("w")).distinct()
-          .where(length(col("w")) >= 2)
-        val toks = ColumnBridge.column(graft.functions.BpeEncode(
-          ColumnBridge.expression(bigUnits(col("w"))), rounds))
-        val vt = vocab.select(col("w"), size(toks).cast("long").as("ntok"))
-        words.join(vt, Seq("w"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
-          .orderBy(col("doc_id"))
-          .select(col("doc_id"), col("n_words"), col("n_tokens"))
-      },
-      Some {
-        bpeBigTrainingSqlCtes +
-          s"vt AS (SELECT w, len(t) AS ntok FROM tbig${BpeBigRounds + 1}) " +
-          "SELECT wd.doc_id, COUNT(*) AS n_words, " +
-          "CAST(SUM(vt.ntok) AS BIGINT) AS n_tokens " +
-          "FROM wd JOIN vt ON vt.w = wd.w " +
-          "GROUP BY wd.doc_id ORDER BY wd.doc_id"
-      }),
+      (s, d) => bpeVocabTokenSummary(s, d, bpeBigMergeRounds(s, d)),
+      Some(BpeBigSummaryOracle)),
+
+    QueryDef("q142_bpe_wide_trainer",
+      // The WIDE-batch trainer (VERDICT r12 item 3): the same batched
+      // selection rule with the per-round re-tokenization swapped from
+      // chained replace() plan literals to the compiled BpeEncode pass
+      // over the raw units (trainBatchedNative) — batch width now
+      // costs a hash-set entry instead of a plan node, so rounds can
+      // run thousands of pairs wide (the alphabet, not the planner,
+      // bounds them; q138's 512 was the replace-chain's practical
+      // planning ceiling). This entry runs the native-retokenize loop
+      // at EXACTLY q138's constants and is held to q138's oracle
+      // verbatim — the hash certifies the two trainers are the same
+      // algorithm bit-for-bit, so the probe-tier claim (≥8k merges on
+      // the derived sf1 corpus inside 2× the 1k-wall — the ScaleProbe
+      // rows) rides on an oracle-certified loop, not a lookalike.
+      (s, d) => bpeVocabTokenSummary(s, d, bpeWideMergeRounds(s, d)),
+      Some(BpeBigSummaryOracle)),
 
     QueryDef("q118_dsir_selection",
       // Data selection via importance resampling (Xie et al. 2023,

@@ -330,7 +330,7 @@ object Vectors {
         "SELECT c.vec_a, c.vec_b, ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim " +
         "FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b) " +
         "WHERE sim >= 0.4 ORDER BY vec_a, vec_b")),
-    Q115Def, Q116Def, Q116bDef, Q136Def)
+    Q115Def, Q116Def, Q116bDef, Q136Def, Q139Def, Q140Def, Q141Def)
 
   /** The composed IVF+PQ ADC scores (query_id, vec_id, adist) over the
     * probed cells — q90's serving chain up to (but not including) the
@@ -338,14 +338,25 @@ object Vectors {
     * map-side integer LUT-sum. Shared by q90 (rank by ADC) and q136
     * (ADC shortlist + exact re-rank — FAISS IndexRefineFlat). */
   private[queries] def ivfpqAdcScored(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import graft.operators.KMeansLloyd
-    val books = pqBooks(s, d)
-    val vecs = Tables(s, d, "embeddings")
-      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
     val (assigned, probeCents, _) = lloydShared(s, d)
     val member = pqCodes(s, d)
       .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+    ivfpqAdcScoredFrom(s, d, pqBooks(s, d), member, probeCents)
+  }
+
+  /** [[ivfpqAdcScored]] over EXPLICIT index components — (books, member
+    * relation (vec_id, cell, sub, code), serving centroids) — so a
+    * PERSISTED index loaded by [[graft.operators.AnnIndexStore]] serves
+    * through the identical chain without touching the session caches
+    * (q139/q140: a fresh session must not retrain). Only lake reads
+    * remain (query vectors + the refine stage's exact side). */
+  private[queries] def ivfpqAdcScoredFrom(s: SparkSession, d: String,
+      books: Seq[Seq[KMeansLloyd.Centroid]], member: DataFrame,
+      probeCents: Seq[KMeansLloyd.Centroid]): DataFrame = {
+    import s.implicits._
+    import graft.operators.KMeansLloyd
+    val vecs = Tables(s, d, "embeddings")
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
     val probes = KMeansLloyd.probeCells(
         vecs.where(col("vec_id").between(1, 5)), probeCents, nProbe = 2)
       .select(col("vec_id").as("query_id"), col("cell").as("pcell"))
@@ -420,12 +431,22 @@ object Vectors {
     * residual-PQ subtlety). Shared by q96 (rank by ADC) and q137
     * (shortlist + exact re-rank — FAISS IndexIVFPQR). */
   private[queries] def ivfpqResAdcScored(s: SparkSession, d: String): DataFrame = {
+    val (_, probeCents, _) = lloydShared(s, d)
+    ivfpqResAdcScoredFrom(s, d, pqResBooks(s, d), pqResCodes(s, d), probeCents)
+  }
+
+  /** [[ivfpqResAdcScored]] over EXPLICIT index components (the residual
+    * sibling of [[ivfpqAdcScoredFrom]]) — the chain a persisted
+    * residual index (q141) serves through with no session-cache
+    * training. The coarse centroids matter twice here: probe ranking
+    * AND the query's per-probed-cell residual — both read the loaded
+    * set, so a stale/mismatched store cannot half-work. */
+  private[queries] def ivfpqResAdcScoredFrom(s: SparkSession, d: String,
+      books: Seq[Seq[KMeansLloyd.Centroid]], member: DataFrame,
+      probeCents: Seq[KMeansLloyd.Centroid]): DataFrame = {
     import s.implicits._
-    val books = pqResBooks(s, d)
     val vecs = Tables(s, d, "embeddings")
       .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
-    val (_, probeCents, _) = lloydShared(s, d)
-    val member = pqResCodes(s, d)
     val probes = KMeansLloyd.probeCells(
         vecs.where(col("vec_id").between(1, 5)), probeCents, nProbe = 2)
       .select(col("vec_id").as("query_id"), col("cell").as("pcell"), col("xi"))
@@ -600,6 +621,130 @@ object Vectors {
   private val lshCandCache = new graft.SessionCache[DataFrame](_ => ())
   private[queries] def lshCandidatePairs(s: SparkSession, d: String): DataFrame =
     lshCandCache.getOrElseUpdate(s, d, lshCandidatePairsUncached(s, d).localCheckpoint(true))
+
+  // ---- persisted-index entries (VERDICT r12 item 2: the FAISS
+  // write_index/read_index analog — without these every cold session
+  // retrained the q136/q96 heads) -------------------------------------
+
+  /** Stable per-corpus store dirs: one save, many loads within a
+    * Verify/Bench JVM (q140/q141 reload what q139 — or their own
+    * ensure-step — committed). */
+  private def pqStoreDir(d: String): String = graft.util.Scratch.stableDir(
+    "annstore-ivfpq-" + Integer.toHexString(d.hashCode))
+  private def pqResStoreDir(d: String): String = graft.util.Scratch.stableDir(
+    "annstore-ivfpqr-" + Integer.toHexString(d.hashCode))
+
+  /** Train (via the session caches) and persist the raw-PQ serving
+    * index: coarse centroids + codebooks + the code table with the
+    * coarse cell attached (the serving shape [[ivfpqAdcScoredFrom]]
+    * probes). Returns the store dir. */
+  private def buildAndSavePq(s: SparkSession, d: String): String = {
+    import graft.operators.AnnIndexStore
+    val dir = pqStoreDir(d)
+    val (assigned, probeCents, _) = lloydShared(s, d)
+    val member = pqCodes(s, d)
+      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+    AnnIndexStore.saveIvfPq(s, dir, AnnIndexStore.KindIvfPq, probeCents,
+      pqBooks(s, d), member)
+    dir
+  }
+
+  /** Train and persist the residual-PQ index (q96's design). */
+  private def buildAndSavePqRes(s: SparkSession, d: String): String = {
+    import graft.operators.AnnIndexStore
+    val dir = pqResStoreDir(d)
+    val (_, probeCents, _) = lloydShared(s, d)
+    AnnIndexStore.saveIvfPq(s, dir, AnnIndexStore.KindIvfPqR, probeCents,
+      pqResBooks(s, d), pqResCodes(s, d))
+    dir
+  }
+
+  /** Serve q136's refine query ENTIRELY from a committed store —
+    * codebooks/centroids via two bounded collects, codes as a parquet
+    * scan — plus lake reads for query vectors and the exact side. The
+    * session caches are never consulted, so this works in a session
+    * that has trained nothing. */
+  private def servePqRefineFromStore(s: SparkSession, d: String,
+      dir: String): DataFrame = {
+    import graft.operators.AnnIndexStore
+    require(AnnIndexStore.loadManifest(dir).kind == AnnIndexStore.KindIvfPq)
+    refineStage(s, d, ivfpqAdcScoredFrom(s, d,
+      AnnIndexStore.loadBooks(s, dir), AnnIndexStore.loadCodes(s, dir),
+      AnnIndexStore.loadCentroids(s, dir)))
+  }
+
+  /** q96's ADC top-3 tail, factored so the persisted-index serve
+    * (q141) and the in-session entry share it verbatim. */
+  private def adcTop3Stage(scored: DataFrame): DataFrame = {
+    val topk = udaf(new graft.functions.TopKRows(3),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    scored
+      .select(col("query_id"), col("vec_id"), (-col("adist")).cast("double").as("negd"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("negd"), col("vec_id"), lit(0L)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).as("rnk"),
+        col("e._2").as("neighbor_id"), (-col("e._1")).cast("long").as("adist"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private lazy val Q139Def: QueryDef = QueryDef("q139_ivfpq_index_persist",
+    // SAVE the trained index, then serve FROM THE STORE in the same
+    // session: train (session caches), write coarse centroids +
+    // codebooks + code table as parquet component dirs behind a
+    // manifest commit record (AnnIndexStore — the FAISS write_index
+    // analog), then answer q136's refine query reading ONLY the store
+    // + the lake. The hash gate (q136's oracle verbatim) certifies the
+    // round trip: any quantization loss, column drift, or codebook
+    // reorder in save/load would change the served top-3. This entry
+    // is the COLD head a deployment pays once; q140 is the warm load
+    // path every later session pays instead of retraining.
+    (s, d) => servePqRefineFromStore(s, d, buildAndSavePq(s, d)),
+    Some(Q90AdcSqlCtes + RefineSqlTail))
+
+  private lazy val Q140Def: QueryDef = QueryDef("q140_ivfpq_index_reload",
+    // RELOAD in a FRESH SESSION and serve without retraining — the
+    // claim that makes persistence real: a new SparkSession (fresh
+    // catalog, fresh session caches — `newSession()` shares only the
+    // SparkContext, exactly what a separate serving deployment shares
+    // with the trainer via the lake) opens the committed store, does
+    // two bounded collects (centroids, codebooks) + a codes scan, and
+    // answers q136's query with the IDENTICAL hash. The ensure-step
+    // builds the store if this entry runs standalone; in a full
+    // Verify/Bench pass q139 has already committed it, so this entry's
+    // wall-clock IS the load cost — the number that replaces the
+    // q136/q96 sf1 cold heads (52/44 s) in a serving session.
+    (s, d) => {
+      val dir = if (graft.operators.AnnIndexStore.committed(pqStoreDir(d)))
+        pqStoreDir(d) else buildAndSavePq(s, d)
+      val fresh = s.newSession()
+      servePqRefineFromStore(fresh, d, dir)
+    },
+    Some(Q90AdcSqlCtes + RefineSqlTail))
+
+  private lazy val Q141Def: QueryDef = QueryDef("q141_ivfpqr_index_reload",
+    // The residual design (q96 — FAISS IndexIVFPQ by_residual=true)
+    // through the same persist → fresh-session reload path. Residual
+    // serving needs the coarse centroids TWICE (probe ranking and the
+    // query's per-probed-cell residual), so the loaded centroid set is
+    // doubly load-bearing — a store that saved post-update centroids
+    // instead of assign-time ones would shift both and fail the hash.
+    (s, d) => {
+      val dir = if (graft.operators.AnnIndexStore.committed(pqResStoreDir(d)))
+        pqResStoreDir(d) else buildAndSavePqRes(s, d)
+      val fresh = s.newSession()
+      import graft.operators.AnnIndexStore
+      require(AnnIndexStore.loadManifest(dir).kind == AnnIndexStore.KindIvfPqR)
+      adcTop3Stage(ivfpqResAdcScoredFrom(fresh, d,
+        AnnIndexStore.loadBooks(fresh, dir), AnnIndexStore.loadCodes(fresh, dir),
+        AnnIndexStore.loadCentroids(fresh, dir)))
+    },
+    Some(Q96AdcSqlCtes +
+      " SELECT query_id, rnk, vec_id AS neighbor_id, adist FROM r WHERE rnk <= 3 " +
+      "ORDER BY query_id, rnk"))
 
   /** Code-width rule (VERDICT r10 item 3): at a FIXED width the
     * per-band bucket population is n / 2^bits, so candidate volume —
@@ -1875,22 +2020,7 @@ object Vectors {
       // oracle-hashable end-to-end. Scale shape identical to q90: both
       // index relations session-cached and persisted, the member/code
       // scan never shuffles, scoring folds map-side, top-k on TopKRows.
-      (s, d) => {
-        val scored = ivfpqResAdcScored(s, d)
-        val topk = udaf(new graft.functions.TopKRows(3),
-          org.apache.spark.sql.Encoders.tuple(
-            org.apache.spark.sql.Encoders.scalaDouble,
-            org.apache.spark.sql.Encoders.scalaLong,
-            org.apache.spark.sql.Encoders.scalaLong))
-        scored
-          .select(col("query_id"), col("vec_id"), (-col("adist")).cast("double").as("negd"))
-          .groupBy(col("query_id"))
-          .agg(topk(col("negd"), col("vec_id"), lit(0L)).as("top"))
-          .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
-          .select(col("query_id"), (col("pos") + 1).as("rnk"),
-            col("e._2").as("neighbor_id"), (-col("e._1")).cast("long").as("adist"))
-          .orderBy(col("query_id"), col("rnk"))
-      },
+      (s, d) => adcTop3Stage(ivfpqResAdcScored(s, d)),
       // oracle = q90's coarse chain, then the PQ chain retrained on the
       // residual relation rcm (xi − c1 centroid of the a2-assigned
       // cell); the LUT is built per (query, probed cell) from the
@@ -2519,11 +2649,20 @@ object Vectors {
     * no shuffle-and-sort of the scored stream). */
   private[graft] def ivfServingSearch(s: SparkSession, d: String,
       baseAssigned: DataFrame, streamedMembers: DataFrame,
-      queryIds: Seq[Long]): DataFrame = {
-    val members = baseAssigned
+      queryIds: Seq[Long]): DataFrame =
+    ivfServingSearchMembers(s, d, baseAssigned
       .select(col("vec_id"), col("cell").cast("int").as("cell"))
       .unionByName(streamedMembers
-        .select(col("vec_id"), col("cell").cast("int").as("cell")))
+        .select(col("vec_id"), col("cell").cast("int").as("cell"))),
+      queryIds)
+
+  /** [[ivfServingSearch]] over ONE composed membership relation — the
+    * shape a PERSISTED index loads as (qc19: the store holds the
+    * already-composed base ∪ streamed-survivors inverted file). */
+  private[graft] def ivfServingSearchMembers(s: SparkSession, d: String,
+      members0: DataFrame, queryIds: Seq[Long]): DataFrame = {
+    val members = members0
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
     val e = embUnit(s, d)
     val member = members.join(e, "vec_id")
     val q = broadcast(member.where(col("vec_id").isin(queryIds: _*))
@@ -2589,6 +2728,12 @@ object Vectors {
       "CAST(CASE WHEN SUM(is_new) * 4 > COUNT(*) THEN 1 ELSE 0 END AS BIGINT) AS retrain_due " +
       "FROM u GROUP BY cell ORDER BY cell"
 
+  /** The qc18 serving-search query-vector IDs — ONE definition feeding
+    * both the Spark entry (as a Seq) and the DuckDB oracle (as its SQL
+    * IN-list via [[ivfServingSearchOracleSql]]), so the two sides
+    * cannot drift into a bare Verify hash mismatch with no cause. */
+  private[graft] val ServingQueryIds: Seq[Long] = Seq(1L, 2L, 3L, 5L, 6L)
+
   /** qc18's oracle: the q73 single-probe search tail over the SERVING
     * index restricted to `keepPred` survivors — same training chain as
     * q88/qc3 ([[ivfServingTrainCtes]]), same probe/rank/rounding tail
@@ -2596,10 +2741,11 @@ object Vectors {
     * named in `queryIds` (their probe cell is their own assigned
     * cell, nProbe = 1). */
   private[queries] def ivfServingSearchOracleSql(keepPred: String,
-      queryIds: String): String =
+      queryIds: Seq[Long] = ServingQueryIds): String = {
+    val inList = queryIds.mkString(", ")
     ivfServingTrainCtes + ", " +
       s"m AS (SELECT vec_id, cell FROM a2 WHERE $keepPred), " +
-      s"q AS (SELECT vec_id AS query_id, cell FROM m WHERE vec_id IN ($queryIds)), " +
+      s"q AS (SELECT vec_id AS query_id, cell FROM m WHERE vec_id IN ($inList)), " +
       "c AS (SELECT q.query_id, m.vec_id, " +
       "ROUND(list_cosine_similarity(ev.v, eq.v), 4) AS sim " +
       "FROM q JOIN m ON m.cell = q.cell AND m.vec_id <> q.query_id " +
@@ -2608,6 +2754,7 @@ object Vectors {
       "ORDER BY sim DESC, vec_id) AS rnk FROM c) " +
       "SELECT query_id, rnk, vec_id AS neighbor_id, sim FROM r WHERE rnk <= 3 " +
       "ORDER BY query_id, rnk"
+  }
 
   /** NN-Descent refinement loop (q113), rounds-parameterized so
     * NnDescentSpec can pin recall MONOTONICITY: each co-neighbor round

@@ -136,18 +136,19 @@ final class ByteJsonFramer {
   }
 
   private def carryAppend(b: Array[Byte], from: Int, until: Int): Unit = {
-    carry = ensure(carry, carryLen, until - from)
+    carry = ensure(carry, carryLen, until - from, serverText = false)
     System.arraycopy(b, from, carry, carryLen, until - from)
     carryLen += until - from
   }
 
   private def pendingAppend(b: Array[Byte], from: Int, until: Int): Unit = {
-    pending = ensure(pending, pendingLen, until - from)
+    pending = ensure(pending, pendingLen, until - from, serverText = true)
     System.arraycopy(b, from, pending, pendingLen, until - from)
     pendingLen += until - from
   }
 
-  private def ensure(a: Array[Byte], used: Int, extra: Int): Array[Byte] = {
+  private def ensure(a: Array[Byte], used: Int, extra: Int,
+                     serverText: Boolean): Array[Byte] = {
     // Long arithmetic: `used + extra` and the doubling loop both
     // overflow Int once a (hostile/buggy) server streams an
     // unterminated frame past 2^30 bytes — the Int form spun forever
@@ -158,10 +159,23 @@ final class ByteJsonFramer {
     // connection fault.
     val need = used.toLong + extra
     if (need <= a.length) a
-    else if (need > ByteJsonFramer.MaxFrameBytes)
-      throw new MaxScaleProtocolException(
-        s"frame exceeds ${ByteJsonFramer.MaxFrameBytes} bytes without closing — malformed stream")
-    else {
+    else if (need > ByteJsonFramer.MaxFrameBytes) {
+      // Reset ALL scan state before throwing: a caller that catches the
+      // fault and keeps polling the same framer must not resume a
+      // half-consumed frame (depth/inString/carry out of sync with the
+      // stream would silently mis-frame everything after). A reset
+      // framer treats subsequent bytes as a fresh between-objects scan —
+      // still garbage-in after a 1 GiB violation, but fail-safe garbage
+      // (ServerText / re-sync at the next '{'), not desynchronized JSON.
+      depth = 0; inString = false; escaped = false
+      carryLen = 0; pendingLen = 0
+      val what =
+        if (serverText)
+          s"non-JSON server text run exceeds ${ByteJsonFramer.MaxFrameBytes} bytes between objects"
+        else
+          s"frame exceeds ${ByteJsonFramer.MaxFrameBytes} bytes without closing"
+      throw new MaxScaleProtocolException(s"$what — malformed stream")
+    } else {
       var cap = a.length.toLong << 1
       while (cap < need) cap <<= 1
       java.util.Arrays.copyOf(a, math.min(cap, ByteJsonFramer.MaxFrameBytes).toInt)

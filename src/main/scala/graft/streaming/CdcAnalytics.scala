@@ -681,10 +681,12 @@ object CdcAnalytics {
     }
   }
 
-  /** Schema of the qc8 event sink (for the batch read-back; the dir
-    * can exist before the first commit). */
+  /** Schema of the qc8 event sink — [[NearDupIdxEvent]]'s shape (for
+    * the batch read-back; the dir can exist before the first commit). */
   val CandEventSchema: StructType = StructType(Seq(
-    StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    StructField("band", IntegerType), StructField("bkey", LongType),
+    StructField("doc_a", LongType), StructField("doc_b", LongType),
+    StructField("kind", IntegerType)))
 
   /** Drain a continuous-plan query until its progress metrics account
     * for every scripted wire event (the qc2 deadline doctrine, counting
@@ -727,8 +729,8 @@ object CdcAnalytics {
     val tmp = graft.util.Scratch.dir("qc8-cdc")
     runStateStoreNearDupPipeline(s, events, s"$tmp/events", s"$tmp/ckpt",
       events.size.toLong)
-    val cands = s.read.schema(CandEventSchema).parquet(s"$tmp/events")
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val cands = StateStoreNearDup.foldCandEvents(
+      s.read.schema(CandEventSchema).parquet(s"$tmp/events"))
     val st = LlmText.bigramStateCached(s, dir)
     val verified = LlmText.verifyPairs(cands,
       st.select(col("doc_id"), col("hs"), col("nbg")))
@@ -814,10 +816,9 @@ object CdcAnalytics {
   // q66g claimant state — DELETEs flow through the SAME one-shuffle
   // streaming plan as inserts, no foreachBatch routing split) ----------
 
-  /** Schema of the qc10 op-event sink. */
-  val OpEventSchema: StructType = StructType(Seq(
-    StructField("doc_a", LongType), StructField("doc_b", LongType),
-    StructField("tomb", BooleanType)))
+  /** Schema of the qc10 op-event sink — same [[NearDupIdxEvent]] shape
+    * as qc8's (tombstones are `kind = KindTomb` rows). */
+  val OpEventSchema: StructType = CandEventSchema
 
   /** The qc10 wire half: source → pre-registered-DDL stateless
     * projection → per-row band keys computed for BOTH ops (a binlog
@@ -1719,7 +1720,7 @@ object CdcAnalytics {
     * fresh IncrementalIvf state. One definition, so the two entries
     * cannot silently diverge on the index they claim to share. */
   private def evoVecIndexOverWire(s: SparkSession, dir: String,
-      scratch: String): (DataFrame, IncrementalIvf) = {
+      scratch: String): (DataFrame, IncrementalIvf, Seq[graft.operators.KMeansLloyd.Centroid]) = {
     import graft.operators.KMeansLloyd
     val vecs = Tables(s, dir, "embeddings")
       .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
@@ -1729,13 +1730,13 @@ object CdcAnalytics {
     val tmp = graft.util.Scratch.dir(scratch)
     val inc = runEvoVecPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
       events.size.toLong, servingCents)
-    (baseAssigned, inc)
+    (baseAssigned, inc, servingCents)
   }
 
   /** qc17's query body: the evolving feed with its cross-DDL delete
     * wave, emitted as the q88 composed-index summary over survivors. */
   def evolvingIvfRetractOverCdc(s: SparkSession, dir: String): DataFrame = {
-    val (baseAssigned, inc) = evoVecIndexOverWire(s, dir, "qc17-cdc")
+    val (baseAssigned, inc, _) = evoVecIndexOverWire(s, dir, "qc17-cdc")
     graft.queries.Vectors.ivfCompositionSummary(baseAssigned, inc.members(s))
   }
 
@@ -1749,9 +1750,40 @@ object CdcAnalytics {
     * lists. Oracle = the q73 search tail over a2 survivors, training
     * CTEs shared verbatim with q88/qc3. */
   def evolvingIvfServingSearchOverCdc(s: SparkSession, dir: String): DataFrame = {
-    val (baseAssigned, inc) = evoVecIndexOverWire(s, dir, "qc18-cdc")
+    val (baseAssigned, inc, _) = evoVecIndexOverWire(s, dir, "qc18-cdc")
     graft.queries.Vectors.ivfServingSearch(s, dir, baseAssigned,
-      inc.members(s), Seq(1L, 2L, 3L, 5L, 6L))
+      inc.members(s), graft.queries.Vectors.ServingQueryIds)
+  }
+
+  /** qc19's query body: PERSIST the wire-built index, reload in a
+    * FRESH SESSION, serve (VERDICT r12 item 2 closed on the CDC path —
+    * the full production lifecycle in one entry): qc17's evolving +
+    * retracting feed rebuilds the incremental IVF over the wire, the
+    * COMPOSED inverted file (base ∪ streamed survivors — retraction
+    * already folded by the tombstone anti-join) plus the serving
+    * centroids are committed to an [[graft.operators.AnnIndexStore]]
+    * directory, and then a `newSession()` — fresh catalog, fresh
+    * session caches, nothing trained — opens the store and answers
+    * qc18's serving search from it, vectors fetched from the lake by
+    * vec_id. Oracle = qc18's, verbatim: the reloaded index must serve
+    * the IDENTICAL top-3 lists the training session would have, or a
+    * missed wire insert, an unfolded retraction, or any save/load
+    * drift fails the hash. */
+  def persistedIvfServingSearchOverCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndexStore
+    val (baseAssigned, inc, servingCents) =
+      evoVecIndexOverWire(s, dir, "qc19-cdc")
+    val composed = baseAssigned
+      .select(col("vec_id"), col("cell").cast("int").as("cell"))
+      .unionByName(inc.members(s)
+        .select(col("vec_id"), col("cell").cast("int").as("cell")))
+    val store = graft.util.Scratch.dir("qc19-annstore")
+    AnnIndexStore.saveIvf(s, store, servingCents, composed)
+    val fresh = s.newSession()
+    require(AnnIndexStore.loadManifest(store).kind == AnnIndexStore.KindIvf)
+    graft.queries.Vectors.ivfServingSearchMembers(fresh, dir,
+      AnnIndexStore.loadMembers(fresh, store),
+      graft.queries.Vectors.ServingQueryIds)
   }
 
   /** The qc15 entry body: run the two-table evolution workload, then

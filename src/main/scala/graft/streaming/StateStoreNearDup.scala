@@ -6,15 +6,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import graft.queries.LlmText
 
-/** The membership of one LSH band bucket: every doc_id that ever hashed
-  * into this (band, bucket) — the value side of the state-store index. */
-final case class BucketMembers(docs: Seq[Long])
+/** The membership of one LSH band bucket — the value side of the
+  * state-store index. `poisoned = true` marks a bucket that crossed the
+  * hot cap: its `docs` list is EMPTY forever after (the membership moved
+  * into the event ledger at poisoning time), so an over-cap bucket's
+  * state is O(1) no matter how many more docs hash into it. */
+final case class BucketMembers(docs: Seq[Long], poisoned: Boolean)
 
-/** A candidate near-dup pair emitted by the state function the moment
-  * its LATER member lands in a shared band bucket — canonicalized
-  * (doc_a < doc_b), so the global candidate set is the distinct fold of
-  * the event stream. */
-final case class CandPairEvent(doc_a: Long, doc_b: Long)
+/** One event of the near-dup index stream. `kind` selects the shape:
+  *
+  *  - [[StateStoreNearDup.KindPair]] — a candidate pair (doc_a < doc_b)
+  *    discovered in bucket (band, bkey) while it was under the cap;
+  *  - [[StateStoreNearDup.KindPoison]] — bucket (band, bkey) crossed the
+  *    hot cap (doc_a = doc_b = -1); emitted exactly once per bucket;
+  *  - [[StateStoreNearDup.KindMember]] — the hot-bucket LEDGER: doc_a is
+  *    a member of the poisoned bucket (doc_b = -1) — every member at
+  *    poisoning time plus every later arrival, so the ledger carries the
+  *    bucket's FULL membership even though the store forgot it;
+  *  - [[StateStoreNearDup.KindTomb]] — op-stream form only: doc_a was
+  *    DELETEd (doc_b = -1; one event per bucket the doc's bands land in,
+  *    folded by the consumer's distinct).
+  *
+  * Pair events carry their bucket so the fold can drop the ones whose
+  * bucket later went hot (matching the batch chain's drop-wholesale cap
+  * semantics, which are a function of the FINAL corpus, not of arrival
+  * order) and the recovery join can re-derive them from the ledger. */
+final case class NearDupIdxEvent(band: Int, bkey: Long,
+    doc_a: Long, doc_b: Long, kind: Int)
 
 /** The banded-LSH candidate index on a REAL Spark state store (the
   * q119f doctrine applied to the flagship near-dup state): the (band,
@@ -54,49 +72,108 @@ final case class CandPairEvent(doc_a: Long, doc_b: Long)
   * moves (broadcast semi-join to touched buckets + bucket-partitioned
   * file pruning); here the store's own hash partitioning IS the prune.
   *
-  * Semantics mirror [[IncrementalNearDup]] exactly: candidates are
+  * ==Hot buckets: poison + ledger (VERDICT r12 item 1)==
+  *
+  * A bucket whose membership would exceed the hot cap is POISONED
+  * instead of silently capped (the r12 design accrued membership
+  * forever and permanently dropped the pairs suppressed while hot —
+  * the one documented exactness hole at production scale). Poisoning
+  * does three things in the batch where the cap is crossed:
+  *
+  *  1. emits one [[NearDupIdxEvent]] of kind [[KindPoison]] — the
+  *     poisoned-bucket LEDGER head;
+  *  2. emits the bucket's ENTIRE current membership (old state + this
+  *     batch's arrivals — bounded by cap + batch size) as
+  *     [[KindMember]] ledger events, then CLEARS the stored member
+  *     list: the over-cap bucket's state is a constant-size marker
+  *     from then on, however hot the key runs (a boilerplate-hot
+  *     bucket no longer grows state without bound);
+  *  3. every LATER arrival into the poisoned bucket emits one
+  *     [[KindMember]] event and leaves the state untouched — the
+  *     ledger, not the store, carries hot-bucket membership, and it
+  *     lives in the event sink (the lake) where capacity is cheap and
+  *     append-only writes are the natural shape.
+  *
+  * The consumer fold ([[foldCandEvents]] / [[foldOpEvents]]) then has
+  * BOTH cap semantics available, arrival-order independent:
+  *
+  *  - without recovery, dropping pair events whose bucket was poisoned
+  *    reproduces the batch chain's drop-wholesale semantics exactly
+  *    (a bucket's final size decides, not the order its members came
+  *    in) — this is what the continuous pipeline serves;
+  *  - with recovery ([[recoverPoisonedPairs]]), the ledger's all-pairs
+  *    within each poisoned bucket restores the UNCAPPED exact
+  *    candidate set — pairs suppressed while hot are recovered, closing
+  *    the r12 caveat. Recovery is quadratic in hot-bucket membership
+  *    BY NATURE (those pairs exist); it is the batch-mode maintenance
+  *    job (the qc12/qc13 window), bounded per bucket by
+  *    `recoverBudget` when a deployment wants the cap's protection to
+  *    extend to maintenance too — an over-budget bucket simply keeps
+  *    the drop-wholesale semantics, and the choice is per-bucket and
+  *    deterministic. q66l drills the whole lifecycle with a cap small
+  *    enough that fixture buckets cross it mid-stream.
+  *
+  * Semantics mirror [[IncrementalNearDup]]: candidates are
   * new-vs-(state ∪ new) within a bucket, each pair discovered once (in
   * the batch where its later member arrives; the same pair surfacing in
-  * several of the nBands bands folds out in the consumer's distinct),
-  * and the hot-bucket cap ([[LlmText.HotBucketCap]]) is applied to the
-  * bucket's COMBINED membership per batch — a bucket over the cap stops
-  * emitting new candidates while pairs found while it was small are
-  * retained, the documented streaming-LSH tradeoff (including its
-  * delete-side corollary) shared with the parquet twin. Membership
-  * still accrues past the cap (a few longs per doc), so a bucket that
-  * is hot for one batch and quiet after does not silently re-open.
+  * several of the nBands bands folds out in the consumer's distinct).
   *
-  * Retraction: the insert-only form (`q66f`, [[candidateEvents]])
-  * mirrors q66; the OP-stream form (`q66g`, [[opCandidateEvents]])
-  * carries DELETEs through the store itself — the q119g doctrine on
-  * this state, see the retraction section below.
+  * Retraction: the insert-only form ([[candidateEvents]]) mirrors q66;
+  * the OP-stream form ([[opCandidateEvents]]) carries DELETEs through
+  * the store itself — the q119g doctrine on this state, see the
+  * retraction section below.
   */
 object StateStoreNearDup {
 
+  /** Event kinds — see [[NearDupIdxEvent]]. */
+  val KindPair = 0
+  val KindPoison = 1
+  val KindMember = 2
+  val KindTomb = 3
+
   /** Measured shape of one run: state rows = distinct touched (band,
-    * bucket) pairs; bytes ≈ members × 8 + per-key overhead. The shingle
-    * sets never enter the store. */
+    * bucket) pairs; bytes ≈ members × 8 + per-key overhead for buckets
+    * under the cap, O(1) for poisoned ones. The shingle sets never
+    * enter the store. */
   final case class StateShape(stateRows: Long, stateBytes: Long,
       candEvents: Long)
 
   /** Fold of the state function for one bucket: append the arrivals not
-    * already present; if the combined membership respects the hot cap,
-    * emit each NEW member paired with every member that precedes it
-    * (old ∪ earlier-in-batch) — each pair exactly once per bucket. */
-  private def updateBucket(key: (Int, Long),
+    * already present; under the cap, emit each NEW member paired with
+    * every member that precedes it (old ∪ earlier-in-batch) — each pair
+    * exactly once per bucket. Crossing the cap poisons the bucket (see
+    * the class doc); a poisoned bucket appends arrivals to the LEDGER
+    * (member events) and keeps O(1) state. */
+  private def updateBucket(cap: Int)(key: (Int, Long),
       it: Iterator[(Int, Long, Long)],
-      state: GroupState[BucketMembers]): Iterator[CandPairEvent] = {
-    val old = state.getOption.map(_.docs).getOrElse(Seq.empty)
-    val seen = scala.collection.mutable.HashSet.from(old)
-    val fresh = it.map(_._3).filter(seen.add(_)).toVector
-    if (fresh.isEmpty) Iterator.empty
-    else {
-      val all = old ++ fresh
-      state.update(BucketMembers(all))
-      if (all.size > LlmText.HotBucketCap) Iterator.empty
-      else fresh.iterator.zipWithIndex.flatMap { case (x, i) =>
-        (old.iterator ++ fresh.iterator.take(i)).map(y =>
-          CandPairEvent(math.min(x, y), math.max(x, y)))
+      state: GroupState[BucketMembers]): Iterator[NearDupIdxEvent] = {
+    val (band, bkey) = key
+    val st = state.getOption.getOrElse(BucketMembers(Nil, poisoned = false))
+    if (st.poisoned) {
+      // ledger-only: one member event per arrival; duplicates (a doc
+      // re-sent into a bucket that forgot its membership) fold out in
+      // the consumer's distinct
+      it.map(_._3).toVector.distinct.iterator
+        .map(d => NearDupIdxEvent(band, bkey, d, -1L, KindMember))
+    } else {
+      val old = st.docs
+      val seen = scala.collection.mutable.HashSet.from(old)
+      val fresh = it.map(_._3).filter(seen.add(_)).toVector
+      if (fresh.isEmpty) Iterator.empty
+      else {
+        val all = old ++ fresh
+        if (all.size > cap) {
+          state.update(BucketMembers(Nil, poisoned = true))
+          Iterator(NearDupIdxEvent(band, bkey, -1L, -1L, KindPoison)) ++
+            all.iterator.map(d => NearDupIdxEvent(band, bkey, d, -1L, KindMember))
+        } else {
+          state.update(BucketMembers(all, poisoned = false))
+          fresh.iterator.zipWithIndex.flatMap { case (x, i) =>
+            (old.iterator ++ fresh.iterator.take(i)).map(y =>
+              NearDupIdxEvent(band, bkey,
+                math.min(x, y), math.max(x, y), KindPair))
+          }
+        }
       }
     }
   }
@@ -106,17 +183,62 @@ object StateStoreNearDup {
     * MemoryStream wave driver ([[runWaves]]) and the continuous CDC
     * wire pipeline (qc8). The group-by key is the bucket; Spark's one
     * shuffle here lands each band row on its state partition. */
-  def candidateEvents(bandRows: DataFrame): DataFrame =
+  def candidateEvents(bandRows: DataFrame,
+      cap: Int = LlmText.HotBucketCap): DataFrame =
     bandRows.select(col("band").cast("int").as("_1"),
         col("bkey").cast("long").as("_2"), col("doc_id").cast("long").as("_3"))
       .as[(Int, Long, Long)](Encoders.tuple(Encoders.scalaInt,
         Encoders.scalaLong, Encoders.scalaLong))
       .groupByKey(t => (t._1, t._2))(Encoders.tuple(
         Encoders.scalaInt, Encoders.scalaLong))
-      .flatMapGroupsWithState[BucketMembers, CandPairEvent](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateBucket)(
-        Encoders.product[BucketMembers], Encoders.product[CandPairEvent])
+      .flatMapGroupsWithState[BucketMembers, NearDupIdxEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateBucket(cap))(
+        Encoders.product[BucketMembers], Encoders.product[NearDupIdxEvent])
       .toDF()
+
+  /** Fold the insert-form event stream to the candidate pairs under the
+    * batch chain's cap semantics, plus exact recovery of the poisoned
+    * buckets' pairs from the ledger (see the class doc; pass
+    * `recoverBudget = 0` for the pure drop-wholesale continuous fold,
+    * the default recovers everything — the maintenance-window setting). */
+  def foldCandEvents(events: DataFrame,
+      recoverBudget: Long = Long.MaxValue): DataFrame = {
+    val poisoned = events.where(col("kind") === KindPoison)
+      .select(col("band"), col("bkey")).distinct()
+    val direct = events.where(col("kind") === KindPair)
+      .join(poisoned, Seq("band", "bkey"), "left_anti")
+      .select(col("doc_a"), col("doc_b"))
+    direct.unionByName(recoverPoisonedPairs(events, recoverBudget))
+      .distinct()
+  }
+
+  /** The poisoned-bucket maintenance job: re-derive the pairs the cap
+    * suppressed by an all-pairs self-join of each poisoned bucket's
+    * LEDGER membership — quadratic per hot bucket by nature (those
+    * pairs exist; this is the work the cap deferred out of the stream's
+    * hot path into the maintenance window). `recoverBudget` bounds the
+    * per-bucket membership a deployment is willing to pay for: buckets
+    * past it stay dropped (the batch cap semantics), deterministically.
+    * Downstream exact verification kills the false positives exactly as
+    * it does for under-cap candidates. */
+  def recoverPoisonedPairs(events: DataFrame,
+      recoverBudget: Long = Long.MaxValue): DataFrame = {
+    val m = events.where(col("kind") === KindMember)
+      .select(col("band"), col("bkey"), col("doc_a").as("doc_id"))
+      .distinct()
+    val within =
+      if (recoverBudget == Long.MaxValue) m
+      else m.join(
+        m.groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+          .where(col("n") <= recoverBudget)
+          .select(col("band"), col("bkey")),
+        Seq("band", "bkey"))
+    within.as("x").join(within.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
 
   /** Stream `waves` of band rows (band, bkey, doc_id — the flattened
     * [[flatBands]] output) through the bucket-state function on the
@@ -133,7 +255,8 @@ object StateStoreNearDup {
     * to the single-query run (a lost bucket state would re-emit pairs
     * already found — or miss cross-restart pairs — and fail the pin). */
   def runWaves(spark: SparkSession, waves: Seq[DataFrame],
-      restartAfterWave: Option[Int] = None): (DataFrame, StateShape) = {
+      restartAfterWave: Option[Int] = None,
+      cap: Int = LlmText.HotBucketCap): (DataFrame, StateShape) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
@@ -145,7 +268,7 @@ object StateStoreNearDup {
     val mem = MemoryStream[(Int, Long, Long)](rowEnc, sqlCtx)
     val events = candidateEvents(mem.toDF()
       .select(col("_1").as("band"), col("_2").as("bkey"),
-        col("_3").as("doc_id")))
+        col("_3").as("doc_id")), cap)
     // normal runs use the memory sink (cheapest); a RESTART drill needs
     // a sink that supports checkpoint recovery, which the memory sink
     // does not — the parquet file sink does (and is the realistic
@@ -228,56 +351,83 @@ object StateStoreNearDup {
   // events only accrue, tombstoned docs only die (re-insertion is a
   // new doc_id, the twins' shared contract) — so the consumer fold is
   // order-free: distinct pair events minus pairs touching a tombstoned
-  // doc. The delete-side hot-cap caveat is shared with the parquet
-  // twin: pairs suppressed while a bucket was over the cap are NOT
-  // retro-generated when later deletes cool it — survivors-parity is
-  // exact only while buckets stay under the cap for the whole stream.
+  // doc.
+  //
+  // Hot buckets poison exactly as in the insert form (over the
+  // SURVIVING membership). One asymmetry is deliberate: a poisoned
+  // bucket never un-poisons, even if deletes would have cooled it
+  // below the cap — the store forgot the membership, so there is
+  // nothing to resume pairing against; the LEDGER (members ∪
+  // tombstones) still carries the exact surviving membership, so the
+  // maintenance recovery reproduces the survivors' pairs exactly
+  // (recovered pairs pass through the same tombstone anti-join as
+  // direct ones). A poisoned bucket also drops its per-bucket dead
+  // list (state stays O(1)); replayed inserts of a dead doc emit
+  // ledger events whose pairs the GLOBAL tombstone anti-join kills —
+  // same permanence, enforced at the fold instead of the store.
 
   /** Per-bucket state for the retraction form: surviving members plus
-    * the docs tombstoned in this bucket. */
-  final case class BucketClaimState(docs: Seq[Long], dead: Seq[Long])
-
-  /** A candidate-pair event (`tomb = false`, canonicalized doc_a <
-    * doc_b) or a tombstone event (`tomb = true`, doc_a = the deleted
-    * doc, doc_b = -1; one per bucket the doc's bands land in — the
-    * consumer's distinct folds the copies). */
-  final case class NearDupOpEvent(doc_a: Long, doc_b: Long, tomb: Boolean)
+    * the docs tombstoned in this bucket; empty lists + `poisoned` once
+    * the bucket crossed the hot cap. */
+  final case class BucketClaimState(docs: Seq[Long], dead: Seq[Long],
+      poisoned: Boolean)
 
   /** Fold of the op state function for one bucket: deletes apply FIRST
     * (tombstones win within the batch — an insert+delete of one doc in
     * one batch nets to dead), then fresh inserts of non-dead docs pair
-    * against the SURVIVING membership under the hot cap. */
-  private def updateBucketOps(key: (Int, Long),
+    * against the SURVIVING membership; crossing the cap poisons (see
+    * the retraction section doc). */
+  private def updateBucketOps(cap: Int)(key: (Int, Long),
       it: Iterator[(Int, Long, Long, String)],
-      state: GroupState[BucketClaimState]): Iterator[NearDupOpEvent] = {
-    val st = state.getOption.getOrElse(BucketClaimState(Nil, Nil))
+      state: GroupState[BucketClaimState]): Iterator[NearDupIdxEvent] = {
+    val (band, bkey) = key
+    val st = state.getOption.getOrElse(BucketClaimState(Nil, Nil, poisoned = false))
     val rows = it.toSeq
-    val deadNow = rows.collect { case (_, _, d, "delete") => d }.toSet
-    val newDead = (deadNow -- st.dead).toSeq.sorted
-    val dead = st.dead.toSet ++ deadNow
-    // dead members leave the membership physically: they must never
-    // pair again, and their departure cools an over-cap bucket exactly
-    // as the parquet twin's tombstone-filtered band view does
-    val kept = st.docs.filterNot(dead)
-    val seen = scala.collection.mutable.HashSet.from(kept)
-    val fresh = rows.collect {
-      case (_, _, d, "insert") if !dead(d) => d
-    }.filter(seen.add(_)).toVector
-    if (fresh.isEmpty && newDead.isEmpty) Iterator.empty
-    else {
-      val alive = kept ++ fresh
-      state.update(BucketClaimState(alive, st.dead ++ newDead))
-      val tombEv = newDead.iterator.map(d =>
-        NearDupOpEvent(d, -1L, tomb = true))
-      // hot cap over the SURVIVING membership; pairs suppressed while
-      // the bucket was hot stay missing (documented caveat above)
-      val pairEv =
-        if (alive.size > LlmText.HotBucketCap) Iterator.empty
-        else fresh.iterator.zipWithIndex.flatMap { case (x, i) =>
-          (kept.iterator ++ fresh.iterator.take(i)).map(y =>
-            NearDupOpEvent(math.min(x, y), math.max(x, y), tomb = false))
+    if (st.poisoned) {
+      // ledger-only: arrivals append to the ledger, deletes emit
+      // tombstones (no per-bucket dead list to dedupe against — the
+      // consumer's distinct folds repeats, the global anti-join
+      // enforces permanence)
+      val deadNow = rows.collect { case (_, _, d, "delete") => d }.toSet
+      val ins = rows.collect {
+        case (_, _, d, "insert") if !deadNow(d) => d
+      }.distinct
+      deadNow.toSeq.sorted.iterator.map(d =>
+        NearDupIdxEvent(band, bkey, d, -1L, KindTomb)) ++
+        ins.iterator.map(d => NearDupIdxEvent(band, bkey, d, -1L, KindMember))
+    } else {
+      val deadNow = rows.collect { case (_, _, d, "delete") => d }.toSet
+      val newDead = (deadNow -- st.dead).toSeq.sorted
+      val dead = st.dead.toSet ++ deadNow
+      // dead members leave the membership physically: they must never
+      // pair again, and their departure cools an under-cap bucket
+      // exactly as the parquet twin's tombstone-filtered band view does
+      val kept = st.docs.filterNot(dead)
+      val seen = scala.collection.mutable.HashSet.from(kept)
+      val fresh = rows.collect {
+        case (_, _, d, "insert") if !dead(d) => d
+      }.filter(seen.add(_)).toVector
+      if (fresh.isEmpty && newDead.isEmpty) Iterator.empty
+      else {
+        val alive = kept ++ fresh
+        val tombEv = newDead.iterator.map(d =>
+          NearDupIdxEvent(band, bkey, d, -1L, KindTomb))
+        if (alive.size > cap) {
+          state.update(BucketClaimState(Nil, Nil, poisoned = true))
+          tombEv ++
+            Iterator(NearDupIdxEvent(band, bkey, -1L, -1L, KindPoison)) ++
+            alive.iterator.map(d =>
+              NearDupIdxEvent(band, bkey, d, -1L, KindMember))
+        } else {
+          state.update(BucketClaimState(alive, st.dead ++ newDead,
+            poisoned = false))
+          tombEv ++ fresh.iterator.zipWithIndex.flatMap { case (x, i) =>
+            (kept.iterator ++ fresh.iterator.take(i)).map(y =>
+              NearDupIdxEvent(band, bkey,
+                math.min(x, y), math.max(x, y), KindPair))
+          }
         }
-      tombEv ++ pairEv
+      }
     }
   }
 
@@ -285,7 +435,8 @@ object StateStoreNearDup {
     * relation — insert and delete band rows on one key; the single
     * flatMapGroupsWithState hop, one shuffle onto the state
     * partitions, same as [[candidateEvents]]. */
-  def opCandidateEvents(opBandRows: DataFrame): DataFrame =
+  def opCandidateEvents(opBandRows: DataFrame,
+      cap: Int = LlmText.HotBucketCap): DataFrame =
     opBandRows.select(col("band").cast("int").as("_1"),
         col("bkey").cast("long").as("_2"),
         col("doc_id").cast("long").as("_3"), col("op").as("_4"))
@@ -293,19 +444,23 @@ object StateStoreNearDup {
         Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING))
       .groupByKey(t => (t._1, t._2))(Encoders.tuple(
         Encoders.scalaInt, Encoders.scalaLong))
-      .flatMapGroupsWithState[BucketClaimState, NearDupOpEvent](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateBucketOps)(
-        Encoders.product[BucketClaimState], Encoders.product[NearDupOpEvent])
+      .flatMapGroupsWithState[BucketClaimState, NearDupIdxEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateBucketOps(cap))(
+        Encoders.product[BucketClaimState], Encoders.product[NearDupIdxEvent])
       .toDF()
 
   /** Fold the op-event stream to the surviving candidate pairs:
-    * distinct pair events minus any pair touching a tombstoned doc.
-    * Order-free (both sets are monotone — see the section doc), so no
-    * event versioning is needed, unlike [[StateStoreLineDedup
-    * .foldVersionedOwners]]. */
-  def foldOpEvents(events: DataFrame): DataFrame = {
-    val tombs = events.where(col("tomb")).select(col("doc_a")).distinct()
-    events.where(!col("tomb")).select(col("doc_a"), col("doc_b")).distinct()
+    * distinct pair events from never-poisoned buckets, plus the
+    * poisoned buckets' pairs recovered from the ledger (under
+    * `recoverBudget`, as in [[foldCandEvents]]), minus any pair
+    * touching a tombstoned doc. Order-free (all folded sets are
+    * monotone — see the section doc), so no event versioning is
+    * needed, unlike [[StateStoreLineDedup.foldVersionedOwners]]. */
+  def foldOpEvents(events: DataFrame,
+      recoverBudget: Long = Long.MaxValue): DataFrame = {
+    val tombs = events.where(col("kind") === KindTomb)
+      .select(col("doc_a")).distinct()
+    foldCandEvents(events, recoverBudget)
       .join(tombs, Seq("doc_a"), "left_anti")
       .join(tombs.withColumnRenamed("doc_a", "doc_b"), Seq("doc_b"),
         "left_anti")
@@ -317,7 +472,8 @@ object StateStoreNearDup {
     * contract as [[runWaves]]. Returns the RAW op-event relation
     * (callers fold with [[foldOpEvents]]) plus the measured shape. */
   def runOpWaves(spark: SparkSession, waves: Seq[DataFrame],
-      restartAfterWave: Option[Int] = None): (DataFrame, StateShape) = {
+      restartAfterWave: Option[Int] = None,
+      cap: Int = LlmText.HotBucketCap): (DataFrame, StateShape) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
@@ -329,7 +485,7 @@ object StateStoreNearDup {
     val mem = MemoryStream[(Int, Long, Long, String)](rowEnc, sqlCtx)
     val events = opCandidateEvents(mem.toDF()
       .select(col("_1").as("band"), col("_2").as("bkey"),
-        col("_3").as("doc_id"), col("_4").as("op")))
+        col("_3").as("doc_id"), col("_4").as("op")), cap)
     val fileMode = restartAfterWave.isDefined
     val evDir = if (fileMode)
       graft.util.Scratch.dir("q66g-events") else ""

@@ -26,6 +26,17 @@ object Scratch {
   def dir(prefix: String): String =
     Files.createTempDirectory(root, prefix).toString
 
+  /** A STABLE directory under the scratch root: the same `name` maps to
+    * the same path for the life of the JVM (created on first use).
+    * For per-corpus artifacts that later entries in the same run reuse
+    * — e.g. a persisted ANN index that the reload entry opens — where
+    * [[dir]]'s fresh-per-call isolation would defeat the reuse. */
+  def stableDir(name: String): String = {
+    val p = root.resolve(name)
+    Files.createDirectories(p)
+    p.toString
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     import java.nio.file.{FileVisitResult, SimpleFileVisitor}
     import java.nio.file.attribute.BasicFileAttributes

@@ -89,6 +89,39 @@ object ScaleProbe {
     println(s"PROBE q66f_state_rows=${nShape.stateRows} bytes=${nShape.stateBytes} " +
       s"band_rows=$nBandRows cand_events=${nShape.candEvents}")
 
+    // r13 (VERDICT r12 item 1): hot-bucket poisoning at the REAL cap on
+    // the adversarial corpus — buckets CROSS the cap mid-stream, their
+    // state collapses to the O(1) poisoned marker (membership moves to
+    // the event ledger), and the maintenance fold's recovery restores
+    // the exact UNCAPPED candidate set. Three measured rows: poisoning
+    // engagement, state shape, and two-sided candidate parity with the
+    // uncapped batch chain.
+    val sigAdv = LlmText.nearDupState(identical).localCheckpoint(true)
+    val (advEv, advShape) = StateStoreNearDup.runWaves(spark, Seq(
+      StateStoreNearDup.flatBands(sigAdv.where(col("doc_id") % 2 === 0)),
+      StateStoreNearDup.flatBands(sigAdv.where(col("doc_id") % 2 === 1))))
+    val nPoisoned = advEv.where(col("kind") === StateStoreNearDup.KindPoison).count()
+    val nLedger = advEv.where(col("kind") === StateStoreNearDup.KindMember).count()
+    println(s"PROBE q66l_adversarial_poisoned_buckets=$nPoisoned " +
+      s"ledger_events=$nLedger (cap=${LlmText.HotBucketCap})")
+    require(nPoisoned > 0,
+      "adversarial probe is vacuous: no bucket crossed the real cap")
+    // over-cap bucket state is BOUNDED: total state bytes on the
+    // adversarial corpus (hot buckets poisoned to O(1) markers) stay in
+    // the same regime as the independent corpus at the same tier
+    println(s"PROBE q66l_adversarial_state_rows=${advShape.stateRows} " +
+      s"bytes=${advShape.stateBytes} " +
+      s"(independent tier: rows=${nShape.stateRows} bytes=${nShape.stateBytes})")
+    val advGot = StateStoreNearDup.foldCandEvents(advEv).localCheckpoint(true)
+    val advWant = LlmText.bandedCandidates(sigAdv, 8, 2,
+      maxBucket = Int.MaxValue).localCheckpoint(true)
+    val missing = advWant.except(advGot).count()
+    val spurious = advGot.except(advWant).count()
+    println(s"PROBE q66l_adversarial_recovery_parity missing=$missing " +
+      s"spurious=$spurious (candidates=${advWant.count()})")
+    require(missing == 0 && spurious == 0,
+      "poison+recover diverged from the uncapped batch chain on the adversarial corpus")
+
     // r12: the PARAMETERIZED designs' stores at the same tier — the
     // (4, 4) high-precision key space (q66j) and the widened (8, 4)
     // over 32 components (q66k); state stays linear in touched buckets
@@ -98,6 +131,31 @@ object ScaleProbe {
       StateStoreNearDup.flatBands(sig.where(col("doc_id") % 2 === 1), 4, 4)))
     println(s"PROBE q66j_state_rows=${hpShape.stateRows} bytes=${hpShape.stateBytes} " +
       s"band_rows=${sig.count() * 4} cand_events=${hpShape.candEvents}")
+    // r13 (VERDICT r12 item 3): the BPE trainer at scale — the wide
+    // native-retokenize loop must reach >= 8k merges on the derived
+    // sf1 corpus within ~2x the 1k-configuration's wall (the trainer,
+    // not the encode, was the bound; encode is merge-count-free).
+    locally {
+      import graft.queries.Pipeline
+      val units = Pipeline.bpeBigUnits(spark, d).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val m1k = Pipeline.trainBatchedNative(units, Pipeline.BpeBigRounds,
+        Pipeline.BpeBigBatch, Pipeline.BpeBigVocabCap, Pipeline.BpeBigTopC)
+      val wall1k = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val wide = Pipeline.trainBatchedNative(units, 40, 4096, 100000, 16384)
+      val wallWide = (System.nanoTime() - t1) / 1e9
+      val perRound = (1 to 40).map(r => wide.count(_._1 == r))
+      println(f"PROBE bpe_train_1k merges=${m1k.size} wall=$wall1k%.1fs " +
+        f"(q138 constants, native loop)")
+      println(f"PROBE bpe_train_wide merges=${wide.size} wall=$wallWide%.1fs " +
+        s"rounds_width=${perRound.mkString(",")}")
+      require(wide.size >= 8000,
+        s"wide trainer reached only ${wide.size} merges (target 8000)")
+      require(wallWide <= 2.0 * wall1k + 15.0, // +15s startup slack on a shared host
+        f"wide wall $wallWide%.1fs exceeds 2x the 1k wall $wall1k%.1fs")
+    }
+
     val sig32 = LlmText.nearDupState(docs, nHashes = 32).localCheckpoint(true)
     def opWave(op: String, pred: org.apache.spark.sql.Column) =
       StateStoreNearDup.flatBands(sig32.where(pred), 8, 4)

@@ -20,10 +20,10 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
     val (cands, shape) = StateStoreNearDup.runWaves(spark, Seq(
       StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 0)),
       StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 1))))
-    val got = cands.select("doc_a", "doc_b").distinct()
+    val got = StateStoreNearDup.foldCandEvents(cands)
     // batch candidate set: the same 8x2 banding over the same corpus
-    // (no bucket near the hot cap on this fixture, so per-batch and
-    // final-corpus cap semantics coincide)
+    // (no bucket near the hot cap on this fixture, so no poisoning and
+    // the fold is the plain distinct of pair events)
     val want = LlmText.bandedCandidates(st, 8, 2)
     assert(got.except(want).isEmpty && want.except(got).isEmpty,
       "candidate sets differ from the batch banded chain")
@@ -95,7 +95,8 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
     val w1 = Seq((0, 1122L, 100L)).toDF("band", "bkey", "doc_id")
     val w2 = Seq((0, 1122L, 7L)).toDF("band", "bkey", "doc_id")
     val (cands, shape) = StateStoreNearDup.runWaves(spark, Seq(w1, w2))
-    val got = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = StateStoreNearDup.foldCandEvents(cands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((7L, 100L)), s"got $got")
     assert(shape.stateRows == 1)
   }
@@ -112,8 +113,8 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
     // every cross-restart pair (wave-2 docs pairing with wave-1
     // members), failing the set equality; a REPLAYED wave would
     // re-emit wave-1 pairs, failing the event-count equality
-    val p1 = c1.select("doc_a", "doc_b").distinct()
-    val p2 = c2.select("doc_a", "doc_b").distinct()
+    val p1 = StateStoreNearDup.foldCandEvents(c1)
+    val p2 = StateStoreNearDup.foldCandEvents(c2)
     assert(p2.except(p1).isEmpty && p1.except(p2).isEmpty,
       "restarted run's candidate set differs")
     assert(s2.candEvents == s1.candEvents,
@@ -145,7 +146,8 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
     assert(got.except(want).isEmpty && want.except(got).isEmpty,
       "survivor pair set differs from the batch chain over the survivors")
     // the tombstone side is real work on this fixture
-    assert(events.where(col("tomb")).select("doc_a").distinct().count() ==
+    assert(events.where(col("kind") === StateStoreNearDup.KindTomb)
+      .select("doc_a").distinct().count() ==
       st.where(col("doc_id") % 7 === 0).count())
     assert(shape.stateRows ==
       StateStoreNearDup.flatBands(st).select("band", "bkey")
@@ -174,13 +176,17 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs == Set((6L, 7L)), s"got $pairs")
   }
 
-  test("q66g: deletes cool a hot bucket; suppressed pairs stay missing") {
+  test("q66g: a hot bucket poisons; deletes + ledger recovery restore the survivors' pairs") {
     val cap = LlmText.HotBucketCap
-    // wave 1: 2 members -> 1 pair; wave 2: push past the cap (silent);
-    // wave 3: delete the overflow back under the cap; wave 4: a new
-    // arrival pairs with the SURVIVORS — but the wave-2 pairs that were
-    // suppressed while hot are never retro-generated (the documented
-    // delete-side caveat, pinned here exactly)
+    // wave 1: 2 members -> 1 direct pair; wave 2: push past the cap —
+    // the bucket POISONS (one poison event, membership moves to the
+    // ledger, state goes O(1)); wave 3: delete the overflow (tombstone
+    // events — a poisoned bucket never un-poisons); wave 4: a new
+    // arrival lands in the LEDGER. The maintenance fold recovers the
+    // survivors' pairs exactly — including wave-1's (1, 2), whose
+    // direct event is dropped with its poisoned bucket, and the
+    // post-poisoning (1, 3)/(2, 3) that r12 permanently lost (the
+    // closed VERDICT r12 item-1 caveat, pinned here exactly)
     val overflow = (10L to (10L + cap.toLong)).toSeq
     val (events, _) = StateStoreNearDup.runOpWaves(spark, Seq(
       mkOps(Seq(1L -> "insert", 2L -> "insert")),
@@ -190,6 +196,12 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
     val pairs = StateStoreNearDup.foldOpEvents(events)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $pairs")
+    // without recovery the fold is the batch drop-wholesale semantics:
+    // the poisoned bucket contributes nothing
+    assert(StateStoreNearDup.foldOpEvents(events, recoverBudget = 0).isEmpty)
+    // poisoning is edge-triggered: exactly one poison event
+    assert(events.where(col("kind") === StateStoreNearDup.KindPoison)
+      .count() == 1)
   }
 
   test("q66g: claimant state survives a query restart between op waves") {
@@ -219,7 +231,7 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
     val (cands, shape) = StateStoreNearDup.runWaves(spark, Seq(
       StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 0), 4, 4),
       StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 1), 4, 4)))
-    val got = cands.select("doc_a", "doc_b").distinct()
+    val got = StateStoreNearDup.foldCandEvents(cands)
     val want = LlmText.bandedCandidates(st, 4, 4)
     assert(got.except(want).isEmpty && want.except(got).isEmpty,
       "(4,4) candidate set differs from the batch chain at (4,4)")
@@ -282,21 +294,121 @@ class StateStoreNearDupSpec extends AnyFunSuite with SparkTestSession {
       "restarted (8,4) op-wave run diverges from the single-query run")
   }
 
-  test("a bucket over the hot cap stops emitting; earlier pairs are retained") {
+  test("crossing the hot cap mid-stream poisons the bucket; the two fold modes bracket it") {
     import spark.implicits._
-    val cap = LlmText.HotBucketCap
-    // wave 1: 3 members -> 3 pairs; wave 2: pushes the bucket past the
-    // cap -> NO new emissions, but membership still accrues (wave 3's
-    // single arrival sees an over-cap bucket and stays silent too)
+    // small cap so the drill is cheap; the cap is a real parameter of
+    // the state function (q66l runs the fixture corpus through one)
+    val cap = 3
     val mk = (ids: Seq[Long]) => ids.map(i => (0, 12L, i))
       .toDF("band", "bkey", "doc_id")
-    val (cands, shape) = StateStoreNearDup.runWaves(spark, Seq(
-      mk(Seq(1L, 2L, 3L)),
-      mk((4L to (cap.toLong + 1L))),
-      mk(Seq(9999L))))
-    val got = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)),
-      s"expected only the pre-cap pairs, got ${got.size} pairs")
+    val (ev, shape) = StateStoreNearDup.runWaves(spark, Seq(
+      mk(Seq(1L, 2L, 3L)),   // under cap: 3 direct pairs
+      mk(Seq(4L, 5L)),       // 5 members > cap: poison + 5-member ledger
+      mk(Seq(6L))),          // post-poisoning arrival: ledger only
+      cap = cap)
+    // continuous fold (no recovery) = batch drop-wholesale: the
+    // bucket's FINAL size decides, so even wave-1's early pairs drop
+    assert(StateStoreNearDup.foldCandEvents(ev, recoverBudget = 0).isEmpty)
+    // maintenance fold = the exact uncapped candidate set: all 15
+    // pairs of {1..6}, including both the early-dropped and the
+    // suppressed-while-hot ones
+    val all = StateStoreNearDup.foldCandEvents(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for (a <- 1L to 6L; b <- (a + 1L) to 6L) yield (a, b)).toSet
+    assert(all == want, s"recovered set wrong: $all")
+    // the ledger carries the FULL membership: poisoning-time members
+    // and later arrivals alike
+    val ledger = ev.where(col("kind") === StateStoreNearDup.KindMember)
+      .select("doc_a").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ledger == (1L to 6L).toSet, s"ledger wrong: $ledger")
+    assert(ev.where(col("kind") === StateStoreNearDup.KindPoison).count() == 1)
     assert(shape.stateRows == 1)
+    // a per-bucket recovery budget keeps the drop-wholesale semantics
+    // for buckets past it, deterministically
+    assert(StateStoreNearDup.foldCandEvents(ev, recoverBudget = 5).isEmpty)
+  }
+
+  test("a poisoned bucket's state stays O(1) while its ledger keeps growing") {
+    import spark.implicits._
+    val mk = (ids: Seq[Long]) => ids.map(i => (0, 12L, i))
+      .toDF("band", "bkey", "doc_id")
+    // both runs poison the bucket in wave 1; run B then pours 20x the
+    // post-poisoning arrivals of run A into it. If the r12 design were
+    // still accruing membership, stateBytes would grow with the
+    // arrivals; under poison + ledger the state is a constant marker
+    def shapeAfter(extra: Long): StateStoreNearDup.StateShape = {
+      val (ev, shape) = StateStoreNearDup.runWaves(spark, Seq(
+        mk((1L to 10L)),
+        mk((100L until (100L + extra)))), cap = 3)
+      // the arrivals land in the ledger, not the store
+      assert(ev.where(col("kind") === StateStoreNearDup.KindMember)
+        .count() >= extra)
+      shape
+    }
+    val small = shapeAfter(100L)
+    val big = shapeAfter(2000L)
+    assert(small.stateRows == 1 && big.stateRows == 1)
+    // 20x the arrivals must not show up as state growth (allow noise:
+    // RocksDB memory accounting jitters, but 2000 extra members would
+    // be >= 16 KB of Seq[Long] state under the old design)
+    assert(big.stateBytes <= small.stateBytes + 2048,
+      s"poisoned-bucket state grew: ${small.stateBytes} -> ${big.stateBytes}")
+  }
+
+  test("poisoned-bucket state survives a restart; resumed arrivals stay ledger-only") {
+    import spark.implicits._
+    val mk = (ids: Seq[Long]) => ids.map(i => (0, 12L, i))
+      .toDF("band", "bkey", "doc_id")
+    val waves = Seq(
+      mk(Seq(1L, 2L, 3L)),
+      mk(Seq(4L, 5L)),  // poisons (cap = 3)
+      mk(Seq(6L, 7L)))  // served by the RESUMED query in the drill run
+    def run(restart: Option[Int]) = {
+      val (ev, _) = StateStoreNearDup.runWaves(spark, waves,
+        restartAfterWave = restart, cap = 3)
+      (StateStoreNearDup.foldCandEvents(ev)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        ev.where(col("kind") === StateStoreNearDup.KindPoison).count(),
+        ev.count())
+    }
+    val (p1, poison1, n1) = run(None)
+    val (p2, poison2, n2) = run(Some(1))
+    // a lost poisoned marker would make the resumed query treat the
+    // bucket as fresh — wave-3 arrivals would PAIR (wrongly, against
+    // an empty membership) instead of appending to the ledger, and
+    // poison could fire twice on a later crossing
+    assert(p2 == p1, s"recovered pair sets diverge: $p1 vs $p2")
+    assert(poison1 == 1 && poison2 == 1)
+    assert(n1 == n2, s"event counts diverge across restart: $n1 vs $n2")
+  }
+
+  test("q66l shape: fixture corpus with a mid-stream-crossing cap still matches batch uncapped") {
+    // the registry entry's exact claim in miniature: run the REAL
+    // corpus waves with a cap small enough that real buckets cross it
+    // mid-stream, then recover — candidates must equal the UNCAPPED
+    // batch banded chain (which at fixture scale equals the
+    // HotBucketCap-capped oracle chain, since no fixture bucket nears
+    // 500)
+    val st = LlmText.bigramStateCached(spark, dir)
+    val tinyCap = 3
+    val (ev, _) = StateStoreNearDup.runWaves(spark, Seq(
+      StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 0)),
+      StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 1))),
+      cap = tinyCap)
+    // the drill must be load-bearing: real buckets crossed the cap
+    val nPoisoned = ev.where(col("kind") === StateStoreNearDup.KindPoison).count()
+    assert(nPoisoned > 0, "no bucket crossed the tiny cap — drill is vacuous")
+    val got = StateStoreNearDup.foldCandEvents(ev)
+    val want = LlmText.bandedCandidates(st, 8, 2, maxBucket = Int.MaxValue)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "poison+recover candidates differ from the uncapped batch chain")
+    // and the no-recovery fold equals the batch chain CAPPED at the
+    // same tiny cap (drop-wholesale parity, arrival-order independent)
+    val gotCapped = StateStoreNearDup.foldCandEvents(ev, recoverBudget = 0)
+    val wantCapped = LlmText.bandedCandidates(st, 8, 2, maxBucket = tinyCap)
+    assert(gotCapped.except(wantCapped).isEmpty &&
+      wantCapped.except(gotCapped).isEmpty,
+      "no-recovery fold differs from the batch chain at the same cap")
   }
 }
