@@ -106,8 +106,16 @@ object Bench {
     // third of the per-query map in round 2 — so the FULL artifact is
     // also written to a stable file for machine-readable round-over-round
     // diffs (schema: the same one-object JSON line)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_QUERIES.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    // a SCOPED local run (SPARK_GRAFT_BENCH_ONLY) must not clobber the
+    // round artifact with a partial map — default its output elsewhere
+    val defaultOut = if (only.isEmpty) "/root/repo/BENCH_QUERIES.json"
+      else "/root/repo/tmp/BENCH_SCOPED.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+    try {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(outFile).getParent)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    }
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }

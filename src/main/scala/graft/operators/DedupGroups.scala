@@ -28,18 +28,23 @@ object DedupGroups {
     *         (quasi-cliques, diameter 2–4). For high-diameter graphs
     *         use [[componentsStar]] (logarithmic rounds). */
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // localCheckpoint (eager) after every round: iterative self-joins
-    // otherwise embed the previous round's plan twice per iteration —
-    // exponential logical-plan growth that kills the driver long before
-    // the data does. With truncation each round's plan is one
-    // join+groupBy over materialized blocks.
+    // localCheckpoint after every round: iterative self-joins otherwise
+    // embed the previous round's plan twice per iteration — exponential
+    // logical-plan growth that kills the driver long before the data
+    // does. With truncation each round's plan is one join+groupBy over
+    // materialized blocks. Checkpoints are LAZY (eager = false): the
+    // convergence probe right after is the first action, so ONE job
+    // per round both materializes the round and reads its label sum —
+    // the eager form paid a checkpoint job AND a probe job per round
+    // (VERDICT r12 item 5: the q66 family's wall is driver job count,
+    // not data).
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("rep", col("doc_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // convergence probe: labels are monotonically non-increasing under
     // min-propagation, so the (decimal-exact, overflow-free) label sum
     // strictly decreases until the fixpoint — one scalar agg per round
@@ -56,8 +61,8 @@ object DedupGroups {
         .unionByName(labels)
       val next = graft.util.StageAudit.record(s"cc:minlabel-round$i",
           contrib.groupBy(col("doc_id")).agg(min(col("rep")).as("rep")))
-        .localCheckpoint(true)
-      val nextSum = labelSum(next)
+        .localCheckpoint(false)
+      val nextSum = labelSum(next) // materializes the lazy checkpoint
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -85,7 +90,7 @@ object DedupGroups {
       .select(greatest(col("doc_a"), col("doc_b")).as("a"),
         least(col("doc_a"), col("doc_b")).as("b"))
       .where(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: the first round's probe materializes
 
     // large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
     def largeStar(e: DataFrame): DataFrame = {
@@ -111,7 +116,8 @@ object DedupGroups {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // lazy checkpoint: the diff probe below is the round's one job
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       // fixpoint test: exact multiset symmetric difference in ONE driver
       // action — tag old edges −1 / new edges +1, any group with a
       // non-zero sum means the sets differ (both sides are distinct, so

@@ -349,5 +349,30 @@ object CdcComposed {
       // The batch twins are q139/q140/q141 (raw-PQ and residual-PQ
       // designs through the same store).
       (s, d) => graft.streaming.CdcAnalytics.persistedIvfServingSearchOverCdc(s, d),
-      Some(Vectors.ivfServingSearchOracleSql("vec_id % 20 <> 4"))))
+      Some(Vectors.ivfServingSearchOracleSql("vec_id % 20 <> 4"))),
+
+    QueryDef("qc20_cdc_type_widening",
+      // real_type WIDTH evolution (VERDICT r12 item 4 — the evolution
+      // shape qc15-qc17 left open): the cents column keeps its NAME
+      // but widens int → bigint mid-stream (reference analog:
+      // types.go:45-47 real_type refinement). v1 inserts int-ranged
+      // values, v2 inserts values boosted past Int.MaxValue, and the
+      // DELETE wave reaches back across the type change into
+      // v1-inserted rows (and forward into boosted v2 rows) through
+      // v2-shaped payloads. Per-version from_json binding + the
+      // sink's widest-width state make it work; a batch mis-bound at
+      // the v1 width would NULL every boosted payload (from_json
+      // integer overflow) and the per-group SUM/MAX hash fails.
+      // Oracle = the survivors' values recomputed from `customer`
+      // with no CDC/evolution/width machinery in it. The resume
+      // drill (CdcAnalyticsSpec) cuts INSIDE the v2 wave.
+      (s, d) => graft.streaming.CdcAnalytics.typedWideningOverCdc(s, d),
+      Some("WITH b AS (SELECT c_custkey AS k, " +
+        "CASE WHEN c_custkey % 2 = 1 THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 3000000000 " +
+        "ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents " +
+        "FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey % 10 <> 5) " +
+        "SELECT k % 16 AS grp, COUNT(*) AS n_rows, " +
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents, " +
+        "MIN(cents) AS min_cents, MAX(cents) AS max_cents " +
+        "FROM b GROUP BY 1 ORDER BY 1")))
 }

@@ -1786,6 +1786,147 @@ object CdcAnalytics {
       graft.queries.Vectors.ServingQueryIds)
   }
 
+  // ---- qc20: real_type WIDTH evolution (int cents → bigint cents)
+  // crossing the accumulating snapshot state (VERDICT r12 item 4 — the
+  // one evolution shape qc15–qc17 left open; reference analog:
+  // `types.go:45-47` real_type/length refinement, SURVEY §1.4).
+  // The same column NAME carries a different TYPE per schema version:
+  // v1 declares cents as Avro "int"/real_type "int" (IntegerType at
+  // the registry), v2 as "long"/real_type "bigint". Widening is the
+  // production direction and its discipline is: the sink state adopts
+  // the WIDEST registered width up front, each version-pure batch
+  // (splitBatchesAtDdl) binds `from_json` with ITS OWN version's
+  // schema — v1 rows parse as int and CAST up at the sink, v2 rows
+  // parse as long natively. The workload makes the width load-bearing:
+  // every v2 value is boosted past Int.MaxValue, so a batch mis-bound
+  // at v1's int width would parse those payloads to NULL (from_json's
+  // overflow behavior) and the per-group sums fail the hash; and the
+  // DELETE wave reaches back across the DDL into v1-inserted rows
+  // (plus v2-inserted boosted rows) through v2-shaped payloads, so
+  // tombstones must land on state accumulated under the narrow width.
+
+  val TypedBalTableName = "balances_typed"
+
+  /** Magnitude added to every v2 cents value: past 2^31, so the bigint
+    * width (and nothing narrower) can carry it. */
+  val TypedBoost = 3000000000L
+
+  def typedBalDdlJson(version: Int, avroType: String, realType: String): String =
+    s"""{"namespace":"MaxScaleChangeDataSchema.avro","type":"record","name":"ChangeRecord","table":"$TypedBalTableName","database":"$Database","version":$version,"gtid":"0-1-$version","fields":[{"name":"custkey","type":"long"},{"name":"cents","type":"$avroType","real_type":"$realType"}]}"""
+
+  private def typedBalDmlJson(seq: Long, op: String, k: Long, cents: Long): String =
+    s"""{"domain":0,"server_id":1,"sequence":$seq,"event_number":1,"timestamp":1754956800,"event_type":"$op","custkey":$k,"cents":$cents}"""
+
+  /** The sink state schema at the WIDEST registered width. */
+  val typedBalWideSchema: StructType = StructType(Seq(
+    StructField("custkey", LongType),
+    StructField("cents", LongType)))
+
+  /** Scripted binlog: DDL v1(cents int) → even customers under v1
+    * (int-ranged values) → DDL v2(cents bigint — same NAME, wider
+    * TYPE) → odd customers under v2 with cents + [[TypedBoost]]
+    * (beyond int) → DELETEs of custkey % 10 ∈ {0, 5} (the 0s are
+    * v1-inserted evens reached back across the type change; the 5s
+    * are v2-inserted boosted odds), v2-shaped payloads. Waves
+    * md5-shuffled (the qc2 arrival-order doctrine). */
+  def typedBalWorkloadEvents(s: SparkSession, dir: String): Vector[String] = {
+    val rows = Tables(s, dir, "customer")
+      .select(col("c_custkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toVector
+    def shuffled(wave: Seq[(Long, Long)], salt: String) =
+      wave.map(r => shuffleKey(s"qc20:$salt:${r._1}") -> r).sortBy(_._1).map(_._2)
+    var seq = 0L
+    val out = Vector.newBuilder[String]
+    out += typedBalDdlJson(1, "int", "int")
+    shuffled(rows.filter(_._1 % 2 == 0), "v1").foreach { case (k, c) =>
+      seq += 1; out += typedBalDmlJson(seq, "insert", k, c)
+    }
+    out += typedBalDdlJson(2, "long", "bigint")
+    shuffled(rows.filter(_._1 % 2 == 1), "v2").foreach { case (k, c) =>
+      seq += 1; out += typedBalDmlJson(seq, "insert", k, c + TypedBoost)
+    }
+    shuffled(rows.filter(r => r._1 % 10 == 0 || r._1 % 10 == 5), "del")
+      .foreach { case (k, c) =>
+        val v = if (k % 2 == 1) c + TypedBoost else c
+        seq += 1; out += typedBalDmlJson(seq, "delete", k, v)
+      }
+    out.result()
+  }
+
+  /** The qc20 wire half: `splitBatchesAtDdl=true`, per-batch version
+    * purity require()d, `from_json` bound with the batch's OWN
+    * version's schema (int for v1 batches, bigint for v2), the cents
+    * column CAST to the sink's bigint width, exactly-once merge into
+    * the custkey-keyed snapshot. Reusing snapPath+ckptPath RESUMES
+    * (the qc1 restart contract) — the spec drill cuts inside the v2
+    * wave so boosted values and cross-width tombstones arrive through
+    * a reconnected v2 stream. */
+  def runTypedBalPipeline(s: SparkSession, events: Seq[String],
+      snapPath: String, ckptPath: String, expectRows: Long): CdcSnapshotTable = {
+    val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
+    val snap = new CdcSnapshotTable(snapPath, Seq("custkey"), typedBalWideSchema)
+    val reg = new SchemaRegistry
+    val consumed = new java.util.concurrent.atomic.AtomicLong
+    val stream = s.readStream.format("maxscale-cdc")
+      .option("host", "127.0.0.1").option("port", server.port)
+      .option("user", "u").option("password", "p")
+      .option("database", Database).option("table", TypedBalTableName)
+      .option("splitBatchesAtDdl", "true")
+      .load()
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, bid: Long) =>
+      CdcProjection.registryFrom(batch, reg)
+      val dml = batch.where(col("kind") === "dml")
+      val vers = dml.select(col("schema_version")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      require(vers.size <= 1,
+        s"batch $bid spans schema versions $vers — DDL split failed")
+      vers.headOption.foreach { v =>
+        val schema = reg.get(Database, TypedBalTableName, v).getOrElse(
+          throw new IllegalStateException(s"version $v not registered"))
+        val proj = dml
+          .withColumn("_row", from_json(col("payload"), schema))
+          .select(CdcProjection.envelopeCols.map(col) :+ col("_row.*"): _*)
+          // the WIDENING at the sink: v1's int parses cast up to the
+          // state's bigint; v2's long is already there
+          .withColumn("cents", col("cents").cast("long"))
+        snap.applyBatch(proj, bid)
+      }
+      consumed.addAndGet(batch.count())
+      ()
+    }.option("checkpointLocation", ckptPath).start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (consumed.get() < expectRows && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        if (consumed.get() < expectRows) Thread.sleep(50)
+      }
+      require(consumed.get() == expectRows,
+        s"qc20 pipeline drained ${consumed.get()} of $expectRows rows")
+    } finally q.stop()
+    snap.prune(s)
+    snap
+  }
+
+  /** qc20's query body: run the width-evolution workload, then emit
+    * per-(custkey % 16) group stats over the final snapshot — COUNT,
+    * SUM, MIN, MAX of cents. The SUM and MAX only come out right if
+    * every boosted v2 value survived parse + widen + merge at full
+    * bigint width AND every cross-width tombstone landed; the oracle
+    * reproduces the survivors' values from `customer` with no CDC,
+    * no evolution, no width machinery anywhere in it. */
+  def typedWideningOverCdc(s: SparkSession, dir: String): DataFrame = {
+    val events = typedBalWorkloadEvents(s, dir)
+    val tmp = graft.util.Scratch.dir("qc20-cdc")
+    val snap = runTypedBalPipeline(s, events, s"$tmp/snap", s"$tmp/ckpt",
+      events.size.toLong)
+    snap.snapshot(s)
+      .groupBy((col("custkey") % 16).as("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .orderBy(col("grp"))
+  }
+
   /** The qc15 entry body: run the two-table evolution workload, then
     * emit one comparison table over both final snapshots — which
     * COLUMN each key's cents landed in IS the version it was projected

@@ -834,4 +834,50 @@ class CdcAnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(res.exists(_._2 % 5 == 4),
       "no wire-inserted survivor among the neighbors — composition not live")
   }
+
+  test("qc19: the persisted wire-built index reloads in a fresh session and serves identically") {
+    // the oracle hash (Verify) pins the reloaded top-3 lists to qc18's
+    // oracle; this drill pins the persistence mechanics — the entry's
+    // served result equals qc18's in-session result row-for-row (same
+    // feed, same queries; only save → fresh-session load in between)
+    val direct = CdcAnalytics.evolvingIvfServingSearchOverCdc(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val reloaded = CdcAnalytics.persistedIvfServingSearchOverCdc(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(reloaded.nonEmpty && reloaded == direct,
+      "fresh-session serve from the persisted index diverges from the in-session search")
+  }
+
+  test("qc20: an outage inside the v2 (widened) wave resumes to the one-shot snapshot") {
+    // the type change: cents is int under v1, bigint under v2, every
+    // v2 value boosted past Int.MaxValue. The cut lands INSIDE the v2
+    // wave, so boosted inserts AND the cross-width delete wave arrive
+    // through a reconnected v2 stream onto state accumulated under
+    // the narrow width — the resumed snapshot must equal the one-shot
+    // run's exactly
+    def rows(snap: CdcSnapshotTable): Seq[Seq[Any]] =
+      snap.snapshot(spark).orderBy("custkey").collect().map(_.toSeq).toSeq
+    val events = CdcAnalytics.typedBalWorkloadEvents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("qc20-resume").toString
+    val oneShot = rows(CdcAnalytics.runTypedBalPipeline(spark, events,
+      s"$tmp/ref_snap", s"$tmp/ref_ckpt", events.size.toLong))
+    assert(oneShot.nonEmpty)
+    // the widened width is load-bearing in the final state: some
+    // surviving cents exceed Int.MaxValue
+    assert(oneShot.exists(_(1).asInstanceOf[Long] > Int.MaxValue.toLong),
+      "fixture drift: no surviving value needs the widened type")
+
+    val ddl2 = events.indexWhere(_.contains("\"version\":2"))
+    assert(ddl2 > 1, "fixture drift: no v2 DDL mid-stream")
+    val cut = ddl2 + 1 + (events.size - ddl2 - 1) / 2 // inside the v2 wave
+    val phaseA = events.take(cut)
+    // reconnect: the CURRENT (v2, bigint) schema re-announced at head
+    val phaseB = events(ddl2) +: events.drop(cut)
+    CdcAnalytics.runTypedBalPipeline(spark, phaseA,
+      s"$tmp/snap", s"$tmp/ckpt", phaseA.size.toLong)
+    val resumed = rows(CdcAnalytics.runTypedBalPipeline(spark, phaseB,
+      s"$tmp/snap", s"$tmp/ckpt", phaseB.size.toLong))
+    assert(resumed == oneShot,
+      "resume across the type change diverges from the one-shot run")
+  }
 }
