@@ -112,8 +112,9 @@ object Bench {
       else "/root/repo/tmp/BENCH_SCOPED.json"
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try {
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(outFile).getParent)
+      // getParent is null for a bare relative filename — nothing to create
+      Option(java.nio.file.Paths.get(outFile).getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     }
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }

@@ -171,8 +171,9 @@ object CdcComposed {
       // survivors. The kill/resume drill (CdcAnalyticsSpec) cuts the
       // binlog inside the DELETE section.
       (s, d) => graft.streaming.CdcAnalytics.stateStoreNearDupRetractionOverCdc(s, d),
-      Some(LlmText.dedupGroupsOracleSqlOver(
-        s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0"))),
+      Some(LlmText.dedupGroupsOracleSqlOverBr(
+        s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0", 8, 2,
+        maxBucket = Int.MaxValue))),
 
     QueryDef("qc11_cdc_bootstrap_gtid_handoff",
       // The 100 TB deployment seam: an existing corpus is never
@@ -258,7 +259,8 @@ object CdcComposed {
       // machinery anywhere in it.
       (s, d) => graft.streaming.CdcAnalytics.stateStoreRebuildOverCdc(s, d),
       Some(LlmText.dedupGroupsOracleSqlOverBr(
-        s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0", 8, 4))),
+        s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0", 8, 4,
+        maxBucket = Int.MaxValue))),
 
     QueryDef("qc15_cdc_multitable_ddl_evolution",
       // Multi-table DDL EVOLUTION under load (VERDICT r11 item 8): two

@@ -164,8 +164,15 @@ object LlmText {
   }
 
   /** DuckDB CTEs mirroring [[minhashSig]] + [[bandedCandidates]] (expects
-    * the `shraw` CTE from [[shinglesSql]] in scope). */
-  private def minhashSigSql(nBands: Int, bandR: Int): String = {
+    * the `shraw` CTE from [[shinglesSql]] in scope). `maxBucket`
+    * mirrors the engine-side guard it models: [[HotBucketCap]] for the
+    * capped batch chain, `Int.MaxValue` for the UNCAPPED chain the
+    * state-store recovery fold is exact against (r13: the ledger
+    * restores every suppressed pair, so the right oracle for those
+    * entries has no bucket filter at any scale — its pair volume grows
+    * exactly where the engine's recovered volume does). */
+  private def minhashSigSql(nBands: Int, bandR: Int,
+      maxBucket: Int = HotBucketCap): String = {
     val nHashes = nBands * bandR
     val keyCols = (0 until bandR).map(k => s"k$k")
     "sig AS (SELECT doc_id, " +
@@ -188,16 +195,24 @@ object LlmText {
       // unguarded semantics — at fixture scale every bucket is under
       // the cap so this is a no-op and hashes are unchanged, but at a
       // scale where a bucket goes hot the engine drops it and an
-      // uncapped oracle would silently diverge)
-      "bsz AS (SELECT band, " + keyCols.mkString(", ") +
-      ", COUNT(*) AS bsz FROM bands GROUP BY band, " + keyCols.mkString(", ") + "), " +
-      "bandsc AS MATERIALIZED (SELECT b.* FROM bands b JOIN bsz z ON z.band = b.band AND " +
-      keyCols.map(k => s"z.$k = b.$k").mkString(" AND ") +
-      s" WHERE z.bsz <= $HotBucketCap), " +
-      "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bandsc x " +
-      "JOIN bandsc y ON x.band = y.band AND " +
-      keyCols.map(k => s"x.$k = y.$k").mkString(" AND ") +
-      " AND x.doc_id < y.doc_id)"
+      // uncapped oracle would silently diverge). At maxBucket =
+      // Int.MaxValue the filter CTEs are omitted entirely — the
+      // UNCAPPED chain for the recovery-fold entries.
+      (if (maxBucket == Int.MaxValue)
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x " +
+          "JOIN bands y ON x.band = y.band AND " +
+          keyCols.map(k => s"x.$k = y.$k").mkString(" AND ") +
+          " AND x.doc_id < y.doc_id)"
+      else
+        "bsz AS (SELECT band, " + keyCols.mkString(", ") +
+          ", COUNT(*) AS bsz FROM bands GROUP BY band, " + keyCols.mkString(", ") + "), " +
+          "bandsc AS MATERIALIZED (SELECT b.* FROM bands b JOIN bsz z ON z.band = b.band AND " +
+          keyCols.map(k => s"z.$k = b.$k").mkString(" AND ") +
+          s" WHERE z.bsz <= $maxBucket), " +
+          "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bandsc x " +
+          "JOIN bandsc y ON x.band = y.band AND " +
+          keyCols.map(k => s"x.$k = y.$k").mkString(" AND ") +
+          " AND x.doc_id < y.doc_id)")
   }
 
   /** The composed near-dup pipeline shared by q54 (pairs) and q57
@@ -372,8 +387,9 @@ object LlmText {
     * matches only if the migrated stream is semantically a fresh run
     * under the new index design. */
   private[graft] def dedupGroupsOracleSqlOverBr(docsPred: String,
-      nBands: Int, bandR: Int): String =
-    "WITH RECURSIVE " + bandedPairsSqlCtesOverBr(docsPred, nBands, bandR) + ", " +
+      nBands: Int, bandR: Int, maxBucket: Int = HotBucketCap): String =
+    "WITH RECURSIVE " +
+      bandedPairsSqlCtesOverBr(docsPred, nBands, bandR, maxBucket) + ", " +
       "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
       "UNION SELECT doc_b, doc_a FROM pairs), " +
       "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
@@ -396,8 +412,9 @@ object LlmText {
     * migration; the salt generator ('a' + i/4) is shared, so the same
     * SQL covers both. */
   private[queries] def bandedPairsSqlCtesOverBr(docsPred: String,
-      nBands: Int, bandR: Int): String =
-    shinglesSqlOver(2, docsPred) + ", " + minhashSigSql(nBands, bandR) + ", " +
+      nBands: Int, bandR: Int, maxBucket: Int = HotBucketCap): String =
+    shinglesSqlOver(2, docsPred) + ", " +
+      minhashSigSql(nBands, bandR, maxBucket) + ", " +
       "sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM sh GROUP BY doc_id), " +
       "inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter FROM cand c " +
       "JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh " +

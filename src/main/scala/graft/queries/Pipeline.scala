@@ -526,14 +526,20 @@ object Pipeline {
     * ([[trainBatched]]) at the [[BpeBigRounds]]×[[BpeBigBatch]]
     * constants over the derived vocab. */
   private[graft] def bpeBigMerges(s: SparkSession, d: String): Seq[(Int, Int, String, String, Long)] =
-    bpeBigCache.getOrElseUpdate(s, d, {
-      val enc0 = bpeBigWords(s, d)
-        .where(length(col("w")) >= 2)
-        .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
-        .select(concat(lit("  "), concat_ws("  ", bigUnits(col("w"))),
-          lit("  ")).as("e"), col("wcnt"))
-      trainBatched(enc0, BpeBigRounds, BpeBigBatch, BpeBigVocabCap, BpeBigTopC)
-    })
+    bpeBigCache.getOrElseUpdate(s, d, bpeBigMergesUncached(s, d))
+
+  /** The q138 replace-chain training run WITHOUT the session cache —
+    * for wall-clock baselines (ScaleProbe's 2×-budget gate times the
+    * actual training, which a cache hit would collapse to ~0 and turn
+    * the relative budget into a meaningless constant). */
+  private[graft] def bpeBigMergesUncached(s: SparkSession, d: String): Seq[(Int, Int, String, String, Long)] = {
+    val enc0 = bpeBigWords(s, d)
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+      .select(concat(lit("  "), concat_ws("  ", bigUnits(col("w"))),
+        lit("  ")).as("e"), col("wcnt"))
+    trainBatched(enc0, BpeBigRounds, BpeBigBatch, BpeBigVocabCap, BpeBigTopC)
+  }
 
   /** q138's merge table grouped per round in rank order — the
     * [[graft.functions.BpeEncode]] constructor shape. */
@@ -1136,8 +1142,12 @@ object Pipeline {
         val (cands, _) = StateStoreNearDup.runWaves(s, Seq(
           StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 0)),
           StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 1))))
+        // the CONTINUOUS serving fold (no recovery): drop-wholesale by
+        // final bucket size — insert-only, so this equals the capped
+        // oracle chain at EVERY scale (poison <=> final size > cap);
+        // the recovery/maintenance semantics are q66l's entry
         val verified = LlmText.verifyPairs(
-          StateStoreNearDup.foldCandEvents(cands),
+          StateStoreNearDup.foldCandEvents(cands, recoverBudget = 0),
           st.select(col("doc_id"), col("hs"), col("nbg")))
         graft.operators.DedupGroups.components(verified)
           .groupBy(col("rep").as("rep_doc"))
@@ -1214,7 +1224,8 @@ object Pipeline {
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("rep_doc"))
       },
-      Some(LlmText.dedupGroupsOracleSqlOver("doc_id % 7 <> 0"))),
+      Some(LlmText.dedupGroupsOracleSqlOverBr("doc_id % 7 <> 0", 8, 2,
+        maxBucket = Int.MaxValue))),
 
     QueryDef("q66h_reband_migration",
       // ONLINE INDEX MIGRATION — the "corpus outgrew the index"
@@ -1317,8 +1328,10 @@ object Pipeline {
         val (cands, _) = StateStoreNearDup.runWaves(s, Seq(
           StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 0), 4, 4),
           StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 1), 4, 4)))
+        // continuous fold, no recovery — see q66f (scale-exact vs the
+        // capped oracle for insert-only streams)
         val verified = LlmText.verifyPairs(
-          StateStoreNearDup.foldCandEvents(cands),
+          StateStoreNearDup.foldCandEvents(cands, recoverBudget = 0),
           st.select(col("doc_id"), col("hs"), col("nbg")))
         graft.operators.DedupGroups.components(verified)
           .groupBy(col("rep").as("rep_doc"))
@@ -1362,7 +1375,8 @@ object Pipeline {
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("rep_doc"))
       },
-      Some(LlmText.dedupGroupsOracleSqlOverBr("doc_id % 7 <> 0", 8, 4))),
+      Some(LlmText.dedupGroupsOracleSqlOverBr("doc_id % 7 <> 0", 8, 4,
+        maxBucket = Int.MaxValue))),
 
     QueryDef("q66l_statestore_neardup_hotcap_recovery",
       // HOT-BUCKET EXACTNESS on the state store (VERDICT r12 item 1 —
@@ -1375,9 +1389,12 @@ object Pipeline {
       // longer grows state without bound). The maintenance fold
       // (foldCandEvents with recovery) re-derives every suppressed pair
       // from the ledger, so the result equals the UNCAPPED batch chain
-      // — which is what this oracle (the q66f/q57 dedup-groups chain,
-      // whose modeled HotBucketCap of 500 no fixture bucket reaches)
-      // computes. The entry is load-bearing by construction: with the
+      // — and the oracle is that chain explicitly (maxBucket =
+      // Int.MaxValue), exact at EVERY scale, not just where fixture
+      // buckets stay under 500 (the r13 review's fold/oracle alignment:
+      // recovery entries get the uncapped oracle, continuous-fold
+      // entries get recoverBudget = 0 against the capped one).
+      // The entry is load-bearing by construction: with the
       // r12 semantics (stop emitting, keep accruing) the mid-stream
       // poisonings would permanently drop the suppressed pairs and the
       // hash would fail. StateStoreNearDupSpec drills the same
@@ -1402,7 +1419,8 @@ object Pipeline {
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("rep_doc"))
       },
-      Some(LlmText.dedupGroupsOracleSqlOver(""))),
+      Some(LlmText.dedupGroupsOracleSqlOverBr("", 8, 2,
+        maxBucket = Int.MaxValue))),
 
     QueryDef("q63_tfidf_top_terms",
       // Per-document top-3 TF-IDF terms (keyword extraction). The IDF is

@@ -729,8 +729,11 @@ object CdcAnalytics {
     val tmp = graft.util.Scratch.dir("qc8-cdc")
     runStateStoreNearDupPipeline(s, events, s"$tmp/events", s"$tmp/ckpt",
       events.size.toLong)
+    // the continuous serving fold (no recovery): insert-only, so
+    // drop-wholesale equals the capped batch oracle at every scale
     val cands = StateStoreNearDup.foldCandEvents(
-      s.read.schema(CandEventSchema).parquet(s"$tmp/events"))
+      s.read.schema(CandEventSchema).parquet(s"$tmp/events"),
+      recoverBudget = 0)
     val st = LlmText.bigramStateCached(s, dir)
     val verified = LlmText.verifyPairs(cands,
       st.select(col("doc_id"), col("hs"), col("nbg")))

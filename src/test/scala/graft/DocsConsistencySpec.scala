@@ -133,10 +133,15 @@ class DocsConsistencySpec extends AnyFunSuite {
       java.nio.charset.StandardCharsets.UTF_8)
     assert(readme.contains(s"${subset.size}-entry scale-path subset"),
       s"README must state the sf1 subset size (${subset.size})")
-    val record = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-      .toArray.map(_.toString).filter(_.matches("\\./SF1_CHECK_r\\d+\\.txt"))
-      .sorted.lastOption.getOrElse(
-        fail("no committed SF1_CHECK_r<N>.txt record"))
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+    val record = try {
+      // NUMERIC round order: lexicographic would rank r9 above r13
+      val rx = "\\./SF1_CHECK_r(\\d+)\\.txt".r
+      stream.toArray.map(_.toString)
+        .flatMap(p => rx.findFirstMatchIn(p).map(m => (m.group(1).toInt, p)))
+        .sortBy(_._1).lastOption.map(_._2).getOrElse(
+          fail("no committed SF1_CHECK_r<N>.txt record"))
+    } finally stream.close()
     val rec = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(record)), java.nio.charset.StandardCharsets.UTF_8)
     val failed = subset.filterNot(q => rec.contains(s"PASS $q"))

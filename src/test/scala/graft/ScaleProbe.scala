@@ -142,7 +142,9 @@ object ScaleProbe {
       // the ~1k-merge wall the VERDICT r12 item-3 target is phrased
       // against ("within ~2x q138's 1k wall")
       val t0 = System.nanoTime()
-      val mChain = Pipeline.bpeBigMerges(spark, d)
+      // uncached: a session-cache hit would collapse the baseline to
+      // ~0 and turn the 2x relative budget into a flat 15 s constant
+      val mChain = Pipeline.bpeBigMergesUncached(spark, d)
       val wallChain = (System.nanoTime() - t0) / 1e9
       // the native loop at the SAME constants (the q142 configuration)
       val t1 = System.nanoTime()
