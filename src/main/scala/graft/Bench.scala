@@ -115,7 +115,16 @@ object Bench {
       // getParent is null for a bare relative filename — nothing to create
       Option(java.nio.file.Paths.get(outFile).getParent)
         .foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+      // atomic: write a sibling temp file and move it into place, so a
+      // concurrent snapshot/commit can never capture a truncated record
+      // (VERDICT r13: the end-of-round snapshot committed a 0-byte
+      // SF1_CHECK record zeroed by an in-flight `>` redirect)
+      val target = java.nio.file.Paths.get(outFile)
+      val tmp = target.resolveSibling("." + target.getFileName + ".tmp")
+      java.nio.file.Files.writeString(tmp, line + "\n")
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()

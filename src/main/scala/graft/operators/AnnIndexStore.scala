@@ -116,11 +116,19 @@ object AnnIndexStore {
         col("cell").cast("int"), col("sub").cast("int"),
         col("code").cast("int"))
       .write.mode("overwrite").parquet(s"$dir/codes"))
-    // the commit record, last
+    // the commit record, last — written to a temp file in the SAME
+    // directory and moved into place atomically, so the record is
+    // all-or-nothing: a crash mid-write can never leave a truncated
+    // manifest that committed() accepts but loadManifest rejects
+    // (ADVICE r13).
     val json = s"""{"kind":"${man.kind}","k":${man.k},"m":${man.m},""" +
       s""""ksub":${man.ksub},"subDim":${man.subDim},""" +
       s""""formatVersion":${man.formatVersion}}"""
-    Files.write(Paths.get(dir, "manifest.json"), json.getBytes(UTF_8))
+    val tmp = Paths.get(dir, ".manifest.json.tmp")
+    Files.write(tmp, json.getBytes(UTF_8))
+    Files.move(tmp, Paths.get(dir, "manifest.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   // ---- load ----

@@ -628,11 +628,16 @@ object Vectors {
 
   /** Stable per-corpus store dirs: one save, many loads within a
     * Verify/Bench JVM (q140/q141 reload what q139 — or their own
-    * ensure-step — committed). */
+    * ensure-step — committed). Keyed on the SANITIZED PATH, not
+    * String.hashCode — two corpus paths with colliding hashes would
+    * silently share a store and serve one corpus's persisted index for
+    * the other's queries (ADVICE r13). */
+  private def corpusKey(d: String): String =
+    d.replaceAll("[^A-Za-z0-9._-]", "_")
   private def pqStoreDir(d: String): String = graft.util.Scratch.stableDir(
-    "annstore-ivfpq-" + Integer.toHexString(d.hashCode))
+    "annstore-ivfpq-" + corpusKey(d))
   private def pqResStoreDir(d: String): String = graft.util.Scratch.stableDir(
-    "annstore-ivfpqr-" + Integer.toHexString(d.hashCode))
+    "annstore-ivfpqr-" + corpusKey(d))
 
   /** Train (via the session caches) and persist the raw-PQ serving
     * index: coarse centroids + codebooks + the code table with the

@@ -99,11 +99,17 @@ class DocsConsistencySpec extends AnyFunSuite {
     }
     val ingestBest = m.get("ingest_eps").asDouble()
     // the README states these as "<total> s across <n> queries" and
-    // "<best>M events/s" (best-of-N, 0.01M precision)
-    val totalStated = f"${math.rint(total * 10) / 10}%.1f s across $nEntries queries"
+    // "<best>M events/s" (best-of-N, 0.01M precision). Format with an
+    // explicit Locale.ROOT — the f interpolator uses the JVM default
+    // locale, and a comma-decimal locale would render '440,8' and fail
+    // spuriously (ADVICE r13).
+    def fmt(pattern: String, x: Double): String =
+      String.format(java.util.Locale.ROOT, pattern, Double.box(x))
+    val totalStated =
+      fmt("%.1f", math.rint(total * 10) / 10) + s" s across $nEntries queries"
     assert(readme.contains(totalStated),
       s"README must state the artifact's suite total as '$totalStated'")
-    val ingestStated = f"${math.rint(ingestBest / 10000) / 100}%.2fM events/s"
+    val ingestStated = fmt("%.2f", math.rint(ingestBest / 10000) / 100) + "M events/s"
     assert(readme.contains(ingestStated),
       s"README must state the artifact's ingest rate as '$ingestStated'")
     // the per-run list must match the artifact's runs verbatim

@@ -4,9 +4,15 @@
 executes every oracle SQL in DuckDB over the same fixture tables and
 compares, sorting columns by name as the driver does.
 
-Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
+Usage: python3 tools/check.py <sfDir> <outDir> [--record PATH] [query ...]
+
+--record PATH writes the PASS/FAIL report to PATH ATOMICALLY (temp file
+in the same directory + os.replace) in addition to stdout. Use it for
+the committed SF1_CHECK_r<N>.txt records instead of a shell `>`
+redirect — VERDICT r13: an in-flight redirect zeroed the record just
+before the end-of-round snapshot committed it.
 """
-import sys, json, math
+import os, sys, json, math, tempfile
 
 import duckdb
 
@@ -36,7 +42,13 @@ def frame(rel):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    rest = sys.argv[3:]
+    record = None
+    if "--record" in rest:
+        i = rest.index("--record")
+        record = rest[i + 1]
+        rest = rest[:i] + rest[i + 2:]
+    only = set(rest)
     con = duckdb.connect()
     con.sql("SET TimeZone='UTC'")
     for t in TABLES:
@@ -73,12 +85,18 @@ def main():
             failed.append((name, f"row {bad[0]} differs:\n  spark={bad[1]}\n  duck ={bad[2]}"))
         else:
             passed.append((name, len(srows)))
-    for name, n in passed:
-        print(f"PASS {name} ({n} rows)")
-    for name, why in failed:
-        print(f"FAIL {name}: {why}")
-    print(f"\n{len(passed)} passed, {len(failed)} failed, "
-          f"{len(oracle) - len(passed) - len(failed)} skipped")
+    lines = [f"PASS {name} ({n} rows)" for name, n in passed]
+    lines += [f"FAIL {name}: {why}" for name, why in failed]
+    lines.append(f"\n{len(passed)} passed, {len(failed)} failed, "
+                 f"{len(oracle) - len(passed) - len(failed)} skipped")
+    report = "\n".join(lines)
+    print(report)
+    if record:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(record) or ".",
+                                   prefix="." + os.path.basename(record))
+        with os.fdopen(fd, "w") as f:
+            f.write(report + "\n")
+        os.replace(tmp, record)
     sys.exit(1 if failed else 0)
 
 
