@@ -1422,6 +1422,46 @@ object Pipeline {
       Some(LlmText.dedupGroupsOracleSqlOverBr("", 8, 2,
         maxBucket = Int.MaxValue))),
 
+    QueryDef("q66m_incremental_hotcap_recovery",
+      // HOT-BUCKET EXACTNESS on the PARQUET twin (VERDICT r13 item 1 —
+      // the q66l doctrine ported to the state the qc12/qc13
+      // maintenance-window migrations actually run on; before this,
+      // IncrementalNearDup documented drop-wholesale cap semantics
+      // with suppressed pairs unrecoverable forever): the q66 parity
+      // waves with the cap forced to 3 so REAL fixture buckets cross
+      // it mid-stream. A poisonSweep between the waves moves the
+      // wave-0-hot buckets' membership into the append-only ledger,
+      // marks them sticky-poisoned, and drops their index rows (an
+      // over-cap bucket holds ZERO bands/ state after the sweep);
+      // wave-1 arrivals into those buckets divert to the ledger (no
+      // index growth, no pairing); buckets that go hot only in wave 1
+      // are deliberately left UNSWEPT — recovery must pick their
+      // membership up from bands/ itself, so the entry exercises both
+      // recovery sources (ledger for swept, index for unswept). The
+      // maintenance fold (groupsWithRecovery) then restores every
+      // suppressed pair, and the oracle is the UNCAPPED batch chain
+      // explicitly (maxBucket = Int.MaxValue) — with the old
+      // semantics the mid-stream suppressions would fail the hash.
+      // IncrementalNearDupSpec drills the lifecycle synthetically
+      // (sweep idempotence, divert routing, bounded over-cap state,
+      // retraction through the ledger, migration reset).
+      (s, d) => {
+        import graft.streaming.IncrementalNearDup
+        val statePath = graft.util.Scratch.dir("q66m-incremental")
+        val inc = new IncrementalNearDup(statePath, hotBucketCap = 3)
+        val st = LlmText.bigramStateCached(s, d)
+        inc.processState(st.where(col("doc_id") % 2 === 0), 0L)
+        require(inc.poisonSweep(s) > 0,
+          "q66m drill is vacuous: no bucket crossed the cap in wave 0")
+        inc.processState(st.where(col("doc_id") % 2 === 1), 1L)
+        inc.groupsWithRecovery(s)
+          .groupBy(col("rep").as("rep_doc"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("rep_doc"))
+      },
+      Some(LlmText.dedupGroupsOracleSqlOverBr("", 8, 2,
+        maxBucket = Int.MaxValue))),
+
     QueryDef("q63_tfidf_top_terms",
       // Per-document top-3 TF-IDF terms (keyword extraction). The IDF is
       // the rational N/df — no transcendental log, so Spark and DuckDB

@@ -41,16 +41,76 @@ import graft.queries.LlmText
   * O(state) file IO per batch (pruned further by the bucket-partitioned
   * state layout — see [[processState]]); the shuffle + expansion —
   * the part that grows tasks — is O(batch ∪ touched buckets). The
-  * hot-bucket cap ([[LlmText.HotBucketCap]]) is applied per batch to
-  * each touched bucket's combined membership, so a bucket that goes hot
-  * stops emitting NEW candidates (pairs found while it was small are
-  * retained — the standard streaming-LSH tradeoff, noted here rather
-  * than hidden). The DELETE-side corollary (ADVICE r10): pairs that
-  * were SUPPRESSED while a bucket was over the cap are never
-  * retro-generated when later deletes cool the bucket back under it —
-  * so survivors-parity with a fresh batch run over the survivors is
-  * exact only while every bucket stays under the cap for the whole
-  * stream, the same disclosure as the insert side.
+  * hot-bucket cap (`hotBucketCap`, default [[LlmText.HotBucketCap]]) is
+  * applied per batch to each touched bucket's combined membership, so a
+  * bucket that goes hot stops emitting NEW candidates (pairs found
+  * while it was small are retained — the standard streaming-LSH
+  * tradeoff, noted here rather than hidden). The DELETE-side corollary
+  * (ADVICE r10): pairs that were SUPPRESSED while a bucket was over the
+  * cap are never retro-generated when later deletes cool the bucket
+  * back under it — so the CONTINUOUS view's survivors-parity with a
+  * fresh batch run over the survivors is exact only while every bucket
+  * stays under the cap, the same disclosure as the insert side.
+  *
+  * ==Hot buckets: poison + ledger (VERDICT r13 item 1 — the parquet
+  * twin of [[StateStoreNearDup]]'s q66l semantics)==
+  *
+  * The cap above protects the hot path but used to DROP the suppressed
+  * pairs forever. The poison+ledger machinery makes them recoverable
+  * and bounds over-cap state, reshaped for append-only parquet state:
+  * where the RocksDB store poisons per batch with point access, the
+  * parquet twin poisons at a MAINTENANCE SWEEP ([[poisonSweep]] — call
+  * it from the compaction hook or a maintenance window, the qc12/qc13
+  * cadence):
+  *
+  *  1. every bucket whose live (survivor) membership exceeds the cap
+  *     has that membership APPENDED to `ledger/` (the event-sink
+  *     analog: append-only, recovery-only, never probed per batch) —
+  *     durable FIRST;
+  *  2. the bucket's (band, key) is appended to `poisoned/` — the
+  *     sticky marker set (a poisoned bucket never un-poisons, even if
+  *     deletes would cool it: the index forgot its membership, the
+  *     same asymmetry as the state-store form);
+  *  3. the bucket's rows are dropped from `bands/` (crash-safe swap
+  *     rewrite), so an over-cap bucket holds ZERO index state from
+  *     then on.
+  *
+  * Per batch, when (and only when) `poisoned/` is non-empty: arrivals
+  * into poisoned buckets divert to the ledger instead of the index
+  * (one append, no pairing), and poisoned buckets are excluded from
+  * candidate generation by a broadcast anti-join (the marker set is
+  * tiny — hot buckets are few by nature). A stream that never poisons
+  * pays NOTHING: the machinery is gated on the marker dir existing,
+  * the [[tombstonesOpt]] pattern. Between sweeps an over-cap bucket's
+  * bands/ rows grow with its arrival rate — bounded by sweep cadence,
+  * the documented parquet-twin tradeoff vs the store's per-batch O(1).
+  *
+  * Crash ordering makes the sweep idempotent: ledger-before-marker
+  * means a crash between them re-appends the membership next sweep
+  * (folded by recovery's distinct); marker-before-rewrite means a
+  * marked bucket with leftover bands/ rows is converged by the next
+  * sweep/compaction (both drop ALL marked buckets' rows, not just the
+  * newly marked). Every append is also replay-tolerant: duplicate
+  * ledger rows fold out in recovery's distinct.
+  *
+  * The consumer then has both cap semantics, exactly as the store
+  * twin: [[groups]] (no recovery) keeps the capped continuous
+  * semantics above; [[recoverPoisonedPairs]] re-derives every
+  * suppressed pair from (ledger ∪ the bands/ rows of buckets over the
+  * cap but not yet swept) — all-pairs per hot bucket, verified against
+  * the shingle sets `sets/` retains for EVERY doc — so
+  * [[groupsWithRecovery]] equals the UNCAPPED batch chain (q66m's
+  * hash gate, `maxBucket = Int.MaxValue`). Recovery is quadratic in
+  * hot-bucket membership BY NATURE (those pairs exist); `recoverBudget`
+  * bounds the per-bucket cost, over-budget buckets keep the capped
+  * semantics deterministically. The in-place migrations
+  * ([[IncrementalNearDup.rebandMigrate]]/[[IncrementalNearDup.widenMigrate]])
+  * RESET the poison state: they rebuild bands/ from sets/ at the new
+  * design (full membership, poisoned buckets included — bucket keys
+  * are design-specific, so the old markers are meaningless there), and
+  * the next sweep re-poisons under the new design. Run recovery BEFORE
+  * migrating if the suppressed pairs matter — rebandMigrate's pair
+  * filter keeps any recovered pair the target design co-buckets.
   *
   * RETRACTION ([[retractBatch]], VERDICT r9 item 4 — the
   * [[IncrementalLineDedup]] tombstone doctrine): a CDC DELETE appends
@@ -70,7 +130,8 @@ import graft.queries.LlmText
   */
 final class IncrementalNearDup(statePath: String,
     autoCompactFiles: Int = StateLayout.AutoCompactFiles,
-    nBands: Int = 8, bandR: Int = 2) {
+    nBands: Int = 8, bandR: Int = 2,
+    hotBucketCap: Int = LlmText.HotBucketCap) {
 
   // a banding design regroups a full salted-md5 signature: 16
   // components (8×2 default, 4×4 after a re-band migration) or the
@@ -89,7 +150,8 @@ final class IncrementalNearDup(statePath: String,
     * [[IncrementalLineDedup]]'s doc; same trigger, same safety. */
   private def maybeCompact(spark: SparkSession): Unit =
     if (StateLayout.autoCompactDue(spark,
-        Seq("pairs", "bands", "sets", "tombstones").map(t => s"$statePath/$t"),
+        Seq("pairs", "bands", "sets", "tombstones", "ledger", "poisoned")
+          .map(t => s"$statePath/$t"),
         autoCompactFiles))
       compact(spark)
 
@@ -137,6 +199,19 @@ final class IncrementalNearDup(statePath: String,
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** None until the first sweep poisons a bucket — the common
+    * never-hot stream then skips the whole poison machinery per batch
+    * (no broadcast anti-joins, no ledger append job), the same
+    * zero-cost gating as [[tombstonesOpt]]. The marker set is (band,
+    * key) rows; schema is design-dependent (the key struct width is
+    * bandR), so reads infer it. */
+  private def poisonedOpt(spark: SparkSession): Option[DataFrame] = {
+    val dir = s"$statePath/poisoned"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(dir)) else None
+  }
+
   /** foreachBatch hook: `batch` needs (doc_id, text). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val docs = batch.select(col("doc_id"), col("text"))
@@ -180,7 +255,22 @@ final class IncrementalNearDup(statePath: String,
     val nHashes = live.columns.count(_.matches("h\\d+"))
     val newSets = live.select(col("doc_id"), col("hs"), col("nbg"),
       array((0 until nHashes).map(i => col(s"h$i")): _*).as("sig"))
-    val newBands = LlmText.bandKeys(live, nBands, bandR)
+    val allNewBands = LlmText.bandKeys(live, nBands, bandR)
+
+    // poison routing (see the class doc's poison+ledger section):
+    // arrivals into poisoned buckets divert to the append-only ledger —
+    // they never enter the index or pair — and poisoned buckets are
+    // excluded from candidate generation below. The marker set is tiny
+    // (hot buckets are few by nature), so both joins broadcast it; a
+    // never-poisoned stream skips all of this (poisonedB is None).
+    val poisonedB = poisonedOpt(spark)
+      .map(p => broadcast(p.select(col("band"), col("key"))))
+    val newBands = poisonedB
+      .map(p => allNewBands.join(p, Seq("band", "key"), "left_anti"))
+      .getOrElse(allNewBands)
+    val hotArrivals = poisonedB.map(p =>
+      allNewBands.join(p, Seq("band", "key"), "left_semi")
+        .select(col("band"), col("key"), col("doc_id")))
 
     // candidate generation and verify read the SURVIVORS-ONLY view of
     // the committed state: probing deleted docs would spend verify
@@ -218,9 +308,13 @@ final class IncrementalNearDup(statePath: String,
         antiTomb(StateLayout.readPruned(spark, s"$statePath/bands",
           newBands.schema, newBands, Seq("band", "key"))),
         newBands)
+    // (poisoned buckets cannot reach this group-by: newBands excluded
+    // them above, and candidateUnion's committed side is semi-joined to
+    // newBands' buckets — so even leftover bands/ rows of a marked
+    // bucket, possible after a crash mid-sweep, never re-enter)
     val buckets = tagged.groupBy(col("band"), col("key"))
       .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("ms"))
-      .where(size(col("ms")) <= LlmText.HotBucketCap)
+      .where(size(col("ms")) <= hotBucketCap)
     // new-vs-all within the bucket: canonicalize so (a, b) is found
     // once regardless of which side is the new doc
     // checkpoints below are CONDITIONAL on the pruned read path being
@@ -294,10 +388,143 @@ final class IncrementalNearDup(statePath: String,
       () => StateLayout.append(fresh, s"$statePath/pairs", Seq("doc_a", "doc_b")),
       () => StateLayout.append(guardFreshBands(spark, newBands),
         s"$statePath/bands", Seq("band", "key")),
-      () => StateLayout.append(freshSets, s"$statePath/sets", Seq("doc_id"))))
+      () => StateLayout.append(freshSets, s"$statePath/sets", Seq("doc_id"))) ++
+      // the hot-arrival ledger append — plain append-only parquet, the
+      // event-sink shape: recovery-only, never probed per batch, so no
+      // bucketed layout and no replay guard (duplicate rows fold out in
+      // recovery's distinct). Present only once a bucket is poisoned.
+      hotArrivals.map(hot =>
+        () => hot.write.mode("append").parquet(s"$statePath/ledger")))
     maybeCompact(spark)
     ()
   }
+
+  // ---- hot buckets: poison + ledger (see the class-doc section) ----
+
+  /** The maintenance sweep: poison every bucket whose live membership
+    * exceeds the cap — ledger append (durable first), marker append,
+    * bands/ swap-rewrite dropping ALL marked buckets' rows (idempotent
+    * convergence: a crash anywhere re-converges on the next call).
+    * Returns the number of newly poisoned buckets. Call from a
+    * maintenance window (the qc12/qc13 cadence) or a compaction hook;
+    * between calls an over-cap bucket's bands/ rows grow with its
+    * arrival rate — the documented cadence bound. */
+  def poisonSweep(spark: SparkSession): Long = {
+    if (!StateLayout.exists(spark, s"$statePath/bands")) return 0L
+    val bands = spark.read.parquet(s"$statePath/bands")
+      .drop(StateLayout.BucketCol).localCheckpoint(true)
+    // poisoning is decided over the SURVIVING membership, mirroring the
+    // candidate view (and the state-store twin's claimant fold)
+    val liveBands = tombstonesOpt(spark)
+      .map(t => bands.join(t, Seq("doc_id"), "left_anti")).getOrElse(bands)
+    val already = poisonedOpt(spark)
+    val over = liveBands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n")).where(col("n") > hotBucketCap)
+      .select(col("band"), col("key"))
+    val newlyHot = already.map(p =>
+        over.join(p.select(col("band"), col("key")), Seq("band", "key"), "left_anti"))
+      .getOrElse(over).localCheckpoint(true)
+    val nNew = newlyHot.count()
+    if (nNew > 0) {
+      // 1. the ledger is durable FIRST: the full live membership of the
+      //    newly hot buckets — a crash after this re-appends next sweep
+      //    (recovery's distinct folds duplicates), never loses members
+      liveBands.join(broadcast(newlyHot), Seq("band", "key"), "left_semi")
+        .select(col("band"), col("key"), col("doc_id"))
+        .write.mode("append").parquet(s"$statePath/ledger")
+      // 2. the sticky marker
+      newlyHot.write.mode("append").parquet(s"$statePath/poisoned")
+    }
+    // 3. drop ALL marked buckets' rows from the index (not just the new
+    //    ones — converges leftover rows from a crash mid-sweep), and
+    //    rebuild the replay-guard sidecar over the surviving doc set
+    val allMarked = poisonedOpt(spark)
+    if (allMarked.isDefined && (nNew > 0 || bands.join(
+        broadcast(allMarked.get.select(col("band"), col("key"))),
+        Seq("band", "key"), "left_semi").head(1).nonEmpty)) {
+      val kept = bands.join(
+          broadcast(allMarked.get.select(col("band"), col("key"))),
+          Seq("band", "key"), "left_anti")
+        .localCheckpoint(true)
+      StateLayout.overwriteCompacted(kept, s"$statePath/bands",
+        Seq("band", "key"), parts = 8)
+      StateLayout.rebuildBloom(spark,
+        StateLayout.bloomSidecar(s"$statePath/bands"),
+        kept.select("doc_id"), "doc_id")
+    }
+    nNew
+  }
+
+  /** Re-derive the pairs the cap suppressed — the maintenance fold of
+    * the store twin ([[StateStoreNearDup.recoverPoisonedPairs]]) on
+    * parquet state: all-pairs within each hot bucket's membership,
+    * where "hot" is marked-and-swept (membership in `ledger/`) OR
+    * over-cap-but-unswept (membership still in `bands/` — each arrival
+    * is in exactly one of the two, so the union is the complete
+    * membership), tombstone-filtered, minus already-verified pairs,
+    * exact-verified against the shingle sets `sets/` retains for every
+    * doc (hot-bucket docs included — sets/ appends are independent of
+    * banding). Quadratic per hot bucket BY NATURE; `recoverBudget`
+    * bounds the per-bucket membership, over-budget buckets keep the
+    * capped semantics deterministically. */
+  def recoverPoisonedPairs(spark: SparkSession,
+      recoverBudget: Long = Long.MaxValue): DataFrame = {
+    def readOrNone(dir: String): Option[DataFrame] =
+      if (StateLayout.exists(spark, dir))
+        Some(spark.read.parquet(dir).drop(StateLayout.BucketCol)) else None
+    val bandsM = readOrNone(s"$statePath/bands")
+      .map(_.select(col("band"), col("key"), col("doc_id")))
+    val unswept = bandsM.map { b =>
+      val over = b.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("n")).where(col("n") > hotBucketCap)
+        .select(col("band"), col("key"))
+      b.join(over, Seq("band", "key"), "left_semi")
+    }
+    val ledger = readOrNone(s"$statePath/ledger")
+      .map(_.select(col("band"), col("key"), col("doc_id")))
+    val memAll = (unswept.toSeq ++ ledger.toSeq)
+      .reduceOption(_ unionByName _)
+      .getOrElse(return spark.emptyDataFrame
+        .select(lit(0L).as("doc_a"), lit(0L).as("doc_b"),
+          lit(0.0).as("jaccard")).limit(0))
+    val tombsOpt = tombstonesOpt(spark)
+    val mem = tombsOpt.map(t => memAll.join(t, Seq("doc_id"), "left_anti"))
+      .getOrElse(memAll)
+      .distinct().localCheckpoint(true)
+    val within = if (recoverBudget == Long.MaxValue) mem
+      else mem.join(
+        mem.groupBy(col("band"), col("key")).agg(count(lit(1)).as("n"))
+          .where(col("n") <= recoverBudget).select(col("band"), col("key")),
+        Seq("band", "key"))
+    val cand0 = within.as("x").join(within.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val known = readOrNone(s"$statePath/pairs")
+    val cand = known.map(k => cand0.join(k.select("doc_a", "doc_b"),
+      Seq("doc_a", "doc_b"), "left_anti")).getOrElse(cand0)
+    val sets = spark.read.parquet(s"$statePath/sets")
+      .drop(StateLayout.BucketCol)
+      .select(col("doc_id"), col("hs"), col("nbg"))
+    val liveSets = tombsOpt.map(t => sets.join(t, Seq("doc_id"), "left_anti"))
+      .getOrElse(sets)
+    LlmText.verifyPairs(cand, liveSets)
+  }
+
+  /** [[pairs]] plus the recovered suppressed pairs — equals the
+    * UNCAPPED batch chain's pair set over the survivors (q66m's hash
+    * gate; the recovery join is disjoint from pairs/ by construction,
+    * so the union needs no dedup). */
+  def pairsWithRecovery(spark: SparkSession,
+      recoverBudget: Long = Long.MaxValue): DataFrame =
+    pairs(spark).unionByName(recoverPoisonedPairs(spark, recoverBudget))
+
+  /** [[groups]] over [[pairsWithRecovery]] — the maintenance-window
+    * dedup view with hot-bucket exactness restored. */
+  def groupsWithRecovery(spark: SparkSession,
+      recoverBudget: Long = Long.MaxValue): DataFrame =
+    DedupGroups.components(pairsWithRecovery(spark, recoverBudget))
 
   /** Guard-path counters, observable by the specs: how often the
     * bands/ replay guard resolved with the bloom fast path (no
@@ -415,7 +642,14 @@ final class IncrementalNearDup(statePath: String,
         // inferred read + drop of the layout column handles each dir's
         // schema (bands' key struct is fixture-shaped); the rewrite
         // restores the bucketed layout
-        val cur = spark.read.parquet(dir).drop(StateLayout.BucketCol)
+        val cur0 = spark.read.parquet(dir).drop(StateLayout.BucketCol)
+        // bands/ compaction doubles as poison-sweep convergence: marked
+        // buckets' leftover rows (a crash mid-sweep) drop here too —
+        // their membership is already durable in the ledger
+        val cur = if (t == "bands") poisonedOpt(spark).map(p =>
+            cur0.join(broadcast(p.select(col("band"), col("key"))),
+              Seq("band", "key"), "left_anti")).getOrElse(cur0)
+          else cur0
         val snap = (if (t == "pairs") dropTombstonedPairs(cur, tombs)
           else cur.join(tombs, Seq("doc_id"), "left_anti"))
           .localCheckpoint(true)
@@ -424,6 +658,16 @@ final class IncrementalNearDup(statePath: String,
     }
     if (StateLayout.exists(spark, s"$statePath/tombstones"))
       StateLayout.overwriteSmall(tombs, s"$statePath/tombstones")
+    // the poison state: markers dedup; the ledger dedups and makes
+    // retraction physical (tombstoned members leave — recovery would
+    // have anti-joined them anyway, this just sheds the bytes)
+    poisonedOpt(spark).foreach(p => StateLayout.overwriteSmall(
+      p.distinct().localCheckpoint(true), s"$statePath/poisoned"))
+    if (StateLayout.exists(spark, s"$statePath/ledger"))
+      StateLayout.overwriteSmall(
+        spark.read.parquet(s"$statePath/ledger").distinct()
+          .join(tombs, Seq("doc_id"), "left_anti").localCheckpoint(true),
+        s"$statePath/ledger")
     // rebuild the bands guard sidecar from the compacted dir: its doc
     // set is committed-minus-tombstoned, which is exactly what the
     // guard must over-approximate — a tombstoned doc's replayed insert
@@ -528,6 +772,14 @@ object IncrementalNearDup {
     StateLayout.rebuildBloom(spark,
       StateLayout.bloomSidecar(s"$statePath/bands"),
       newBands.select("doc_id"), "doc_id")
+    // RESET the poison state (see the class doc's poison+ledger
+    // section): bucket keys are design-specific, so the old markers are
+    // meaningless at the target design, and the rebuilt bands/ above
+    // re-derived the FULL membership from sets/ (hot buckets included)
+    // — the ledger is redundant. The next sweep re-poisons under the
+    // new design. Run recovery BEFORE migrating if the suppressed pairs
+    // matter; the pair filter below keeps any the target co-buckets.
+    dropPoisonState(spark, statePath)
     val pairsDir = s"$statePath/pairs"
     if (StateLayout.exists(spark, pairsDir)) {
       val pairs0 = spark.read.parquet(pairsDir).drop(StateLayout.BucketCol)
@@ -686,5 +938,19 @@ object IncrementalNearDup {
     val migrated = known.unionByName(freshV).localCheckpoint(true)
     StateLayout.overwriteCompacted(migrated, pairsDir,
       Seq("doc_a", "doc_b"), parts = 8)
+    // same poison-state reset as rebandMigrate — and here it is even
+    // cleanly exact: candidates were REGENERATED from the full wide
+    // index, so pairs a hot source bucket suppressed were verified
+    // above if the target design co-buckets them
+    dropPoisonState(spark, statePath)
   }
+
+  /** Delete the poison marker set + ledger of a state dir — the
+    * migration reset (bucket keys are design-specific). */
+  private def dropPoisonState(spark: SparkSession, statePath: String): Unit =
+    Seq("poisoned", "ledger").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$statePath/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
 }

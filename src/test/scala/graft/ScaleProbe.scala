@@ -122,6 +122,46 @@ object ScaleProbe {
     require(missing == 0 && spurious == 0,
       "poison+recover diverged from the uncapped batch chain on the adversarial corpus")
 
+    // r14 (VERDICT r13 item 1): the PARQUET twin's poison+ledger at the
+    // REAL cap on the same adversarial corpus — sweep engagement,
+    // bounded over-cap index state (zero bands/ rows for poisoned
+    // buckets; membership in the ledger), and verified-pair parity with
+    // the uncapped batch chain through the recovery fold.
+    locally {
+      import graft.streaming.IncrementalNearDup
+      val statePath = graft.util.Scratch.dir("probe-q66m")
+      val inc = new IncrementalNearDup(statePath)
+      inc.processState(sigAdv.where(col("doc_id") % 2 === 0), 0L)
+      val nP0 = inc.poisonSweep(spark)
+      inc.processState(sigAdv.where(col("doc_id") % 2 === 1), 1L)
+      val nP1 = inc.poisonSweep(spark)
+      require(nP0 + nP1 > 0,
+        "parquet probe is vacuous: no bucket crossed the real cap")
+      val overRows = spark.read.parquet(s"$statePath/bands")
+        .join(spark.read.parquet(s"$statePath/poisoned"),
+          Seq("band", "key"), "left_semi").count()
+      val ledgerRows = spark.read.parquet(s"$statePath/ledger").count()
+      val indexRows = spark.read.parquet(s"$statePath/bands").count()
+      println(s"PROBE q66m_adversarial_poisoned_buckets=${nP0 + nP1} " +
+        s"sweep0=$nP0 sweep1=$nP1 (cap=${LlmText.HotBucketCap})")
+      println(s"PROBE q66m_overcap_band_rows=$overRows " +
+        s"ledger_rows=$ledgerRows index_rows=$indexRows")
+      require(overRows == 0,
+        "a poisoned bucket still holds index rows after the sweep")
+      val gotPairs = inc.pairsWithRecovery(spark)
+        .select("doc_a", "doc_b").localCheckpoint(true)
+      val wantPairs = LlmText.verifyPairs(
+          LlmText.bandedCandidates(sigAdv, 8, 2, maxBucket = Int.MaxValue),
+          sigAdv.select(col("doc_id"), col("hs"), col("nbg")))
+        .select("doc_a", "doc_b").localCheckpoint(true)
+      val mm = wantPairs.except(gotPairs).count()
+      val ss = gotPairs.except(wantPairs).count()
+      println(s"PROBE q66m_adversarial_recovery_parity missing=$mm " +
+        s"spurious=$ss (pairs=${wantPairs.count()})")
+      require(mm == 0 && ss == 0,
+        "parquet poison+recover diverged from the uncapped batch chain")
+    }
+
     // r12: the PARAMETERIZED designs' stores at the same tier — the
     // (4, 4) high-precision key space (q66j) and the widened (8, 4)
     // over 32 components (q66k); state stays linear in touched buckets

@@ -146,4 +146,96 @@ class IncrementalNearDupSpec extends AnyFunSuite with SparkTestSession {
       "pairs not pruned")
     assert(groupsOf(inc) == got)
   }
+
+  test("hot-bucket poison + ledger: bounded over-cap state, exact uncapped recovery (q66m lifecycle)") {
+    // the q66l doctrine on the parquet twin (VERDICT r13 item 1), at a
+    // cap small enough that real fixture buckets cross it mid-stream
+    val cap = 3
+    val st = LlmText.bigramStateCached(spark, dir).localCheckpoint(true)
+    def uncappedGroups(pred: org.apache.spark.sql.Column): Map[Long, Long] = {
+      val stP = st.where(pred).localCheckpoint(true)
+      DedupGroups.components(LlmText.verifyPairs(
+          LlmText.bandedCandidates(stP, 8, 2, maxBucket = Int.MaxValue),
+          stP.select(col("doc_id"), col("hs"), col("nbg"))))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val statePath = java.nio.file.Files
+      .createTempDirectory("inc-neardup-hotcap").toString
+    val inc = new IncrementalNearDup(statePath, hotBucketCap = cap)
+    inc.processState(st.where(col("doc_id") % 2 === 0), 0L)
+
+    // the sweep poisons every wave-0-hot bucket and DROPS its index
+    // rows — an over-cap bucket holds zero bands/ state from then on
+    val nPoisoned = inc.poisonSweep(spark)
+    assert(nPoisoned > 0, "fixture drift: no bucket crossed the cap in wave 0")
+    def poisonedBandRows(): Long =
+      spark.read.parquet(s"$statePath/bands")
+        .join(spark.read.parquet(s"$statePath/poisoned"),
+          Seq("band", "key"), "left_semi").count()
+    assert(poisonedBandRows() == 0, "swept bucket still holds index rows")
+    val ledgerAfterSweep = spark.read.parquet(s"$statePath/ledger").count()
+    assert(ledgerAfterSweep > cap, "ledger missing the swept membership")
+
+    // wave-1 arrivals into poisoned buckets DIVERT to the ledger: the
+    // index stays empty for them, the ledger grows
+    inc.processState(st.where(col("doc_id") % 2 === 1), 1L)
+    assert(poisonedBandRows() == 0, "a poisoned bucket re-entered the index")
+    assert(spark.read.parquet(s"$statePath/ledger").count() > ledgerAfterSweep,
+      "fixture drift: no wave-1 arrival hit a poisoned bucket - divert untested")
+
+    // recovery restores the exact UNCAPPED batch result — from the
+    // ledger for swept buckets AND from bands/ for buckets that went
+    // hot only in wave 1 (left unswept on purpose)
+    def recGroups(): Map[Long, Long] = inc.groupsWithRecovery(spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = uncappedGroups(lit(true))
+    assert(recGroups() == want, "recovery fold diverges from the uncapped batch chain")
+    // load-bearing: the capped continuous fold is NOT the uncapped one
+    assert(inc.groups(spark).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap != want,
+      "fixture drift: cap suppressed nothing - recovery untested")
+    // unswept over-cap buckets really exist (the bands/ recovery source)
+    val unswept = spark.read.parquet(s"$statePath/bands")
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("n"))
+      .where(col("n") > cap).count()
+    assert(unswept > 0, "fixture drift: no bucket went hot in wave 1 - bands-side recovery untested")
+
+    // a later sweep picks up the buckets that went hot in wave 1 —
+    // their membership moves to the ledger and recovery stays exact,
+    // now sourced from the ledger alone
+    assert(inc.poisonSweep(spark) > 0, "wave-1-hot buckets not swept")
+    assert(poisonedBandRows() == 0)
+    assert(recGroups() == want)
+    // and sweeping is idempotent: an immediate re-run finds nothing
+    // new and changes nothing (crash-mid-sweep convergence is the same
+    // code path: drop-ALL-marked plus the ledger's distinct fold)
+    assert(inc.poisonSweep(spark) == 0, "sweep not idempotent")
+    assert(recGroups() == want)
+
+    // replayed wave across the poisoning: ledger duplicates fold out in
+    // recovery's distinct, the index replay guard holds
+    val bandsBefore = spark.read.parquet(s"$statePath/bands").count()
+    inc.processState(st.where(col("doc_id") % 2 === 1), 99L)
+    assert(spark.read.parquet(s"$statePath/bands").count() == bandsBefore,
+      "replay re-entered the index")
+    assert(recGroups() == want, "replay changed the recovery fold")
+
+    // retraction reaches the ledger: delete docs, recovery equals the
+    // uncapped run over the survivors; compaction makes it physical
+    inc.retractBatch(st.where(col("doc_id") % 7 === 0).select("doc_id"), 100L)
+    val wantSurv = uncappedGroups(col("doc_id") % 7 =!= 0)
+    assert(recGroups() == wantSurv,
+      "post-delete recovery diverges from the uncapped survivors run")
+    inc.compact(spark, parts = 2)
+    assert(spark.read.parquet(s"$statePath/ledger")
+      .where(col("doc_id") % 7 === 0).count() == 0, "ledger not pruned")
+    assert(recGroups() == wantSurv)
+
+    // migration RESETS the poison state (design-specific bucket keys):
+    // markers + ledger gone; the migrated index re-derives membership
+    IncrementalNearDup.rebandMigrate(spark, statePath, 4, 4)
+    assert(!StateLayout.exists(spark, s"$statePath/poisoned") &&
+      !StateLayout.exists(spark, s"$statePath/ledger"),
+      "migration left stale poison state behind")
+  }
 }
