@@ -63,17 +63,47 @@ object Bench {
     // BEST (max events/s ≡ min time) reported and all three recorded.
     try ingestEventsPerSec() catch { case _: Throwable => () } // JIT warmup (full-size)
     val ingestRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // host-load marker captured WITH each ingest run (VERDICT r13 item
+    // 3: a 43% round-over-round 4-shard swing was attributed to ambient
+    // host load with no recorded evidence — unfalsifiable; now every
+    // run carries 1-minute loadavg + the machine's JVM count at run
+    // time, so an ambient-load claim is checkable from the artifact)
+    val ingestMarkers = scala.collection.mutable.ArrayBuffer.empty[String]
+    def loadMarker(): String = {
+      val load1 = try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg"))).split(" ")(0)
+        catch { case _: Throwable => "-1" }
+      val jvms = try {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get("/proc"))
+        try s.toArray.map(_.toString).count { p =>
+          p.stripPrefix("/proc/").forall(_.isDigit) && {
+            try new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(p, "comm"))).trim == "java"
+            catch { case _: Throwable => false }
+          }
+        } finally s.close()
+      } catch { case _: Throwable => -1 }
+      s"""{"load1":$load1,"jvms":$jvms}"""
+    }
     // pass-count knob for local scale runs (e.g. the one-pass sf1
     // validation sweep); the driver sets nothing → the min-of-3 contract
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    def timedIngestRun(): Unit = {
+      ingestMarkers += loadMarker()
+      ingestRuns += (try ingestEventsPerSec() catch { case _: Throwable => -1.0 })
+    }
     val passes = (1 to nPasses).map { _ =>
       val m = defs.map { q =>
         q.name -> (try once(q) catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}"); -1.0 })
       }.toMap
-      ingestRuns += (try ingestEventsPerSec() catch { case _: Throwable => -1.0 })
+      timedIngestRun()
       m
     }
+    // two more warm runs after the suite → five recorded single-
+    // connection runs per round (VERDICT r13 item 3's min-of-5 bar),
+    // the first three still interleaved across the suite passes
+    if (nPasses >= 3) (1 to 2).foreach(_ => timedIngestRun())
     val results = defs.map { q =>
       val ts = passes.map(_(q.name))
       q.name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
@@ -95,12 +125,27 @@ object Bench {
     // server+client pairs drained in parallel — best-of-2 after the
     // suite (the single-connection number stays the reference-
     // comparable headline; this one demonstrates the fan-out).
-    val shardRuns = (1 to 2).map { _ =>
+    val shardMarkers = scala.collection.mutable.ArrayBuffer.empty[String]
+    val shardRuns = (1 to 3).map { _ =>
+      shardMarkers += loadMarker()
       try ingestEventsPerSecSharded() catch { case _: Throwable => -1.0 }
     }
     val okShard = shardRuns.filter(_ >= 0)
     val epsShard = if (okShard.isEmpty) -1.0 else okShard.max
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_eps":$eps,"ingest_eps_runs":$epsRuns,"ingest_eps_4shard":$epsShard,"ingest_eps_4shard_runs":${shardRuns.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // the serving-SLA block (VERDICT r13 item 6): per-query latency
+    // against the LOADED persisted index — q144 carries the hash gate,
+    // this records the p50/p95 a serving deployment would see
+    val servingLat = try graft.queries.Vectors
+        .servingSlaLatenciesMs(spark, sfDir, 100).sorted
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] serving SLA probe failed: ${e.getMessage}")
+        Seq.empty[Double] }
+    def pct(p: Double): Double = if (servingLat.isEmpty) -1.0
+      else servingLat(math.min(servingLat.size - 1,
+        math.ceil(p * servingLat.size).toInt - 1).max(0))
+    val servingJson = s""""serving_queries":${servingLat.size},""" +
+      s""""serving_p50_ms":${pct(0.50)},"serving_p95_ms":${pct(0.95)}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_eps":$eps,"ingest_eps_runs":$epsRuns,"ingest_load_markers":${ingestMarkers.mkString("[", ",", "]")},"ingest_eps_4shard":$epsShard,"ingest_eps_4shard_runs":${shardRuns.mkString("[", ",", "]")},"ingest_4shard_load_markers":${shardMarkers.mkString("[", ",", "]")},$servingJson,"sf":"$sfDir"}"""
     println(line)
     // the driver captures stdout with a bounded tail, which truncated a
     // third of the per-query map in round 2 — so the FULL artifact is

@@ -2118,6 +2118,57 @@ object Pipeline {
       (s, d) => bpeVocabTokenSummary(s, d, bpeWideMergeRounds(s, d)),
       Some(BpeBigSummaryOracle)),
 
+    QueryDef("q143_bpe_wide_compression",
+      // The q91-style PER-SOURCE COMPRESSION REPORT from the wide
+      // trainer's table (VERDICT r13 item 5's report half): every
+      // derived word re-tokenized under q142's oracle-certified merge
+      // table via the native BpeEncode pass, aggregated per source —
+      // words, 2-char-unit token count, BPE token count, tokens saved.
+      // This is the acceptance report a tokenizer-training pipeline
+      // emits before committing a vocabulary. Scale shape: encode once
+      // per DISTINCT (source, word) — the vocab-bounded map-only pass —
+      // never once per occurrence; the only shuffles are the
+      // (source, word) frequency agg and the per-source fold. The
+      // 32k-scale run of the SAME loop + report is Bpe32kProbe
+      // (tmp/bpe32k_r14.log): a 110+-round DuckDB replay is the
+      // oracle's own cost (~15 min at sf0.1, measured), so the 32k
+      // tier pins bit-parity against the Spark-free in-memory
+      // BpeReplay instead — this entry keeps the report shape under a
+      // full DuckDB oracle at the certified constants.
+      (s, d) => {
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        val rounds = bpeWideMergeRounds(s, d)
+        val words = bpeBigWords(s, d)
+        val src = docs(s, d).select(col("doc_id"), col("source"))
+        val wf = words.join(src, Seq("doc_id"))
+          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("wcnt"))
+        val unitsCol = bigUnits(col("w"))
+        val toks = ColumnBridge.column(graft.functions.BpeEncode(
+          ColumnBridge.expression(unitsCol), rounds))
+        wf.select(col("source"), col("wcnt"),
+            size(unitsCol).cast("long").as("u"), size(toks).cast("long").as("k"))
+          .groupBy(col("source"))
+          .agg(sum(col("wcnt")).as("words"),
+            sum(col("u") * col("wcnt")).as("tokens_unit"),
+            sum(col("k") * col("wcnt")).as("tokens_bpe"),
+            sum((col("u") - col("k")) * col("wcnt")).as("tokens_saved"))
+          .orderBy(col("source"))
+      },
+      Some {
+        // the q138/q142 training chain verbatim, then the report tail:
+        // per-(source, word) frequencies joined to the final
+        // tokenization's per-word token count
+        bpeBigTrainingSqlCtes +
+          s"vt AS (SELECT w, len(t) AS ntok FROM tbig${BpeBigRounds + 1}), " +
+          "srcw AS (SELECT d.source, wd.w, COUNT(*) AS wcnt FROM wd " +
+          "JOIN documents d USING (doc_id) GROUP BY 1, 2) " +
+          "SELECT source, CAST(SUM(wcnt) AS BIGINT) AS words, " +
+          "CAST(SUM(len(regexp_extract_all(srcw.w, '.{1,2}')) * wcnt) AS BIGINT) AS tokens_unit, " +
+          "CAST(SUM(vt.ntok * wcnt) AS BIGINT) AS tokens_bpe, " +
+          "CAST(SUM((len(regexp_extract_all(srcw.w, '.{1,2}')) - vt.ntok) * wcnt) AS BIGINT) AS tokens_saved " +
+          "FROM srcw JOIN vt USING (w) GROUP BY source ORDER BY source"
+      }),
+
     QueryDef("q118_dsir_selection",
       // Data selection via importance resampling (Xie et al. 2023,
       // DSIR — the public target-domain selection recipe): featurize

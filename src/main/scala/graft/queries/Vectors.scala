@@ -330,7 +330,7 @@ object Vectors {
         "SELECT c.vec_a, c.vec_b, ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim " +
         "FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b) " +
         "WHERE sim >= 0.4 ORDER BY vec_a, vec_b")),
-    Q115Def, Q116Def, Q116bDef, Q136Def, Q139Def, Q140Def, Q141Def)
+    Q115Def, Q116Def, Q116bDef, Q136Def, Q139Def, Q140Def, Q141Def, Q144Def)
 
   /** The composed IVF+PQ ADC scores (query_id, vec_id, adist) over the
     * probed cells — q90's serving chain up to (but not including) the
@@ -352,17 +352,18 @@ object Vectors {
     * remain (query vectors + the refine stage's exact side). */
   private[queries] def ivfpqAdcScoredFrom(s: SparkSession, d: String,
       books: Seq[Seq[KMeansLloyd.Centroid]], member: DataFrame,
-      probeCents: Seq[KMeansLloyd.Centroid]): DataFrame = {
+      probeCents: Seq[KMeansLloyd.Centroid],
+      qLo: Int = 1, qHi: Int = 5): DataFrame = {
     import s.implicits._
     import graft.operators.KMeansLloyd
     val vecs = Tables(s, d, "embeddings")
       .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
     val probes = KMeansLloyd.probeCells(
-        vecs.where(col("vec_id").between(1, 5)), probeCents, nProbe = 2)
+        vecs.where(col("vec_id").between(qLo, qHi)), probeCents, nProbe = 2)
       .select(col("vec_id").as("query_id"), col("cell").as("pcell"))
     val bookDf = (for { sub <- 0 until PqM; c <- books(sub) }
       yield (sub, c.cell.toLong, c.ci.toSeq)).toDF("sub", "cw_cell", "cw")
-    val qsub = vecs.where(col("vec_id").between(1, 5))
+    val qsub = vecs.where(col("vec_id").between(qLo, qHi))
       .select(col("vec_id").as("query_id"),
         posexplode(array((0 until PqM).map(sub =>
           expr(s"slice(xi, ${sub * PqSubDim + 1}, $PqSubDim)")): _*))
@@ -384,8 +385,10 @@ object Vectors {
 
   /** The q90 oracle CTE chain ending in the ADC rank relation `r` —
     * shared by q90 (top-3 by ADC) and q136 (top-[[RefineShortlist]]
-    * shortlist from `r`, then exact re-rank). */
-  private val Q90AdcSqlCtes: String =
+    * shortlist from `r`, then exact re-rank). The query-id range is a
+    * parameter so the 100-query serving-SLA oracle (q144) reuses the
+    * chain verbatim. */
+  private def q90AdcSqlCtesFor(qLo: Int, qHi: Int): String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "comps AS (SELECT vec_id, i AS d, CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
         "FROM e CROSS JOIN (SELECT UNNEST(range(0,64)) AS i) ix), " +
@@ -401,7 +404,7 @@ object Vectors {
         "a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
         "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1), " +
         "p AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell, ROW_NUMBER() OVER " +
-        "(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2 WHERE vec_id BETWEEN 1 AND 5) " +
+        s"(PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2 WHERE vec_id BETWEEN $qLo AND $qHi) " +
         "WHERE rn <= 2), " +
         "pcm AS (SELECT vec_id, CAST(i // 4 AS BIGINT) AS sub, i % 4 AS sd, " +
         "CAST(floor(v[i+1] * 1000000 + 0.5) AS BIGINT) AS xi " +
@@ -417,7 +420,7 @@ object Vectors {
         "FROM pcm c JOIN pc1 k ON k.sub = c.sub AND k.sd = c.sd GROUP BY 1, 2, 3), " +
         "codes AS (SELECT vec_id, sub, cell AS code FROM (SELECT vec_id, sub, cell, " +
         "ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM pd2) WHERE rn = 1), " +
-        "lut AS (SELECT vec_id AS query_id, sub, cell, dist FROM pd2 WHERE vec_id BETWEEN 1 AND 5), " +
+        s"lut AS (SELECT vec_id AS query_id, sub, cell, dist FROM pd2 WHERE vec_id BETWEEN $qLo AND $qHi), " +
         "sc AS (SELECT l.query_id, c.vec_id, CAST(SUM(l.dist) AS BIGINT) AS adist " +
         "FROM codes c JOIN lut l ON l.sub = c.sub AND l.cell = c.code " +
         "JOIN a2 m ON m.vec_id = c.vec_id " +
@@ -425,6 +428,8 @@ object Vectors {
         "WHERE c.vec_id <> l.query_id GROUP BY 1, 2), " +
         "r AS (SELECT query_id, vec_id, adist, ROW_NUMBER() OVER (PARTITION BY query_id " +
         "ORDER BY adist, vec_id) AS rnk FROM sc) "
+
+  private val Q90AdcSqlCtes: String = q90AdcSqlCtesFor(1, 5)
 
   /** The residual-PQ ADC scores (query_id, vec_id, adist) — q96's
     * serving chain up to the top-k (per-(query, probed cell) LUT, the
@@ -750,6 +755,91 @@ object Vectors {
     Some(Q96AdcSqlCtes +
       " SELECT query_id, rnk, vec_id AS neighbor_id, adist FROM r WHERE rnk <= 3 " +
       "ORDER BY query_id, rnk"))
+
+  private lazy val Q144Def: QueryDef = QueryDef("q144_ivfpq_serving_sla",
+    // SERVING AT REQUEST SCALE from the persisted index (VERDICT r13
+    // item 6): a batch of 100 queries answered in a FRESH session from
+    // the committed store — one manifest read + two bounded collects
+    // (centroids, codebooks), then ADC over the probed cells' codes
+    // only; no session cache, no retraining, no exact-side corpus read
+    // (the refine entries carry that; this is the pure index-serving
+    // SLA surface). Oracle = the q90 chain verbatim with the query
+    // range widened to 1..100, so the batch result is hash-certified
+    // at both tiers. The LATENCY half lives in Bench's serving-SLA
+    // block ([[servingSlaLatenciesMs]]): the same store, the same
+    // per-query math, driver-side probe ranking + LUT (the FAISS
+    // serving shape — the query vector arrives with the request, so
+    // nothing scans the corpus), one plan per query over the PINNED
+    // codes relation, p50/p95 recorded in BENCH_QUERIES.json.
+    (s, d) => {
+      val dir = if (graft.operators.AnnIndexStore.committed(pqStoreDir(d)))
+        pqStoreDir(d) else buildAndSavePq(s, d)
+      val fresh = s.newSession()
+      import graft.operators.AnnIndexStore
+      require(AnnIndexStore.loadManifest(dir).kind == AnnIndexStore.KindIvfPq)
+      adcTop3Stage(ivfpqAdcScoredFrom(fresh, d,
+        AnnIndexStore.loadBooks(fresh, dir), AnnIndexStore.loadCodes(fresh, dir),
+        AnnIndexStore.loadCentroids(fresh, dir), qLo = 1, qHi = 100))
+    },
+    Some(q90AdcSqlCtesFor(1, 100) +
+      " SELECT query_id, rnk, vec_id AS neighbor_id, adist FROM r WHERE rnk <= 3 " +
+      "ORDER BY query_id, rnk"))
+
+  /** Per-query serving latencies (ms) against the LOADED index — the
+    * Bench serving-SLA block behind q144. Load cost is paid once
+    * (manifest + two bounded collects + pinning the codes relation —
+    * the inverted file a serving deployment holds resident); each query
+    * then costs driver-side probe ranking over k centroids and an
+    * m·ksub LUT (the FAISS per-request math — the query vector arrives
+    * with the request, so NOTHING scans the corpus: the plan-guard
+    * below asserts no file scan in the per-query plan) plus one
+    * broadcast-LUT aggregation over the probed cells' pinned codes.
+    * Returns one wall-clock per query, warm-up excluded. */
+  private[graft] def servingSlaLatenciesMs(s: SparkSession, d: String,
+      nQueries: Int = 100): Seq[Double] = {
+    import graft.operators.{AnnIndexStore, KMeansLloyd}
+    val dir = if (AnnIndexStore.committed(pqStoreDir(d))) pqStoreDir(d)
+      else buildAndSavePq(s, d)
+    val serve = s.newSession()
+    import serve.implicits._
+    val man = AnnIndexStore.loadManifest(dir)
+    val cents = AnnIndexStore.loadCentroids(serve, dir)
+    val books = AnnIndexStore.loadBooks(serve, dir)
+    val codes = AnnIndexStore.loadCodes(serve, dir).localCheckpoint(true)
+    // the request payloads: nQueries quantized vectors, collected once
+    val qvecs = Tables(serve, d, "embeddings")
+      .where(col("vec_id").between(1, nQueries))
+      .select(col("vec_id"), KMeansLloyd.quantize(col("embedding")).as("xi"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    def serveOne(qid: Long, xi: Array[Long]): Double = {
+      val t0 = System.nanoTime()
+      val probed = cents.map(c => (c.cell,
+          c.ci.zip(xi).map { case (a, b) => val dd = a - b; dd * dd }.sum))
+        .sortBy { case (cell, dist) => (dist, cell) }.take(2).map(_._1)
+      val lut = for { sub <- 0 until man.m; cw <- books(sub) } yield {
+        val sx = xi.slice(sub * man.subDim, (sub + 1) * man.subDim)
+        (sub, cw.cell,
+          sx.zip(cw.ci).map { case (a, b) => val dd = a - b; dd * dd }.sum)
+      }
+      val top = codes
+        .where(col("cell").isin(probed.map(Int.box): _*) &&
+          col("vec_id") =!= qid)
+        .join(broadcast(lut.toDF("sub", "code", "qd")), Seq("sub", "code"))
+        .groupBy(col("vec_id")).agg(sum(col("qd")).as("adist"))
+        .orderBy(col("adist"), col("vec_id")).limit(3)
+      // the SLA plan guard: nothing in the per-query plan reads a file
+      // — the corpus never enters (query vector is a literal payload,
+      // the inverted file is the pinned relation)
+      require(!top.queryExecution.executedPlan.toString.contains("FileScan"),
+        "serving plan reads a file - the SLA path must serve from the pinned index")
+      val rows = top.collect()
+      require(rows.nonEmpty, s"query $qid served no neighbors")
+      (System.nanoTime() - t0) / 1e6
+    }
+    // warm-up: first execution pays codegen + broadcast-machinery JIT
+    serveOne(qvecs.head._1, qvecs.head._2)
+    qvecs.map { case (qid, xi) => serveOne(qid, xi) }.toSeq
+  }
 
   /** Code-width rule (VERDICT r10 item 3): at a FIXED width the
     * per-band bucket population is n / 2^bits, so candidate volume —
