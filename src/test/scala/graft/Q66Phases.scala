@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** One-off phase timer for the q66 family (VERDICT r12 item 5): wall
   * per pipeline phase, warm session. Usage:
-  *   sbt "Test/runMain graft.Q66Phases [sfDir]"
+  *   sbt "Test/runMain graft.Q66Phases [sfDir] [shufflePartitions]"
   */
 object Q66Phases {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val parts = args.lift(1).getOrElse("32")
     val builder = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
