@@ -376,5 +376,30 @@ object CdcComposed {
         "SELECT k % 16 AS grp, COUNT(*) AS n_rows, " +
         "CAST(SUM(cents) AS BIGINT) AS sum_cents, " +
         "MIN(cents) AS min_cents, MAX(cents) AS max_cents " +
-        "FROM b GROUP BY 1 ORDER BY 1")))
+        "FROM b GROUP BY 1 ORDER BY 1")),
+
+    QueryDef("qc21_cdc_curation_view",
+      // The qc-family CAPSTONE: a CDC-fed MATERIALIZED CURATION VIEW.
+      // One insert+delete binlog (every doc inserted md5-shuffled,
+      // then deletes of doc_id % 7 == 0) maintains THREE states off
+      // the same wire batch — the copy-on-write doc replica,
+      // IncrementalNearDup's banded pair index, and
+      // IncrementalLineDedup's chunk state — then q124's FOUR-layer
+      // curation DAG (quality gate → cluster collapse keeping the
+      // best qualified member → duplicate-line removal over the
+      // survivor corpus → shard manifest) runs at emission over the
+      // accumulated states through the SAME composition body as the
+      // batch entry (Pipeline.curationManifestFrom — the two forms
+      // cannot drift). Oracle = q124's composed SQL restricted to the
+      // survivors, no CDC/retraction machinery in it: the single hash
+      // certifies the connector's delete path, three states'
+      // tombstone semantics, component re-formation, quality-gate
+      // parity on the replica, and the post-collapse dup-pressure
+      // recomputation at once. The kill/resume drill (CdcCurationSpec)
+      // cuts the binlog inside the delete section and emits only
+      // after the resumed run — all three states must recover from
+      // one checkpoint.
+      (s, d) => graft.streaming.CdcAnalytics.curationViewOverCdc(s, d),
+      Some(Pipeline.curationOracleSqlOver(
+        s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0"))))
 }

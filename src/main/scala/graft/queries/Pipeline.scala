@@ -33,6 +33,92 @@ object Pipeline {
   private def bucketSql(salt: String, key: String) =
     s"CAST(('0x' || substring(md5('$salt' || CAST($key AS VARCHAR)),1,8)) AS BIGINT) % 100"
 
+  /** q124's four-layer curation DAG over EXPLICIT inputs — shared by
+    * the batch entry (fixture docs + session-cached components +
+    * on-the-fly chunking) and the qc21 CDC-fed materialized view (live
+    * replica docs + the incremental near-dup pair state's components +
+    * the incremental line-chunk state), so the two forms cannot drift:
+    *   1. quality gate (q50's heuristic floor-quantized, keep ≥ 5000);
+    *   2. near-dup collapse: among QUALIFIED members of each cluster
+    *      keep the best (q120's rule; singletons pass the gate alone);
+    *   3. duplicate-line removal over the SURVIVOR corpus (q119's
+    *      keep-first — dup pressure recomputed post-collapse, which is
+    *      why this is one composed DAG, not concatenated results);
+    *   4. q72-shape shard manifest of the final corpus.
+    * @param comps (doc_id, rep) component labels over the near-dup
+    *        pairs — docs in no pair are absent (handled by the
+    *        left_anti + keep-best union);
+    * @param chunksOfCorpus survivor corpus (doc_id, text) → chunk
+    *        relation (doc_id, ck, chunk). Batch chunks on the fly;
+    *        qc21 semi-joins its pre-chunked ingest state instead. */
+  private[graft] def curationManifestFrom(docsDf: DataFrame, comps: DataFrame,
+      chunksOfCorpus: DataFrame => DataFrame): DataFrame = {
+    val T = 5000L
+    val q4 = LlmText.qualityScoredDf(docsDf)
+      .select(col("doc_id"), floor(col("score") * 10000 + lit(0.5)).cast("long").as("q4"))
+    val qual = q4.where(col("q4") >= T)
+    val members = comps.join(qual, Seq("doc_id"))
+    val keepBest = members.groupBy(col("rep"))
+      .agg(max(struct(col("q4"), (-col("doc_id")).as("nd"))).as("best"))
+      .select((-col("best.nd")).as("doc_id"))
+    val survivors = qual.select(col("doc_id"))
+      .join(members.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(keepBest)
+    val corpus = docsDf.join(survivors, Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    LlmText.lineDedupStats(chunksOfCorpus(corpus))
+      .where(col("kept_chunks") > 0)
+      .withColumn("shard",
+        conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept_chunks")).cast("long").as("sum_kept_chunks"))
+      .orderBy(col("shard"))
+  }
+
+  /** q124's composed oracle restricted to a docs predicate (bare, no
+    * WHERE — the [[LlmText.dedupGroupsOracleSqlOver]] convention):
+    * the banded-pair CTEs take the predicate directly; the quality
+    * CTE takes it on its own documents scan; the survivor CTE needs
+    * none because its join to the predicate-restricted `qual` already
+    * bounds it. Shared by q124 (empty predicate) and qc21 (survivors
+    * of the delete wave) so the two gates stay one SQL. */
+  private[graft] def curationOracleSqlOver(docsPred: String): String = {
+    val qlWhere = if (docsPred.isEmpty) "" else s" WHERE $docsPred"
+    "WITH RECURSIVE " + LlmText.bandedPairsSqlCtesOver(docsPred) + ", " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+      "UNION SELECT doc_b, doc_a FROM pairs), " +
+      "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
+      "reach(doc, r) AS (SELECT doc, doc FROM nodes " +
+      "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc), " +
+      "rep AS (SELECT doc, MIN(r) AS rep_doc FROM reach GROUP BY doc), " +
+      "ql AS (SELECT doc_id, len(string_split(text,' ')) AS n_tok, " +
+      "len(list_filter(string_split(text,' '), x -> x IN " +
+      "('the','a','of','and','to','in','is','on','for','it'))) AS n_stop, " +
+      s"length(replace(text, ' ', '')) AS n_char FROM documents$qlWhere), " +
+      "qsc AS (SELECT doc_id, CAST(FLOOR((0.4 * LEAST(n_tok/50.0, 1.0) + " +
+      "0.3 * (CAST(n_stop AS DOUBLE)/n_tok) + " +
+      "0.3 * LEAST((CAST(n_char AS DOUBLE)/n_tok)/5.0, 1.0)) * 10000 + 0.5) AS BIGINT) AS q4 FROM ql), " +
+      "qual AS (SELECT doc_id, q4 FROM qsc WHERE q4 >= 5000), " +
+      "mem AS (SELECT r.doc, r.rep_doc, q.q4 FROM rep r JOIN qual q ON q.doc_id = r.doc), " +
+      "keepb AS (SELECT doc FROM (SELECT doc, ROW_NUMBER() OVER " +
+      "(PARTITION BY rep_doc ORDER BY q4 DESC, doc) AS rn FROM mem) WHERE rn = 1), " +
+      "surv AS (SELECT d.doc_id, d.text FROM documents d JOIN qual q ON q.doc_id = d.doc_id " +
+      "WHERE d.doc_id NOT IN (SELECT doc FROM mem) OR d.doc_id IN (SELECT doc FROM keepb)), " +
+      "lt AS (SELECT doc_id, string_split(text,' ') AS t FROM surv), " +
+      "lix AS (SELECT UNNEST(range(0, (SELECT CAST(ceil(MAX(len(t))/10.0) AS BIGINT) FROM lt))) AS i), " +
+      "lch AS (SELECT doc_id, i AS ck, array_to_string(t[i*10+1 : i*10+10], ' ') AS chunk " +
+      "FROM lt JOIN lix ON i < ceil(len(t)/10.0)), " +
+      "lmk AS (SELECT doc_id, ck, COUNT(*) OVER (PARTITION BY chunk) AS cnt, " +
+      "ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, ck) AS rn FROM lch), " +
+      "fin AS (SELECT doc_id, CAST(COUNT(*) FILTER (WHERE cnt = 1 OR rn = 1) AS BIGINT) AS kept " +
+      "FROM lmk GROUP BY doc_id HAVING COUNT(*) FILTER (WHERE cnt = 1 OR rn = 1) > 0) " +
+      "SELECT CAST(('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 16 AS shard, " +
+      "COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS sum_kept_chunks " +
+      "FROM fin GROUP BY 1 ORDER BY shard"
+  }
+
   /** Per-doc cluster-keyed split assignment (q121's body before the
     * summary agg), exposed so the spec can assert the leakage
     * guarantee on the ENGINE's per-doc output: (doc_id, n_chars,
@@ -893,61 +979,9 @@ object Pipeline {
       // entry (session-cached CC labels, window keep-first, O(1)-state
       // argmax, 16-key manifest agg); the composition adds joins on
       // doc_id only.
-      (s, d) => {
-        val T = 5000L
-        val q4 = LlmText.qualityScoredDf(docs(s, d))
-          .select(col("doc_id"), floor(col("score") * 10000 + lit(0.5)).cast("long").as("q4"))
-        val qual = q4.where(col("q4") >= T)
-        val members = LlmText.dedupComponents(s, d).join(qual, Seq("doc_id"))
-        val keepBest = members.groupBy(col("rep"))
-          .agg(max(struct(col("q4"), (-col("doc_id")).as("nd"))).as("best"))
-          .select((-col("best.nd")).as("doc_id"))
-        val survivors = qual.select(col("doc_id"))
-          .join(members.select(col("doc_id")), Seq("doc_id"), "left_anti")
-          .unionByName(keepBest)
-        val corpus = docs(s, d).join(survivors, Seq("doc_id"))
-          .select(col("doc_id"), col("text"))
-        LlmText.lineDedupStats(LlmText.lineChunks(corpus))
-          .where(col("kept_chunks") > 0)
-          .withColumn("shard",
-            conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-              .cast("long") % 16)
-          .groupBy(col("shard"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("kept_chunks")).cast("long").as("sum_kept_chunks"))
-          .orderBy(col("shard"))
-      },
-      Some("WITH RECURSIVE " + LlmText.BandedPairsSqlCtes + ", " +
-        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
-        "UNION SELECT doc_b, doc_a FROM pairs), " +
-        "nodes AS (SELECT DISTINCT src AS doc FROM edges), " +
-        "reach(doc, r) AS (SELECT doc, doc FROM nodes " +
-        "UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc), " +
-        "rep AS (SELECT doc, MIN(r) AS rep_doc FROM reach GROUP BY doc), " +
-        "ql AS (SELECT doc_id, len(string_split(text,' ')) AS n_tok, " +
-        "len(list_filter(string_split(text,' '), x -> x IN " +
-        "('the','a','of','and','to','in','is','on','for','it'))) AS n_stop, " +
-        "length(replace(text, ' ', '')) AS n_char FROM documents), " +
-        "qsc AS (SELECT doc_id, CAST(FLOOR((0.4 * LEAST(n_tok/50.0, 1.0) + " +
-        "0.3 * (CAST(n_stop AS DOUBLE)/n_tok) + " +
-        "0.3 * LEAST((CAST(n_char AS DOUBLE)/n_tok)/5.0, 1.0)) * 10000 + 0.5) AS BIGINT) AS q4 FROM ql), " +
-        "qual AS (SELECT doc_id, q4 FROM qsc WHERE q4 >= 5000), " +
-        "mem AS (SELECT r.doc, r.rep_doc, q.q4 FROM rep r JOIN qual q ON q.doc_id = r.doc), " +
-        "keepb AS (SELECT doc FROM (SELECT doc, ROW_NUMBER() OVER " +
-        "(PARTITION BY rep_doc ORDER BY q4 DESC, doc) AS rn FROM mem) WHERE rn = 1), " +
-        "surv AS (SELECT d.doc_id, d.text FROM documents d JOIN qual q ON q.doc_id = d.doc_id " +
-        "WHERE d.doc_id NOT IN (SELECT doc FROM mem) OR d.doc_id IN (SELECT doc FROM keepb)), " +
-        "lt AS (SELECT doc_id, string_split(text,' ') AS t FROM surv), " +
-        "lix AS (SELECT UNNEST(range(0, (SELECT CAST(ceil(MAX(len(t))/10.0) AS BIGINT) FROM lt))) AS i), " +
-        "lch AS (SELECT doc_id, i AS ck, array_to_string(t[i*10+1 : i*10+10], ' ') AS chunk " +
-        "FROM lt JOIN lix ON i < ceil(len(t)/10.0)), " +
-        "lmk AS (SELECT doc_id, ck, COUNT(*) OVER (PARTITION BY chunk) AS cnt, " +
-        "ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, ck) AS rn FROM lch), " +
-        "fin AS (SELECT doc_id, CAST(COUNT(*) FILTER (WHERE cnt = 1 OR rn = 1) AS BIGINT) AS kept " +
-        "FROM lmk GROUP BY doc_id HAVING COUNT(*) FILTER (WHERE cnt = 1 OR rn = 1) > 0) " +
-        "SELECT CAST(('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 16 AS shard, " +
-        "COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS sum_kept_chunks " +
-        "FROM fin GROUP BY 1 ORDER BY shard")),
+      (s, d) => curationManifestFrom(docs(s, d),
+        LlmText.dedupComponents(s, d), LlmText.lineChunks),
+      Some(curationOracleSqlOver(""))),
 
     QueryDef("q58b_stratified_sample",
       // Stratified downsampling with per-stratum rates (the corpus-

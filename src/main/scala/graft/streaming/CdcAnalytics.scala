@@ -386,7 +386,8 @@ object CdcAnalytics {
       ckptPath: String, expectRows: Long,
       sourceOptions: Map[String, String] = Map.empty,
       nBands: Int = 8, bandR: Int = 2,
-      replica: Option[CdcSnapshotTable] = None): IncrementalNearDup = {
+      replica: Option[CdcSnapshotTable] = None,
+      lineInc: Option[IncrementalLineDedup] = None): IncrementalNearDup = {
     val server = new MockMaxScaleServer(events = events, closeAfterEvents = false)
     val inc = new IncrementalNearDup(statePath,
       autoCompactFiles = DrillCompactFiles, nBands = nBands, bandR = bandR)
@@ -418,6 +419,14 @@ object CdcAnalytics {
         // qc13: the SAME wire maintains the doc replica the widening
         // migration's corpus pass will read in the maintenance window
         replica.foreach(_.applyBatch(projFull, bid))
+        // qc21: the SAME wire also maintains the line-chunk state the
+        // curation view's dup-pressure stage reads at emission
+        lineInc.foreach { li =>
+          li.processBatch(proj.where(col("op") === "insert")
+            .select(col("doc_id"), col("text")), bid)
+          li.retractBatch(proj.where(col("op") === "delete")
+            .select(col("doc_id")), bid)
+        }
       }
       consumed.addAndGet(batch.count())
       ()
@@ -451,6 +460,50 @@ object CdcAnalytics {
       .groupBy(col("rep").as("rep_doc"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("rep_doc"))
+  }
+
+  /** qc21's query body: the CDC-fed MATERIALIZED CURATION VIEW — the
+    * qc-family's capstone composition (the "CDC → materialized view
+    * maintenance with DELETEs feeding dedup-state retraction" shape
+    * the round-11 handoff named as the remaining composition). ONE
+    * wire feed (qc6/qc7's insert+delete binlog) maintains THREE states
+    * in the same foreachBatch: the copy-on-write doc replica (the
+    * corpus), IncrementalNearDup (banded pair index, tombstoned
+    * deletes), and IncrementalLineDedup (chunk state, tombstoned
+    * deletes). At emission, q124's four decision layers run over the
+    * ACCUMULATED states via the shared [[graft.queries.Pipeline
+    * .curationManifestFrom]] body: quality over the live replica,
+    * components over the tombstone-filtered pair state, keep-best
+    * collapse, then duplicate-line pressure computed over the
+    * SURVIVOR-restricted chunk state (the chunking work was paid
+    * per-batch at ingest — emission only filters and windows). Oracle
+    * = q124's composed SQL restricted to the survivors (no CDC, no
+    * retraction machinery anywhere in it): a deleted doc leaking into
+    * quality/pairs/chunks, a component failing to re-form, or a dup
+    * line still owned by a deleted doc each break the one hash.
+    * `sourceOptions` is the spec's kill/resume injection point. */
+  def curationViewOverCdc(s: SparkSession, dir: String,
+      sourceOptions: Map[String, String] = Map.empty): DataFrame = {
+    val events = docRetractWorkloadEvents(s, dir)
+    val tmp = graft.util.Scratch.dir("qc21-cdc")
+    val replica = new CdcSnapshotTable(s"$tmp/replica", Seq("doc_id"), docPayloadSchema)
+    val lineInc = new IncrementalLineDedup(s"$tmp/lines",
+      autoCompactFiles = DrillCompactFiles)
+    val ndInc = runNearDupRetractPipeline(s, events, s"$tmp/state", s"$tmp/ckpt",
+      events.size.toLong, sourceOptions = sourceOptions,
+      replica = Some(replica), lineInc = Some(lineInc))
+    curationViewEmission(s, replica, ndInc, lineInc)
+  }
+
+  /** The qc21 emission over already-built states — split out so the
+    * spec's kill/resume drill can rebuild the states across a restart
+    * and emit once at the end. */
+  def curationViewEmission(s: SparkSession, replica: CdcSnapshotTable,
+      ndInc: IncrementalNearDup, lineInc: IncrementalLineDedup): DataFrame = {
+    val live = replica.snapshot(s).select(col("doc_id"), col("text"))
+    graft.queries.Pipeline.curationManifestFrom(live, ndInc.groups(s),
+      corpus => lineInc.chunksLive(s)
+        .join(corpus.select(col("doc_id")), Seq("doc_id")))
   }
 
   /** The qc12 workload split at the MAINTENANCE WINDOW: wave 1 is the

@@ -148,12 +148,20 @@ final class IncrementalLineDedup(statePath: String,
     * surviving corpus: the keep-first window runs on the tombstone-
     * filtered chunk relation, so a deleted owner's line is re-owned by
     * the earliest surviving claimant. */
-  def lines(spark: SparkSession): DataFrame = {
-    val ch = StateLayout.read(spark, chunksDir, emptyChunks(spark).schema)
-    val live = tombstonesOpt(spark)
-      .map(t => ch.join(t, Seq("doc_id"), "left_anti")).getOrElse(ch)
-    LlmText.lineDedupStats(live)
+  def lines(spark: SparkSession): DataFrame =
+    LlmText.lineDedupStats(chunksLive(spark))
       .select(col("doc_id"), col("orig_chunks"), col("kept_chunks"), col("new_text"))
+
+  /** The tombstone-filtered chunk relation itself — the composition
+    * point for consumers that run the keep-first window over a
+    * RESTRICTED doc set (qc21's curation view computes duplicate-line
+    * pressure over the post-quality-gate/post-collapse SURVIVOR corpus,
+    * so the window must see only survivor chunks; the chunking work
+    * itself was already paid per-batch at ingest). */
+  def chunksLive(spark: SparkSession): DataFrame = {
+    val ch = StateLayout.read(spark, chunksDir, emptyChunks(spark).schema)
+    tombstonesOpt(spark)
+      .map(t => ch.join(t, Seq("doc_id"), "left_anti")).getOrElse(ch)
   }
 
   /** Bound the state-file count (small-file compaction between waves).
