@@ -21,7 +21,8 @@ object CdcComposed {
       // anywhere), so the hash gate certifies the whole pipeline:
       // framing, decode, projection, binlog ordering, upsert/delete
       // semantics, and exactly-once delivery.
-      (s, d) => graft.streaming.CdcAnalytics.materializedAgg(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.materializedAgg(s, d)),
       Some("WITH final AS (SELECT c_custkey, c_nationkey, " +
         "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + " +
         "CASE WHEN c_custkey % 3 = 0 THEN 10000 ELSE 0 END AS cents " +
@@ -40,7 +41,8 @@ object CdcComposed {
       // anywhere — ONE hash gate certifies the connector (framing,
       // decode, JSON string escaping, exactly-once delivery) AND the
       // dedup state's arrival-order independence together.
-      (s, d) => graft.streaming.CdcAnalytics.incrementalLineDedupOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.incrementalLineDedupOverCdc(s, d)),
       Some(LlmText.LineDedupOracleSql)),
 
     QueryDef("qc3_cdc_incremental_ivf",
@@ -55,7 +57,8 @@ object CdcComposed {
       // `embeddings` with no CDC anywhere). One hash gate certifies
       // framing, decode, float round-tripping, exactly-once delivery
       // AND the index state's arrival-order independence together.
-      (s, d) => graft.streaming.CdcAnalytics.incrementalIvfOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.incrementalIvfOverCdc(s, d)),
       Some(Vectors.IncrementalIvfOracleSql)),
 
     QueryDef("qc4_cdc_drift_monitor",
@@ -70,7 +73,8 @@ object CdcComposed {
       // under q107's OWN oracle (computed from `events` with no CDC
       // anywhere). Completes the qc-family: aggregation (qc1), dedup
       // (qc2), ANN (qc3), monitoring (qc4).
-      (s, d) => graft.streaming.CdcAnalytics.driftOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.driftOverCdc(s, d)),
       Some(Behavioral.DriftPsiOracleSql)),
 
     QueryDef("qc5_cdc_report_card",
@@ -84,7 +88,8 @@ object CdcComposed {
       // exactly what makes the shuffled wire order a real test. The
       // qc-family now covers agg (qc1), dedup (qc2), ANN (qc3),
       // monitoring (qc4), and reporting (qc5).
-      (s, d) => graft.streaming.CdcAnalytics.reportCardOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.reportCardOverCdc(s, d)),
       Some(LlmText.ReportCardOracleSql)),
 
     QueryDef("qc6_cdc_dedup_retraction",
@@ -99,7 +104,8 @@ object CdcComposed {
       // hash gate certifies the connector's delete path AND the
       // state's retraction semantics at once. The kill/resume drill
       // (CdcAnalyticsSpec) cuts the binlog inside the delete section.
-      (s, d) => graft.streaming.CdcAnalytics.lineDedupRetractionOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.lineDedupRetractionOverCdc(s, d)),
       Some(LlmText.lineDedupOracleSqlOver(
         s" WHERE doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0"))),
 
@@ -116,7 +122,8 @@ object CdcComposed {
       // over the survivors. With qc6 this closes tombstone semantics
       // across the qc-family's two dedup layers; the kill/resume drill
       // (CdcAnalyticsSpec) cuts the binlog inside the delete section.
-      (s, d) => graft.streaming.CdcAnalytics.nearDupRetractionOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.nearDupRetractionOverCdc(s, d)),
       Some(LlmText.dedupGroupsOracleSqlOver(
         s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0"))),
 
@@ -135,7 +142,8 @@ object CdcComposed {
       // (recomputed from `documents`, no CDC anywhere), so the hash
       // gate certifies connector, per-row minhash recipe, state-store
       // candidate completeness and sink delivery in one bite.
-      (s, d) => graft.streaming.CdcAnalytics.stateStoreNearDupOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.stateStoreNearDupOverCdc(s, d)),
       Some(LlmText.dedupGroupsOracleSqlOver(""))),
 
     QueryDef("qc9_cdc_statestore_line_dedup",
@@ -149,7 +157,8 @@ object CdcComposed {
       // partitions). Oracle = batch q119's (computed from `documents`,
       // no CDC anywhere); with qc2 this pins foreachBatch and
       // continuous-plan forms of the same dedup to the same hash.
-      (s, d) => graft.streaming.CdcAnalytics.stateStoreLineDedupOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.stateStoreLineDedupOverCdc(s, d)),
       Some(LlmText.LineDedupOracleSql)),
 
     QueryDef("qc10_cdc_statestore_neardup_retract",
@@ -170,7 +179,8 @@ object CdcComposed {
       // sides and every component re-formed as a batch run over the
       // survivors. The kill/resume drill (CdcAnalyticsSpec) cuts the
       // binlog inside the DELETE section.
-      (s, d) => graft.streaming.CdcAnalytics.stateStoreNearDupRetractionOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.stateStoreNearDupRetractionOverCdc(s, d)),
       Some(LlmText.dedupGroupsOracleSqlOverBr(
         s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0", 8, 2,
         maxBucket = Int.MaxValue))),
@@ -193,7 +203,8 @@ object CdcComposed {
       // GTID lands mid-live-half — committed events are never
       // re-streamed, unlike the replay-guard-absorbed full resends of
       // the qc2/qc7 drills.
-      (s, d) => graft.streaming.CdcAnalytics.bootstrapHandoffOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.bootstrapHandoffOverCdc(s, d)),
       Some(LlmText.dedupGroupsOracleSqlOver(""))),
 
     QueryDef("qc12_cdc_reband_maintenance",
@@ -213,7 +224,8 @@ object CdcComposed {
       // retraction machinery in it): the hash closes over the
       // connector, the migration's exactness, cross-window
       // retraction, and the new design's candidate semantics at once.
-      (s, d) => graft.streaming.CdcAnalytics.nearDupMigrationOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.nearDupMigrationOverCdc(s, d)),
       Some(LlmText.dedupGroupsOracleSqlOverBr(
         s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0", 4, 4))),
 
@@ -235,7 +247,8 @@ object CdcComposed {
       // silently drops from sets/ at the migration join). Oracle = the
       // full batch chain at (8, 4) over the SURVIVORS — no CDC, no
       // replica, no migration machinery in it.
-      (s, d) => graft.streaming.CdcAnalytics.nearDupWidenMigrationOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.nearDupWidenMigrationOverCdc(s, d)),
       Some(LlmText.dedupGroupsOracleSqlOverBr(
         s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0", 8, 4))),
 
@@ -257,7 +270,8 @@ object CdcComposed {
       // gate fails). Oracle = the full batch chain at (8, 4) over the
       // SURVIVORS — q66i/q66k's oracle family, no CDC/replica/store
       // machinery anywhere in it.
-      (s, d) => graft.streaming.CdcAnalytics.stateStoreRebuildOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.stateStoreRebuildOverCdc(s, d)),
       Some(LlmText.dedupGroupsOracleSqlOverBr(
         s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0", 8, 4,
         maxBucket = Int.MaxValue))),
@@ -275,7 +289,8 @@ object CdcComposed {
       // that projected it, so the oracle — both final states computed
       // straight from customer/orders, no CDC anywhere — certifies the
       // boundary split and per-version binding in one hash gate.
-      (s, d) => graft.streaming.CdcAnalytics.multiTableDdlEvolution(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.multiTableDdlEvolution(s, d)),
       Some("SELECT * FROM (" +
         "SELECT 'balances' AS src, c_custkey AS k, " +
         "CASE WHEN c_custkey % 2 = 0 THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS v1_cents, " +
@@ -301,7 +316,8 @@ object CdcComposed {
       // project v1 rows under v2 with null body → null text → missing
       // chunks → the oracle hash fails. Oracle = batch q119's,
       // verbatim (qc2's exact gate — no CDC, no evolution in it).
-      (s, d) => graft.streaming.CdcAnalytics.evolvingLineDedupOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.evolvingLineDedupOverCdc(s, d)),
       Some(LlmText.LineDedupOracleSql)),
 
     QueryDef("qc17_cdc_evolving_ivf_retract",
@@ -317,7 +333,8 @@ object CdcComposed {
       // batch with a column rename (the qc16 adapter). Oracle = q88b's
       // survivors-only composed-index summary, computed from
       // `embeddings` with no CDC, no evolution anywhere in it.
-      (s, d) => graft.streaming.CdcAnalytics.evolvingIvfRetractOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.evolvingIvfRetractOverCdc(s, d)),
       Some(Vectors.incrementalIvfOracleSqlOver("vec_id % 20 <> 4"))),
 
     QueryDef("qc18_cdc_ivf_serving_search",
@@ -334,7 +351,8 @@ object CdcComposed {
       // would each change the top-3 lists. Oracle = the q73 search
       // tail over the a2 survivors, training CTEs shared verbatim
       // with q88/qc3, no CDC/evolution/retraction machinery in it.
-      (s, d) => graft.streaming.CdcAnalytics.evolvingIvfServingSearchOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.evolvingIvfServingSearchOverCdc(s, d)),
       Some(Vectors.ivfServingSearchOracleSql("vec_id % 20 <> 4"))),
 
     QueryDef("qc19_cdc_ivf_persist_reload",
@@ -350,7 +368,8 @@ object CdcComposed {
       // verbatim: identical top-3 lists or the round trip is broken.
       // The batch twins are q139/q140/q141 (raw-PQ and residual-PQ
       // designs through the same store).
-      (s, d) => graft.streaming.CdcAnalytics.persistedIvfServingSearchOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.persistedIvfServingSearchOverCdc(s, d)),
       Some(Vectors.ivfServingSearchOracleSql("vec_id % 20 <> 4"))),
 
     QueryDef("qc20_cdc_type_widening",
@@ -368,7 +387,8 @@ object CdcComposed {
       // Oracle = the survivors' values recomputed from `customer`
       // with no CDC/evolution/width machinery in it. The resume
       // drill (CdcAnalyticsSpec) cuts INSIDE the v2 wave.
-      (s, d) => graft.streaming.CdcAnalytics.typedWideningOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.typedWideningOverCdc(s, d)),
       Some("WITH b AS (SELECT c_custkey AS k, " +
         "CASE WHEN c_custkey % 2 = 1 THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 3000000000 " +
         "ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents " +
@@ -399,7 +419,8 @@ object CdcComposed {
       // cuts the binlog inside the delete section and emits only
       // after the resumed run — all three states must recover from
       // one checkpoint.
-      (s, d) => graft.streaming.CdcAnalytics.curationViewOverCdc(s, d),
+      (s, d) => graft.util.Confs.withMicroBatch(s)(
+        graft.streaming.CdcAnalytics.curationViewOverCdc(s, d)),
       Some(Pipeline.curationOracleSqlOver(
         s"doc_id % ${graft.streaming.CdcAnalytics.RetractMod} <> 0"))))
 }

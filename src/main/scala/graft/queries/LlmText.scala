@@ -1003,9 +1003,13 @@ object LlmText {
         val statePath = graft.util.Scratch.dir("q133s-incremental")
         val inc = new IncrementalReportCard(statePath)
         val src = docs(s, d).select(col("doc_id"), col("text"), col("source"), col("lang"))
+        // micro-batch waves + emission sized to MicroBatchPartitions
+        // (the q66 doctrine — see Confs.withMicroBatch)
+        graft.util.Confs.withMicroBatch(s) {
         inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)
         inc.processBatch(src.where(col("doc_id") % 2 === 0), 1L)
         inc.reportCard(s)
+        }
       },
       Some(ReportCardOracleSql)),
 
@@ -1022,11 +1026,13 @@ object LlmText {
         val statePath = graft.util.Scratch.dir("q133r-retract")
         val inc = new IncrementalReportCard(statePath)
         val src = docs(s, d).select(col("doc_id"), col("text"), col("source"), col("lang"))
+        graft.util.Confs.withMicroBatch(s) {
         inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)
         inc.processBatch(src.where(col("doc_id") % 2 === 0), 1L)
         inc.retractBatch(
           src.where(col("doc_id") % 7 === 0).select(col("doc_id")), 2L)
         inc.reportCard(s)
+        }
       },
       Some(reportCardOracleSqlOver(" WHERE doc_id % 7 <> 0"))),
 
@@ -1194,11 +1200,13 @@ object LlmText {
         val statePath = graft.util.Scratch.dir("q112s-incremental")
         val inc = new IncrementalDupSpans(statePath)
         val src = docs(s, d).select(col("doc_id"), col("text"))
+        graft.util.Confs.withMicroBatch(s) {
         inc.processBatch(src.where(col("doc_id") % 2 === 0), 0L)
         inc.processBatch(src.where(col("doc_id") % 2 === 1), 1L)
         inc.spans(s)
           .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"))
           .orderBy(col("doc_id"))
+        }
       },
       Some(DupSpanOracleSql)),
 
@@ -1218,6 +1226,7 @@ object LlmText {
         val statePath = graft.util.Scratch.dir("q112r-retract")
         val inc = new IncrementalDupSpans(statePath)
         val src = docs(s, d).select(col("doc_id"), col("text"))
+        graft.util.Confs.withMicroBatch(s) {
         inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)
         inc.processBatch(src.where(col("doc_id") % 2 === 0), 1L)
         inc.retractBatch(
@@ -1225,6 +1234,7 @@ object LlmText {
         inc.spans(s)
           .select(col("doc_id"), col("n_spans"), col("dup_tokens"), col("n_tokens"))
           .orderBy(col("doc_id"))
+        }
       },
       Some(dupSpanOracleSqlOver("doc_id % 7 <> 0"))),
 
@@ -1267,12 +1277,14 @@ object LlmText {
         val base = graft.util.Scratch.dir("q112bs-incremental")
         val src = docs(s, d).select(col("doc_id"), col("text"))
         val inc = new IncrementalDupSpans(base, Seq(5, 10, 20))
+        graft.util.Confs.withMicroBatch(s) {
         inc.processBatch(src.where(col("doc_id") % 2 === 0), 0L)
         inc.processBatch(src.where(col("doc_id") % 2 === 1), 1L)
         inc.spans(s)
           .select(col("doc_id"), col("n"), col("n_spans"),
             col("dup_tokens"), col("n_tokens"))
           .orderBy(col("doc_id"), col("n"))
+        }
       },
       Some(MultiscaleDupSpanOracleSql)),
 
@@ -1355,9 +1367,11 @@ object LlmText {
         val statePath = graft.util.Scratch.dir("q126s-incremental")
         val inc = new IncrementalSubstringRemoval(statePath)
         val src = docs(s, d).select(col("doc_id"), col("text"))
+        graft.util.Confs.withMicroBatch(s) {
         inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)
         inc.processBatch(src.where(col("doc_id") % 2 === 0), 1L)
         inc.removals(s).orderBy(col("doc_id"))
+        }
       },
       Some(SubstringRemovalOracleSql)),
 
@@ -1375,11 +1389,13 @@ object LlmText {
         val statePath = graft.util.Scratch.dir("q126r-retract")
         val inc = new IncrementalSubstringRemoval(statePath)
         val src = docs(s, d).select(col("doc_id"), col("text"))
+        graft.util.Confs.withMicroBatch(s) {
         inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)
         inc.processBatch(src.where(col("doc_id") % 2 === 0), 1L)
         inc.retractBatch(
           src.where(col("doc_id") % 7 === 0).select(col("doc_id")), 2L)
         inc.removals(s).orderBy(col("doc_id"))
+        }
       },
       Some(substringRemovalOracleSqlOver(" WHERE doc_id % 7 <> 0"))),
 
@@ -1399,9 +1415,11 @@ object LlmText {
         val statePath = graft.util.Scratch.dir("q119s-incremental")
         val inc = new IncrementalLineDedup(statePath)
         val src = docs(s, d).select(col("doc_id"), col("text"))
+        graft.util.Confs.withMicroBatch(s) {
         inc.processBatch(src.where(col("doc_id") % 2 === 1), 0L)
         inc.processBatch(src.where(col("doc_id") % 2 === 0), 1L)
         inc.lines(s).orderBy(col("doc_id"))
+        }
       },
       Some(LineDedupOracleSql)),
 
@@ -1421,11 +1439,13 @@ object LlmText {
       (s, d) => {
         import graft.streaming.StateStoreLineDedup
         val src = docs(s, d).select(col("doc_id"), col("text"))
+        graft.util.Confs.withMicroBatch(s) {
         val (owners, _) = StateStoreLineDedup.runWaves(s, Seq(
           src.where(col("doc_id") % 2 === 1),
           src.where(col("doc_id") % 2 === 0)))
         StateStoreLineDedup.lineDedupViaOwners(lineChunks(src), owners)
           .orderBy(col("doc_id"))
+        }
       },
       Some(LineDedupOracleSql)),
 
@@ -1446,6 +1466,7 @@ object LlmText {
         val src = docs(s, d).select(col("doc_id"), col("text"))
         def wave(op: String, pred: Column) = src.where(pred)
           .select(lit(op).as("op"), col("doc_id"), col("text"))
+        graft.util.Confs.withMicroBatch(s) {
         val (owners, _) = StateStoreLineDedup.runOpWaves(s, Seq(
           wave("insert", col("doc_id") % 2 === 1),
           wave("insert", col("doc_id") % 2 === 0),
@@ -1453,6 +1474,7 @@ object LlmText {
         val survivors = src.where(col("doc_id") % 7 =!= 0)
         StateStoreLineDedup.lineDedupViaOwners(lineChunks(survivors), owners)
           .orderBy(col("doc_id"))
+        }
       },
       Some(lineDedupOracleSqlOver(" WHERE doc_id % 7 <> 0"))),
 

@@ -1182,6 +1182,9 @@ object Pipeline {
       (s, d) => {
         import graft.streaming.StateStoreNearDup
         val st = LlmText.bigramStateCached(s, d)
+        // micro-batch waves + fixture-scale fold/verify/CC tail sized to
+        // MicroBatchPartitions (the q66 doctrine — see Confs.withMicroBatch)
+        graft.util.Confs.withMicroBatch(s) {
         val (cands, _) = StateStoreNearDup.runWaves(s, Seq(
           StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 0)),
           StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 1))))
@@ -1196,6 +1199,7 @@ object Pipeline {
           .groupBy(col("rep").as("rep_doc"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("rep_doc"))
+        }
       },
       Some(LlmText.dedupGroupsOracleSqlOver(""))),
 
@@ -1256,6 +1260,7 @@ object Pipeline {
         def wave(op: String, pred: org.apache.spark.sql.Column) =
           StateStoreNearDup.flatBands(st.where(pred))
             .withColumn("op", lit(op))
+        graft.util.Confs.withMicroBatch(s) {
         val (events, _) = StateStoreNearDup.runOpWaves(s, Seq(
           wave("insert", col("doc_id") % 2 === 0),
           wave("insert", col("doc_id") % 2 === 1),
@@ -1268,6 +1273,7 @@ object Pipeline {
           .groupBy(col("rep").as("rep_doc"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("rep_doc"))
+        }
       },
       Some(LlmText.dedupGroupsOracleSqlOverBr("doc_id % 7 <> 0", 8, 2,
         maxBucket = Int.MaxValue))),
@@ -1294,6 +1300,7 @@ object Pipeline {
         import graft.streaming.IncrementalNearDup
         val statePath = graft.util.Scratch.dir("q66h-reband")
         val st = LlmText.bigramStateCached(s, d)
+        graft.util.Confs.withMicroBatch(s) {
         val inc82 = new IncrementalNearDup(statePath)
         inc82.processState(st.where(col("doc_id") % 2 === 0), 0L)
         IncrementalNearDup.rebandMigrate(s, statePath, 4, 4)
@@ -1303,6 +1310,7 @@ object Pipeline {
           .groupBy(col("rep").as("rep_doc"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("rep_doc"))
+        }
       },
       Some(LlmText.dedupGroupsOracleSqlOverBr("", 4, 4))),
 
@@ -1342,6 +1350,7 @@ object Pipeline {
         import graft.streaming.IncrementalNearDup
         val statePath = graft.util.Scratch.dir("q66i-widen")
         val st = LlmText.bigramStateCached(s, d)
+        graft.util.Confs.withMicroBatch(s) {
         val inc82 = new IncrementalNearDup(statePath)
         inc82.processState(st.where(col("doc_id") % 2 === 0), 0L)
         IncrementalNearDup.widenMigrate(s, statePath, docs(s, d), 8, 4)
@@ -1351,6 +1360,7 @@ object Pipeline {
           .groupBy(col("rep").as("rep_doc"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("rep_doc"))
+        }
       },
       Some(LlmText.dedupGroupsOracleSqlOverBr("", 8, 4))),
 
@@ -1370,6 +1380,7 @@ object Pipeline {
       (s, d) => {
         import graft.streaming.StateStoreNearDup
         val st = LlmText.bigramStateCached(s, d)
+        graft.util.Confs.withMicroBatch(s) {
         val (cands, _) = StateStoreNearDup.runWaves(s, Seq(
           StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 0), 4, 4),
           StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 1), 4, 4)))
@@ -1382,6 +1393,7 @@ object Pipeline {
           .groupBy(col("rep").as("rep_doc"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("rep_doc"))
+        }
       },
       Some(LlmText.dedupGroupsOracleSqlOverBr("", 4, 4))),
 
@@ -1407,6 +1419,7 @@ object Pipeline {
         def wave(op: String, pred: org.apache.spark.sql.Column) =
           StateStoreNearDup.flatBands(st.where(pred), 8, 4)
             .withColumn("op", lit(op))
+        graft.util.Confs.withMicroBatch(s) {
         val (events, _) = StateStoreNearDup.runOpWaves(s, Seq(
           wave("insert", col("doc_id") % 2 === 0),
           wave("insert", col("doc_id") % 2 === 1),
@@ -1419,6 +1432,7 @@ object Pipeline {
           .groupBy(col("rep").as("rep_doc"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("rep_doc"))
+        }
       },
       Some(LlmText.dedupGroupsOracleSqlOverBr("doc_id % 7 <> 0", 8, 4,
         maxBucket = Int.MaxValue))),
@@ -1450,6 +1464,7 @@ object Pipeline {
       (s, d) => {
         import graft.streaming.StateStoreNearDup
         val st = LlmText.bigramStateCached(s, d)
+        graft.util.Confs.withMicroBatch(s) {
         val (ev, _) = StateStoreNearDup.runWaves(s, Seq(
           StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 0)),
           StateStoreNearDup.flatBands(st.where(col("doc_id") % 2 === 1))),
@@ -1463,6 +1478,7 @@ object Pipeline {
           .groupBy(col("rep").as("rep_doc"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("rep_doc"))
+        }
       },
       Some(LlmText.dedupGroupsOracleSqlOverBr("", 8, 2,
         maxBucket = Int.MaxValue))),
@@ -1495,6 +1511,7 @@ object Pipeline {
         val statePath = graft.util.Scratch.dir("q66m-incremental")
         val inc = new IncrementalNearDup(statePath, hotBucketCap = 3)
         val st = LlmText.bigramStateCached(s, d)
+        graft.util.Confs.withMicroBatch(s) {
         inc.processState(st.where(col("doc_id") % 2 === 0), 0L)
         require(inc.poisonSweep(s) > 0,
           "q66m drill is vacuous: no bucket crossed the cap in wave 0")
@@ -1503,6 +1520,7 @@ object Pipeline {
           .groupBy(col("rep").as("rep_doc"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("rep_doc"))
+        }
       },
       Some(LlmText.dedupGroupsOracleSqlOverBr("", 8, 2,
         maxBucket = Int.MaxValue))),

@@ -1842,9 +1842,13 @@ object Vectors {
         val inc = new IncrementalIvf(statePath, servingCents)
         val arrivals = all.where(col("vec_id") % 5 === 4)
           .select(col("vec_id"), col("embedding"))
+        // micro-batch waves sized to MicroBatchPartitions (the q66
+        // doctrine — see Confs.withMicroBatch); training stays outside
+        graft.util.Confs.withMicroBatch(s) {
         inc.processBatch(arrivals.where(col("vec_id") % 2 === 0), 0L)
         inc.processBatch(arrivals.where(col("vec_id") % 2 === 1), 1L)
         ivfCompositionSummary(baseAssigned, inc.members(s))
+        }
       },
       // the oracle trains on the base 80% (c0..c1) and scores EVERY
       // vector against the serving centroids c1 in one pass — base
@@ -1877,11 +1881,13 @@ object Vectors {
         val inc = new IncrementalIvf(statePath, servingCents)
         val arrivals = all.where(col("vec_id") % 5 === 4)
           .select(col("vec_id"), col("embedding"))
+        graft.util.Confs.withMicroBatch(s) {
         inc.processBatch(arrivals.where(col("vec_id") % 2 === 0), 0L)
         inc.processBatch(arrivals.where(col("vec_id") % 2 === 1), 1L)
         inc.retractBatch(
           arrivals.where(col("vec_id") % 3 === 0).select(col("vec_id")), 2L)
         ivfCompositionSummary(baseAssigned, inc.members(s))
+        }
       },
       Some(incrementalIvfOracleSqlOver(
         "NOT (vec_id % 5 = 4 AND vec_id % 3 = 0)"))),

@@ -24,4 +24,25 @@ object Confs {
       case None => s.conf.unset(key)
     }
   }
+
+  /** Shuffle-partition count for MICRO-BATCH work (the r13/r14 q66
+    * doctrine generalized to every streaming-twin / wire-drill entry):
+    * a micro-batch's shuffle volume is bounded by the batch, not the
+    * corpus, so partitions are sized to the batch — parameterized
+    * (`SPARK_GRAFT_MICROBATCH_PARTITIONS`) because the right value is
+    * a property of per-batch volume, not of this host: a production
+    * deployment ingesting bigger batches raises it (the usual
+    * bytes-per-partition rule, guide §2.2), while the fixture-scale
+    * waves here (10⁴–10⁵ rows) are pure task/AQE-planning overhead
+    * beyond a handful of partitions. Results are partitioning-
+    * invariant — every consumer is held to its DuckDB oracle hash. */
+  val MicroBatchPartitions: Int =
+    sys.env.get("SPARK_GRAFT_MICROBATCH_PARTITIONS").map(_.toInt).getOrElse(8)
+
+  /** Scoped [[withShufflePartitions]] at [[MicroBatchPartitions]] — the
+    * wrapper every micro-batch-cadence entry runs its eager work under
+    * (stream starts capture the conf into the cloned session; emission
+    * folds/checkpoint rounds execute inside the wrap). */
+  def withMicroBatch[T](s: SparkSession)(f: => T): T =
+    withShufflePartitions(s, MicroBatchPartitions)(f)
 }
