@@ -704,9 +704,7 @@ object CdcAnalytics {
       case Right(d: DdlEvent) => reg.register(d)
       case other => throw new IllegalStateException(s"bad DDL: $other")
     }
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      StateStoreLineDedup.RocksDbProvider)
+    val prev = StateStoreLineDedup.setRocksDb(s)
     try {
       val stream = sourceOptions.foldLeft(
         s.readStream.format("maxscale-cdc")
@@ -726,12 +724,7 @@ object CdcAnalytics {
         .writeStream.format("parquet").option("path", evDir)
         .outputMode("append").option("checkpointLocation", ckptPath).start()
       try drainByInputRows(q, expectRows, "qc8") finally q.stop()
-    } finally prev match {
-      case Some(v) =>
-        s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None =>
-        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+    } finally StateStoreLineDedup.restoreConfs(s, prev)
   }
 
   /** Schema of the qc8 event sink — [[NearDupIdxEvent]]'s shape (for
@@ -819,9 +812,7 @@ object CdcAnalytics {
       case Right(d: DdlEvent) => reg.register(d)
       case other => throw new IllegalStateException(s"bad DDL: $other")
     }
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      StateStoreLineDedup.RocksDbProvider)
+    val prev = StateStoreLineDedup.setRocksDb(s)
     try {
       val stream = sourceOptions.foldLeft(
         s.readStream.format("maxscale-cdc")
@@ -839,12 +830,7 @@ object CdcAnalytics {
         .writeStream.format("parquet").option("path", evDir)
         .outputMode("append").option("checkpointLocation", ckptPath).start()
       try drainByInputRows(q, expectRows, "qc9") finally q.stop()
-    } finally prev match {
-      case Some(v) =>
-        s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None =>
-        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+    } finally StateStoreLineDedup.restoreConfs(s, prev)
   }
 
   /** qc9's query body: the qc2 insert workload through the continuous
@@ -899,9 +885,7 @@ object CdcAnalytics {
       case Right(d: DdlEvent) => reg.register(d)
       case other => throw new IllegalStateException(s"bad DDL: $other")
     }
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      StateStoreLineDedup.RocksDbProvider)
+    val prev = StateStoreLineDedup.setRocksDb(s)
     try {
       val stream = sourceOptions.foldLeft(
         s.readStream.format("maxscale-cdc")
@@ -920,12 +904,7 @@ object CdcAnalytics {
         .writeStream.format("parquet").option("path", evDir)
         .outputMode("append").option("checkpointLocation", ckptPath).start()
       try drainByInputRows(q, expectRows, "qc10") finally q.stop()
-    } finally prev match {
-      case Some(v) =>
-        s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None =>
-        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+    } finally StateStoreLineDedup.restoreConfs(s, prev)
   }
 
   /** qc10's query body: the qc6 insert+delete workload through the

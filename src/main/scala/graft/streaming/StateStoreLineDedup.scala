@@ -50,6 +50,34 @@ object StateStoreLineDedup {
   val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Session confs for every RocksDB-backed stateful drill: the provider
+    * plus CHANGELOG CHECKPOINTING — per-batch commits upload the batch's
+    * key-value delta instead of a full store snapshot (snapshots are
+    * produced asynchronously in the background), so micro-batch commit
+    * cost is O(batch), not O(state). Recovery replays snapshot +
+    * changelogs — the restart drills (q66f/q119f/qc14) run unchanged on
+    * the same checkpoint contract. */
+  val RocksDbConfs: Seq[(String, String)] = Seq(
+    "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider,
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      -> "true")
+
+  /** Set [[RocksDbConfs]] on the session, returning the previous values
+    * for [[restoreConfs]] — the scoped-override pattern shared by every
+    * wave runner / wire pipeline that flips the provider. */
+  def setRocksDb(spark: SparkSession): Seq[(String, Option[String])] = {
+    val prevs = RocksDbConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    RocksDbConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    prevs
+  }
+
+  def restoreConfs(spark: SparkSession,
+      prevs: Seq[(String, Option[String])]): Unit =
+    prevs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+
   /** Measured shape of one run, for the scale notes: state rows =
     * distinct lines (≪ corpus chunks on a duplicative corpus), state
     * bytes ≈ fixed per line. */
@@ -109,8 +137,7 @@ object StateStoreLineDedup {
       restartAfterWave: Option[Int] = None): (DataFrame, StateShape) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    val prev = setRocksDb(spark)
     val ckpt = graft.util.Scratch.dir("q119f-ckpt")
     val mem = MemoryStream[(Long, String)](Encoders.tuple(
       Encoders.scalaLong, Encoders.STRING), sqlCtx)
@@ -165,12 +192,7 @@ object StateStoreLineDedup {
     } finally {
       q.stop()
       if (!fileMode) spark.catalog.dropTempView(sinkName)
-      prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+      restoreConfs(spark, prev)
     }
   }
 
@@ -278,8 +300,7 @@ object StateStoreLineDedup {
       restartAfterWave: Option[Int] = None): (DataFrame, StateShape) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    val prev = setRocksDb(spark)
     val ckpt = graft.util.Scratch.dir("q119g-ckpt")
     val mem = MemoryStream[(String, Long, String)](Encoders.tuple(
       Encoders.STRING, Encoders.scalaLong, Encoders.STRING), sqlCtx)
@@ -325,12 +346,7 @@ object StateStoreLineDedup {
     } finally {
       q.stop()
       if (!fileMode) spark.catalog.dropTempView(sinkName)
-      prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+      restoreConfs(spark, prev)
     }
   }
 }

@@ -259,9 +259,7 @@ object StateStoreNearDup {
       cap: Int = LlmText.HotBucketCap): (DataFrame, StateShape) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      StateStoreLineDedup.RocksDbProvider)
+    val prev = StateStoreLineDedup.setRocksDb(spark)
     val ckpt = graft.util.Scratch.dir("q66f-ckpt")
     val rowEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
       Encoders.scalaLong)
@@ -310,12 +308,7 @@ object StateStoreNearDup {
     } finally {
       q.stop()
       if (!fileMode) spark.catalog.dropTempView(sinkName)
-      prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+      StateStoreLineDedup.restoreConfs(spark, prev)
     }
   }
 
@@ -476,9 +469,7 @@ object StateStoreNearDup {
       cap: Int = LlmText.HotBucketCap): (DataFrame, StateShape) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      StateStoreLineDedup.RocksDbProvider)
+    val prev = StateStoreLineDedup.setRocksDb(spark)
     val ckpt = graft.util.Scratch.dir("q66g-ckpt")
     val rowEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
       Encoders.scalaLong, Encoders.STRING)
@@ -524,12 +515,7 @@ object StateStoreNearDup {
     } finally {
       q.stop()
       if (!fileMode) spark.catalog.dropTempView(sinkName)
-      prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+      StateStoreLineDedup.restoreConfs(spark, prev)
     }
   }
 }

@@ -45,4 +45,15 @@ object Confs {
     * folds/checkpoint rounds execute inside the wrap). */
   def withMicroBatch[T](s: SparkSession)(f: => T): T =
     withShufflePartitions(s, MicroBatchPartitions)(f)
+
+  /** Scoped session-conf override of one arbitrary key — same
+    * restore-or-unset contract as [[withShufflePartitions]]. */
+  def withConf[T](s: SparkSession, key: String, value: String)(f: => T): T = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try f finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
 }
