@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver captures `sbt runMain` stdout through a bounded tail
+// and json-parses the bench's final summary line; sbt's default logger
+// prefixes every forked-process line with "[info] ", which breaks a
+// naive json.loads on the captured line. Pass program output through
+// verbatim instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

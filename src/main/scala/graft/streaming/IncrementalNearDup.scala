@@ -183,6 +183,7 @@ final class IncrementalNearDup(statePath: String,
     * under replay. */
   def retractBatch(deletes: DataFrame, batchId: Long): Unit = {
     val spark = deletes.sparkSession
+    graft.util.Sessions.ensureActive(spark)
     val ids = deletes.select(col("doc_id").cast("long").as("doc_id"))
       .dropDuplicates(Seq("doc_id")) // intra-batch replay dedup
       .localCheckpoint(true) // micro-batch sources are not re-scannable
@@ -241,6 +242,10 @@ final class IncrementalNearDup(statePath: String,
     * recomputing per wave. */
   def processState(state: DataFrame, batchId: Long): Unit = {
     val spark = state.sparkSession
+    // every plan this batch builds (including on the append pool
+    // threads, which re-pin from this value) must see one owning
+    // session — VERDICT r14 item 1
+    graft.util.Sessions.ensureActive(spark)
     val tombsOpt = tombstonesOpt(spark).map(_.localCheckpoint(true))
     def antiTomb(df: DataFrame): DataFrame =
       tombsOpt.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
@@ -410,6 +415,7 @@ final class IncrementalNearDup(statePath: String,
     * between calls an over-cap bucket's bands/ rows grow with its
     * arrival rate — the documented cadence bound. */
   def poisonSweep(spark: SparkSession): Long = {
+    graft.util.Sessions.ensureActive(spark)
     if (!StateLayout.exists(spark, s"$statePath/bands")) return 0L
     val bands = spark.read.parquet(s"$statePath/bands")
       .drop(StateLayout.BucketCol).localCheckpoint(true)
@@ -469,6 +475,7 @@ final class IncrementalNearDup(statePath: String,
     * capped semantics deterministically. */
   def recoverPoisonedPairs(spark: SparkSession,
       recoverBudget: Long = Long.MaxValue): DataFrame = {
+    graft.util.Sessions.ensureActive(spark)
     def readOrNone(dir: String): Option[DataFrame] =
       if (StateLayout.exists(spark, dir))
         Some(spark.read.parquet(dir).drop(StateLayout.BucketCol)) else None
@@ -627,6 +634,7 @@ final class IncrementalNearDup(statePath: String,
     * hygiene is periodic compaction (e.g. every N batches from the
     * foreachBatch hook). Rewrites each table to `parts` files. */
   def compact(spark: SparkSession, parts: Int = 8): Unit = {
+    graft.util.Sessions.ensureActive(spark)
     // compaction is where retraction becomes PHYSICAL: tombstoned
     // docs' rows are dropped from every rewritten table (pairs on
     // either side); the tombstones themselves are retained so a later
@@ -741,6 +749,7 @@ object IncrementalNearDup {
     * machinery in it. */
   def rebandMigrate(spark: SparkSession, statePath: String,
       nBands: Int, bandR: Int): Unit = {
+    graft.util.Sessions.ensureActive(spark)
     val setsDir = s"$statePath/sets"
     require(StateLayout.exists(spark, setsDir),
       s"no sets/ state at $statePath - nothing to migrate")
@@ -852,6 +861,7 @@ object IncrementalNearDup {
   def widenMigrate(spark: SparkSession, statePath: String,
       corpus: DataFrame, nBands: Int, bandR: Int,
       allowCorpusDrops: Boolean = false): Unit = {
+    graft.util.Sessions.ensureActive(spark)
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val w = nBands * bandR
     require(w == 32, s"widening targets the 32-component family, got $nBands x $bandR")

@@ -15,15 +15,8 @@ import org.apache.spark.sql.SparkSession
   * a foreachBatch state update sizes down. Restores the previous value
   * (or unsets) on exit, exception-safe. */
 object Confs {
-  def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, n.toString)
-    try f finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-  }
+  def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T =
+    withConf(s, "spark.sql.shuffle.partitions", n.toString)(f)
 
   /** Shuffle-partition count for MICRO-BATCH work (the r13/r14 q66
     * doctrine generalized to every streaming-twin / wire-drill entry):
@@ -36,8 +29,16 @@ object Confs {
     * waves here (10⁴–10⁵ rows) are pure task/AQE-planning overhead
     * beyond a handful of partitions. Results are partitioning-
     * invariant — every consumer is held to its DuckDB oracle hash. */
-  val MicroBatchPartitions: Int =
-    sys.env.get("SPARK_GRAFT_MICROBATCH_PARTITIONS").map(_.toInt).getOrElse(8)
+  val MicroBatchPartitions: Int = {
+    val n = sys.env.get("SPARK_GRAFT_MICROBATCH_PARTITIONS").map { v =>
+      // ADVICE r14: a typo'd value must fail with the variable named,
+      // not an opaque NumberFormatException from a static initializer
+      v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_MICROBATCH_PARTITIONS must be a positive int, got '$v'"))
+    }.getOrElse(8)
+    require(n >= 1, s"SPARK_GRAFT_MICROBATCH_PARTITIONS must be >= 1, got $n")
+    n
+  }
 
   /** Scoped [[withShufflePartitions]] at [[MicroBatchPartitions]] — the
     * wrapper every micro-batch-cadence entry runs its eager work under

@@ -48,11 +48,16 @@ object Jobs {
     * keep contending with whatever the caller runs next (ADVICE r10). */
   def awaitAll[T](what: String, timeout: Duration = 10.minutes)(
       thunks: Seq[() => T]): Seq[T] = {
-    val scOpt = org.apache.spark.sql.SparkSession.getActiveSession
+    val sessOpt = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sparkContext)
+    val scOpt = sessOpt.map(_.sparkContext)
     val group = s"graft-jobs-${groupSeq.incrementAndGet()}"
     val fs = thunks.map(t => Future {
+      // pin the CALLER's session on the pool thread before the thunk
+      // builds any plan: pool threads inherit whatever active session
+      // (possibly none, possibly a dead stream clone) their creating
+      // thread happened to carry — see graft.util.Sessions
+      sessOpt.foreach(Sessions.ensureActive)
       scOpt.foreach(_.setJobGroup(group, what, interruptOnCancel = true))
       try t() finally scOpt.foreach(_.clearJobGroup())
     }(ec))

@@ -9,6 +9,17 @@ trait SparkTestSession extends BeforeAndAfterAll { self: Suite =>
 
   lazy val spark: SparkSession = SparkTestSession.session
 
+  override protected def beforeAll(): Unit = {
+    // pin the shared session as the suite thread's ACTIVE session:
+    // getOrCreate() set it only on the thread that first built the
+    // session, and a test-framework thread created before that carries
+    // an empty InheritableThreadLocal — any plan it forces outside a
+    // Spark-guarded action is then built with a null session (the
+    // r14 driver-flaked WidenMigrationSpec NPE; see graft.util.Sessions)
+    SparkSession.setActiveSession(spark)
+    super.beforeAll()
+  }
+
   override protected def afterAll(): Unit = super.afterAll()
 }
 
