@@ -161,11 +161,25 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] serving SLA probe failed: ${e.getMessage}")
         Seq.empty[Double] }
-    def pct(p: Double): Double = if (servingLat.isEmpty) -1.0
-      else servingLat(math.min(servingLat.size - 1,
-        math.ceil(p * servingLat.size).toInt - 1).max(0))
+    def pctOf(lat: Seq[Double])(p: Double): Double = if (lat.isEmpty) -1.0
+      else lat(math.min(lat.size - 1,
+        math.ceil(p * lat.size).toInt - 1).max(0))
+    def pct(p: Double): Double = pctOf(servingLat)(p)
+    // the CONCURRENT serving block (VERDICT r14 item 8): N=4 request
+    // streams against the same pinned index, measured — not asserted —
+    // to show whether the N=1 p50 is a scheduling floor that concurrent
+    // sessions amortize (latency holds ≈ N=1) or real compute (rises
+    // ~4×). Additive keys; the N=1 block above is unchanged.
+    val servingLatC4 = try graft.queries.Vectors
+        .servingSlaLatenciesConcurrentMs(spark, sfDir, 100, 4).sorted
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] concurrent serving SLA probe failed: ${e.getMessage}")
+        Seq.empty[Double] }
+    val pctC4 = pctOf(servingLatC4) _
     val servingJson = s""""serving_queries":${servingLat.size},""" +
-      s""""serving_p50_ms":${pct(0.50)},"serving_p95_ms":${pct(0.95)}"""
+      s""""serving_p50_ms":${pct(0.50)},"serving_p95_ms":${pct(0.95)},""" +
+      s""""serving_c4_queries":${servingLatC4.size},""" +
+      s""""serving_c4_p50_ms":${pctC4(0.50)},"serving_c4_p95_ms":${pctC4(0.95)}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_eps":$eps,"ingest_eps_runs":$epsRuns,"ingest_load_markers":${ingestMarkers.mkString("[", ",", "]")},"ingest_eps_4shard":$epsShard,"ingest_eps_4shard_runs":${shardRuns.mkString("[", ",", "]")},"ingest_4shard_load_markers":${shardMarkers.mkString("[", ",", "]")},$servingJson,"sf":"$sfDir"}"""
     println(line)
     // the driver captures stdout with a bounded tail, which truncated a
@@ -199,7 +213,7 @@ object Bench {
     // null. The FINAL stdout line is therefore a compact summary that
     // survives a 4 KB tail (the full per-query map stays in the line
     // above and in the atomic artifact write):
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"ingest_eps":$eps,"ingest_eps_4shard":$epsShard,"serving_p50_ms":${pct(0.50)},"serving_p95_ms":${pct(0.95)},"queries_file":"$outFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"ingest_eps":$eps,"ingest_eps_4shard":$epsShard,"serving_p50_ms":${pct(0.50)},"serving_p95_ms":${pct(0.95)},"serving_c4_p50_ms":${pctC4(0.50)},"serving_c4_p95_ms":${pctC4(0.95)},"queries_file":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 

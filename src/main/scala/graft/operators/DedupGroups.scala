@@ -27,7 +27,19 @@ object DedupGroups {
     *         with component DIAMETER — right for near-dup graphs
     *         (quasi-cliques, diameter 2–4). For high-diameter graphs
     *         use [[componentsStar]] (logarithmic rounds). */
-  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    // each round is a bounded join+groupBy whose one-job-per-round
+    // shape the lazy checkpoints below were built for — adaptive
+    // execution would re-split every round into one driver job PER
+    // QUERY STAGE plus a re-optimization pass, tripling the driver
+    // round-trips for plans that are already statically tiny (see
+    // Confs.withMicroBatchExec; interleaved A/B on the q66 family:
+    // −25–30% entry wall with the static scope)
+    graft.util.Confs.withMicroBatchExec(pairs.sparkSession) {
+      componentsImpl(pairs, maxIters)
+    }
+
+  private def componentsImpl(pairs: DataFrame, maxIters: Int): DataFrame = {
     // localCheckpoint after every round: iterative self-joins otherwise
     // embed the previous round's plan twice per iteration — exponential
     // logical-plan growth that kills the driver long before the data
@@ -84,7 +96,14 @@ object DedupGroups {
     * Same contract as [[components]]: (doc_id, rep) for every doc in a
     * pair, rep = component min (at the fixpoint every edge points
     * child → component root, and roots are the only non-children). */
-  def componentsStar(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+  def componentsStar(pairs: DataFrame, maxIters: Int = 30): DataFrame =
+    // same static-tiny-plan scope as [[components]] — two bounded
+    // shuffles per round, one probe job each
+    graft.util.Confs.withMicroBatchExec(pairs.sparkSession) {
+      componentsStarImpl(pairs, maxIters)
+    }
+
+  private def componentsStarImpl(pairs: DataFrame, maxIters: Int): DataFrame = {
     // canonical directed edge child > parent; both ops preserve this
     var edges = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("a"),

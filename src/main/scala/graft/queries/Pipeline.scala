@@ -1154,7 +1154,7 @@ object Pipeline {
         // oracle hash is the gate). The production analog is standard:
         // size shuffle partitions to the micro-batch, not the cluster
         // default.
-        graft.util.Confs.withShufflePartitions(s, 8) {
+        graft.util.Confs.withMicroBatch(s) {
           inc.processState(st.where(col("doc_id") % 2 === 0), 0L)
           inc.processState(st.where(col("doc_id") % 2 === 1), 1L)
           inc.groups(s)
@@ -1225,7 +1225,7 @@ object Pipeline {
         val inc = new IncrementalNearDup(statePath)
         val st = LlmText.bigramStateCached(s, d)
         // same micro-batch partition sizing as q66 (see its comment)
-        graft.util.Confs.withShufflePartitions(s, 8) {
+        graft.util.Confs.withMicroBatch(s) {
           inc.processState(st.where(col("doc_id") % 2 === 0), 0L)
           inc.processState(st.where(col("doc_id") % 2 === 1), 1L)
           inc.retractBatch(

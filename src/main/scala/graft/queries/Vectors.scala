@@ -797,6 +797,45 @@ object Vectors {
     * Returns one wall-clock per query, warm-up excluded. */
   private[graft] def servingSlaLatenciesMs(s: SparkSession, d: String,
       nQueries: Int = 100): Seq[Double] = {
+    val (qvecs, serveOne) = servingSlaSetup(s, d, nQueries)
+    // warm-up: first execution pays codegen + broadcast-machinery JIT
+    serveOne(qvecs.head._1, qvecs.head._2)
+    qvecs.map { case (qid, xi) => serveOne(qid, xi) }.toSeq
+  }
+
+  /** The CONCURRENT-sessions serving probe (VERDICT r14 item 8): the
+    * single-stream p50 of ~160 ms is dominated by the local-mode
+    * per-job scheduling floor, and the r14 notes CLAIMED a deployment
+    * amortizes it across concurrent serving queries without measuring
+    * it. This measures it: `nThreads` request streams share the one
+    * pinned index and submit their per-query jobs concurrently (guide
+    * §2.6 — Spark runs several jobs at once; FIFO back-fill), so if
+    * the floor is scheduling rather than compute, aggregate throughput
+    * rises and per-query latency holds near the N=1 number instead of
+    * rising ~N×. Reported beside the N=1 block in the bench artifact. */
+  private[graft] def servingSlaLatenciesConcurrentMs(s: SparkSession,
+      d: String, nQueries: Int = 100, nThreads: Int = 4): Seq[Double] = {
+    val (qvecs, serveOne) = servingSlaSetup(s, d, nQueries)
+    serveOne(qvecs.head._1, qvecs.head._2) // codegen/broadcast warm-up
+    val lat = new java.util.concurrent.ConcurrentLinkedQueue[Double]
+    val slices = qvecs.grouped(
+      math.max(1, (qvecs.length + nThreads - 1) / nThreads)).toSeq
+    val threads = slices.zipWithIndex.map { case (slice, i) =>
+      val t = new Thread(() => {
+        slice.foreach { case (qid, xi) => lat.add(serveOne(qid, xi)) }
+      }, s"serving-sla-$i")
+      t.setDaemon(true); t.start(); t
+    }
+    threads.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    lat.asScala.toSeq
+  }
+
+  /** Shared setup for the serving-SLA probes: load-and-pin the
+    * persisted PQ index, collect the request payloads once, and return
+    * the per-query serving closure (latency in ms). */
+  private def servingSlaSetup(s: SparkSession, d: String,
+      nQueries: Int): (Array[(Long, Array[Long])], (Long, Array[Long]) => Double) = {
     import graft.operators.{AnnIndexStore, KMeansLloyd}
     val dir = if (AnnIndexStore.committed(pqStoreDir(d))) pqStoreDir(d)
       else buildAndSavePq(s, d)
@@ -836,9 +875,7 @@ object Vectors {
       require(rows.nonEmpty, s"query $qid served no neighbors")
       (System.nanoTime() - t0) / 1e6
     }
-    // warm-up: first execution pays codegen + broadcast-machinery JIT
-    serveOne(qvecs.head._1, qvecs.head._2)
-    qvecs.map { case (qid, xi) => serveOne(qid, xi) }.toSeq
+    (qvecs, serveOne)
   }
 
   /** Code-width rule (VERDICT r10 item 3): at a FIXED width the

@@ -72,6 +72,13 @@ final class CdcSnapshotTable(path: String, keys: Seq[String], payload: StructTyp
     * so the rewritten `snap_<batchId>` is identical. */
   def applyBatch(cdc: DataFrame, batchId: Long): Unit = {
     val s = cdc.sparkSession
+    // empty-batch fast exit (guide §2.4): a DDL-only micro-batch has
+    // zero DML rows for the table — merging them would rewrite the
+    // whole snapshot UNCHANGED (the full CoW cost for a no-op). With
+    // no snap_<batchId> written, later reads resolve to the previous
+    // committed snapshot, which holds identical content; a replay of
+    // the empty batch skips again, so idempotence is preserved.
+    if (cdc.isEmpty) return
     val prev = snapshotBefore(s, batchId)
     val next = CdcMaterializer.applyBatch(
       prev,

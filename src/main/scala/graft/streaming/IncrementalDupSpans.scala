@@ -93,9 +93,15 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int],
     val ids = deletes.select(col("doc_id").cast("long").as("doc_id"))
       .dropDuplicates(Seq("doc_id")) // intra-batch replay dedup
       .localCheckpoint(true) // micro-batch sources are not re-scannable
+    // empty-slice fast exit (guide §2.4): insert-only batches route
+    // here with zero rows — an EMPTY append would still create the
+    // tombstone dir, re-engaging the per-batch tombstone machinery
+    // (dir-existence-gated) on every later batch for nothing
+    if (ids.isEmpty) return
     val fresh = tombstonesOpt(spark)
       .map(t => ids.join(t, Seq("doc_id"), "left_anti")).getOrElse(ids)
     fresh.write.mode("append").parquet(tombstonesDir)
+    StateLayout.invalidateCount(tombstonesDir)
     maybeCompact(spark)
   }
 
@@ -116,6 +122,11 @@ final class IncrementalDupSpans(statePath: String, ns: Seq[Int],
       // rows that landed in EARLIER batches
       .dropDuplicates(Seq("doc_id"))
       .localCheckpoint(true) // micro-batch sources are not re-scannable
+    // empty-slice fast exit (guide §2.4): a DDL-only or delete-only
+    // micro-batch reaches this hook with zero insert rows — skip the
+    // guard read and the empty append outright (the probe reads the
+    // checkpointed blocks, not the source)
+    if (docs.isEmpty) return
     // replay guard BEFORE gramming: state rows are per-doc, so
     // filtering the doc rows (one per doc) against seen doc_ids is
     // equivalent to filtering the gram rows (dozens per doc × |ns|) —

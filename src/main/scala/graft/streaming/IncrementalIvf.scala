@@ -90,9 +90,15 @@ final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid],
     val ids = deletes.select(col("vec_id").cast("long").as("vec_id"))
       .dropDuplicates(Seq("vec_id")) // intra-batch replay dedup
       .localCheckpoint(true) // micro-batch sources are not re-scannable
+    // empty-slice fast exit (guide §2.4): insert-only batches route
+    // here with zero rows — an EMPTY append would still create the
+    // tombstone dir, re-engaging the per-batch tombstone machinery
+    // (dir-existence-gated) on every later batch for nothing
+    if (ids.isEmpty) return
     val fresh = tombstonesOpt(spark)
       .map(t => ids.join(t, Seq("vec_id"), "left_anti")).getOrElse(ids)
     fresh.write.mode("append").parquet(s"$statePath/tombstones")
+    StateLayout.invalidateCount(s"$statePath/tombstones")
     maybeCompact(spark)
   }
 
@@ -114,6 +120,11 @@ final class IncrementalIvf(statePath: String, cents: Seq[KMeansLloyd.Centroid],
       // rows that landed in EARLIER batches
       .dropDuplicates(Seq("vec_id"))
       .localCheckpoint(true) // micro-batch sources are not re-scannable
+    // empty-slice fast exit (guide §2.4): a DDL-only or delete-only
+    // micro-batch reaches this hook with zero insert rows — skip the
+    // guard read and the empty append outright (the probe reads the
+    // checkpointed blocks, not the source)
+    if (vecs.isEmpty) return
     val assigned = KMeansLloyd.assign(vecs, cents)
       .select(col("vec_id"), col("cell"))
     // guard read PRUNED to the batch's vec_id buckets (VERDICT r10

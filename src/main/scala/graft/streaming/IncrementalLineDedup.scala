@@ -106,25 +106,37 @@ final class IncrementalLineDedup(statePath: String,
       // rows that landed in EARLIER batches
       .dropDuplicates(Seq("doc_id"))
       .localCheckpoint(true) // micro-batch sources are not re-scannable
-    // replay guard BEFORE chunking: state rows are per-doc, so
-    // filtering doc rows against seen doc_ids equals filtering chunk
-    // rows — and a replayed doc skips chunking entirely. Tombstoned
-    // ids are guarded too (tombstones win): a replayed insert of a
-    // deleted doc must not resurrect its chunks. The guard read is
-    // PRUNED to the batch's doc_id buckets (VERDICT r10 item 2): the
-    // state is bucket-partitioned on doc_id, so this scans O(touched
-    // buckets) files, not the whole committed state. Batch 0 (nothing
-    // committed, no tombstones) skips the guard join entirely — the
-    // anti-join against a provably empty side is the identity.
-    val guardSides =
-      StateLayout.readPrunedOpt(spark, chunksDir, emptyChunks(spark).schema,
-        docs, Seq("doc_id")).map(_.select("doc_id")).toSeq ++
-      tombstonesOpt(spark).map(_.select("doc_id"))
-    val fresh = guardSides.reduceOption(_ union _) match {
-      case Some(seen) => docs.join(seen.distinct(), Seq("doc_id"), "left_anti")
-      case None => docs
+    // one cheap count job off the checkpointed blocks serves both the
+    // empty-slice fast exit (guide §2.4: DDL-only / delete-only
+    // micro-batches land here with zero insert rows — skip the guard
+    // read, the chunk computation and the empty append outright) and
+    // the self-sized partition count (VERDICT r14 item 6)
+    val nRows = docs.count()
+    if (nRows == 0) return
+    graft.util.Confs.withShufflePartitions(spark,
+        graft.util.Confs.microBatchPartitionsFor(spark, nRows)) {
+      graft.util.Confs.withMicroBatchExec(spark) {
+        // replay guard BEFORE chunking: state rows are per-doc, so
+        // filtering doc rows against seen doc_ids equals filtering chunk
+        // rows — and a replayed doc skips chunking entirely. Tombstoned
+        // ids are guarded too (tombstones win): a replayed insert of a
+        // deleted doc must not resurrect its chunks. The guard read is
+        // PRUNED to the batch's doc_id buckets (VERDICT r10 item 2): the
+        // state is bucket-partitioned on doc_id, so this scans O(touched
+        // buckets) files, not the whole committed state. Batch 0 (nothing
+        // committed, no tombstones) skips the guard join entirely — the
+        // anti-join against a provably empty side is the identity.
+        val guardSides =
+          StateLayout.readPrunedOpt(spark, chunksDir, emptyChunks(spark).schema,
+            docs, Seq("doc_id")).map(_.select("doc_id")).toSeq ++
+          tombstonesOpt(spark).map(_.select("doc_id"))
+        val fresh = guardSides.reduceOption(_ union _) match {
+          case Some(seen) => docs.join(seen.distinct(), Seq("doc_id"), "left_anti")
+          case None => docs
+        }
+        StateLayout.append(LlmText.lineChunks(fresh), chunksDir, Seq("doc_id"))
+      }
     }
-    StateLayout.append(LlmText.lineChunks(fresh), chunksDir, Seq("doc_id"))
     maybeCompact(spark)
   }
 
@@ -137,9 +149,15 @@ final class IncrementalLineDedup(statePath: String,
     val ids = deletes.select(col("doc_id").cast("long").as("doc_id"))
       .dropDuplicates(Seq("doc_id")) // intra-batch replay dedup
       .localCheckpoint(true) // micro-batch sources are not re-scannable
+    // empty-slice fast exit (guide §2.4): insert-only batches route
+    // here with zero rows — and an EMPTY append would create
+    // tombstones/, re-engaging the per-batch tombstone machinery
+    // (dir-existence-gated) on every later batch for nothing
+    if (ids.isEmpty) return
     val fresh = tombstonesOpt(spark)
       .map(t => ids.join(t, Seq("doc_id"), "left_anti")).getOrElse(ids)
     fresh.write.mode("append").parquet(tombstonesDir)
+    StateLayout.invalidateCount(tombstonesDir)
     maybeCompact(spark)
   }
 

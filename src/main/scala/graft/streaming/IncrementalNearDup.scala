@@ -187,9 +187,18 @@ final class IncrementalNearDup(statePath: String,
     val ids = deletes.select(col("doc_id").cast("long").as("doc_id"))
       .dropDuplicates(Seq("doc_id")) // intra-batch replay dedup
       .localCheckpoint(true) // micro-batch sources are not re-scannable
+    // empty-slice fast exit (guide §2.4 — the wire drills route EVERY
+    // batch through both op paths, so insert-only batches land here
+    // with zero rows): appending nothing is a no-op, and skipping the
+    // write also keeps tombstones/ from being CREATED by an empty
+    // append — an existing-but-empty tombstone dir re-engages the
+    // whole per-batch anti-tombstone machinery downstream
+    // (tombstonesOpt is dir-existence-gated) for nothing
+    if (ids.isEmpty) return
     val fresh = tombstonesOpt(spark)
       .map(t => ids.join(t, Seq("doc_id"), "left_anti")).getOrElse(ids)
     fresh.write.mode("append").parquet(s"$statePath/tombstones")
+    StateLayout.invalidateCount(s"$statePath/tombstones")
     maybeCompact(spark)
   }
 
@@ -222,13 +231,32 @@ final class IncrementalNearDup(statePath: String,
       // rows that landed in EARLIER batches
       .dropDuplicates(Seq("doc_id"))
       .localCheckpoint(true) // micro-batch sources are not re-scannable
+    // the batch's row count off the checkpointed blocks — one cheap
+    // job serving two purposes: the empty-slice fast exit (guide §2.4:
+    // a DDL-only or delete-only micro-batch reaches this hook with
+    // zero insert rows, and the full processState pass over an empty
+    // batch is ~10 driver-scheduled jobs that append nothing) and the
+    // SELF-SIZED partition count below (VERDICT r14 item 6)
+    val nRows = docs.count()
+    if (nRows == 0) return
 
     // one scan + one shuffle yields both the signature arrays and the
     // minhash components (LlmText.nearDupState), materialized once for
     // the batch's several uses; the signature width follows the
-    // consumer's banding design (16 default, 32 post-widening)
-    processState(LlmText.nearDupState(docs, nHashes = nBands * bandR)
-      .localCheckpoint(true), batchId)
+    // consumer's banding design (16 default, 32 post-widening).
+    // Partitions follow the OBSERVED batch volume (bounded [4, ambient])
+    // instead of a static constant — at fixture scale this reproduces
+    // the former plans; production hooks on an unwrapped session size
+    // by volume with no env knob (Confs.microBatchPartitionsFor).
+    graft.util.Confs.withShufflePartitions(batch.sparkSession,
+        graft.util.Confs.microBatchPartitionsFor(batch.sparkSession, nRows)) {
+      // the signature pass is batch-sized too — same execution scope
+      // as the processState body it feeds
+      graft.util.Confs.withMicroBatchExec(batch.sparkSession) {
+        processState(LlmText.nearDupState(docs, nHashes = nBands * bandR)
+          .localCheckpoint(true), batchId)
+      }
+    }
   }
 
   /** Shared-scan entry: `state` must be `LlmText.nearDupState` rows for
@@ -246,160 +274,173 @@ final class IncrementalNearDup(statePath: String,
     // threads, which re-pin from this value) must see one owning
     // session — VERDICT r14 item 1
     graft.util.Sessions.ensureActive(spark)
-    val tombsOpt = tombstonesOpt(spark).map(_.localCheckpoint(true))
-    def antiTomb(df: DataFrame): DataFrame =
-      tombsOpt.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
-    // tombstones win: a replayed insert of a deleted doc is dropped
-    // here, so it can never re-enter the band index or the pair set
-    val live = antiTomb(state)
-    // sets/ retains the SIGNATURE alongside the exact-verify shingle
-    // set (+16 longs/doc): the signature is the index's raw material,
-    // and keeping it makes a later re-band migration
-    // ([[IncrementalNearDup.rebandMigrate]]) a map over sets/ instead
-    // of an unaffordable corpus re-scan
-    val nHashes = live.columns.count(_.matches("h\\d+"))
-    val newSets = live.select(col("doc_id"), col("hs"), col("nbg"),
-      array((0 until nHashes).map(i => col(s"h$i")): _*).as("sig"))
-    val allNewBands = LlmText.bandKeys(live, nBands, bandR)
+    // one batch's candidate/verify/append work is micro-batch sized by
+    // construction — run it under the static-tiny-plan execution scope
+    // (AQE off by default: one driver job per action instead of one
+    // per query stage; see Confs.withMicroBatchExec for the A/B). The
+    // compaction poll below stays OUTSIDE: compact() is O(state).
+    graft.util.Confs.withMicroBatchExec(spark) {
+      // NO eager checkpoint on the tombstone side: it is a tiny parquet
+      // read used only as the broadcast build side of anti-joins — each
+      // use re-scans the small file inside a job that runs anyway,
+      // whereas the checkpoint was one extra driver-scheduled job at
+      // micro-batch cadence (the r11 fixed-cost class)
+      val tombsOpt = tombstonesOpt(spark)
+      def antiTomb(df: DataFrame): DataFrame =
+        tombsOpt.map(t => df.join(t, Seq("doc_id"), "left_anti")).getOrElse(df)
+      // tombstones win: a replayed insert of a deleted doc is dropped
+      // here, so it can never re-enter the band index or the pair set
+      val live = antiTomb(state)
+      // sets/ retains the SIGNATURE alongside the exact-verify shingle
+      // set (+16 longs/doc): the signature is the index's raw material,
+      // and keeping it makes a later re-band migration
+      // ([[IncrementalNearDup.rebandMigrate]]) a map over sets/ instead
+      // of an unaffordable corpus re-scan
+      val nHashes = live.columns.count(_.matches("h\\d+"))
+      val newSets = live.select(col("doc_id"), col("hs"), col("nbg"),
+        array((0 until nHashes).map(i => col(s"h$i")): _*).as("sig"))
+      val allNewBands = LlmText.bandKeys(live, nBands, bandR)
 
-    // poison routing (see the class doc's poison+ledger section):
-    // arrivals into poisoned buckets divert to the append-only ledger —
-    // they never enter the index or pair — and poisoned buckets are
-    // excluded from candidate generation below. The marker set is tiny
-    // (hot buckets are few by nature), so both joins broadcast it; a
-    // never-poisoned stream skips all of this (poisonedB is None).
-    val poisonedB = poisonedOpt(spark)
-      .map(p => broadcast(p.select(col("band"), col("key"))))
-    val newBands = poisonedB
-      .map(p => allNewBands.join(p, Seq("band", "key"), "left_anti"))
-      .getOrElse(allNewBands)
-    val hotArrivals = poisonedB.map(p =>
-      allNewBands.join(p, Seq("band", "key"), "left_semi")
-        .select(col("band"), col("key"), col("doc_id")))
+      // poison routing (see the class doc's poison+ledger section):
+      // arrivals into poisoned buckets divert to the append-only ledger —
+      // they never enter the index or pair — and poisoned buckets are
+      // excluded from candidate generation below. The marker set is tiny
+      // (hot buckets are few by nature), so both joins broadcast it; a
+      // never-poisoned stream skips all of this (poisonedB is None).
+      val poisonedB = poisonedOpt(spark)
+        .map(p => broadcast(p.select(col("band"), col("key"))))
+      val newBands = poisonedB
+        .map(p => allNewBands.join(p, Seq("band", "key"), "left_anti"))
+        .getOrElse(allNewBands)
+      val hotArrivals = poisonedB.map(p =>
+        allNewBands.join(p, Seq("band", "key"), "left_semi")
+          .select(col("band"), col("key"), col("doc_id")))
 
-    // candidate generation and verify read the SURVIVORS-ONLY view of
-    // the committed state: probing deleted docs would spend verify
-    // work on pairs emission drops anyway, and bucket sizes must
-    // shrink back as deletes land (hot-cap parity with a batch run
-    // over the survivors). The replay guards below deliberately use
-    // the UNFILTERED dirs — a deleted doc's rows are still committed
-    // bytes, and re-appending them on replay would resurrect them at
-    // the next compaction.
-    //
-    // VERDICT r10 item 2 — state reads prune to the batch's buckets:
-    // bands/ is bucket-partitioned on (band, key) so the candidate
-    // probe reads only partitions the batch's band keys can live in
-    // (file-level pruning UNDER candidateUnion's broadcast semi-join,
-    // which then restricts to exact buckets within them); sets/ on
-    // doc_id so the verify side reads only the candidate docs'
-    // buckets and the replay guard only the batch docs'; pairs/ on
-    // (doc_a, doc_b) so the freshness anti-join reads only the
-    // verified pairs' buckets.
-    // ONE shuffle for count + cap + candidate generation (VERDICT r6
-    // item 4 — previously a count agg, two semi-joins, and a two-sided
-    // self equi-join over the same band rows): tag each band row with
-    // its origin, group the TAGGED union by bucket, apply the
-    // hot-bucket cap as a size filter ON the grouped row, and expand
-    // new-vs-all pairs inside the task. The expansion is bounded by
-    // the cap (≤ HotBucketCap structs per group — the same bound the
-    // semi-join form enforced), so no bucket can blow up a task at
-    // 100 TB; candidates are row-identical to the join form
-    // (spec-pinned stream==batch, q66 oracle hash unchanged).
-    // Batch 0 (no committed index yet) skips the committed side
-    // entirely — new-vs-new candidates only, no semi-join broadcast.
-    val bandsExists = StateLayout.exists(spark, s"$statePath/bands")
-    val tagged = if (!bandsExists) newBands.withColumn("is_new", lit(true))
-      else candidateUnion(
-        antiTomb(StateLayout.readPruned(spark, s"$statePath/bands",
-          newBands.schema, newBands, Seq("band", "key"))),
-        newBands)
-    // (poisoned buckets cannot reach this group-by: newBands excluded
-    // them above, and candidateUnion's committed side is semi-joined to
-    // newBands' buckets — so even leftover bands/ rows of a marked
-    // bucket, possible after a crash mid-sweep, never re-enter)
-    val buckets = tagged.groupBy(col("band"), col("key"))
-      .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("ms"))
-      .where(size(col("ms")) <= hotBucketCap)
-    // new-vs-all within the bucket: canonicalize so (a, b) is found
-    // once regardless of which side is the new doc
-    // checkpoints below are CONDITIONAL on the pruned read path being
-    // active (a grown state dir): only then is the relation evaluated
-    // twice (once as a readPruned probe, once in its join) and worth
-    // materializing. At fixture/early-stream file counts every read is
-    // flat, each relation is referenced once, and the checkpoint would
-    // be a pure sequential driver-job barrier — the fixture-scale cost
-    // class VERDICT r11 flagged on this family. At a 100 TB batch
-    // cadence the dirs grow past the threshold and the checkpoints
-    // re-engage, so the scale path is unchanged.
-    val setsPrunes = StateLayout.prunes(spark, s"$statePath/sets")
-    val cand0 = buckets
-      .select(explode(col("ms")).as("x"), col("ms"))
-      .where(col("x.is_new"))
-      .select(col("x.doc_id").as("xd"), explode(col("ms")).as("y"))
-      .where(col("y.doc_id") =!= col("xd"))
-      .select(least(col("xd"), col("y.doc_id")).as("doc_a"),
-        greatest(col("xd"), col("y.doc_id")).as("doc_b"))
-      .distinct()
-    // bounded per batch (≤ cap × touched buckets); read twice when the
-    // sets/ read prunes — its doc buckets drive the partition filter
-    val cand = if (setsPrunes) cand0.localCheckpoint(true) else cand0
+      // candidate generation and verify read the SURVIVORS-ONLY view of
+      // the committed state: probing deleted docs would spend verify
+      // work on pairs emission drops anyway, and bucket sizes must
+      // shrink back as deletes land (hot-cap parity with a batch run
+      // over the survivors). The replay guards below deliberately use
+      // the UNFILTERED dirs — a deleted doc's rows are still committed
+      // bytes, and re-appending them on replay would resurrect them at
+      // the next compaction.
+      //
+      // VERDICT r10 item 2 — state reads prune to the batch's buckets:
+      // bands/ is bucket-partitioned on (band, key) so the candidate
+      // probe reads only partitions the batch's band keys can live in
+      // (file-level pruning UNDER candidateUnion's broadcast semi-join,
+      // which then restricts to exact buckets within them); sets/ on
+      // doc_id so the verify side reads only the candidate docs'
+      // buckets and the replay guard only the batch docs'; pairs/ on
+      // (doc_a, doc_b) so the freshness anti-join reads only the
+      // verified pairs' buckets.
+      // ONE shuffle for count + cap + candidate generation (VERDICT r6
+      // item 4 — previously a count agg, two semi-joins, and a two-sided
+      // self equi-join over the same band rows): tag each band row with
+      // its origin, group the TAGGED union by bucket, apply the
+      // hot-bucket cap as a size filter ON the grouped row, and expand
+      // new-vs-all pairs inside the task. The expansion is bounded by
+      // the cap (≤ HotBucketCap structs per group — the same bound the
+      // semi-join form enforced), so no bucket can blow up a task at
+      // 100 TB; candidates are row-identical to the join form
+      // (spec-pinned stream==batch, q66 oracle hash unchanged).
+      // Batch 0 (no committed index yet) skips the committed side
+      // entirely — new-vs-new candidates only, no semi-join broadcast.
+      val bandsExists = StateLayout.exists(spark, s"$statePath/bands")
+      val tagged = if (!bandsExists) newBands.withColumn("is_new", lit(true))
+        else candidateUnion(
+          antiTomb(StateLayout.readPruned(spark, s"$statePath/bands",
+            newBands.schema, newBands, Seq("band", "key"))),
+          newBands)
+      // (poisoned buckets cannot reach this group-by: newBands excluded
+      // them above, and candidateUnion's committed side is semi-joined to
+      // newBands' buckets — so even leftover bands/ rows of a marked
+      // bucket, possible after a crash mid-sweep, never re-enter)
+      val buckets = tagged.groupBy(col("band"), col("key"))
+        .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("ms"))
+        .where(size(col("ms")) <= hotBucketCap)
+      // new-vs-all within the bucket: canonicalize so (a, b) is found
+      // once regardless of which side is the new doc
+      // checkpoints below are CONDITIONAL on the pruned read path being
+      // active (a grown state dir): only then is the relation evaluated
+      // twice (once as a readPruned probe, once in its join) and worth
+      // materializing. At fixture/early-stream file counts every read is
+      // flat, each relation is referenced once, and the checkpoint would
+      // be a pure sequential driver-job barrier — the fixture-scale cost
+      // class VERDICT r11 flagged on this family. At a 100 TB batch
+      // cadence the dirs grow past the threshold and the checkpoints
+      // re-engage, so the scale path is unchanged.
+      val setsPrunes = StateLayout.prunes(spark, s"$statePath/sets")
+      val cand0 = buckets
+        .select(explode(col("ms")).as("x"), col("ms"))
+        .where(col("x.is_new"))
+        .select(col("x.doc_id").as("xd"), explode(col("ms")).as("y"))
+        .where(col("y.doc_id") =!= col("xd"))
+        .select(least(col("xd"), col("y.doc_id")).as("doc_a"),
+          greatest(col("xd"), col("y.doc_id")).as("doc_b"))
+        .distinct()
+      // bounded per batch (≤ cap × touched buckets); read twice when the
+      // sets/ read prunes — its doc buckets drive the partition filter
+      val cand = if (setsPrunes) cand0.localCheckpoint(true) else cand0
 
-    // batch-0 fast paths below (setsExists / pairsExists): joining
-    // against a committed dir that does not exist yet is the identity —
-    // skipping the join skips its broadcast-build and probe jobs, the
-    // bulk of the first wave's driver-scheduling overhead
-    val setsExists = StateLayout.exists(spark, s"$statePath/sets")
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id")))
-    val verifySets = if (!setsExists) newSets
-      else antiTomb(StateLayout.readPruned(spark, s"$statePath/sets",
-        newSets.schema, candDocs, Seq("doc_id"))).unionByName(newSets)
-    val pairsPrunes = StateLayout.prunes(spark, s"$statePath/pairs")
-    val verified0 = LlmText.verifyPairs(cand, verifySets)
-    // read twice when the pairs/ read prunes (probe + freshness join)
-    val verified = if (pairsPrunes) verified0.localCheckpoint(true) else verified0
-    val pairsExists = StateLayout.exists(spark, s"$statePath/pairs")
-    val fresh = if (!pairsExists) verified
-      else verified.join(
-        StateLayout.readPruned(spark, s"$statePath/pairs",
-          verified.schema, verified, Seq("doc_a", "doc_b"))
-          .select("doc_a", "doc_b"),
-        Seq("doc_a", "doc_b"), "left_anti")
+      // batch-0 fast paths below (setsExists / pairsExists): joining
+      // against a committed dir that does not exist yet is the identity —
+      // skipping the join skips its broadcast-build and probe jobs, the
+      // bulk of the first wave's driver-scheduling overhead
+      val setsExists = StateLayout.exists(spark, s"$statePath/sets")
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id")))
+      val verifySets = if (!setsExists) newSets
+        else antiTomb(StateLayout.readPruned(spark, s"$statePath/sets",
+          newSets.schema, candDocs, Seq("doc_id"))).unionByName(newSets)
+      val pairsPrunes = StateLayout.prunes(spark, s"$statePath/pairs")
+      val verified0 = LlmText.verifyPairs(cand, verifySets)
+      // read twice when the pairs/ read prunes (probe + freshness join)
+      val verified = if (pairsPrunes) verified0.localCheckpoint(true) else verified0
+      val pairsExists = StateLayout.exists(spark, s"$statePath/pairs")
+      val fresh = if (!pairsExists) verified
+        else verified.join(
+          StateLayout.readPruned(spark, s"$statePath/pairs",
+            verified.schema, verified, Seq("doc_a", "doc_b"))
+            .select("doc_a", "doc_b"),
+          Seq("doc_a", "doc_b"), "left_anti")
 
-    // every append is anti-joined against existing state, so a replayed
-    // micro-batch (foreachBatch retries after failure) is a no-op
-    // instead of doubling rows — idempotent-by-construction restart
-    // semantics without a transactional table format. The sets/ guard
-    // prunes to the batch docs' buckets; the bands/ guard CANNOT prune
-    // (bands/ is partitioned on the band key, the guard is by doc_id)
-    // and goes through the bloom sidecar instead — see
-    // [[guardFreshBands]].
-    val freshSets = if (!setsExists) newSets
-      else newSets.join(
-        StateLayout.readPruned(spark, s"$statePath/sets", newSets.schema,
-          newSets, Seq("doc_id")).select("doc_id"),
-        Seq("doc_id"), "left_anti")
-    // the three appends are INDEPENDENT jobs (each reads only committed
-    // state dirs, none reads a dir being written), so they run
-    // concurrently: per-wave latency is the slowest chain (the verify
-    // behind `fresh`), not the sum — the driver-side analog of AQE's
-    // parallel stages, worth ~1 s/wave of pure scheduling serialization.
-    // The bands replay guard (bloom probe + sidecar append) runs INSIDE
-    // its append thunk: its jobs overlap the verify chain instead of
-    // serializing before it, and the crash ordering it needs (sidecar
-    // segment durable before the data append commits) is sequential
-    // within the thunk.
-    graft.util.Jobs.awaitAll(s"IncrementalNearDup batch $batchId appends")(Seq(
-      () => StateLayout.append(fresh, s"$statePath/pairs", Seq("doc_a", "doc_b")),
-      () => StateLayout.append(guardFreshBands(spark, newBands),
-        s"$statePath/bands", Seq("band", "key")),
-      () => StateLayout.append(freshSets, s"$statePath/sets", Seq("doc_id"))) ++
-      // the hot-arrival ledger append — plain append-only parquet, the
-      // event-sink shape: recovery-only, never probed per batch, so no
-      // bucketed layout and no replay guard (duplicate rows fold out in
-      // recovery's distinct). Present only once a bucket is poisoned.
-      hotArrivals.map(hot =>
-        () => hot.write.mode("append").parquet(s"$statePath/ledger")))
+      // every append is anti-joined against existing state, so a replayed
+      // micro-batch (foreachBatch retries after failure) is a no-op
+      // instead of doubling rows — idempotent-by-construction restart
+      // semantics without a transactional table format. The sets/ guard
+      // prunes to the batch docs' buckets; the bands/ guard CANNOT prune
+      // (bands/ is partitioned on the band key, the guard is by doc_id)
+      // and goes through the bloom sidecar instead — see
+      // [[guardFreshBands]].
+      val freshSets = if (!setsExists) newSets
+        else newSets.join(
+          StateLayout.readPruned(spark, s"$statePath/sets", newSets.schema,
+            newSets, Seq("doc_id")).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      // the three appends are INDEPENDENT jobs (each reads only committed
+      // state dirs, none reads a dir being written), so they run
+      // concurrently: per-wave latency is the slowest chain (the verify
+      // behind `fresh`), not the sum — the driver-side analog of AQE's
+      // parallel stages, worth ~1 s/wave of pure scheduling serialization.
+      // The bands replay guard (bloom probe + sidecar append) runs INSIDE
+      // its append thunk: its jobs overlap the verify chain instead of
+      // serializing before it, and the crash ordering it needs (sidecar
+      // segment durable before the data append commits) is sequential
+      // within the thunk.
+      graft.util.Jobs.awaitAll(s"IncrementalNearDup batch $batchId appends")(Seq(
+        () => StateLayout.append(fresh, s"$statePath/pairs", Seq("doc_a", "doc_b")),
+        () => StateLayout.append(guardFreshBands(spark, newBands),
+          s"$statePath/bands", Seq("band", "key")),
+        () => StateLayout.append(freshSets, s"$statePath/sets", Seq("doc_id"))) ++
+        // the hot-arrival ledger append — plain append-only parquet, the
+        // event-sink shape: recovery-only, never probed per batch, so no
+        // bucketed layout and no replay guard (duplicate rows fold out in
+        // recovery's distinct). Present only once a bucket is poisoned.
+        hotArrivals.map(hot =>
+          () => { hot.write.mode("append").parquet(s"$statePath/ledger")
+            StateLayout.invalidateCount(s"$statePath/ledger") }))
+    }
     maybeCompact(spark)
     ()
   }
@@ -438,8 +479,10 @@ final class IncrementalNearDup(statePath: String,
       liveBands.join(broadcast(newlyHot), Seq("band", "key"), "left_semi")
         .select(col("band"), col("key"), col("doc_id"))
         .write.mode("append").parquet(s"$statePath/ledger")
+      StateLayout.invalidateCount(s"$statePath/ledger")
       // 2. the sticky marker
       newlyHot.write.mode("append").parquet(s"$statePath/poisoned")
+      StateLayout.invalidateCount(s"$statePath/poisoned")
     }
     // 3. drop ALL marked buckets' rows from the index (not just the new
     //    ones — converges leftover rows from a crash mid-sweep), and
@@ -585,12 +628,20 @@ final class IncrementalNearDup(statePath: String,
       val bc = spark.sparkContext.broadcast(blooms.toArray)
       val mightBe = udf((d: Long) => bc.value.exists(_.mightContain(d)))
       val docs = batchDocs()
+      // ONE fused aggregation over the checkpointed distinct set
+      // answers both guard questions — the batch's distinct doc count
+      // (sizes the sidecar segment, formerly its own count job) and
+      // whether ANY doc might be committed (formerly an isEmpty job) —
+      // guide §2.4's fewer-driver-jobs rule at micro-batch cadence
+      val probe = docs.agg(count(lit(1)).as("n"),
+        count(when(mightBe(col("doc_id")), lit(1))).as("maybe")).head()
+      val (nDocs, nMaybe) = (probe.getLong(0), probe.getLong(1))
       // a filter over the checkpointed distinct set — cheap to
       // re-evaluate, no further checkpoint needed
       val maybe = docs.where(mightBe(col("doc_id")))
-      if (maybe.isEmpty) {
+      if (nMaybe == 0) {
         nGuardFast += 1
-        StateLayout.appendBloomDistinct(spark, sidecar, docs, "doc_id")
+        StateLayout.appendBloomSized(spark, sidecar, docs, "doc_id", nDocs)
         newBands
       } else {
         nGuardExact += 1
@@ -888,27 +939,29 @@ object IncrementalNearDup {
     // jointly atomic): skip the pass and converge by re-deriving
     // bands/ and pairs/ from the wide signatures — a re-run is then
     // exactly idempotent, the same recovery contract as rebandMigrate.
-    val wide = (if (storedW == w) live else {
+    val wide = if (storedW == w) live.localCheckpoint(true) else {
       val ext = corpus.select(col("doc_id"),
         ColumnBridge.column(graft.functions.MinHashSig(
           ColumnBridge.expression(col("text")), 2, w - storedW, storedW)).as("ext"))
         .where(col("ext").isNotNull)
-      live.join(ext, Seq("doc_id"))
-        .withColumn("sig", concat(col("sig"), col("ext"))).drop("ext")
-    }).localCheckpoint(true)
-    // ADVICE r11 — the equi-join above is a DESTRUCTIVE rewrite point:
-    // a live committed doc absent from `corpus` (a stale or partial
-    // replica snapshot) silently vanishes from sets/ and surfaces only
-    // as downstream group drift. Count live vs wide BEFORE the swap and
-    // refuse by default; `allowCorpusDrops = true` is the documented
-    // opt-in for a deployment that WANTS migration to double as
-    // physical retraction of corpus-absent docs (live docs all carry
-    // >= 2 tokens — nearDupState filtered them at ingest — so every
-    // drop here is a genuinely missing corpus row, never the size
-    // filter re-biting).
-    if (storedW != w) {
-      val nLive = live.count()
-      val nWide = wide.count()
+      // LEFT join so the ADVICE-r11 coverage check below reads BOTH
+      // counts (live docs, corpus-covered docs) off the one
+      // checkpointed join in a single fused agg — previously nLive was
+      // a second full O(state) count job per migration (guide §2.4)
+      val joined = live.join(ext, Seq("doc_id"), "left").localCheckpoint(true)
+      // ADVICE r11 — the corpus join is a DESTRUCTIVE rewrite point: a
+      // live committed doc absent from `corpus` (a stale or partial
+      // replica snapshot) silently vanishes from sets/ and surfaces
+      // only as downstream group drift. Count live vs covered BEFORE
+      // the swap and refuse by default; `allowCorpusDrops = true` is
+      // the documented opt-in for a deployment that WANTS migration to
+      // double as physical retraction of corpus-absent docs (live docs
+      // all carry >= 2 tokens — nearDupState filtered them at ingest —
+      // so every drop here is a genuinely missing corpus row, never
+      // the size filter re-biting).
+      val cnts = joined.agg(count(lit(1)).as("n_live"),
+        count(col("ext")).as("n_wide")).head()
+      val (nLive, nWide) = (cnts.getLong(0), cnts.getLong(1))
       if (nWide != nLive) {
         val msg = s"widenMigrate at $statePath: corpus covers $nWide of " +
           s"$nLive live committed docs - ${nLive - nWide} would be dropped"
@@ -916,6 +969,10 @@ object IncrementalNearDup {
           "treat migration as physical retraction of the missing docs)")
         graft.sources.cdc.CdcWarnings.emit("widenMigrate", msg)
       }
+      // row-identical to the former inner join: the null-ext rows the
+      // filter drops are exactly the rows an inner join never produced
+      joined.where(col("ext").isNotNull)
+        .withColumn("sig", concat(col("sig"), col("ext"))).drop("ext")
     }
     StateLayout.overwriteCompacted(wide, setsDir, Seq("doc_id"), parts = 8)
     // target-design h-columns view of the wide signature: band rewrite
@@ -962,5 +1019,6 @@ object IncrementalNearDup {
       val p = new org.apache.hadoop.fs.Path(s"$statePath/$t")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
+      StateLayout.invalidateCount(s"$statePath/$t")
     }
 }

@@ -52,7 +52,7 @@ object StateLayout {
     * batch-sized, and it is what keeps the small-file accumulation rate
     * (and with it the [[autoCompactDue]] cadence) proportional to
     * batches, not to batch partitioning. */
-  def append(df: DataFrame, dir: String, keys: Seq[String]): Unit =
+  def append(df: DataFrame, dir: String, keys: Seq[String]): Unit = {
     // the audit hook sees the FULL per-batch upstream DAG here — every
     // incremental state's batch computation terminates in an append,
     // so this one record() covers the streaming twins' per-batch plans
@@ -60,6 +60,8 @@ object StateLayout {
         df.withColumn(BucketCol, bucketOf(keys))
           .repartition(NumBuckets, col(BucketCol)))
       .write.mode("append").partitionBy(BucketCol).parquet(dir)
+    invalidateCount(dir)
+  }
 
   /** Stable audit label: scratch roots are per-run temp dirs, so key
     * the captured plan by the state dir's leaf name only. */
@@ -121,6 +123,7 @@ object StateLayout {
     if (!fs.rename(tmp, d))
       throw new java.io.IOException(s"compaction commit: cannot install $tmp")
     fs.delete(old, true)
+    invalidateCount(dir)
     ()
   }
 
@@ -149,6 +152,7 @@ object StateLayout {
         if (!fs.rename(old, d))
           throw new java.io.IOException(s"compaction recovery: cannot restore $old")
       }
+      invalidateCount(dir)
     }
     ()
   }
@@ -163,20 +167,41 @@ object StateLayout {
     * with batch size (bigger batches ⇒ fewer, larger rewrites). */
   val AutoCompactFiles = 256
 
-  /** Recursive parquet-file count — one listing per poll; cheap on a
-    * filesystem, one LIST per dir on object stores (per batch, not per
-    * row). */
-  def parquetFileCount(spark: SparkSession, dir: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
-    else {
-      val it = fs.listFiles(p, true)
-      var n = 0
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+  /** Memoised recursive parquet-file counts (VERDICT r14 item 3 —
+    * cache FS listings across the poll sites): one micro-batch polls
+    * the same dirs repeatedly (prunes + readPruned per state table,
+    * then the whole-dir autoCompact poll), each a recursive LIST. The
+    * count only feeds POLICY decisions — the compaction trigger and
+    * the pruned-vs-flat read choice, both result-identical either way
+    * — so a cached value can never change what a query computes; it is
+    * still kept exact by invalidating on every mutation path (append,
+    * swap rewrite, crash recovery, and the direct tombstone/ledger
+    * appends in the state classes). */
+  private val fileCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Drop the memoised count for `dir` — every write path that adds or
+    * rewrites files under a state dir must call this (StateLayout's own
+    * writers do; the state classes call it at their direct appends). */
+  def invalidateCount(dir: String): Unit = { fileCountCache.remove(dir); () }
+
+  /** Recursive parquet-file count — one listing per (dir, mutation);
+    * cheap on a filesystem, one LIST per dir on object stores (per
+    * batch, not per row). */
+  def parquetFileCount(spark: SparkSession, dir: String): Int =
+    Option(fileCountCache.get(dir)).map(_.intValue).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val n = if (!fs.exists(p)) 0
+      else {
+        val it = fs.listFiles(p, true)
+        var c = 0
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) c += 1 }
+        c
+      }
+      fileCountCache.put(dir, n)
       n
     }
-  }
 
   /** The auto-compaction policy poll (VERDICT r10 item 5): true when
     * any of `dirs` has accumulated more files than `threshold`. The
@@ -318,8 +343,14 @@ object StateLayout {
     * that hold the batch's distinct key set (checkpointed for the
     * sketch probe) skip re-running the distinct shuffle here. */
   def appendBloomDistinct(spark: SparkSession, sidecarDir: String,
-      vals: DataFrame, key: String): Unit = {
-    val n = vals.count()
+      vals: DataFrame, key: String): Unit =
+    appendBloomSized(spark, sidecarDir, vals, key, vals.count())
+
+  /** [[appendBloomDistinct]] with the distinct-key count already in
+    * hand — callers that learned it from an earlier aggregation (the
+    * fused guard probe) skip the sizing count job entirely. */
+  def appendBloomSized(spark: SparkSession, sidecarDir: String,
+      vals: DataFrame, key: String, n: Long): Unit = {
     if (n > 0) {
       val bloom = vals.stat.bloomFilter(key, math.max(1024L, 2L * n), BloomFpp)
       val fs = fsOf(spark, sidecarDir)

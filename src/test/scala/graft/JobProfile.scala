@@ -32,8 +32,16 @@ object JobProfile {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         starts.put(j.jobId, (j.time,
-          Option(j.properties).map(p =>
-            Option(p.getProperty("callSite.short")).getOrElse("?")).getOrElse("?")))
+          Option(j.properties).map { p =>
+            // SQL-submitted jobs carry no callSite property; the job
+            // description (defaulted by Spark to the action call site)
+            // and the execution id are the usable labels there
+            Seq("callSite.short", "spark.job.description",
+              "spark.jobGroup.id", "spark.sql.execution.id")
+              .flatMap(k => Option(p.getProperty(k)).filter(_.nonEmpty)
+                .map(v => s"$k=$v"))
+              .mkString(" | ") match { case "" => "?"; case s => s }
+          }.getOrElse("?")))
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
         nJobs.incrementAndGet()
         Option(starts.remove(j.jobId)).foreach { case (t0, site) =>
